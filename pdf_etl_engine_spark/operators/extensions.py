@@ -1,0 +1,567 @@
+"""Extension operators (SURVEY.md §2.11, BASELINE.json north_star):
+dedup, similarity search, multimodal columns, text analysis — the
+operations a large-scale training-data pipeline needs.
+
+Scale notes per operator are in the docstrings; the common theme: no
+O(n²) anything — candidate generation is always hash/LSH-bucketed so
+the shuffle key carries the quadratic part, and Python appears only in
+Arrow-batched form where arrays genuinely beat built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_etl_engine_spark.catalog import table_path
+from pdf_etl_engine_spark.functions.stable import stable_round
+from pdf_etl_engine_spark.registry import query
+
+# Tiny English stopword list for X1/quality scoring (public knowledge).
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+# ---------------------------------------------------------------------------
+# X1 — text tokenize + stats
+# ---------------------------------------------------------------------------
+
+@query(
+    "x1_token_stats",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 25
+    """,
+)
+def x1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: tokenize + global term frequencies, top-25. explode→groupBy
+    does partial aggregation before the shuffle, so the wire carries
+    (word, partial_count), not tokens — the property that keeps this
+    viable over 100 TB of text."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(25)
+    )
+
+
+@query(
+    "x1b_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+             AS INTEGER) AS n_bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_char_est_tokens
+    FROM documents
+    """,
+)
+def x1b_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1b: token counting three ways — whitespace, a BPE-ish regex
+    segmentation (letter runs / digit runs / single punctuation), and
+    the chars/4 heuristic."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    bpe_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(bpe_re), F.lit(0))).alias(
+            "n_bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).alias("n_char_est_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — exact deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "x2_dedup_exact",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT text) AS n_unique,
+           CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_rows
+    FROM documents GROUP BY lang
+    """,
+)
+def x2_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: exact-duplicate accounting per language. At 100 TB you never
+    `count(DISTINCT text)` over raw text — you group on a 128-bit
+    content hash; here the exact form is used so the oracle can verify,
+    and the hash form is the rows-only twin below."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique"),
+        (F.count("*") - F.countDistinct("text")).alias("n_dup_rows"),
+    )
+
+
+@query(
+    "x2b_dedup_keep_first",
+    oracle="""
+    SELECT lang, count(*) AS n_kept FROM (
+      SELECT lang, row_number() OVER (PARTITION BY text
+                                      ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1 GROUP BY lang
+    """,
+)
+def x2b_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b: dedup keeping the lowest doc_id per text — deterministic
+    keep-first (dropDuplicates' keeper is arbitrary, so rank-and-filter
+    is the reproducible form)."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 — near-duplicate detection (MinHash + LSH, SimHash)
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 16
+_BANDS = 4  # 4 rows/band → candidate if any band signature collides
+
+
+def _shingles(text_col: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array column (distinct)."""
+    words = F.split(text_col, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
+
+
+def minhash_signature(text_col: Column, n_hashes: int = _N_HASHES) -> Column:
+    """MinHash signature: per seed, min over shingles of a seeded
+    64-bit hash. Pure array expressions — computed per-row in codegen,
+    no shuffle, no UDF."""
+    sh = _shingles(text_col)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed)))
+            )
+            for seed in range(n_hashes)
+        ]
+    )
+
+
+@query("x3_dedup_near_minhash")  # rows-only: hash functions are engine-specific
+def x3_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: MinHash+LSH near-dup candidates: shingle → 16 minhashes →
+    4 bands of 4 → candidates collide on (band_id, band_signature).
+    The self-join runs on the banded signature — the shuffle key
+    carries the candidate generation, never an all-pairs product. The
+    estimated Jaccard (signature agreement) filters candidates at the
+    end."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    sig = docs.select("doc_id", minhash_signature(F.col("text")).alias("sig"))
+    rows_per_band = _N_HASHES // _BANDS
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_sig"),
+    )
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = stable_round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                lambda x: x,
+            )
+        )
+        / F.lit(_N_HASHES),
+        4,
+    )
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query("x3b_dedup_simhash")  # rows-only: engine-specific hash
+def x3b_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b: 16-bit SimHash buckets — per-word hash votes per bit, sign
+    → bit; near-dups share buckets. Returns bucket histogram (largest
+    first). All array expressions, zero Python."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+
+    def vote(b: int) -> Column:
+        def merge(acc: Column, w: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(F.xxhash64(w), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(words, F.lit(0), merge)
+
+    bit_terms = [
+        F.when(vote(b) > 0, F.lit(1 << b).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for b in range(16)
+    ]
+    simhash = bit_terms[0]
+    for term in bit_terms[1:]:
+        simhash = simhash + term
+    return (
+        docs.select(simhash.alias("simhash_bucket"))
+        .groupBy("simhash_bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "simhash_bucket")
+        .limit(50)
+    )
+
+
+@query(
+    "x3c_ngram_jaccard",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                              string_split(text, ' ')[i+1],
+                              string_split(text, ' ')[i+2]))) AS g
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len(g)) + 5e-10, 4) AS avg_distinct_3grams
+    FROM grams GROUP BY lang
+    """,
+)
+def x3c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3c: the n-gram layer under Jaccard dedup, oracle-checked:
+    distinct word-3-gram counts per doc, aggregated per language."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    grams = docs.select("lang", _shingles(F.col("text"), 3).alias("g"))
+    return grams.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        stable_round(F.avg(F.size("g")), 4).alias("avg_distinct_3grams"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _as_double(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+@query(
+    "x4_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(
+               list_sum(list_transform(list_zip(e.embedding, q.qv),
+                        s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(q.qv,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               + 5e-10,
+               4) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def x4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: brute-force cosine top-k against a query vector (vec_id 0).
+    Dot/norm via zip_with+aggregate array lambdas — JVM-side, no UDF.
+    Top-k is TakeOrderedAndProject: per-partition heaps, no global
+    sort. This is the exact baseline; the LSH-bucketed scale path is
+    x4b."""
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            stable_round(
+                _dot(_as_double(F.col("embedding")), F.col("qv"))
+                / (
+                    F.sqrt(_dot(_as_double(F.col("embedding")),
+                                _as_double(F.col("embedding"))))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+
+
+@query("x4b_ann_lsh_topk")  # rows-only: approximate by design
+def x4b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4b: the scale path — random-hyperplane LSH. Each vector gets a
+    16-bit signature from deterministic pseudo-random hyperplanes
+    (hash-seeded, no RNG state); search only scans the query's bucket
+    ± hamming-1 neighbors. At 100 TB the bucket column is the partition
+    key, so a query touches a handful of partitions instead of the
+    fleet. Approximate (recall < 1) — hence rows-only."""
+    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    # 8 bits → 256 buckets: sized so the probe neighborhood stays
+    # populated at the testdata cardinality; at production scale you
+    # raise bits with log2(n) to keep buckets ~constant-sized.
+    n_bits = 8
+
+    def plane(i: int) -> F.Column:
+        # hyperplane i: component j = centered hash of (i, j) — a
+        # deterministic stand-in for a gaussian draw
+        return F.transform(
+            F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
+            lambda j: (F.pmod(F.xxhash64(F.lit(i), j), F.lit(10007)) / 5003.5)
+            - 1.0,
+        )
+
+    def signature() -> F.Column:
+        bits = [
+            F.when(_dot(_as_double(F.col("embedding")), plane(i)) > 0,
+                   F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+            for i in range(n_bits)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    sig = emb.select("vec_id", "label", "embedding", signature().alias("bucket"))
+    qrow = sig.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"),
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    # query bucket ± hamming-1 neighborhood
+    cand = (
+        sig.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .filter(
+            (F.col("bucket") == F.col("qbucket"))
+            | (
+                F.bit_count(
+                    F.col("bucket").bitwiseXOR(F.col("qbucket"))
+                )
+                <= 2
+            )
+        )
+    )
+    scored = cand.select(
+        "vec_id",
+        "label",
+        stable_round(
+            _dot(_as_double(F.col("embedding")), F.col("qv"))
+            / (
+                F.sqrt(_dot(_as_double(F.col("embedding")),
+                            _as_double(F.col("embedding"))))
+                * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            ),
+            4,
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# X6 / text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "x6_text_analysis_agg",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           round(avg(n_chars) + 5e-10, 4) AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def x6_text_analysis_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: per-(lang, source) document statistics."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        stable_round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "x7_quality_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({list(STOPWORDS)!r}, w))) AS n_stop,
+             length(text) AS n_chars_text
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           round(n_stop / greatest(n_tokens, 1) + 5e-10, 4) AS stop_ratio,
+           round(n_chars_text / greatest(n_tokens, 1) + 5e-10, 4) AS avg_word_len,
+           (n_tokens >= 5 AND n_stop / greatest(n_tokens, 1) BETWEEN 0.0 AND 0.9)
+             AS quality_pass
+    FROM toks
+    """,
+)
+def x7_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 (text analysis): per-doc quality signals — token count,
+    stopword ratio, mean word length, and a pass/fail gate of the kind
+    used to filter pretraining corpora. Pure array/scalar expressions."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    denom = F.greatest(n_tokens, F.lit(1))
+    stop_ratio = stable_round(n_stop / denom, 4)
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        stable_round(F.length("text") / denom, 4).alias("avg_word_len"),
+        ((n_tokens >= 5) & (n_stop / denom <= 0.9)).alias("quality_pass"),
+    )
+
+
+@query(
+    "x8_lang_id_heuristic",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({list(STOPWORDS)!r}, w))) >= 2
+               AS looks_english
+      FROM documents
+    )
+    SELECT lang, looks_english, count(*) AS n
+    FROM scored GROUP BY lang, looks_english
+    """,
+)
+def x8_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 (text analysis): stopword-hit language-ID heuristic vs the
+    labeled `lang` column — the confusion table an n-gram langid would
+    be validated with."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+    return (
+        docs.select("lang", (hits >= 2).alias("looks_english"))
+        .groupBy("lang", "looks_english")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("x9_fingerprint")  # rows-only: engine-specific hash function
+def x9_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 (text analysis): document fingerprinting — full-content
+    64-bit hash plus a winnowing-style min-hash over word 5-gram
+    hashes (the rolling-hash fingerprint used for contamination
+    checks)."""
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    grams = _shingles(F.col("text"), 5)
+    return docs.select(
+        "doc_id",
+        F.xxhash64("text").alias("content_hash"),
+        F.array_min(F.transform(grams, lambda g: F.xxhash64(g))).alias(
+            "winnow_fingerprint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — multimodal (binary) columns
+# ---------------------------------------------------------------------------
+
+@query("x5_multimodal_binary")  # rows-only: binary plumbing, no SQL twin
+def x5_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: opaque binary payload + typed metadata carried through a
+    distributed transform. The payload here is the utf-8 encoding of
+    `text` (the container ships no image/audio codecs — decode is the
+    clearly-stubbed step in pipeline.extract_features_stub); schema,
+    batching, and partition behavior are the real thing: an Arrow-
+    batched mapInPandas over (id, content, meta) rows."""
+    from pdf_etl_engine_spark.sources.multimodal import with_binary_features
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    binary = docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("n_chars").alias("n_chars"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+    return with_binary_features(binary).orderBy("doc_id")

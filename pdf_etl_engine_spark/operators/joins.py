@@ -1,0 +1,238 @@
+"""Joins (SURVEY.md §2.3).
+
+The reference's joins are point lookups against Firestore/BigQuery
+(folder metadata get main.py:675-687, share existence main.py:543-545,
+nested-loop tenant scan main.py:783-791). Here each becomes a real
+join with an explicit physical strategy:
+
+* dimension enrich → **broadcast hash join** (dims are tiny; the fact
+  side never shuffles);
+* existence / denial → **left semi / left anti** (no payload
+  duplication, short-circuit probe);
+* star-schema enrich → shuffle-free broadcasts up to
+  `autoBroadcastJoinThreshold`, else AQE-planned sort-merge;
+* as-of → union + running-window rewrite, NOT a theta join: O(n log n)
+  with one shuffle on the partition key instead of a broadcast
+  nested-loop product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_etl_engine_spark.catalog import load_table, table_path
+from pdf_etl_engine_spark.functions.stable import (
+    stable_round,
+    sql_stable_avg,
+    sql_stable_sum,
+    stable_avg,
+    stable_sum,
+)
+from pdf_etl_engine_spark.registry import query
+
+
+@query(
+    "j1_lookup_broadcast",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    LEFT JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def j1_lookup_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: enrich fact rows with folder metadata by key — the
+    reference's Firestore folder get (main.py:675-687) as a broadcast
+    left join against the tiny dimension."""
+    customer = spark.read.parquet(table_path(sf_dir, "customer"))
+    nation = spark.read.parquet(table_path(sf_dir, "nation"))
+    region = spark.read.parquet(table_path(sf_dir, "region"))
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+            "left",
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "j2_semi_exists",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+    """,
+)
+def j2_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: "a share row exists" (main.py:543-545, 799-801) as a
+    broadcast LEFT SEMI join."""
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    building = (
+        spark.read.parquet(table_path(sf_dir, "customer"))
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return orders.join(F.broadcast(building), "o_custkey", "left_semi").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@query(
+    "j3_anti",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND c.c_mktsegment = 'BUILDING')
+    """,
+)
+def j3_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: the access-denied complement of J2 (inverse of
+    main.py:547-548) as LEFT ANTI."""
+    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    building = (
+        spark.read.parquet(table_path(sf_dir, "customer"))
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return orders.join(F.broadcast(building), "o_custkey", "left_anti").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@query(
+    "j4_composite_key",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, d.n_type_events, d.avg_type_value
+    FROM events e
+    JOIN (SELECT user_id, event_type,
+                 count(*) AS n_type_events,
+                 round(CAST(sum(CAST(value AS DECIMAL(27,9))) AS DOUBLE) / count(value) + 5e-10, 4) AS avg_type_value
+          FROM events GROUP BY user_id, event_type) d
+      ON e.user_id = d.user_id AND e.event_type = d.event_type
+    """,
+)
+def j4_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: composite-key join — the reference's `{owner}_{folder}_
+    {email}` doc-id lookup (main.py:617-620) decomposed into its key
+    columns instead of a concatenated string (concat keys defeat
+    pushdown and skew statistics)."""
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_type_events"),
+        stable_round(stable_avg(F.col("value")), 4).alias("avg_type_value"),
+    )
+    return events.join(dim, ["user_id", "event_type"]).select(
+        "event_id", "user_id", "event_type", "n_type_events", "avg_type_value"
+    )
+
+
+@query(
+    "j5_multiway_equi",
+    oracle="""
+    SELECT n_name,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,9))) AS DOUBLE) + 5e-10, 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    """,
+)
+def j5_multiway_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: star-schema enrich + aggregate (ext). Catalyst broadcasts
+    every dimension under the threshold; the lineitem scan is the only
+    large input and never shuffles before the partial aggregate."""
+    lineitem = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    orders = spark.read.parquet(table_path(sf_dir, "orders")).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    customer = spark.read.parquet(table_path(sf_dir, "customer"))
+    nation = spark.read.parquet(table_path(sf_dir, "nation"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            stable_round(
+                stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "j6_point_lookup",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_orderkey IN (10, 20, 30, 40, 50)
+    """,
+)
+def j6_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: the reference's nested-loop folder search across all tenants
+    (main.py:783-791) re-expressed as a broadcast semi-join of a probe
+    set against one global table — at scale this is a pruned scan, not
+    a per-tenant loop."""
+    lineitem = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    probe = spark.createDataFrame(
+        [(10,), (20,), (30,), (40,), (50,)], "l_orderkey bigint"
+    )
+    return lineitem.join(F.broadcast(probe), "l_orderkey", "left_semi").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+@query(
+    "j7_range_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, max(c.ts) AS asof_click_ts
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def j7_range_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: as-of join — for each purchase, the latest click at-or-before
+    it by the same user.
+
+    NOT implemented as the oracle's theta join (which Spark would plan
+    as a broadcast nested loop — O(purchases × clicks)). Instead the
+    classic scalable rewrite: union both sides, one window partitioned
+    by user ordered by (ts, side), running max of the click timestamp.
+    One shuffle on user_id, linear work, no cross product — this is the
+    shape that survives 100 TB.
+    """
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("side"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("side")
+    )
+    # side=0 sorts clicks before purchases at equal ts → "<=" semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "asof_click_ts",
+        F.max(F.when(F.col("side") == 0, F.col("ts"))).over(w),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "ts", "asof_click_ts"
+    )

@@ -1,0 +1,84 @@
+"""Set operations (SURVEY.md §2.7) — extension inventory.
+
+U1 `unionByName(allowMissingColumns=True)` is also the mechanism behind
+S5 schema evolution: old rows read NULL for columns they predate
+(main.py:274-291 semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_engine_spark.catalog import table_path
+from pdf_etl_engine_spark.registry import query
+
+
+@query(
+    "u1_union_by_name",
+    oracle="""
+    SELECT c_custkey AS entity_id, c_name AS entity_name,
+           c_acctbal AS acctbal, c_mktsegment AS segment,
+           'customer' AS entity_kind
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, s_acctbal, NULL, 'supplier'
+    FROM supplier
+    """,
+)
+def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: schema-aligned union; the supplier side lacks `segment` and
+    reads NULL — exactly how evolved tables surface pre-evolution rows
+    (S5, main.py:277-291)."""
+    customer = spark.read.parquet(table_path(sf_dir, "customer")).select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("customer").alias("entity_kind"),
+    )
+    supplier = spark.read.parquet(table_path(sf_dir, "supplier")).select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("entity_name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("entity_kind"),
+    )
+    return customer.unionByName(supplier, allowMissingColumns=True)
+
+
+@query(
+    "u2_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: distinct intersection (customers with orders ∩ BUILDING)."""
+    orders = spark.read.parquet(table_path(sf_dir, "orders")).select("o_custkey")
+    building = (
+        spark.read.parquet(table_path(sf_dir, "customer"))
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return orders.intersect(building)
+
+
+@query(
+    "u3_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: set difference — customers who never ordered."""
+    customer = spark.read.parquet(table_path(sf_dir, "customer")).select(
+        "c_custkey"
+    )
+    orders = spark.read.parquet(table_path(sf_dir, "orders")).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.subtract(orders)

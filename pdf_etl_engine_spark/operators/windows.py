@@ -1,0 +1,95 @@
+"""Window functions (SURVEY.md §2.5) — extension inventory (the
+reference's only ordering is the global top-k, main.py:809).
+
+All three share one physical shape: a single shuffle on the partition
+key, then sorted evaluation within partitions. Running-frame sums are
+evaluated in one deterministic left-to-right pass, so float results
+are bit-identical across engines given the same total order — every
+ORDER BY below includes a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_etl_engine_spark.catalog import load_table, table_path
+from pdf_etl_engine_spark.functions.stable import stable_round
+from pdf_etl_engine_spark.registry import query
+
+
+@query(
+    "w1_rank_functions",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           rank() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk
+    FROM events
+    """,
+)
+def w1_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: row_number/rank/dense_rank. rank/dense_rank order by a
+    low-cardinality key so tie semantics are actually exercised."""
+    events = load_table(spark, sf_dir, "events")
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id").orderBy("event_type")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w_ts).alias("rn"),
+        F.rank().over(w_type).alias("rnk"),
+        F.dense_rank().over(w_type).alias("drnk"),
+    )
+
+
+@query(
+    "w2_lag_lead_gap",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_us,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type
+    FROM events
+    """,
+)
+def w2_lag_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag/lead — session-gap computation over the event stream."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts")).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "w3_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 5e-10, 4)
+             AS running_value
+    FROM events
+    """,
+)
+def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: running aggregate with an explicit ROWS frame."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        stable_round(F.sum("value").over(w), 4).alias("running_value"),
+    )

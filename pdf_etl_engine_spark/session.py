@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Local test profile runs on ``local[$SPARK_GRAFT_CPUS]`` (default all
+cores); the config block is written so the same code lands well on a
+real multi-executor cluster:
+
+* AQE on — runtime shuffle-partition coalescing, skew-join splitting,
+  and dynamic broadcast-join conversion replace hand-tuned partition
+  counts at 100 TB.
+* ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; on
+  a cluster you'd raise it (≈2-3× total cores) and let AQE coalesce.
+* Arrow on — every unavoidable Python boundary (the extractor UDF, U1)
+  moves columnar batches, not pickled rows.
+* Session timezone pinned to UTC so event-time semantics (windows,
+  date_trunc, as-of joins) are deployment-independent — the reference
+  also works in UTC (`/root/reference/main.py:729` utcnow()).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "pdf-etl-engine-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the SparkSession with the engine's config."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # binaryFile scans of large PDFs: keep partition sizing sane.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,168 @@
+"""Event-time windowed aggregations (SURVEY.md §2.9 ext surface).
+
+The batch forms below are the oracle-checked equivalents of the
+streaming queries in streaming/ingest.py — Structured Streaming's
+windowed aggregates produce exactly these results once the watermark
+passes (tumbling ≡ date_trunc bucketing; sliding ≡ one row per
+overlapping window; session ≡ gaps-and-islands with a 30-min gap).
+`stw_stream_dedup` actually runs a Structured Streaming query
+(availableNow micro-batches into a memory sink) so the streaming
+engine itself is exercised in-grade, rows-only.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_etl_engine_spark.catalog import load_table, table_path
+from pdf_etl_engine_spark.functions.stable import (
+    stable_round,
+    sql_stable_avg,
+    sql_stable_sum,
+    stable_avg,
+    stable_sum,
+)
+from pdf_etl_engine_spark.registry import query
+
+
+@query(
+    "stw_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(27,9))) AS DOUBLE) + 5e-10, 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stw_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — `F.window` (the streaming
+    group key; epoch-aligned, so ≡ date_trunc('hour'))."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_round(stable_sum(F.col("value")), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stw_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts)
+             - (o.o * INTERVAL '30 minutes') AS window_start,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(27,9))) AS DOUBLE) / count(value) + 5e-10, 4) AS avg_value
+    FROM events CROSS JOIN (VALUES (0), (1)) AS o(o)
+    GROUP BY 1
+    """,
+)
+def stw_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour length, 30-minute slide — every event
+    lands in exactly 2 windows."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_round(stable_avg(F.col("value")), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "stw_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM islands GROUP BY user_id, session_no
+    """,
+)
+def stw_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window, 30-minute gap — `F.session_window` (the
+    streaming stateful operator; its batch result is the classic
+    gaps-and-islands computation the oracle runs)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query("stw_stream_dedup")  # rows-only: a real Structured Streaming run
+def stw_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-by-key with watermark: readStream over the
+    orders parquet → withWatermark(30 days) → dropDuplicates(o_orderkey)
+    → tumbling monthly count — executed with an availableNow trigger
+    into a memory sink (checkpoint-free micro-batch replay). This is
+    the duplicate-delivery guard the reference lacks (its crash window
+    duplicates rows, main.py:743-752)."""
+    # the file-stream source wants a directory; stage the single
+    # parquet into a scratch dir (what a real deployment's landing
+    # directory is anyway)
+    stage = pathlib.Path(
+        tempfile.gettempdir(), "spark_graft_stream", sf_dir.strip("/").replace("/", "_")
+    )
+    stage.mkdir(parents=True, exist_ok=True)
+    staged = stage / "orders.parquet"
+    if not staged.exists():
+        shutil.copyfile(table_path(sf_dir, "orders"), staged)
+
+    static = spark.read.parquet(table_path(sf_dir, "orders"))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(str(stage))
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .withWatermark("o_orderdate", "30 days")
+        .dropDuplicates(["o_orderkey"])
+        .groupBy(F.window("o_orderdate", "30 days"))
+        .agg(F.count("*").alias("n_orders"))
+        .select(F.col("window.start").alias("window_start"), "n_orders")
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
