@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query names mirror BASELINE.md's measured DuckDB baseline so the
+numbers are directly comparable. Timing is per-query wall clock of
+full execution + result materialization (collect), median of N runs
+after a warm-up run (the baseline was measured warm, median of 5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pdf_etl_engine_spark import registry
+from pdf_etl_engine_spark.session import get_spark
+
+registry.load_all()
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# BASELINE.md headline name -> registry query (same shapes as the
+# DuckDB 1.0 baseline table).
+HEADLINE = {
+    "q_results_topk": "t1_results_topk",
+    "q_pricing_summary": "a2_groupby_pricing_summary",
+    "q_join_revenue": "j5_multiway_equi",
+    "q_window_rank": "w1_rank_functions",
+    "q_json_extract": "s7_scan_json_events",
+    "q_distinct_users": "a3_count_distinct",
+    "q_coerce_number": "f2_coerce_number",
+}
+
+
+def time_query(spark, qname: str) -> float:
+    fn = registry.QUERIES[qname]
+    # Full materialization to the client like the DuckDB baseline's
+    # fetchall — via Arrow (toPandas), the engine's fast client path.
+    fn(spark, SF_DIR).toPandas()  # warm-up: plan + code cache + page cache
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).toPandas()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def main() -> None:
+    spark = get_spark(app_name="pdf-etl-engine-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    for bench_name, qname in HEADLINE.items():
+        timings[bench_name] = round(time_query(spark, qname), 4)
+    total = round(sum(timings.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -15,11 +15,9 @@ from pyspark.sql import functions as F
 
 from pdf_etl_engine_spark.catalog import load_table, table_path
 from pdf_etl_engine_spark.functions.stable import (
+    fixed_avg,
+    fixed_sum,
     stable_round,
-    sql_stable_avg,
-    sql_stable_sum,
-    stable_avg,
-    stable_sum,
 )
 from pdf_etl_engine_spark.registry import query
 
@@ -36,7 +34,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 def a1_count_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: the reference's existence check `len(list(query)) > 0`
     (main.py:544, 800) — as an aggregate, not a client-side list."""
-    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     return orders.filter(F.col("o_custkey") == 7).agg(
         F.count("*").alias("n_rows"),
         (F.count("*") > 0).alias("has_rows"),
@@ -47,11 +45,11 @@ def a1_count_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a2_groupby_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(27,9))) AS DOUBLE) + 5e-10, 2) AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(27,9))) AS DOUBLE) + 5e-10, 2) AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,9))) AS DOUBLE) + 5e-10, 2) AS sum_disc_price,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(27,9))) AS DOUBLE) / count(l_quantity) + 5e-10, 4) AS avg_qty,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(27,9))) AS DOUBLE) / count(l_discount) + 5e-10, 4) AS avg_disc,
+           round((CAST(sum(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100) + 5e-10, 2) AS sum_qty,
+           round((CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100) + 5e-10, 2) AS sum_base_price,
+           round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000) + 5e-10, 2) AS sum_disc_price,
+           round((CAST(sum(CAST(round((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100) / count(l_quantity) + 5e-10, 4) AS avg_qty,
+           round((CAST(sum(CAST(round((l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100) / count(l_discount) + 5e-10, 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
@@ -62,18 +60,18 @@ def a2_groupby_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: filter + groupBy + multi-agg (TPC-H Q1 shape). The shipdate
     predicate pushes to the parquet scan; partial aggregation reduces
     600k rows to 6 groups before the shuffle."""
-    lineitem = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("2000-12-31").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            stable_round(stable_sum(F.col("l_quantity")), 2).alias("sum_qty"),
-            stable_round(stable_sum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            stable_round(fixed_sum(F.col("l_quantity"), 100), 2).alias("sum_qty"),
+            stable_round(fixed_sum(F.col("l_extendedprice"), 100), 2).alias("sum_base_price"),
             stable_round(
-                stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000), 2
             ).alias("sum_disc_price"),
-            stable_round(stable_avg(F.col("l_quantity")), 4).alias("avg_qty"),
-            stable_round(stable_avg(F.col("l_discount")), 4).alias("avg_disc"),
+            stable_round(fixed_avg(F.col("l_quantity"), 100), 4).alias("avg_qty"),
+            stable_round(fixed_avg(F.col("l_discount"), 100), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -85,7 +83,7 @@ def a2_groupby_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(DISTINCT user_id) AS n_users,
            count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(27,9))) AS DOUBLE) / count(value) + 5e-10, 4) AS avg_value
+           round((CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100) / count(value) + 5e-10, 4) AS avg_value
     FROM events GROUP BY event_type
     """,
 )
@@ -95,7 +93,7 @@ def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
-        stable_round(stable_avg(F.col("value")), 4).alias("avg_value"),
+        stable_round(fixed_avg(F.col("value"), 100), 4).alias("avg_value"),
     )
 
 
@@ -114,7 +112,7 @@ def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            count(*) AS n_customers,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(27,9))) AS DOUBLE) + 5e-10, 2) AS sum_acctbal
+           round((CAST(sum(CAST(round((c_acctbal) * 100) AS BIGINT)) AS DOUBLE) / 100) + 5e-10, 2) AS sum_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -123,15 +121,15 @@ def a4_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: hierarchical rollup (region → nation → grand total)."""
-    customer = spark.read.parquet(table_path(sf_dir, "customer"))
-    nation = spark.read.parquet(table_path(sf_dir, "nation"))
-    region = spark.read.parquet(table_path(sf_dir, "region"))
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
     joined = customer.join(
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     return joined.rollup("r_name", "n_name").agg(
         F.count("*").alias("n_customers"),
-        stable_round(stable_sum(F.col("c_acctbal")), 2).alias("sum_acctbal"),
+        stable_round(fixed_sum(F.col("c_acctbal"), 100), 2).alias("sum_acctbal"),
     )
 
 
@@ -139,11 +137,11 @@ def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a6_kv_pivot",
     oracle="""
     SELECT user_id,
-           round(CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END AS DECIMAL(27,9))) AS DOUBLE) + 5e-10, 4) AS click,
-           round(CAST(sum(CAST(CASE WHEN event_type = 'error' THEN value END AS DECIMAL(27,9))) AS DOUBLE) + 5e-10, 4) AS error,
-           round(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(27,9))) AS DOUBLE) + 5e-10, 4) AS purchase,
-           round(CAST(sum(CAST(CASE WHEN event_type = 'signup' THEN value END AS DECIMAL(27,9))) AS DOUBLE) + 5e-10, 4) AS signup,
-           round(CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END AS DECIMAL(27,9))) AS DOUBLE) + 5e-10, 4) AS view
+           round((CAST(sum(CAST(round((CASE WHEN event_type = 'click' THEN value END) * 100) AS BIGINT)) AS DOUBLE) / 100) + 5e-10, 4) AS click,
+           round((CAST(sum(CAST(round((CASE WHEN event_type = 'error' THEN value END) * 100) AS BIGINT)) AS DOUBLE) / 100) + 5e-10, 4) AS error,
+           round((CAST(sum(CAST(round((CASE WHEN event_type = 'purchase' THEN value END) * 100) AS BIGINT)) AS DOUBLE) / 100) + 5e-10, 4) AS purchase,
+           round((CAST(sum(CAST(round((CASE WHEN event_type = 'signup' THEN value END) * 100) AS BIGINT)) AS DOUBLE) / 100) + 5e-10, 4) AS signup,
+           round((CAST(sum(CAST(round((CASE WHEN event_type = 'view' THEN value END) * 100) AS BIGINT)) AS DOUBLE) / 100) + 5e-10, 4) AS view
     FROM events GROUP BY user_id
     """,
 )
@@ -156,5 +154,5 @@ def a6_kv_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy("user_id")
         .pivot("event_type", list(EVENT_TYPES))
-        .agg(stable_round(stable_sum(F.col("value")), 4))
+        .agg(stable_round(fixed_sum(F.col("value"), 100), 4))
     )

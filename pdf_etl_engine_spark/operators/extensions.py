@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pdf_etl_engine_spark.catalog import table_path
+from pdf_etl_engine_spark.catalog import load_table, table_path
 from pdf_etl_engine_spark.functions.stable import stable_round
 from pdf_etl_engine_spark.registry import query
 
@@ -42,7 +42,7 @@ def x1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     does partial aggregation before the shuffle, so the wire carries
     (word, partial_count), not tokens — the property that keeps this
     viable over 100 TB of text."""
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -69,7 +69,7 @@ def x1b_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1b: token counting three ways — whitespace, a BPE-ish regex
     segmentation (letter runs / digit runs / single punctuation), and
     the chars/4 heuristic."""
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     bpe_re = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
     return docs.select(
         "doc_id",
@@ -100,7 +100,7 @@ def x2_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     `count(DISTINCT text)` over raw text — you group on a 128-bit
     content hash; here the exact form is used so the oracle can verify,
     and the hash form is the rows-only twin below."""
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("text").alias("n_unique"),
@@ -122,7 +122,7 @@ def x2b_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2b: dedup keeping the lowest doc_id per text — deterministic
     keep-first (dropDuplicates' keeper is arbitrary, so rank-and-filter
     is the reproducible form)."""
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("text").orderBy("doc_id")
     return (
         docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
@@ -172,7 +172,7 @@ def x3_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the candidate generation, never an all-pairs product. The
     estimated Jaccard (signature agreement) filters candidates at the
     end."""
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     sig = docs.select("doc_id", minhash_signature(F.col("text")).alias("sig"))
     rows_per_band = _N_HASHES // _BANDS
     bands = sig.select(
@@ -232,7 +232,7 @@ def x3b_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3b: 16-bit SimHash buckets — per-word hash votes per bit, sign
     → bit; near-dups share buckets. Returns bucket histogram (largest
     first). All array expressions, zero Python."""
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
 
     def vote(b: int) -> Column:
@@ -281,7 +281,7 @@ def x3b_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x3c_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3c: the n-gram layer under Jaccard dedup, oracle-checked:
     distinct word-3-gram counts per doc, aggregated per language."""
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     grams = docs.select("lang", _shingles(F.col("text"), 3).alias("g"))
     return grams.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -333,7 +333,7 @@ def x4_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-k is TakeOrderedAndProject: per-partition heaps, no global
     sort. This is the exact baseline; the LSH-bucketed scale path is
     x4b."""
-    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(
         _as_double(F.col("embedding")).alias("qv")
     )
@@ -365,7 +365,7 @@ def x4b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ± hamming-1 neighbors. At 100 TB the bucket column is the partition
     key, so a query touches a handful of partitions instead of the
     fleet. Approximate (recall < 1) — hence rows-only."""
-    emb = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
     # 8 bits → 256 buckets: sized so the probe neighborhood stays
     # populated at the testdata cardinality; at production scale you
     # raise bits with log2(n) to keep buckets ~constant-sized.
@@ -443,7 +443,7 @@ def x4b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x6_text_analysis_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6: per-(lang, source) document statistics."""
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         stable_round(F.avg("n_chars"), 4).alias("avg_chars"),
@@ -477,7 +477,7 @@ def x7_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 (text analysis): per-doc quality signals — token count,
     stopword ratio, mean word length, and a pass/fail gate of the kind
     used to filter pretraining corpora. Pure array/scalar expressions."""
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tokens = F.size(words)
@@ -512,7 +512,7 @@ def x8_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8 (text analysis): stopword-hit language-ID heuristic vs the
     labeled `lang` column — the confusion table an n-gram langid would
     be validated with."""
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     hits = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
@@ -529,7 +529,7 @@ def x9_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit hash plus a winnowing-style min-hash over word 5-gram
     hashes (the rolling-hash fingerprint used for contamination
     checks)."""
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     grams = _shingles(F.col("text"), 5)
     return docs.select(
         "doc_id",
@@ -554,7 +554,7 @@ def x5_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     batched mapInPandas over (id, content, meta) rows."""
     from pdf_etl_engine_spark.sources.multimodal import with_binary_features
 
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     binary = docs.select(
         "doc_id",
         F.encode(F.col("text"), "utf-8").alias("content"),

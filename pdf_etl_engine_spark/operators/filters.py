@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_etl_engine_spark.catalog import table_path
+from pdf_etl_engine_spark.catalog import load_table, table_path
 from pdf_etl_engine_spark.functions import kernel
 from pdf_etl_engine_spark.operators import synth
 from pdf_etl_engine_spark.registry import query
@@ -21,7 +21,7 @@ from pdf_etl_engine_spark.registry import query
 @query("p1_project_all", oracle="SELECT * FROM nation")
 def p1_project_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: SELECT * (main.py:809)."""
-    return spark.read.parquet(table_path(sf_dir, "nation")).select("*")
+    return load_table(spark, sf_dir, "nation").select("*")
 
 
 @query(
@@ -37,7 +37,7 @@ def p2_project_rename_sanitized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: project values under sanitized identifiers — the
     `kpi_{sanitized}` naming kernel (F1, main.py:281, 733) applied as a
     column expression."""
-    part = spark.read.parquet(table_path(sf_dir, "part"))
+    part = load_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
         kernel.sanitize_ident(F.col("p_type")).alias("kpi_type"),
@@ -66,7 +66,7 @@ def p3_filter_path_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     `.placeholder`, non-`.pdf`; require `incoming/{uid}/{folder}/batch/…`
     (≥5 segments). Then bind uid/folder from the path (main.py:671-672).
     """
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     paths = docs.select("doc_id", F.expr(synth.PATH_EXPR).alias("file_path"))
     p = kernel.path_parts(F.col("file_path"))
     return (
@@ -95,7 +95,7 @@ def p4_filter_eq_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4: conjunctive equality predicates (`folderId==x AND
     ownerId==y`, main.py:543, 799). Both predicates push down to the
     parquet scan."""
-    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     return orders.filter(
         (F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT")
     ).select("o_orderkey", "o_custkey", "o_totalprice")
@@ -112,7 +112,7 @@ def p4_filter_eq_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p5_null_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: normalize the reference's sentinels `'' / N/A / ---` to NULL
     (main.py:167, 224-225)."""
-    part = spark.read.parquet(table_path(sf_dir, "part"))
+    part = load_table(spark, sf_dir, "part")
     vals = part.select("p_partkey", F.expr(synth.SENTINEL_EXPR).alias("raw_value"))
     return vals.select(
         "p_partkey", kernel.null_sentinels(F.col("raw_value")).alias("clean_value")
@@ -137,9 +137,9 @@ def p6_filter_permission(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BUILDING-segment customers. The share probe is a broadcast
     LEFT SEMI join — at 100 TB the ACL side stays tiny, so no shuffle
     of the fact table."""
-    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     shares = (
-        spark.read.parquet(table_path(sf_dir, "customer"))
+        load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").alias("o_custkey"))
     )

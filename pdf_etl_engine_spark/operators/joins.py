@@ -24,11 +24,9 @@ from pyspark.sql.window import Window
 
 from pdf_etl_engine_spark.catalog import load_table, table_path
 from pdf_etl_engine_spark.functions.stable import (
+    fixed_avg,
+    fixed_sum,
     stable_round,
-    sql_stable_avg,
-    sql_stable_sum,
-    stable_avg,
-    stable_sum,
 )
 from pdf_etl_engine_spark.registry import query
 
@@ -46,9 +44,9 @@ def j1_lookup_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: enrich fact rows with folder metadata by key — the
     reference's Firestore folder get (main.py:675-687) as a broadcast
     left join against the tiny dimension."""
-    customer = spark.read.parquet(table_path(sf_dir, "customer"))
-    nation = spark.read.parquet(table_path(sf_dir, "nation"))
-    region = spark.read.parquet(table_path(sf_dir, "region"))
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
     return (
         customer.join(
             F.broadcast(nation),
@@ -72,9 +70,9 @@ def j1_lookup_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j2_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: "a share row exists" (main.py:543-545, 799-801) as a
     broadcast LEFT SEMI join."""
-    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     building = (
-        spark.read.parquet(table_path(sf_dir, "customer"))
+        load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").alias("o_custkey"))
     )
@@ -95,9 +93,9 @@ def j2_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j3_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: the access-denied complement of J2 (inverse of
     main.py:547-548) as LEFT ANTI."""
-    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     building = (
-        spark.read.parquet(table_path(sf_dir, "customer"))
+        load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").alias("o_custkey"))
     )
@@ -113,7 +111,7 @@ def j3_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e
     JOIN (SELECT user_id, event_type,
                  count(*) AS n_type_events,
-                 round(CAST(sum(CAST(value AS DECIMAL(27,9))) AS DOUBLE) / count(value) + 5e-10, 4) AS avg_type_value
+                 round((CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100) / count(value) + 5e-10, 4) AS avg_type_value
           FROM events GROUP BY user_id, event_type) d
       ON e.user_id = d.user_id AND e.event_type = d.event_type
     """,
@@ -126,7 +124,7 @@ def j4_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     dim = events.groupBy("user_id", "event_type").agg(
         F.count("*").alias("n_type_events"),
-        stable_round(stable_avg(F.col("value")), 4).alias("avg_type_value"),
+        stable_round(fixed_avg(F.col("value"), 100), 4).alias("avg_type_value"),
     )
     return events.join(dim, ["user_id", "event_type"]).select(
         "event_id", "user_id", "event_type", "n_type_events", "avg_type_value"
@@ -137,7 +135,7 @@ def j4_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j5_multiway_equi",
     oracle="""
     SELECT n_name,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,9))) AS DOUBLE) + 5e-10, 2) AS revenue,
+           round((CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000) + 5e-10, 2) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -151,12 +149,12 @@ def j5_multiway_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: star-schema enrich + aggregate (ext). Catalyst broadcasts
     every dimension under the threshold; the lineitem scan is the only
     large input and never shuffles before the partial aggregate."""
-    lineitem = spark.read.parquet(table_path(sf_dir, "lineitem"))
-    orders = spark.read.parquet(table_path(sf_dir, "orders")).filter(
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
-    customer = spark.read.parquet(table_path(sf_dir, "customer"))
-    nation = spark.read.parquet(table_path(sf_dir, "nation"))
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
@@ -164,7 +162,7 @@ def j5_multiway_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             stable_round(
-                stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000), 2
             ).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
@@ -184,7 +182,7 @@ def j6_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (main.py:783-791) re-expressed as a broadcast semi-join of a probe
     set against one global table — at scale this is a pruned scan, not
     a per-tenant loop."""
-    lineitem = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    lineitem = load_table(spark, sf_dir, "lineitem")
     probe = spark.createDataFrame(
         [(10,), (20,), (30,), (40,), (50,)], "l_orderkey bigint"
     )

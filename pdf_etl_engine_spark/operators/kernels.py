@@ -17,13 +17,7 @@ from pyspark.sql import functions as F
 from pdf_etl_engine_spark.catalog import load_table, table_path
 from pdf_etl_engine_spark.functions import kernel
 from pdf_etl_engine_spark.operators import synth
-from pdf_etl_engine_spark.functions.stable import (
-    stable_round,
-    sql_stable_avg,
-    sql_stable_sum,
-    stable_avg,
-    stable_sum,
-)
+from pdf_etl_engine_spark.functions.stable import fixed_sum, stable_round
 from pdf_etl_engine_spark.registry import query
 
 
@@ -38,14 +32,14 @@ from pdf_etl_engine_spark.registry import query
     SELECT l_returnflag,
            count(num) AS n_parsed,
            CAST(count(*) - count(num) AS BIGINT) AS n_null,
-           round(CAST(sum(CAST(num AS DECIMAL(27,9))) AS DOUBLE) + 5e-10, 2) AS total
+           round((CAST(sum(CAST(round((num) * 100) AS BIGINT)) AS DOUBLE) / 100) + 5e-10, 2) AS total
     FROM parsed GROUP BY l_returnflag
     """,
 )
 def f2_coerce_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2/F3: numeric coercion — currency strip, percent, accounting
     negatives, sentinel→NULL, unparseable→NULL (main.py:229-239)."""
-    lineitem = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    lineitem = load_table(spark, sf_dir, "lineitem")
     vals = lineitem.select(
         "l_returnflag", F.expr(synth.CURRENCY_EXPR).alias("raw_value")
     )
@@ -55,7 +49,7 @@ def f2_coerce_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("l_returnflag").agg(
         F.count("num").alias("n_parsed"),
         (F.count("*") - F.count("num")).alias("n_null"),
-        stable_round(stable_sum(F.col("num")), 2).alias("total"),
+        stable_round(fixed_sum(F.col("num"), 100), 2).alias("total"),
     )
 
 
@@ -76,7 +70,7 @@ def f2_coerce_number(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f5_parse_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: date coercion via the explicit format chain (stand-in for
     dateutil fuzzy parse, main.py:241-247); unparseable → NULL bucket."""
-    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     vals = orders.select(
         "o_orderkey", F.expr(synth.DATE_STR_EXPR).alias("raw_value")
     )
@@ -105,7 +99,7 @@ def f5_parse_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f13_infer_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13: the full type-inference decision tree (main.py:165-202) as
     one nested CASE expression — no UDF, stays in codegen."""
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     vals = docs.select("doc_id", F.expr(synth.MIXED_EXPR).alias("raw_value"))
     return vals.groupBy(
         kernel.infer_type(F.col("raw_value")).alias("inferred_type")
@@ -127,7 +121,7 @@ def f13_infer_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f10_split_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F10: path decomposition (main.py:667-672, 728)."""
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     paths = docs.select("doc_id", F.expr(synth.PATH_EXPR).alias("file_path"))
     p = kernel.path_parts(F.col("file_path"))
     return paths.select(
@@ -152,7 +146,7 @@ def f10_split_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f11_sanitize_email(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F11: email lowering + `[@.]`→`_` share-key sanitizer
     (main.py:74, 617)."""
-    customer = spark.read.parquet(table_path(sf_dir, "customer"))
+    customer = load_table(spark, sf_dir, "customer")
     email = F.concat(F.col("c_name"), F.lit("@Example.COM"))
     return customer.select(
         "c_custkey",

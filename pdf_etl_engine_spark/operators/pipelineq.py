@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_etl_engine_spark.catalog import table_path
+from pdf_etl_engine_spark.catalog import load_table, table_path
 from pdf_etl_engine_spark.functions import kernel
 from pdf_etl_engine_spark.operators import synth
 from pdf_etl_engine_spark.registry import query
@@ -97,7 +97,7 @@ def pp_ingest_pivot_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-file KPI map → P3 path guard → A6 pivot → F14 typed coercion
     under F1-sanitized `kpi_*` names. One wide typed row per document,
     exactly the reference's fact-row shape (B5 in FIXTURES.md)."""
-    docs = spark.read.parquet(table_path(sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     kpi_entries = F.array(
         F.struct(
             F.lit(KPI_DEFS[0][0]).alias("kpi_name"),

@@ -23,7 +23,7 @@ from pdf_etl_engine_spark.registry import query
 def s1_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: read a fact table (the reference's BQ table read,
     main.py:808-811, as a parquet scan)."""
-    return spark.read.parquet(table_path(sf_dir, "region")).select(
+    return load_table(spark, sf_dir, "region").select(
         "r_regionkey", "r_name"
     )
 

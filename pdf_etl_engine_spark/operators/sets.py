@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_etl_engine_spark.catalog import table_path
+from pdf_etl_engine_spark.catalog import load_table, table_path
 from pdf_etl_engine_spark.registry import query
 
 
@@ -30,14 +30,14 @@ def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1: schema-aligned union; the supplier side lacks `segment` and
     reads NULL — exactly how evolved tables surface pre-evolution rows
     (S5, main.py:277-291)."""
-    customer = spark.read.parquet(table_path(sf_dir, "customer")).select(
+    customer = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("entity_id"),
         F.col("c_name").alias("entity_name"),
         F.col("c_acctbal").alias("acctbal"),
         F.col("c_mktsegment").alias("segment"),
         F.lit("customer").alias("entity_kind"),
     )
-    supplier = spark.read.parquet(table_path(sf_dir, "supplier")).select(
+    supplier = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("entity_id"),
         F.col("s_name").alias("entity_name"),
         F.col("s_acctbal").alias("acctbal"),
@@ -56,9 +56,9 @@ def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2: distinct intersection (customers with orders ∩ BUILDING)."""
-    orders = spark.read.parquet(table_path(sf_dir, "orders")).select("o_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     building = (
-        spark.read.parquet(table_path(sf_dir, "customer"))
+        load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select(F.col("c_custkey").alias("o_custkey"))
     )
@@ -75,10 +75,10 @@ def u2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3: set difference — customers who never ordered."""
-    customer = spark.read.parquet(table_path(sf_dir, "customer")).select(
+    customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey"
     )
-    orders = spark.read.parquet(table_path(sf_dir, "orders")).select(
+    orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey")
     )
     return customer.subtract(orders)

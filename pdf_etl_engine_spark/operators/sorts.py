@@ -32,7 +32,7 @@ def t1_results_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: the reference's results query (main.py:808-811) —
     `uploaded_at` stands in as `l_shipdate`. Physical plan:
     TakeOrderedAndProject (verified in tests)."""
-    lineitem = spark.read.parquet(table_path(sf_dir, "lineitem"))
+    lineitem = load_table(spark, sf_dir, "lineitem")
     return lineitem.orderBy(
         F.desc("l_shipdate"), "l_orderkey", "l_linenumber"
     ).limit(100)
@@ -49,7 +49,7 @@ def t1_results_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t2_sort_multicol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: deterministic multi-key sort with mixed directions."""
-    orders = spark.read.parquet(table_path(sf_dir, "orders"))
+    orders = load_table(spark, sf_dir, "orders")
     return (
         orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
         .orderBy(

@@ -44,8 +44,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # binaryFile scans of large PDFs: keep partition sizing sane.
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Scan-split sizing: the testdata parquet is single-row-group,
+        # so a scan is one task no matter the split size — keep the
+        # 128 MB default (right for real >128 MB cluster files too);
+        # override via SPARK_GRAFT_MAX_PARTITION_BYTES if needed.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
     )

@@ -23,11 +23,9 @@ from pyspark.sql.window import Window
 
 from pdf_etl_engine_spark.catalog import load_table, table_path
 from pdf_etl_engine_spark.functions.stable import (
+    fixed_avg,
+    fixed_sum,
     stable_round,
-    sql_stable_avg,
-    sql_stable_sum,
-    stable_avg,
-    stable_sum,
 )
 from pdf_etl_engine_spark.registry import query
 
@@ -38,7 +36,7 @@ from pdf_etl_engine_spark.registry import query
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(27,9))) AS DOUBLE) + 5e-10, 4) AS sum_value
+           round((CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100) + 5e-10, 4) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -50,7 +48,7 @@ def stw_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            stable_round(stable_sum(F.col("value")), 4).alias("sum_value"),
+            stable_round(fixed_sum(F.col("value"), 100), 4).alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -67,7 +65,7 @@ def stw_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '30 minutes', ts)
              - (o.o * INTERVAL '30 minutes') AS window_start,
            count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(27,9))) AS DOUBLE) / count(value) + 5e-10, 4) AS avg_value
+           round((CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100) / count(value) + 5e-10, 4) AS avg_value
     FROM events CROSS JOIN (VALUES (0), (1)) AS o(o)
     GROUP BY 1
     """,
@@ -80,7 +78,7 @@ def stw_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour", "30 minutes"))
         .agg(
             F.count("*").alias("n_events"),
-            stable_round(stable_avg(F.col("value")), 4).alias("avg_value"),
+            stable_round(fixed_avg(F.col("value"), 100), 4).alias("avg_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -145,7 +143,7 @@ def stw_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not staged.exists():
         shutil.copyfile(table_path(sf_dir, "orders"), staged)
 
-    static = spark.read.parquet(table_path(sf_dir, "orders"))
+    static = load_table(spark, sf_dir, "orders")
     stream = (
         spark.readStream.schema(static.schema)
         .parquet(str(stage))
