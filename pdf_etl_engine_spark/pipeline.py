@@ -1,0 +1,365 @@
+"""Batch ingest pipeline — reference parity for `POST /` (SURVEY.md
+§3.1, /root/reference/main.py:656-759) minus the per-file RPC chain.
+
+The reference processes ONE file per HTTP trigger through 6 sequential
+RPCs. Here the same semantics run as one Spark job over a whole batch
+of files:
+
+    binaryFile scan → P3 path filter → path→(tenant, folder) bind
+    → folder-metadata broadcast join → extractor (Arrow-batched UDF)
+    → JSON map → per-KPI coercion (F14) → audit cols → schema-evolving
+    append to the partitioned fact table
+
+Every per-file Python step in the reference becomes a Column
+expression or an Arrow batch; the only Python in the hot path is the
+pluggable extractor itself (U1), and the deterministic test extractor
+is pure bytes→JSON parsing.
+
+Catalog (folders, shares) replaces the Firestore documents
+(main.py:393-403, 617-629) with two small parquet tables — read into
+broadcast joins, never a per-row lookup.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_engine_spark.functions import kernel
+from pdf_etl_engine_spark.sources import writers
+
+# ---------------------------------------------------------------------------
+# Folder / share catalog (FIXTURES.md B1/B2 schemas)
+# ---------------------------------------------------------------------------
+
+FOLDERS_SCHEMA = (
+    "tenant_id string, folder_id string, display_name string, "
+    "context_hint string, is_trained boolean, status string, owner string, "
+    "created_at timestamp, "
+    "kpi_metadata array<struct<name:string, sample_value:string, type:string>>"
+)
+
+SHARES_SCHEMA = (
+    "owner_id string, folder_id string, shared_email string, permission string"
+)
+
+
+@dataclass
+class Catalog:
+    """Parquet-backed metadata catalog replacing the Firestore docs.
+
+    Tiny by construction (one row per folder / share), so every use is
+    a broadcast join against fact data.
+    """
+
+    spark: SparkSession
+    root: str
+
+    @property
+    def folders_path(self) -> str:
+        return f"{self.root}/folders"
+
+    @property
+    def shares_path(self) -> str:
+        return f"{self.root}/shares"
+
+    def create_folder(
+        self,
+        tenant_id: str,
+        folder_id: str,
+        display_name: str = "",
+        context_hint: str = "",
+        kpi_metadata: list[dict[str, str]] | None = None,
+        owner: str | None = None,
+    ) -> None:
+        """`/create-folder` + `/confirm-kpis` persistence
+        (main.py:385-403, 497-503). folder_id is sanitized with the
+        identifier kernel, like main.py:385."""
+        folder_id = kernel.sanitize_ident_py(folder_id)
+        meta = [
+            (k.get("name", ""), k.get("sample_value", ""), k.get("type", "string"))
+            for k in (kpi_metadata or [])
+        ]
+        row = [
+            (
+                tenant_id,
+                folder_id,
+                display_name,
+                context_hint,
+                bool(kpi_metadata),
+                "active" if kpi_metadata else "waiting_for_training",
+                owner or tenant_id,
+                None,
+                meta,
+            )
+        ]
+        df = self.spark.createDataFrame(row, FOLDERS_SCHEMA).withColumn(
+            "created_at", F.current_timestamp()
+        )
+        df.write.mode("append").parquet(self.folders_path)
+
+    def folders(self) -> DataFrame:
+        return self.spark.read.schema(FOLDERS_SCHEMA).parquet(self.folders_path)
+
+    def get_folder(self, tenant_id: str, folder_id: str) -> dict | None:
+        """Folder metadata get (main.py:675-687). Falls back to a
+        global search by folder_id — the reference's nested-loop tenant
+        scan (main.py:783-791) re-expressed as one filtered scan of the
+        folders table (J6)."""
+        rows = (
+            self.folders()
+            .filter(
+                (F.col("tenant_id") == tenant_id)
+                & (F.col("folder_id") == folder_id)
+            )
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            rows = (
+                self.folders()
+                .filter(F.col("folder_id") == folder_id)
+                .limit(1)
+                .collect()
+            )
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def add_share(
+        self, owner_id: str, folder_id: str, shared_email: str, permission: str
+    ) -> None:
+        """`/share-folder` (main.py:617-629); email lowercased like
+        main.py:74."""
+        if permission not in ("view", "edit"):
+            raise ValueError("permission must be view|edit (main.py:626)")
+        df = self.spark.createDataFrame(
+            [(owner_id, folder_id, shared_email.lower(), permission)],
+            SHARES_SCHEMA,
+        )
+        df.write.mode("append").parquet(self.shares_path)
+
+    def shares(self) -> DataFrame:
+        return self.spark.read.schema(SHARES_SCHEMA).parquet(self.shares_path)
+
+    def can_read(
+        self, requester: str, requester_email: str, owner_id: str, folder_id: str
+    ) -> bool:
+        """Permission layering of `/get-results` (main.py:796-802):
+        owner OR a share row exists."""
+        if requester == owner_id:
+            return True
+        n = (
+            self.shares()
+            .filter(
+                (F.col("owner_id") == owner_id)
+                & (F.col("folder_id") == folder_id)
+                & (F.col("shared_email") == requester_email.lower())
+            )
+            .count()
+        )
+        return n > 0
+
+
+# ---------------------------------------------------------------------------
+# Extractor interface (U1 — the reference's Gemini call, main.py:694-715)
+# ---------------------------------------------------------------------------
+
+# (content: bytes, kpi_names, context_hint) -> {kpi_name: raw_value}
+Extractor = Callable[[bytes, list[str], str], dict[str, str]]
+
+
+def json_bytes_extractor(
+    content: bytes, kpi_names: list[str], context_hint: str
+) -> dict[str, str]:
+    """Deterministic test extractor: documents ARE json payloads.
+    Stands in for the LLM exactly where the reference's own fallback
+    layering would (main.py:159-162); missing keys → 'N/A' like the
+    reference's prompt contract (main.py:697)."""
+    try:
+        data = json.loads(content.decode("utf-8", errors="replace"))
+        if isinstance(data, list):
+            data = data[0] if data else {}
+    except (json.JSONDecodeError, IndexError):
+        data = {}
+    return {k: str(data[k]) if k in data else "N/A" for k in kpi_names}
+
+
+def llm_extractor(content: bytes, kpi_names: list[str], context_hint: str):
+    """Production extractor slot — multimodal LLM over the PDF bytes
+    (main.py:700-707). STUB: no model client in this environment."""
+    raise NotImplementedError(
+        "wire a multimodal LLM client here in production; tests use "
+        "json_bytes_extractor via the same interface"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ingest pipeline
+# ---------------------------------------------------------------------------
+
+def filter_ingestable(files: DataFrame, path_col: str = "path") -> DataFrame:
+    """P3: drop processed/, .placeholder, non-.pdf; require
+    incoming/{uid}/{folder}/batch/... layout (≥5 segments)."""
+    p = kernel.path_parts(F.col(path_col))
+    return files.filter(
+        ~F.col(path_col).contains("processed/")
+        & ~F.col(path_col).contains(".placeholder")
+        & F.lower(F.col(path_col)).endswith(".pdf")
+        & (p["n_parts"] >= 5)
+        & (p["root"] == "incoming")
+        & (p["kind"] == "batch")
+    )
+
+
+def scan_incoming(spark: SparkSession, incoming_glob: str) -> DataFrame:
+    """S2: binary document scan. `content` stays columnar Arrow all
+    the way into the extractor."""
+    return spark.read.format("binaryFile").load(incoming_glob)
+
+
+def _relative_path(path_col: F.Column) -> F.Column:
+    """binaryFile yields file:/abs/paths; the reference's grammar is
+    relative to the bucket root — recover `incoming/...` suffix."""
+    return F.regexp_extract(path_col, r"(incoming/.*)$", 1)
+
+
+def extract_kpis(
+    binary_df: DataFrame,
+    kpi_names: list[str],
+    context_hint: str,
+    extractor: Extractor,
+) -> DataFrame:
+    """U1: run the extractor over Arrow batches of documents.
+    One Python call per batch, not per file (the reference pays one
+    LLM RPC per file, main.py:700-707). Output: path + extraction map
+    as JSON text (F8/F9 post-processing applies downstream)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "raw_extract": pdf["content"].map(
+                        lambda b: json.dumps(
+                            extractor(bytes(b), kpi_names, context_hint)
+                        )
+                    ),
+                }
+            )
+
+    return binary_df.select("path", "content").mapInPandas(
+        run, schema="path string, raw_extract string"
+    )
+
+
+def ingest_batch(
+    spark: SparkSession,
+    incoming_glob: str,
+    catalog: Catalog,
+    fact_path: str,
+    extractor: Extractor = json_bytes_extractor,
+) -> dict[str, int]:
+    """The full `POST /` semantics over a batch of files
+    (main.py:656-759). Returns counters for observability (the
+    reference prints; we count)."""
+    files = scan_incoming(spark, incoming_glob).withColumn(
+        "rel_path", _relative_path(F.col("path"))
+    )
+    total = files.count()
+    valid = filter_ingestable(files, "rel_path")
+
+    p = kernel.path_parts(F.col("rel_path"))
+    valid = valid.withColumn("tenant_id", p["uid"]).withColumn(
+        "folder_id_raw", p["folder_id"]
+    )
+
+    # Folder metadata lookup (RPC #1 in the reference, main.py:675-687)
+    # → one broadcast join for the whole batch.
+    # Note: folder ids in paths are already sanitized (upload builds
+    # them, main.py:634), so an equality join binds files to folders.
+    folders = catalog.folders().select(
+        "tenant_id", F.col("folder_id").alias("folder_id_raw")
+    )
+    bound = valid.join(
+        F.broadcast(folders), ["tenant_id", "folder_id_raw"], "left_semi"
+    ).withColumnRenamed("folder_id_raw", "folder_id")
+    n_bound = bound.count()
+
+    # Group per folder schema: each distinct folder may carry a
+    # different KPI set. Typical batches hit one folder; iterate the
+    # few distinct (tenant, folder) pairs, vectorized within each.
+    results = {"files_seen": total, "files_matched": n_bound, "rows_written": 0}
+    pairs = [
+        (r["tenant_id"], r["folder_id"])
+        for r in bound.select("tenant_id", "folder_id").distinct().collect()
+    ]
+    for tenant_id, folder_id in pairs:
+        meta = catalog.get_folder(tenant_id, folder_id)
+        if meta is None:  # "Folder not trained" (main.py:676-677)
+            continue
+        kpi_meta = meta.get("kpi_metadata") or []
+        kpi_names = [k["name"] for k in kpi_meta]
+        subset = bound.filter(
+            (F.col("tenant_id") == tenant_id) & (F.col("folder_id") == folder_id)
+        )
+        extracted = extract_kpis(
+            subset, kpi_names, meta.get("context_hint", ""), extractor
+        )
+        typed = build_typed_rows(extracted, kpi_meta, tenant_id, folder_id)
+        writers.append_rows(typed, fact_path)
+        results["rows_written"] += typed.count()
+    return results
+
+
+def build_typed_rows(
+    extracted: DataFrame,
+    kpi_metadata: list[dict[str, str]],
+    tenant_id: str,
+    folder_id: str,
+) -> DataFrame:
+    """Row build (main.py:726-741): audit cols + per-KPI
+    sanitize-name (F1) + coerce-value (F14), as pure projections.
+
+    row_id: the reference uses second-granularity epoch ids that
+    collide within a batch (`row_{int(time.time())}`, main.py:727) —
+    documented deviation: uuid() per row (SURVEY.md §2.8 F12).
+    """
+    kmap = kernel.json_to_map(kernel.strip_md_fences(F.col("raw_extract")))
+    cols = [
+        F.lit(tenant_id).alias("tenant_id"),
+        F.lit(folder_id).alias("folder_id"),
+        F.expr("uuid()").alias("row_id"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.current_timestamp().alias("uploaded_at"),
+    ]
+    for kpi in kpi_metadata:
+        name = kpi.get("name", "")
+        cols.append(
+            kernel.coerce_typed(
+                kmap.getItem(name), kpi.get("type", "string")
+            ).alias(kernel.kpi_col_name(name))
+        )
+    return extracted.select(*cols)
+
+
+def read_results(
+    spark: SparkSession,
+    fact_path: str,
+    tenant_id: str,
+    folder_id: str,
+    limit: int = 100,
+) -> DataFrame:
+    """`GET /get-results` (main.py:804-811): partition-pruned scan +
+    top-k by uploaded_at — TakeOrderedAndProject, no global sort."""
+    df = writers.read_fact_table(spark, fact_path)
+    return (
+        df.filter(
+            (F.col("tenant_id") == tenant_id) & (F.col("folder_id") == folder_id)
+        )
+        .orderBy(F.desc("uploaded_at"), "row_id")
+        .limit(limit)
+    )

@@ -1,0 +1,177 @@
+"""Structured Streaming ingest — the reference's event-driven pipeline
+(SURVEY.md §2.9, §3.1) as a continuous query.
+
+Reference model: one GCS object-finalize push per file → parse →
+extract → insert → move to `processed/` (/root/reference/main.py:
+656-759). Its delivery guarantees are weak in two documented ways:
+a crash between insert and archive duplicates the row (main.py:
+743-752), and every failure returns HTTP 200 so errors are silently
+swallowed (main.py:757-759).
+
+Spark restatement:
+* file-source discovery replaces push notifications — checkpointed
+  offsets make file pickup exactly-once per query;
+* the P3 path predicates run as a pathGlobFilter + filter before any
+  work (main.py:664-669);
+* `foreachBatch` runs the SAME batch ingest code (pipeline.py) per
+  micro-batch — batch/streaming parity by construction;
+* archive-after-commit is preserved (move to `processed/`), but
+  ordered AFTER the sink write inside the batch function, and a
+  failed file goes to a QUARANTINE table instead of being dropped —
+  fixing the reference's silent-200 error path.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from pdf_etl_engine_spark import pipeline as P
+from pdf_etl_engine_spark.functions import kernel
+
+
+def stream_ingest(
+    spark: SparkSession,
+    bucket_root: str,
+    catalog: P.Catalog,
+    fact_path: str,
+    checkpoint_dir: str,
+    quarantine_path: str | None = None,
+    extractor: P.Extractor = P.json_bytes_extractor,
+    archive: bool = True,
+) -> StreamingQuery:
+    """Start the continuous ingest query over `{bucket_root}/incoming`.
+
+    Use `.trigger(availableNow=True)`-style draining by awaiting the
+    returned query's termination in tests; in production it runs
+    forever with micro-batches per discovery cycle.
+    """
+    binary_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("pathGlobFilter", "*.pdf")  # cheap prefilter; P3 below
+        .option("recursiveFileLookup", "true")
+        .load(f"{bucket_root}/incoming")
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _ingest_micro_batch(
+            spark,
+            batch_df,
+            bucket_root,
+            catalog,
+            fact_path,
+            quarantine_path,
+            extractor,
+            archive,
+        )
+
+    return (
+        files.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _ingest_micro_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    bucket_root: str,
+    catalog: P.Catalog,
+    fact_path: str,
+    quarantine_path: str | None,
+    extractor: P.Extractor,
+    archive: bool,
+) -> None:
+    """One micro-batch = the reference's single-file handler, batched.
+    Per-folder try/except → quarantine (vs the reference's swallowed
+    errors, main.py:757-759).
+
+    Ordering is load-bearing: the batch is persisted and materialized
+    BEFORE any processing, and archive moves happen only after EVERY
+    folder's append/quarantine committed — Spark plans are lazy, so
+    moving a file while a sibling plan may still re-scan it fails with
+    FILE_NOT_EXIST (found by driving mixed trained+untrained batches).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from pdf_etl_engine_spark.sources import writers
+
+    files = batch_df.withColumn(
+        "rel_path", F.regexp_extract(F.col("path"), r"(incoming/.*)$", 1)
+    )
+    files.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        files.count()  # materialize the cache: no re-reads after moves
+        valid = P.filter_ingestable(files, "rel_path")
+        p = kernel.path_parts(F.col("rel_path"))
+        bound = valid.withColumn("tenant_id", p["uid"]).withColumn(
+            "folder_id", p["folder_id"]
+        )
+        pairs = [
+            (r["tenant_id"], r["folder_id"])
+            for r in bound.select("tenant_id", "folder_id").distinct().collect()
+        ]
+        to_archive: list[str] = []
+        for tenant_id, folder_id in pairs:
+            subset = bound.filter(
+                (F.col("tenant_id") == tenant_id)
+                & (F.col("folder_id") == folder_id)
+            )
+            try:
+                meta = catalog.get_folder(tenant_id, folder_id)
+                if meta is None:
+                    raise ValueError(
+                        f"folder not trained: {tenant_id}/{folder_id}"
+                    )
+                kpi_meta = meta.get("kpi_metadata") or []
+                extracted = P.extract_kpis(
+                    subset,
+                    [k["name"] for k in kpi_meta],
+                    meta.get("context_hint", ""),
+                    extractor,
+                )
+                typed = P.build_typed_rows(
+                    extracted, kpi_meta, tenant_id, folder_id
+                )
+                writers.append_rows(typed, fact_path)
+                to_archive.extend(
+                    r["rel_path"] for r in subset.select("rel_path").collect()
+                )
+            except Exception as exc:  # noqa: BLE001 — quarantine, don't drop
+                if quarantine_path:
+                    subset.select(
+                        "path",
+                        "rel_path",
+                        F.lit(str(exc)[:500]).alias("error"),
+                        F.current_timestamp().alias("quarantined_at"),
+                    ).write.mode("append").parquet(quarantine_path)
+                else:
+                    raise
+        # Archive strictly last: every sink commit for this batch is
+        # durable before any source file moves (S6, main.py:750-752).
+        if archive:
+            _archive_files(to_archive, bucket_root)
+    finally:
+        files.unpersist()
+
+
+def _archive_files(rel_paths: list[str], bucket_root: str) -> None:
+    """S6: move `incoming/...` → `processed/...` after the sink commit
+    (main.py:750-752). Driver-side file moves — at production scale
+    this is the object-store rename the reference does, issued per
+    committed batch."""
+    for rel in rel_paths:
+        src = Path(bucket_root) / rel
+        dst = Path(bucket_root) / rel.replace("incoming/", "processed/", 1)
+        if src.exists():
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            shutil.move(str(src), str(dst))

@@ -1,0 +1,146 @@
+"""E2E pipeline tests (SURVEY.md §5.4-5.5): golden ingest, schema
+evolution, permissions, read path. Mirrors the reference's lifecycle
+`/analyze-master → /confirm-kpis → POST / → /get-results`
+(/root/reference/main.py:413-512, 656-759, 764-816) with the
+deterministic extractor in the LLM slot.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_etl_engine_spark import pipeline
+from pdf_etl_engine_spark.plans import types as T
+from pdf_etl_engine_spark.sources import writers
+
+KPI_META = [
+    {"name": "Total Amount ($)", "sample_value": "$1,234.56", "type": "number"},
+    {"name": "Report Date", "sample_value": "2024-01-15", "type": "date"},
+    {"name": "Status", "sample_value": "Approved", "type": "categorical"},
+]
+
+
+def _write_doc(root, tenant, folder, name, payload):
+    d = root / "incoming" / tenant / folder / "batch"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / name).write_bytes(json.dumps(payload).encode())
+
+
+@pytest.fixture()
+def workspace(tmp_path, spark):
+    cat = pipeline.Catalog(spark, str(tmp_path / "catalog"))
+    cat.create_folder(
+        "user_abc", "invoices", "Invoices", "test docs", kpi_metadata=KPI_META
+    )
+    return tmp_path, cat, str(tmp_path / "facts")
+
+
+def test_ingest_golden(workspace, spark):
+    root, cat, facts = workspace
+    _write_doc(
+        root, "user_abc", "invoices", "inv_001.pdf",
+        {"Total Amount ($)": "$1,234.56", "Report Date": "2024-01-15",
+         "Status": "Approved"},
+    )
+    _write_doc(
+        root, "user_abc", "invoices", "inv_002.pdf",
+        {"Total Amount ($)": "(500)", "Report Date": "January 3, 2024"},
+    )
+    # ignored: wrong extension, placeholder, master/ not batch/
+    (root / "incoming/user_abc/invoices/batch/.placeholder").write_bytes(b"")
+    _write_doc(root, "user_abc", "invoices", "notes.txt", {})
+    m = root / "incoming/user_abc/invoices/master"
+    m.mkdir(parents=True, exist_ok=True)
+    (m / "master.pdf").write_bytes(b"{}")
+
+    res = pipeline.ingest_batch(
+        spark, f"{root}/incoming/*/*/*/*", cat, facts
+    )
+    assert res["rows_written"] == 2
+
+    out = pipeline.read_results(spark, facts, "user_abc", "invoices")
+    rows = {r["file_name"]: r for r in out.collect()}
+    assert set(rows) == {"inv_001.pdf", "inv_002.pdf"}
+    r1 = rows["inv_001.pdf"]
+    assert r1["kpi_total_amount____"] == pytest.approx(1234.56)
+    assert str(r1["kpi_report_date"]) == "2024-01-15"
+    assert r1["kpi_status"] == "Approved"
+    r2 = rows["inv_002.pdf"]
+    assert r2["kpi_total_amount____"] == pytest.approx(-500.0)
+    assert str(r2["kpi_report_date"]) == "2024-01-03"
+    assert r2["kpi_status"] is None  # missing → N/A → NULL
+
+
+def test_schema_evolution_add_column(workspace, spark):
+    """S5: a later batch carries a new KPI column; earlier rows read
+    NULL for it; columns are never dropped (main.py:277-291)."""
+    root, cat, facts = workspace
+    _write_doc(
+        root, "user_abc", "invoices", "old.pdf",
+        {"Total Amount ($)": "$10.00", "Report Date": "2024-01-01",
+         "Status": "Active"},
+    )
+    pipeline.ingest_batch(spark, f"{root}/incoming/*/*/*/*", cat, facts)
+
+    # folder retrained with an extra KPI (evolution)
+    evolved = KPI_META + [
+        {"name": "Rig ID", "sample_value": "KDC-54", "type": "categorical"}
+    ]
+    cat2 = pipeline.Catalog(spark, str(root / "catalog2"))
+    cat2.create_folder(
+        "user_abc", "invoices", "Invoices", "", kpi_metadata=evolved
+    )
+    new = evolved  # sanity: new column set is a superset
+    assert len(writers.evolve_columns({"kpi_total_amount____"}, new)) == 3
+
+    (root / "incoming/user_abc/invoices/batch/old.pdf").unlink()
+    _write_doc(
+        root, "user_abc", "invoices", "new.pdf",
+        {"Total Amount ($)": "$20.00", "Report Date": "2024-02-01",
+         "Status": "Active", "Rig ID": "KDC-54"},
+    )
+    pipeline.ingest_batch(spark, f"{root}/incoming/*/*/*/*", cat2, facts)
+
+    df = writers.read_fact_table(spark, facts)
+    assert "kpi_rig_id" in df.columns
+    got = {r["file_name"]: r["kpi_rig_id"] for r in df.collect()}
+    assert got["new.pdf"] == "KDC-54"
+    assert got["old.pdf"] is None  # pre-evolution row surfaces NULL
+
+
+def test_permissions(workspace, spark):
+    root, cat, facts = workspace
+    cat.add_share("user_abc", "invoices", "Friend@Mail.COM", "view")
+    assert cat.can_read("user_abc", "", "user_abc", "invoices")  # owner
+    assert cat.can_read("someone", "friend@mail.com", "user_abc", "invoices")
+    assert not cat.can_read("someone", "stranger@mail.com", "user_abc", "invoices")
+    with pytest.raises(ValueError):
+        cat.add_share("user_abc", "invoices", "x@y.z", "admin")
+
+
+def test_fact_table_schema():
+    schema = T.fact_table_schema(KPI_META)
+    names = [f.name for f in schema.fields]
+    assert names[:3] == ["row_id", "file_name", "uploaded_at"]
+    assert "kpi_total_amount____" in names
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert by_name["kpi_total_amount____"] == "double"
+    assert by_name["kpi_report_date"] == "date"
+    assert by_name["kpi_status"] == "string"
+
+
+def test_infer_schema_majority_vote(spark):
+    df = spark.createDataFrame(
+        [("$12.50", "2024-01-01", "Active", "free text here, quite long ok"),
+         ("$99.00", "2024-02-02", "Closed", "another long free text value!!"),
+         ("oops",   "2024-03-03", "Active", "words words words words words!")],
+        "amount string, day string, state string, blurb string",
+    )
+    inferred = T.infer_schema(df)
+    assert inferred["amount"] == "number"      # majority beats one 'oops'
+    assert inferred["day"] == "date"
+    assert inferred["state"] == "categorical"
+    assert inferred["blurb"] == "string"

@@ -1,0 +1,101 @@
+"""Streaming tests (SURVEY.md §5.6): micro-batch ingest end-to-end,
+archive-on-success, exactly-once file pickup across restarts, and
+quarantine-not-drop error handling.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_etl_engine_spark import pipeline
+from pdf_etl_engine_spark.sources import writers
+from pdf_etl_engine_spark.streaming import ingest as S
+
+KPI_META = [
+    {"name": "Total Amount ($)", "sample_value": "$1.00", "type": "number"},
+    {"name": "Status", "sample_value": "Active", "type": "categorical"},
+]
+
+
+def _write_doc(root, tenant, folder, name, payload):
+    d = root / "incoming" / tenant / folder / "batch"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / name).write_bytes(json.dumps(payload).encode())
+
+
+@pytest.fixture()
+def workspace(tmp_path, spark):
+    cat = pipeline.Catalog(spark, str(tmp_path / "catalog"))
+    cat.create_folder("u1", "reports", kpi_metadata=KPI_META)
+    return tmp_path, cat
+
+
+def _drain(spark, root, cat, facts, ckpt):
+    q = S.stream_ingest(
+        spark,
+        str(root),
+        cat,
+        facts,
+        ckpt,
+        quarantine_path=str(root / "quarantine"),
+    )
+    q.awaitTermination()
+
+
+def test_stream_ingest_and_archive(workspace, spark, tmp_path):
+    root, cat = workspace
+    facts = str(root / "facts")
+    ckpt = str(root / "ckpt")
+    _write_doc(root, "u1", "reports", "r1.pdf", {"Total Amount ($)": "$5.00",
+                                                 "Status": "Active"})
+    _write_doc(root, "u1", "reports", "r2.pdf", {"Total Amount ($)": "(7)"})
+
+    _drain(spark, root, cat, facts, ckpt)
+
+    df = writers.read_fact_table(spark, facts)
+    got = {r["file_name"]: r["kpi_total_amount____"] for r in df.collect()}
+    assert got == {"r1.pdf": 5.0, "r2.pdf": -7.0}
+
+    # S6: archived out of incoming/ into processed/
+    assert not (root / "incoming/u1/reports/batch/r1.pdf").exists()
+    assert (root / "processed/u1/reports/batch/r1.pdf").exists()
+
+
+def test_stream_exactly_once_pickup(workspace, spark):
+    """Restarting the query with the same checkpoint must not re-ingest
+    already-committed files (fixes the reference's duplicate window,
+    main.py:743-752)."""
+    root, cat = workspace
+    facts = str(root / "facts")
+    ckpt = str(root / "ckpt")
+    _write_doc(root, "u1", "reports", "a.pdf", {"Total Amount ($)": "$1.00"})
+    _drain(spark, root, cat, facts, ckpt)
+
+    # second drain, same checkpoint: no new files → no new rows
+    _drain(spark, root, cat, facts, ckpt)
+    df = writers.read_fact_table(spark, facts)
+    assert df.count() == 1
+
+    # a genuinely new file is picked up
+    _write_doc(root, "u1", "reports", "b.pdf", {"Total Amount ($)": "$2.00"})
+    _drain(spark, root, cat, facts, ckpt)
+    assert writers.read_fact_table(spark, facts).count() == 2
+
+
+def test_stream_quarantine_untrained_folder(workspace, spark):
+    """Files for an untrained folder land in quarantine with the error,
+    instead of being silently dropped (vs main.py:757-759)."""
+    root, cat = workspace
+    facts = str(root / "facts")
+    ckpt = str(root / "ckpt")
+    _write_doc(root, "u9", "nofolder", "x.pdf", {"Total Amount ($)": "$1.00"})
+    _drain(spark, root, cat, facts, ckpt)
+
+    quarantined = spark.read.parquet(str(root / "quarantine"))
+    rows = quarantined.collect()
+    assert len(rows) == 1
+    assert "not trained" in rows[0]["error"]
+    assert rows[0]["rel_path"].endswith("x.pdf")
