@@ -1,0 +1,145 @@
+"""Inventory stragglers: F15 math basics, U4 map→rows UDTF shape,
+cube, range window frames, exact percentiles (SURVEY.md §2.4, §2.5,
+§2.8, §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_etl_engine_spark.catalog import load_table
+from pdf_etl_engine_spark.functions.stable import stable_round
+from pdf_etl_engine_spark.registry import query
+
+
+@query(
+    "f15_math_basics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax) + 5e-10, 2)
+             AS charged,
+           round(abs(l_discount - l_tax) + 5e-10, 4) AS disc_tax_gap,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS qty_bucket,
+           CAST(l_orderkey % 97 AS BIGINT) AS key_mod
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey % 50 = 0
+    """,
+)
+def f15_math_basics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: arithmetic / round / abs / floor / modulo as row
+    expressions (the TPC-H charged-amount shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 50 == 0)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        stable_round(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax")),
+            2,
+        ).alias("charged"),
+        stable_round(F.abs(F.col("l_discount") - F.col("l_tax")), 4).alias(
+            "disc_tax_gap"
+        ),
+        F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+    )
+
+
+@query(
+    "u4_explode_map_long",
+    oracle="""
+    SELECT event_id, 'k' AS kpi_name,
+           json_extract_string(props, '$.k') AS kpi_value
+    FROM events
+    WHERE event_id % 10 = 0
+    """,
+)
+def u4_explode_map_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 (UDTF shape): one row per (row, map entry) — the per-KPI
+    long format the reference's wide row build inverts
+    (/root/reference/main.py:726-741). `explode(from_json(...))` is
+    the built-in generator; no Python UDTF needed."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    kv = ev.select(
+        "event_id",
+        F.explode(F.from_json(F.col("props"), "map<string,string>")).alias(
+            "kpi_name", "kpi_value"
+        ),
+    )
+    return kv
+
+
+@query(
+    "a5b_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a5b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: full cube — all grouping-set combinations in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@query(
+    "w4_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+             AS n_last_hour
+    FROM events
+    """,
+)
+def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 variant: event-time RANGE frame — trailing 1-hour activity
+    count per user (the rate-limit / rolling-metric shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    # order on micros-since-epoch computed in pure NTZ arithmetic
+    # (no session-timezone dependence); RANGE bounds inclusive both
+    # ends in both engines.
+    micros = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_last_hour"),
+    )
+
+
+@query(
+    "a7_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5) + 5e-10, 4) AS p50,
+           round(quantile_cont(value, 0.9) + 5e-10, 4) AS p90,
+           round(CAST(max(value) AS DOUBLE) + 5e-10, 4) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: exact linear-interpolated percentiles per group (both
+    engines implement continuous quantiles identically on sorted
+    doubles). The 100 TB path is `approx_percentile` (t-digest-style
+    sketch, a4's estimator family) — exact form here for the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        stable_round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50"),
+        stable_round(F.percentile(F.col("value"), F.lit(0.9)), 4).alias("p90"),
+        stable_round(F.max("value"), 4).alias("vmax"),
+    )

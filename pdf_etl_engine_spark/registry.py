@@ -44,6 +44,7 @@ def load_all() -> None:
     from pdf_etl_engine_spark.operators import (  # noqa: F401
         aggregates,
         extensions,
+        extras,
         filters,
         joins,
         kernels,

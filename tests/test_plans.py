@@ -1,0 +1,139 @@
+"""Physical-plan shape tests: correctness says WHAT came back; these
+pin HOW — the plan properties that decide whether a query survives a
+1000-executor 100 TB run (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_etl_engine_spark import registry
+from pdf_etl_engine_spark.catalog import load_table
+
+registry.load_all()
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_topk_is_take_ordered(spark):
+    """T1 must plan as TakeOrderedAndProject (per-partition heaps),
+    never a global Sort + Limit."""
+    df = registry.QUERIES["t1_results_topk"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_dim_joins_broadcast(spark):
+    """J1/J5: dimension joins must be broadcast — the fact side must
+    not shuffle for the join."""
+    for name in ("j1_lookup_broadcast", "j5_multiway_equi"):
+        p = plan_of(registry.QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+
+
+def test_semi_anti_physical(spark):
+    p2 = plan_of(registry.QUERIES["j2_semi_exists"](spark, SF_DIR))
+    assert "LeftSemi" in p2
+    p3 = plan_of(registry.QUERIES["j3_anti"](spark, SF_DIR))
+    assert "LeftAnti" in p3
+
+
+def test_filter_pushdown_to_scan(spark):
+    """P4: equality predicates must reach the parquet reader as
+    PushedFilters, not run post-scan only."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .select("o_orderkey")
+    )
+    p = plan_of(df)
+    assert "PushedFilters: [" in p
+    assert "EqualTo(o_orderstatus,F)" in p
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must scan 2 columns, not the table."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+    )
+    p = plan_of(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
+def test_relational_paths_have_no_python(spark):
+    """Every oracle-graded query must stay JVM-side: no BatchEvalPython
+    / ArrowEvalPython / mapInPandas in the plan (Python is allowed only
+    in the explicitly-Python operators: extractor U1, multimodal X5)."""
+    offenders = []
+    for name in sorted(registry.ORACLES):
+        p = plan_of(registry.QUERIES[name](spark, SF_DIR))
+        if any(
+            marker in p
+            for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+        ):
+            offenders.append(name)
+    assert not offenders, f"Python in relational plans: {offenders}"
+
+
+def test_whole_stage_codegen_on_kernels(spark):
+    """The coercion kernel must run inside whole-stage codegen.
+    (AQE finalizes the physical plan only on execution, so run first.)"""
+    df = registry.QUERIES["f2_coerce_number"](spark, SF_DIR)
+    df.collect()
+    p = plan_of(df)
+    # '*(n)' prefixes mark WholeStageCodegen stages in the compact
+    # plan string; both the kernel projection and the aggregate must
+    # sit inside one.
+    assert "*(1) Project" in p or "*(1) HashAggregate" in p, p[:500]
+
+
+def test_partition_pruning_on_fact_table(spark, tmp_path):
+    """The reference located data by string-building table names
+    (main.py:262-264); our single partitioned fact table must prune
+    partitions for a (tenant, folder) read."""
+    df = spark.createDataFrame(
+        [("t1", "f1", 1.0), ("t1", "f2", 2.0), ("t2", "f1", 3.0)],
+        "tenant_id string, folder_id string, v double",
+    )
+    path = str(tmp_path / "facts")
+    df.write.partitionBy("tenant_id", "folder_id").parquet(path)
+    read = (
+        spark.read.parquet(path)
+        .filter((F.col("tenant_id") == "t1") & (F.col("folder_id") == "f2"))
+    )
+    p = plan_of(read)
+    # the partition-key equalities must appear as PartitionFilters on
+    # the scan (directory-level pruning). The compact plan string
+    # truncates long filter lists with '…', so assert on the stable
+    # prefix only.
+    pf = p.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, f"no PartitionFilters in plan: {p}"
+    filters = pf[1]
+    assert "isnotnull(tenant_id" in filters
+    assert "= t1)" in filters
+    assert "isnotnull(folder_id" in filters
+
+
+def test_asof_join_is_not_nested_loop(spark):
+    """J7's union+window rewrite must avoid BroadcastNestedLoopJoin
+    (the theta-join trap)."""
+    p = plan_of(registry.QUERIES["j7_range_asof"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
