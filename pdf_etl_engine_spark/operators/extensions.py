@@ -565,3 +565,135 @@ def x5_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return with_binary_features(binary).orderBy("doc_id")
+
+
+@query(
+    "x4c_embedding_near_dup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(list_zip(a.e, b.e),
+                 s -> s[1] * s[2])) / (a.nrm * b.nrm) + 5e-10, 4) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.e, b.e), s -> s[1] * s[2]))
+          / (a.nrm * b.nrm) >= 0.25
+    """,
+)
+def x4c_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact form (north_star
+    dedup family): all pairs with cosine ≥ 0.25. This O(n²) exact
+    variant is the ORACLE BASELINE; the scale path is x4d, which
+    generates candidates from shared LSH buckets so the shuffle key —
+    not a cross join — carries the pair generation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("e"),
+        F.sqrt(_dot(_as_double(F.col("embedding")),
+                    _as_double(F.col("embedding")))).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.25)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            stable_round(cos, 4).alias("cos_sim"),
+        )
+    )
+
+
+@query("x4d_embedding_near_dup_lsh")  # rows-only: approximate recall
+def x4d_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for x4c: candidate pairs share an 8-bit random-
+    hyperplane bucket (same deterministic hyperplanes as x4b), then
+    exact cosine ≥ 0.25 on candidates only. The self-join key is the
+    bucket id — shuffle-partitioned pair generation, no cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_bits = 8
+
+    def plane(i: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.size(F.col("embedding")) - 1),
+            lambda j: (F.pmod(F.xxhash64(F.lit(i), j), F.lit(10007)) / 5003.5)
+            - 1.0,
+        )
+
+    bits = [
+        F.when(_dot(_as_double(F.col("embedding")), plane(i)) > 0,
+               F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(n_bits)
+    ]
+    bucket = bits[0]
+    for term in bits[1:]:
+        bucket = bucket + term
+    v = emb.select(
+        "vec_id",
+        bucket.alias("bucket"),
+        _as_double(F.col("embedding")).alias("e"),
+        F.sqrt(_dot(_as_double(F.col("embedding")),
+                    _as_double(F.col("embedding")))).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.25)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            stable_round(cos, 4).alias("cos_sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
+    "x2c_dedup_with_dups",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 10 = 0
+    ), ranked AS (
+      SELECT lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM corpus
+    )
+    SELECT lang,
+           count(*) AS n_rows,
+           CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_removed
+    FROM ranked GROUP BY lang
+    """,
+)
+def x2c_dedup_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 on a corpus that actually contains duplicates (every 10th doc
+    re-appears under a new id — built identically in both engines since
+    the raw documents are all-unique). Keep-first dedup accounting per
+    language: at 100 TB the partition key is a 128-bit content hash,
+    not the text itself; semantics identical."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dups = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    corpus = docs.unionByName(dups)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    ranked = corpus.select("lang", F.row_number().over(w).alias("rn"))
+    return ranked.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_removed"),
+    )

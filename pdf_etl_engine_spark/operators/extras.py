@@ -143,3 +143,27 @@ def a7_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.percentile(F.col("value"), F.lit(0.9)), 4).alias("p90"),
         stable_round(F.max("value"), 4).alias("vmax"),
     )
+
+
+@query(
+    "a8_grouping_sets",
+    oracle="""
+    SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort, count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    """,
+)
+def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 family: explicit grouping sets — per-type totals, per-cohort
+    totals, and the grand total in one aggregation pass."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cohort", F.col("user_id") % 10
+    )
+    ev.createOrReplaceTempView("events_gs_tmp")
+    return spark.sql(
+        """
+        SELECT event_type, cohort, count(*) AS n
+        FROM events_gs_tmp
+        GROUP BY GROUPING SETS ((event_type), (cohort), ())
+        """
+    )

@@ -99,3 +99,54 @@ def test_stream_quarantine_untrained_folder(workspace, spark):
     assert len(rows) == 1
     assert "not trained" in rows[0]["error"]
     assert rows[0]["rel_path"].endswith("x.pdf")
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """§2.9: event-time window agg with watermark in append mode — a
+    row arriving after the watermark passed its window is dropped.
+    Lateness is forced by running the query three times over the same
+    checkpoint (watermark state persists across restarts): run 1
+    advances the watermark to June; run 2 delivers a January row —
+    late, dropped; run 3 pushes the watermark further so the June
+    windows finalize, proving the late row is absent from state."""
+
+    def _mk(rows_):
+        return spark.createDataFrame(rows_, "id long, ts_s string").select(
+            "id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    emitted: list[tuple[str, int]] = []
+
+    def drain(tag, df):
+        df.coalesce(1).write.parquet(str(src / tag))
+        stream = (
+            spark.readStream.schema("id long, ts timestamp")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: emitted.extend(
+                    (str(r["ws"]), r["n"]) for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("f1", _mk([(1, "2024-06-01 10:00:00"), (2, "2024-06-01 10:10:00")]))
+    drain("f2", _mk([(3, "2024-01-01 00:10:00")]))  # late: months behind
+    drain("f3", _mk([(4, "2024-06-01 13:00:00")]))  # closes the 10:00 window
+
+    rows = dict(emitted)
+    assert rows.get("2024-06-01 10:00:00") == 2, rows  # finalized, intact
+    assert all("2024-01-01" not in k for k in rows), rows  # late row dropped
