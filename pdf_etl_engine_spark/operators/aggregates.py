@@ -88,12 +88,22 @@ def a2_groupby_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: exact distinct count per group (two-phase under the hood)."""
+    """A3: exact distinct count per group, written as the two-level
+    aggregation (pre-aggregate on (group, key), then count groups)
+    instead of `countDistinct` — same result, but avoids the Expand
+    node and one shuffle stage, and at 100 TB the first level gets
+    map-side partial aggregation on the composite key."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count("*").alias("n_events"),
-        stable_round(fixed_avg(F.col("value"), 100), 4).alias("avg_value"),
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("c"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+    )
+    return per_user.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("c").alias("n_events"),
+        stable_round(
+            (F.sum("s").cast("double") / 100) / F.sum("c"), 4
+        ).alias("avg_value"),
     )
 
 

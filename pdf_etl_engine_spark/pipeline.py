@@ -363,3 +363,51 @@ def read_results(
         .orderBy(F.desc("uploaded_at"), "row_id")
         .limit(limit)
     )
+
+
+def discover_fields(
+    binary_df: DataFrame,
+    extractor_discover: Callable[[bytes], dict[str, str]] | None = None,
+) -> DataFrame:
+    """Train step 1 — `/analyze-master` (main.py:413-461): from master
+    document(s), discover candidate fields as `{name: example_value}`
+    and return them as (path, kpi_name, sample_value, suggested_type)
+    rows for user curation (`selected_kpis`, main.py:476-479).
+
+    The discovery extractor defaults to JSON-key listing (the
+    deterministic stand-in for the reference's "extract all labels"
+    LLM pass); the suggested type comes from the F13 inference kernel
+    applied to each example value — the same expression the fallback
+    inferrer uses, so train-time and ingest-time typing agree.
+    """
+    discover = extractor_discover or (
+        lambda content: {
+            str(k): str(v)
+            for k, v in (
+                json.loads(content.decode("utf-8", errors="replace")) or {}
+            ).items()
+        }
+        if content
+        else {}
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"path": [], "kpi_name": [], "sample_value": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    fields = discover(bytes(content))
+                except Exception:  # discovery failure → no fields, no error
+                    fields = {}
+                for name, example in fields.items():
+                    out["path"].append(path)
+                    out["kpi_name"].append(name)
+                    out["sample_value"].append(example)
+            yield pd.DataFrame(out)
+
+    long_rows = binary_df.select("path", "content").mapInPandas(
+        run, schema="path string, kpi_name string, sample_value string"
+    )
+    return long_rows.withColumn(
+        "suggested_type", kernel.infer_type(F.col("sample_value"))
+    )

@@ -19,14 +19,9 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from pdf_etl_engine_spark.catalog import load_table, table_path
-from pdf_etl_engine_spark.functions.stable import (
-    fixed_avg,
-    fixed_sum,
-    stable_round,
-)
+from pdf_etl_engine_spark.functions.stable import fixed_avg, fixed_sum, stable_round
 from pdf_etl_engine_spark.registry import query
 
 

@@ -144,3 +144,26 @@ def test_infer_schema_majority_vote(spark):
     assert inferred["day"] == "date"
     assert inferred["state"] == "categorical"
     assert inferred["blurb"] == "string"
+
+
+def test_discover_fields(workspace, spark):
+    """Train step 1 (`/analyze-master`): field discovery from a master
+    doc with F13-suggested types."""
+    root, cat, facts = workspace
+    m = root / "incoming/user_abc/invoices/master"
+    m.mkdir(parents=True, exist_ok=True)
+    (m / "master.pdf").write_bytes(
+        json.dumps(
+            {"Total Amount ($)": "$9,876.54", "Report Date": "2024-05-01",
+             "Status": "Approved", "Notes": "a very long free text blob ok?!"}
+        ).encode()
+    )
+    binary = pipeline.scan_incoming(spark, f"{root}/incoming/*/*/master/*")
+    fields = {
+        r["kpi_name"]: (r["sample_value"], r["suggested_type"])
+        for r in pipeline.discover_fields(binary).collect()
+    }
+    assert fields["Total Amount ($)"] == ("$9,876.54", "number")
+    assert fields["Report Date"] == ("2024-05-01", "date")
+    assert fields["Status"] == ("Approved", "categorical")
+    assert fields["Notes"][1] == "string"
