@@ -697,3 +697,69 @@ def x2c_dedup_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
         F.count(F.when(F.col("rn") > 1, 1)).alias("n_removed"),
     )
+
+
+@query("x4e_ann_ivf_topk")  # rows-only: approximate by design
+def x4e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4e: IVF (inverted-file) ANN — the other scale path next to LSH
+    (x4b). Coarse quantizer: 16 deterministic centroids (every k-th
+    vector by vec_id — a stand-in for trained k-means centroids, which
+    at production scale come from a sampled k-means|| run). Each vector
+    is assigned to its nearest centroid (one broadcast of 16 centroids,
+    no shuffle); a query probes only the nprobe=4 nearest cells, i.e.
+    ~25% of the data instead of 100%. The cell id is the partition key
+    at 100 TB — a probe touches a handful of partitions."""
+    n_centroids, nprobe = 16, 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    stride = max(n // n_centroids, 1)
+    centroids = (
+        emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * n_centroids))
+        .select(
+            (F.col("vec_id") / stride).cast("int").alias("cell"),
+            _as_double(F.col("embedding")).alias("c"),
+        )
+    )
+    vecs = emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    ).withColumn(
+        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    # assign: nearest centroid by cosine via a broadcast join + window
+    scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim",
+        _dot(F.col("e"), F.col("c"))
+        / (F.col("nrm") * F.sqrt(_dot(F.col("c"), F.col("c")))),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", "e", "nrm", "cell")
+    )
+    # query = vec 0; probe its nprobe nearest cells only
+    qrow = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(qrow))
+        .withColumn(
+            "qsim",
+            _dot(F.col("c"), F.col("qe"))
+            / (F.sqrt(_dot(F.col("c"), F.col("c"))) * F.col("qnrm")),
+        )
+        .orderBy(F.desc("qsim"), "cell")
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand = assigned.join(F.broadcast(probe_cells), "cell").filter(
+        F.col("vec_id") != 0
+    )
+    out = cand.crossJoin(F.broadcast(qrow)).select(
+        "vec_id",
+        "label",
+        stable_round(
+            _dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm")), 4
+        ).alias("cos_sim"),
+    )
+    return out.orderBy(F.desc("cos_sim"), "vec_id").limit(10)

@@ -234,3 +234,44 @@ def j7_range_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("side") == 1).select(
         "event_id", "user_id", "ts", "asof_click_ts"
     )
+
+
+@query(
+    "j8_skew_salted_join",
+    oracle="""
+    SELECT e.user_id, e.event_id, d.n_user_events
+    FROM events e
+    JOIN (SELECT user_id, count(*) AS n_user_events
+          FROM events GROUP BY user_id) d
+      ON e.user_id = d.user_id
+    """,
+)
+def j8_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (skew handling): a shuffle join made skew-proof by SALTING —
+    the fact side's join key gains a random-free salt (hash-derived, so
+    deterministic and replayable), the dimension side is replicated
+    once per salt bucket, and the join runs on (key, salt). Hot keys
+    spread across SALT partitions instead of one straggler task.
+    Results are EXACTLY those of the plain join (the oracle), which is
+    the point: salting is a physical rewrite, not a semantic one.
+    AQE's skewJoin handles this automatically for sort-merge joins at
+    runtime; explicit salting is for the cases AQE can't split (e.g.
+    aggregations after the join keep the key partitioning).
+    """
+    salt_n = 8
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("user_id").agg(F.count("*").alias("n_user_events"))
+
+    salted_fact = events.select(
+        "user_id",
+        "event_id",
+        F.pmod(F.xxhash64("event_id"), F.lit(salt_n)).alias("salt"),
+    )
+    salted_dim = dim.select(
+        "user_id",
+        "n_user_events",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))).alias("salt"),
+    ).withColumn("salt", F.col("salt").cast("long"))
+    return salted_fact.join(salted_dim, ["user_id", "salt"]).select(
+        "user_id", "event_id", "n_user_events"
+    )

@@ -150,3 +150,45 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     rows = dict(emitted)
     assert rows.get("2024-06-01 10:00:00") == 2, rows  # finalized, intact
     assert all("2024-01-01" not in k for k in rows), rows  # late row dropped
+
+
+def test_stateful_running_profile_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-user state must accumulate across
+    micro-batches AND across query restarts (checkpointed state)."""
+    from pdf_etl_engine_spark.streaming.stateful import user_running_profile
+
+    src = tmp_path / "st_src"
+    src.mkdir()
+    emitted = {}
+
+    def drain(tag, rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_s string, value double"
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+        df.coalesce(1).write.parquet(str(src / tag))
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            user_running_profile(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: emitted.update(
+                    {r["user_id"]: (r["n_events"], r["total_value"]) for r in bdf.collect()}
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain("b1", [(1, "2024-01-01 10:00:00", 5.0), (1, "2024-01-01 10:05:00", 7.0),
+                 (2, "2024-01-01 10:00:00", 1.0)])
+    assert emitted[1] == (2, 12.0) and emitted[2] == (1, 1.0)
+
+    # restart with new data: state continues from the checkpoint
+    drain("b2", [(1, "2024-01-01 11:00:00", 3.0)])
+    assert emitted[1] == (3, 15.0), emitted
