@@ -53,17 +53,22 @@ _DATE_RES = (
 # recognizes (main.py:183-196). Full dateutil fuzziness is available
 # only via the optional pandas UDF in pipeline.py (kept out of the
 # oracle-graded path by design — SURVEY.md §7 risk #1).
+# Two-digit-year shapes are deliberately ABSENT: Java's `yy` pivots to
+# 2000-2099 while Python/dateutil pivot at 69, so "3/7/95" would parse
+# to different centuries in the engine and the oracle — ambiguous
+# inputs yield NULL rather than an engine-dependent guess. The
+# inference kernel still RECOGNIZES the dd-dd-dd shape as a date
+# (matching main.py:192); only coercion declines to guess.
 DATE_FORMATS = (
     "yyyy-M-d",
     "yyyy/M/d",
     "M/d/yyyy",
     "M-d-yyyy",
-    "M/d/yy",
-    "M-d-yy",
     "MMMM d, yyyy",
     "MMMM d yyyy",
     "MMM d, yyyy",
     "MMM d yyyy",
+    "yyyy-M-d H:m:s",
 )
 
 
@@ -145,7 +150,6 @@ def parse_date(c: Column) -> Column:
     attempts = [
         F.try_to_timestamp(v, F.lit(fmt)).cast("date") for fmt in DATE_FORMATS
     ]
-    attempts.append(F.try_to_timestamp(v).cast("date"))
     return F.when(is_sentinel(c), F.lit(None).cast("date")).otherwise(
         F.coalesce(*attempts)
     )

@@ -96,13 +96,14 @@ def a3_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     per_user = events.groupBy("event_type", "user_id").agg(
         F.count("*").alias("c"),
+        F.count("value").alias("cv"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
     )
     return per_user.groupBy("event_type").agg(
         F.count("*").alias("n_users"),
         F.sum("c").alias("n_events"),
         stable_round(
-            (F.sum("s").cast("double") / 100) / F.sum("c"), 4
+            (F.sum("s").cast("double") / 100) / F.sum("cv"), 4
         ).alias("avg_value"),
     )
 

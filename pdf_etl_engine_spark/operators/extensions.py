@@ -396,18 +396,12 @@ def x4b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("qbucket"),
         _as_double(F.col("embedding")).alias("qv"),
     )
-    # query bucket ± hamming-1 neighborhood
+    # probe: buckets within hamming distance 2 of the query's
     cand = (
         sig.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(qrow))
         .filter(
-            (F.col("bucket") == F.col("qbucket"))
-            | (
-                F.bit_count(
-                    F.col("bucket").bitwiseXOR(F.col("qbucket"))
-                )
-                <= 2
-            )
+            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 2
         )
     )
     scored = cand.select(

@@ -131,6 +131,7 @@ def sql_parse_date(v: str) -> str:
         for fmt in (
             "%Y-%m-%d", "%Y/%m/%d", "%m/%d/%Y", "%m-%d-%Y",
             "%B %d, %Y", "%B %d %Y", "%b %d, %Y", "%b %d %Y",
+            "%Y-%m-%d %H:%M:%S",
         )
     )
     return (

@@ -185,7 +185,10 @@ def json_bytes_extractor(
             data = data[0] if data else {}
     except (json.JSONDecodeError, IndexError):
         data = {}
-    return {k: str(data[k]) if k in data else "N/A" for k in kpi_names}
+    return {
+        k: str(data[k]) if data.get(k) is not None else "N/A"
+        for k in kpi_names
+    }
 
 
 def llm_extractor(content: bytes, kpi_names: list[str], context_hint: str):
@@ -310,8 +313,15 @@ def ingest_batch(
             subset, kpi_names, meta.get("context_hint", ""), extractor
         )
         typed = build_typed_rows(extracted, kpi_meta, tenant_id, folder_id)
-        writers.append_rows(typed, fact_path)
-        results["rows_written"] += typed.count()
+        # persist: the extractor (one LLM-RPC-equivalent per document
+        # in production) must run once, not once for the write and
+        # once for the counter
+        typed.persist()
+        try:
+            writers.append_rows(typed, fact_path)
+            results["rows_written"] += typed.count()
+        finally:
+            typed.unpersist()
     return results
 
 

@@ -57,4 +57,17 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate silently returns an EXISTING session with its old
+    # configs; re-apply the runtime-settable SQL confs so callers get
+    # what they asked for either way.
+    runtime = dict(extra_conf or {})
+    runtime["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    )
+    for k, v in runtime.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — builder value applies
+    return spark

@@ -32,10 +32,21 @@ PARTITION_COLS = ("tenant_id", "folder_id")
 def create_fact_table(
     spark: SparkSession, path: str, schema: StructType
 ) -> None:
-    """S4: materialize an empty typed table so readers see the schema
-    before first data (the reference's typed create, main.py:293-314)."""
-    empty = spark.createDataFrame([], schema)
-    empty.write.mode("append").format("parquet").save(path)
+    """S4: declare a typed table (the reference's typed create,
+    main.py:293-314). On plain parquet there is no metastore to hold
+    an empty table's schema, and writing schema-bearing files at the
+    table ROOT would conflict with the partitioned layout the appends
+    use (`tenant_id=/folder_id=` directories) — so the physical table
+    materializes on first append, and this declares the schema as a
+    sidecar the readers can consult before data exists. With a real
+    table format (Delta/Iceberg/metastore) this becomes CREATE TABLE.
+    """
+    import json as _json
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "_schema.json"), "w") as fh:
+        _json.dump(schema.jsonValue(), fh)
 
 
 def append_rows(df: DataFrame, path: str) -> None:
@@ -50,7 +61,9 @@ def append_rows(df: DataFrame, path: str) -> None:
 
 def read_fact_table(spark: SparkSession, path: str) -> DataFrame:
     """Read with schema union across file generations (S5 read side):
-    rows written before a column existed read NULL for it."""
+    rows written before a column existed read NULL for it. The
+    `_schema.json` sidecar (underscore prefix → invisible to the
+    parquet reader) is ignored here by construction."""
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 

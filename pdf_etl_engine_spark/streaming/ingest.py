@@ -56,7 +56,7 @@ def stream_ingest(
     files = (
         spark.readStream.format("binaryFile")
         .schema(binary_schema)
-        .option("pathGlobFilter", "*.pdf")  # cheap prefilter; P3 below
+        .option("pathGlobFilter", "*.[pP][dD][fF]")  # case-insensitive, like P3
         .option("recursiveFileLookup", "true")
         .load(f"{bucket_root}/incoming")
     )
