@@ -137,3 +137,42 @@ def test_asof_join_is_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "Window" in p
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing: co-locating both sides of a recurring join key at
+    WRITE time removes the shuffle at READ time — the strategy for
+    repeated 100 TB fact-fact joins where broadcast is impossible.
+    Both tables bucketed by the join key → SortMergeJoin with NO
+    Exchange on either side."""
+    import uuid
+
+    # (warehouse dir is a static conf — tables land in the session's
+    # default warehouse and are dropped below; see .gitignore)
+    suffix = uuid.uuid4().hex[:8]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t_li, t_o = f"li_b_{suffix}", f"o_b_{suffix}"
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(t_li))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(t_o))
+    try:
+        # disable broadcast so the join strategy question is real
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(t_li).join(
+            spark.table(t_o),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {t_li}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_o}")
