@@ -181,3 +181,20 @@ def test_coercion_total_on_arbitrary_strings(spark, values):
         assert r["n"] is None or isinstance(r["n"], float)
         assert r["d"] is None or isinstance(r["d"], datetime.date)
         assert r["t"] in T.LOGICAL_TYPES
+
+
+def test_fuzzy_date_udf(spark):
+    """The optional dateutil-fuzzy UDF handles shapes the chain
+    declines, and still never raises."""
+    from pdf_etl_engine_spark.functions.fuzzy import parse_date_fuzzy
+
+    cases = [
+        ("Invoice dated January 5th, 2024 (final)", datetime.date(2024, 1, 5)),
+        ("2024-01-15", datetime.date(2024, 1, 15)),
+        ("totally not a date at all ???", None),
+        ("N/A", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in cases], "v string")
+    out = [r["d"] for r in df.select(parse_date_fuzzy(F.col("v")).alias("d")).collect()]
+    assert out == [e for _, e in cases]
