@@ -58,3 +58,31 @@ def test_orc_filter_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "n_nationkey" in plan.split(
         "PushedFilters: [", 1
     )[1].split("]", 1)[0]
+
+
+def test_multimodal_resize_and_frames(spark):
+    """X5 plumbing: resize + frame-sample transforms over binary
+    payloads (deterministic fakes in the codec slot; schemas, Arrow
+    batching, and the 1→N frame explode are the real contract)."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    docs = load_table(spark, SF, "documents").limit(20)
+    binary = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
+    )
+    resized = M.with_resized_images(binary, 32, 32).collect()
+    assert len(resized) == 20
+    assert all(r["width"] == 32 and r["n_bytes"] <= 32 * 32 * 3 for r in resized)
+
+    frames = M.with_sampled_frames(binary, every_n=2)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert len(per_doc) == 20
+    assert all(r["count"] >= 1 for r in per_doc)
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        M.resize_image(b"xx", 8, 8)
+    with _pytest.raises(NotImplementedError):
+        M.sample_frames(b"xx", 2)
