@@ -757,3 +757,50 @@ def x4e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cos_sim"),
     )
     return out.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+
+
+@query(
+    "x10_deterministic_sample",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(count(CASE WHEN doc_id % 10 = 0 THEN 1 END) AS BIGINT)
+             AS n_sampled,
+           CAST(count(CASE WHEN doc_id % 100 < 80 THEN 1 END) AS BIGINT)
+             AS n_train,
+           CAST(count(CASE WHEN doc_id % 100 BETWEEN 80 AND 89 THEN 1 END)
+             AS BIGINT) AS n_val,
+           CAST(count(CASE WHEN doc_id % 100 >= 90 THEN 1 END) AS BIGINT)
+             AS n_test
+    FROM documents GROUP BY lang
+    """,
+)
+def x10_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 (training-data ops): reproducible sampling + train/val/test
+    fold assignment. Deterministic key-derived buckets — never
+    `df.sample()` (RNG-seeded sampling isn't reproducible across
+    engines, partitionings, or reruns). Here the bucket is key-mod so
+    the oracle can verify; in production it's `pmod(xxhash64(key), N)`
+    — same shape, decorrelated from key locality. Fold assignment is a
+    pure projection: no shuffle, stable under repartitioning, and any
+    downstream join on the fold column prunes."""
+    docs = load_table(spark, sf_dir, "documents")
+    # explicit third branch (no .otherwise): a NULL key stays fold-less
+    # instead of silently leaking into the test split
+    fold = (
+        F.when(F.col("doc_id") % 100 < 80, "train")
+        .when(F.col("doc_id") % 100 < 90, "val")
+        .when(F.col("doc_id") % 100 >= 90, "test")
+    )
+    tagged = docs.select(
+        "lang",
+        (F.col("doc_id") % 10 == 0).alias("in_sample"),
+        fold.alias("fold"),
+    )
+    return tagged.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("in_sample"), 1)).alias("n_sampled"),
+        F.count(F.when(F.col("fold") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("fold") == "val", 1)).alias("n_val"),
+        F.count(F.when(F.col("fold") == "test", 1)).alias("n_test"),
+    )
