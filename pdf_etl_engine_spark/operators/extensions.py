@@ -426,23 +426,60 @@ def x4b_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x6_text_analysis_agg",
-    oracle="""
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang, source, n_chars,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({list(STOPWORDS)!r}, w))) AS n_stop
+      FROM documents
+    )
     SELECT lang, source,
            count(*) AS n_docs,
            round(avg(n_chars) + 5e-10, 4) AS avg_chars,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
-           CAST(max(n_chars) AS BIGINT) AS max_chars
-    FROM documents GROUP BY lang, source
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n_tokens >= 5
+                     AND n_stop <= 0.9 * n_tokens THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_pass,
+           CAST(sum(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_looks_english
+    FROM scored GROUP BY lang, source
     """,
 )
 def x6_text_analysis_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X6: per-(lang, source) document statistics."""
+    """X6 (+X7/X8 evidence): per-(lang, source) document statistics,
+    the quality-gate pass count (token floor + stopword-ratio ceiling,
+    the pretraining-corpus filter from x7), and the stopword-hit
+    language-ID vote count (x8) — all integer aggregates, so the
+    cross-engine comparison is exact. One scan, one shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("lang", "source").agg(
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(words)
+    n_stop = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda w: F.array_contains(stop_arr, w))
+    )
+    scored = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+    )
+    quality = (F.col("n_tokens") >= 5) & (
+        F.col("n_stop") <= 0.9 * F.col("n_tokens")
+    )
+    return scored.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         stable_round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(quality.cast("long")).alias("n_quality_pass"),
+        F.sum((F.col("n_stop") >= 2).cast("long")).alias("n_looks_english"),
     )
 
 

@@ -107,6 +107,86 @@ def f13_infer_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f213_infer_coerce",
+    oracle=f"""
+    WITH vals AS (
+      SELECT doc_id, {synth.MIXED_EXPR} AS raw_value FROM documents
+    ), t AS (
+      SELECT {synth.sql_infer_type('raw_value')} AS inferred_type,
+             {synth.sql_to_number('raw_value')} AS num
+      FROM vals
+    )
+    SELECT inferred_type,
+           count(*) AS n,
+           count(num) AS n_numeric,
+           round((CAST(sum(CAST(round((num) * 100) AS BIGINT)) AS DOUBLE) / 100)
+                 + 5e-10, 2) AS num_total
+    FROM t GROUP BY inferred_type
+    """,
+)
+def f213_infer_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13+F2 graded together on the same mixed-type fixture: the full
+    inference decision tree (main.py:165-202) buckets every value, and
+    the numeric-coercion kernel (main.py:229-239) runs over the same
+    column — exactly the reference's infer-then-coerce ingest flow, as
+    two codegen'd expressions sharing one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.expr(synth.MIXED_EXPR)
+    vals = docs.select(
+        kernel.infer_type(raw).alias("inferred_type"),
+        kernel.to_number(raw).alias("num"),
+    )
+    return vals.groupBy("inferred_type").agg(
+        F.count("*").alias("n"),
+        F.count("num").alias("n_numeric"),
+        stable_round(fixed_sum(F.col("num"), 100), 2).alias("num_total"),
+    )
+
+
+@query(
+    "f1011_path_email",
+    oracle=f"""
+    WITH rows_in AS (
+      SELECT doc_id, {synth.PATH_EXPR} AS file_path,
+             concat('Doc.', doc_id, '@Example.COM') AS email
+      FROM documents
+    )
+    SELECT doc_id,
+           string_split(file_path, '/')[2] AS uid,
+           string_split(file_path, '/')[3] AS folder_id,
+           string_split(file_path, '/')[len(string_split(file_path, '/'))]
+             AS file_name,
+           CAST(len(string_split(file_path, '/')) AS INTEGER) AS n_parts,
+           regexp_replace(lower(email), '[@.]', '_', 'g') AS email_key,
+           lower(email) AS email_lower
+    FROM rows_in
+    """,
+)
+def f1011_path_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10+F11 graded together: object-path decomposition
+    (main.py:667-672, 728) and the email share-key sanitizer
+    (main.py:74, 617) over one scan of `documents`."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows_in = docs.select(
+        "doc_id",
+        F.expr(synth.PATH_EXPR).alias("file_path"),
+        F.concat(F.lit("Doc."), F.col("doc_id"), F.lit("@Example.COM")).alias(
+            "email"
+        ),
+    )
+    p = kernel.path_parts(F.col("file_path"))
+    return rows_in.select(
+        "doc_id",
+        p["uid"].alias("uid"),
+        p["folder_id"].alias("folder_id"),
+        p["file_name"].alias("file_name"),
+        p["n_parts"].alias("n_parts"),
+        kernel.sanitize_email(F.col("email")).alias("email_key"),
+        F.lower(F.col("email")).alias("email_lower"),
+    )
+
+
+@query(
     "f10_split_path",
     oracle=f"""
     WITH paths AS (SELECT doc_id, {synth.PATH_EXPR} AS file_path FROM documents)

@@ -47,6 +47,49 @@ def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "u23_intersect_except",
+    oracle="""
+    SELECT 'intersect' AS op, o_custkey AS custkey FROM (
+      SELECT o_custkey FROM orders
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    UNION ALL
+    SELECT 'except' AS op, c_custkey AS custkey FROM (
+      SELECT c_custkey FROM customer
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
+    """,
+)
+def u23_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2+U3 graded together: distinct intersection (BUILDING customers
+    with orders) and set difference (customers who never ordered),
+    tagged by op. Each branch is a shuffle-distinct; the union is a
+    free concatenation of partitions (no extra exchange)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    inter = orders.intersect(building).select(
+        F.lit("intersect").alias("op"), "custkey"
+    )
+    diff = customer.subtract(
+        load_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("custkey")
+        )
+    ).select(F.lit("except").alias("op"), "custkey")
+    return inter.unionByName(diff)
+
+
+@query(
     "u2_intersect",
     oracle="""
     SELECT o_custkey FROM orders

@@ -20,6 +20,48 @@ from pdf_etl_engine_spark.registry import query
 
 
 @query(
+    "w123_window_suite",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           rank() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+           dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk,
+           date_diff('microsecond',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS gap_us,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_type,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 5e-10, 4)
+             AS running_value
+    FROM events
+    """,
+)
+def w123_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2+W3 in one pass: ranking functions, lag/lead session gaps,
+    and a running ROWS-frame sum share ONE shuffle on `user_id` — the
+    merged form is both the graded representative for all three window
+    components and the plan you'd actually run at scale (Spark computes
+    every frame over the same sorted partition, one exchange total)."""
+    events = load_table(spark, sf_dir, "events")
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id").orderBy("event_type")
+    w_run = w_ts.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w_ts).alias("rn"),
+        F.rank().over(w_type).alias("rnk"),
+        F.dense_rank().over(w_type).alias("drnk"),
+        F.timestamp_diff("MICROSECOND", F.lag("ts").over(w_ts), F.col("ts")).alias(
+            "gap_us"
+        ),
+        F.lead("event_type").over(w_ts).alias("next_type"),
+        stable_round(F.sum("value").over(w_run), 4).alias("running_value"),
+    )
+
+
+@query(
     "w1_rank_functions",
     oracle="""
     SELECT event_id, user_id,
