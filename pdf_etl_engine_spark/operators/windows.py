@@ -62,6 +62,24 @@ def w123_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "w0_row_number",
+    oracle="""
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+    """,
+)
+def w0_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W0: single row_number — the exact headline shape measured in
+    BASELINE.md (q_window_rank). One exchange on user_id, one sort."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id", "user_id", F.row_number().over(w).alias("rn")
+    )
+
+
+@query(
     "w1_rank_functions",
     oracle="""
     SELECT event_id, user_id,
