@@ -104,30 +104,75 @@ class Catalog:
         df.write.mode("append").parquet(self.folders_path)
 
     def folders(self) -> DataFrame:
-        return self.spark.read.schema(FOLDERS_SCHEMA).parquet(self.folders_path)
+        return self._read_or_empty(self.folders_path, FOLDERS_SCHEMA)
+
+    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        """Catalog tables are created lazily on first append; before
+        that, reads see an empty table (Firestore collection-miss
+        semantics) instead of PATH_NOT_FOUND."""
+        import os
+
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
 
     def get_folder(self, tenant_id: str, folder_id: str) -> dict | None:
-        """Folder metadata get (main.py:675-687). Falls back to a
-        global search by folder_id — the reference's nested-loop tenant
-        scan (main.py:783-791) re-expressed as one filtered scan of the
-        folders table (J6)."""
+        """Folder metadata get (main.py:675-687) — STRICT: exact
+        (tenant_id, folder_id) match only, newest generation wins.
+
+        Strictness matters: ingest must reject a file whose tenant
+        never trained this folder name, exactly like the reference's
+        'Folder not trained' (main.py:676-677) — a global fallback
+        here would silently resolve to ANOTHER tenant's same-named
+        folder and ingest under its KPI schema/context_hint. The
+        reference's only cross-tenant search lives on the read path
+        behind an owner/share check (main.py:783-791) — see
+        ``resolve_folder_for_read``.
+
+        Newest-wins: ``create_folder`` appends a new row per call
+        (the re-train / confirm-kpis flow, Firestore ``set()`` upsert
+        in the reference); ordering by created_at makes the latest
+        KPI set authoritative instead of an arbitrary generation.
+        """
         rows = (
             self.folders()
             .filter(
                 (F.col("tenant_id") == tenant_id)
                 & (F.col("folder_id") == folder_id)
             )
+            .orderBy(F.desc_nulls_last("created_at"))
             .limit(1)
             .collect()
         )
-        if not rows:
-            rows = (
-                self.folders()
-                .filter(F.col("folder_id") == folder_id)
-                .limit(1)
-                .collect()
-            )
         return rows[0].asDict(recursive=True) if rows else None
+
+    def resolve_folder_for_read(
+        self, requester_id: str, requester_email: str, folder_id: str
+    ) -> dict | None:
+        """Read-path folder resolution (main.py:783-791): exact-tenant
+        hit first, else a global search by folder_id gated per
+        candidate owner by ``can_read`` (owner or explicit share) —
+        the requester never sees metadata of a folder no one shared.
+        """
+        own = self.get_folder(requester_id, folder_id)
+        if own is not None:
+            return own
+        candidates = (
+            self.folders()
+            .filter(F.col("folder_id") == folder_id)
+            .orderBy(F.desc_nulls_last("created_at"))
+            .collect()
+        )
+        seen_owner: set[str] = set()
+        for row in candidates:
+            meta = row.asDict(recursive=True)
+            owner = meta.get("owner") or meta.get("tenant_id")
+            if owner in seen_owner:
+                continue  # newest generation per owner already checked
+            seen_owner.add(owner)
+            if self.can_read(requester_id, requester_email, owner, folder_id):
+                return meta
+        return None
 
     def add_share(
         self, owner_id: str, folder_id: str, shared_email: str, permission: str
@@ -143,7 +188,7 @@ class Catalog:
         df.write.mode("append").parquet(self.shares_path)
 
     def shares(self) -> DataFrame:
-        return self.spark.read.schema(SHARES_SCHEMA).parquet(self.shares_path)
+        return self._read_or_empty(self.shares_path, SHARES_SCHEMA)
 
     def can_read(
         self, requester: str, requester_email: str, owner_id: str, folder_id: str

@@ -101,6 +101,61 @@ def test_stream_quarantine_untrained_folder(workspace, spark):
     assert rows[0]["rel_path"].endswith("x.pdf")
 
 
+def test_stream_quarantine_cross_tenant_folder_name(workspace, spark):
+    """A tenant that never trained 'reports' must NOT silently resolve
+    to ANOTHER tenant's same-named folder (which would ingest under
+    the other tenant's KPI schema + context_hint). The reference
+    rejects this at ingest ('Folder not trained', main.py:676-677);
+    its only global search is read-path and share-gated
+    (main.py:784-791)."""
+    root, cat = workspace  # u1 trained 'reports'
+    facts = str(root / "facts")
+    ckpt = str(root / "ckpt")
+    _write_doc(root, "u9", "reports", "x.pdf", {"Total Amount ($)": "$1.00"})
+    _drain(spark, root, cat, facts, ckpt)
+
+    quarantined = spark.read.parquet(str(root / "quarantine"))
+    rows = quarantined.collect()
+    assert len(rows) == 1
+    assert "not trained" in rows[0]["error"]
+    assert "u9/reports" in rows[0]["rel_path"]
+    # and nothing was written to the fact table under either tenant
+    import os
+
+    assert not os.path.exists(facts) or writers.read_fact_table(
+        spark, facts
+    ).count() == 0
+
+
+def test_retrain_newest_generation_wins(workspace, spark):
+    """create_folder per re-train appends a generation; get_folder
+    must return the LATEST KPI set (Firestore set() upsert semantics,
+    main.py:497-503), not an arbitrary row."""
+    import time
+
+    root, cat = workspace
+    time.sleep(0.01)  # created_at tie-break granularity
+    cat.create_folder(
+        "u1",
+        "reports",
+        kpi_metadata=[
+            {"name": "Revised KPI", "sample_value": "7", "type": "number"}
+        ],
+    )
+    meta = cat.get_folder("u1", "reports")
+    assert [k["name"] for k in meta["kpi_metadata"]] == ["Revised KPI"]
+
+
+def test_read_path_global_resolve_is_share_gated(workspace, spark):
+    """resolve_folder_for_read finds another tenant's folder ONLY when
+    a share grants it (main.py:783-791 + 796-802)."""
+    root, cat = workspace  # owner u1, folder 'reports'
+    assert cat.resolve_folder_for_read("u9", "u9@example.com", "reports") is None
+    cat.add_share("u1", "reports", "U9@Example.com", "view")
+    meta = cat.resolve_folder_for_read("u9", "u9@example.com", "reports")
+    assert meta is not None and meta["tenant_id"] == "u1"
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """§2.9: event-time window agg with watermark in append mode — a
     row arriving after the watermark passed its window is dropped.
