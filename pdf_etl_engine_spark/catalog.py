@@ -65,10 +65,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df
     path = table_path(sf_dir, name)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr(_NANOS_TS_EXPR))
+        # Scope the legacy flag to this read: the file schema is
+        # captured eagerly by spark.read.parquet, so restoring the
+        # prior value immediately after keeps later TIMESTAMP(NANOS)
+        # reads in the same session failing loudly instead of
+        # silently surfacing bigint columns.
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.expr(_NANOS_TS_EXPR))
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
     else:
         df = spark.read.parquet(path)
     try:

@@ -742,14 +742,17 @@ def x4e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB — a probe touches a handful of partitions."""
     n_centroids, nprobe = 16, 4
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    stride = max(n // n_centroids, 1)
+    # Centroid pick without a driver-side count at plan-build time
+    # (building this query must schedule NO job — pinned by
+    # tests/test_plans.py): a deterministic pseudo-random sample via
+    # hash-ordered limit, the lazy stand-in for trained k-means||
+    # centroids. The limit(16) evaluates inside the query's own job.
+    cw = Window.orderBy(F.xxhash64(F.col("vec_id")))
     centroids = (
-        emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * n_centroids))
-        .select(
-            (F.col("vec_id") / stride).cast("int").alias("cell"),
-            _as_double(F.col("embedding")).alias("c"),
-        )
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("c"))
+        .orderBy(F.xxhash64(F.col("vec_id")))
+        .limit(n_centroids)
+        .select((F.row_number().over(cw) - 1).alias("cell"), "c")
     )
     vecs = emb.select(
         "vec_id", "label", _as_double(F.col("embedding")).alias("e")

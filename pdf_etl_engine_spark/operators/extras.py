@@ -159,11 +159,8 @@ def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "cohort", F.col("user_id") % 10
     )
-    ev.createOrReplaceTempView("events_gs_tmp")
-    return spark.sql(
-        """
-        SELECT event_type, cohort, count(*) AS n
-        FROM events_gs_tmp
-        GROUP BY GROUPING SETS ((event_type), (cohort), ())
-        """
-    )
+    # DataFrame-native grouping sets (Spark 4): no shared temp-view
+    # name, so concurrent invocations in one session can't race.
+    return ev.groupingSets(
+        [["event_type"], ["cohort"], []], "event_type", "cohort"
+    ).agg(F.count("*").alias("n"))

@@ -12,6 +12,7 @@ engine itself is exercised in-grade, rows-only.
 
 from __future__ import annotations
 
+import os
 import pathlib
 import shutil
 import tempfile
@@ -130,13 +131,21 @@ def stw_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file-stream source wants a directory; stage the single
     # parquet into a scratch dir (what a real deployment's landing
     # directory is anyway)
+    src = table_path(sf_dir, "orders")
+    src_stat = os.stat(src)
+    # Key the staging dir by source identity (path + mtime + size) so a
+    # regenerated testdata file restages instead of silently reusing a
+    # stale copy from a previous run.
     stage = pathlib.Path(
-        tempfile.gettempdir(), "spark_graft_stream", sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        "spark_graft_stream",
+        f"{sf_dir.strip('/').replace('/', '_')}"
+        f"_{int(src_stat.st_mtime)}_{src_stat.st_size}",
     )
     stage.mkdir(parents=True, exist_ok=True)
     staged = stage / "orders.parquet"
     if not staged.exists():
-        shutil.copyfile(table_path(sf_dir, "orders"), staged)
+        shutil.copyfile(src, staged)
 
     static = load_table(spark, sf_dir, "orders")
     stream = (

@@ -176,3 +176,23 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {t_li}")
         spark.sql(f"DROP TABLE IF EXISTS {t_o}")
+
+
+def test_query_construction_schedules_no_job(spark):
+    """Building a registered query must be pure plan construction —
+    no Spark job may run until the caller executes the DataFrame
+    (x4e formerly ran an eager count() while building centroids)."""
+    sc = spark.sparkContext
+    # warm the table cache first: cache fill is a legitimate job
+    for t in ("embeddings", "documents", "lineitem", "events"):
+        load_table(spark, SF_DIR, t)
+    for name in ("x4e_ann_ivf_topk", "x4_cosine_topk", "t1_results_topk",
+                 "a2_groupby_pricing_summary"):
+        group = f"build-probe-{name}"
+        sc.setJobGroup(group, "plan construction probe")
+        try:
+            registry.QUERIES[name](spark, SF_DIR)
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert not jobs, f"{name} scheduled job(s) {jobs} at build time"
