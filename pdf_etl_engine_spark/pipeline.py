@@ -304,12 +304,258 @@ def extract_kpis(
     )
 
 
+# ---------------------------------------------------------------------------
+# Mixed-folder batch processing: ONE extraction job per batch
+# ---------------------------------------------------------------------------
+
+def latest_folder_metas(catalog: Catalog) -> list[dict]:
+    """All folders, newest generation per (tenant_id, folder_id) —
+    the catalog is tiny by construction (one row per folder per
+    train), so one driver-side collect is the broadcast pattern."""
+    by_pair: dict[tuple[str, str], dict] = {}
+    for row in catalog.folders().collect():
+        d = row.asDict(recursive=True)
+        key = (d["tenant_id"], d["folder_id"])
+        cur = by_pair.get(key)
+        ts = d.get("created_at")
+        if cur is None or (
+            ts is not None
+            and (cur.get("created_at") is None or ts > cur["created_at"])
+        ):
+            by_pair[key] = d
+    return list(by_pair.values())
+
+
+def extract_kpis_batch(
+    bound_meta: DataFrame,
+    extractor: Extractor,
+    retries: int = 2,
+    backoff_s: float = 0.05,
+) -> DataFrame:
+    """U1 over a MIXED-FOLDER batch: one Arrow-batched mapInPandas job
+    for the entire batch, with per-row (kpi_names, context_hint) from
+    the broadcast folder-metadata join — replacing the per-folder
+    driver loop that serialized one Spark job per folder (scale-fatal
+    at many-thousand-folder batches).
+
+    Production-extractor harness: each document's extraction retries
+    ``retries`` times with exponential backoff (rate-limit shape), and
+    a document that still fails yields an ``extract_error`` row
+    instead of failing its task — callers quarantine those rows and
+    the batch completes (vs the reference's silently-swallowed errors,
+    main.py:757-759).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        for pdf in batches:
+            raw: list[str | None] = []
+            err: list[str | None] = []
+            for content, names, hint in zip(
+                pdf["content"], pdf["kpi_names"], pdf["context_hint"]
+            ):
+                attempt, last_exc = 0, None
+                while attempt <= retries:
+                    try:
+                        raw.append(
+                            json.dumps(
+                                extractor(
+                                    bytes(content), list(names), hint or ""
+                                )
+                            )
+                        )
+                        err.append(None)
+                        break
+                    except Exception as exc:  # noqa: BLE001 — quarantined
+                        last_exc = exc
+                        attempt += 1
+                        if attempt <= retries:
+                            _time.sleep(backoff_s * (2 ** (attempt - 1)))
+                else:
+                    raw.append(None)
+                    err.append(
+                        f"{type(last_exc).__name__}: {last_exc}"[:500]
+                    )
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "rel_path": pdf["rel_path"],
+                    "tenant_id": pdf["tenant_id"],
+                    "folder_id": pdf["folder_id"],
+                    "raw_extract": raw,
+                    "extract_error": err,
+                }
+            )
+
+    return bound_meta.select(
+        "path", "rel_path", "content", "tenant_id", "folder_id",
+        "kpi_names", "context_hint",
+    ).mapInPandas(
+        run,
+        schema=(
+            "path string, rel_path string, tenant_id string, "
+            "folder_id string, raw_extract string, extract_error string"
+        ),
+    )
+
+
+def build_typed_rows_batch(
+    extracted: DataFrame, folder_metas: list[dict]
+) -> DataFrame:
+    """Union-schema typed projection for a mixed-folder batch: one
+    column per KPI name across all folders in the batch; a row's value
+    is coerced under ITS folder's declared type (F.when branch per
+    folder), NULL for KPIs its folder doesn't declare — exactly what
+    the schema-evolving fact table stores for legacy rows anyway.
+
+    If two folders declare the SAME column name with different types,
+    the column degrades to string for this batch (evolution never
+    retypes, main.py:277-291 — a deterministic downgrade beats a
+    nondeterministic winner).
+    """
+    kmap = kernel.json_to_map(kernel.strip_md_fences(F.col("raw_extract")))
+    cols_spec: dict[str, list[tuple[str, str, str, str]]] = {}
+    for m in folder_metas:
+        for kpi in m.get("kpi_metadata") or []:
+            cname = kernel.kpi_col_name(kpi.get("name", ""))
+            cols_spec.setdefault(cname, []).append(
+                (
+                    m["tenant_id"],
+                    m["folder_id"],
+                    kpi.get("name", ""),
+                    kpi.get("type", "string"),
+                )
+            )
+    base = [
+        F.col("tenant_id"),
+        F.col("folder_id"),
+        F.expr("uuid()").alias("row_id"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.current_timestamp().alias("uploaded_at"),
+    ]
+    kcols = []
+    for cname, specs in sorted(cols_spec.items()):
+        types = {s[3] for s in specs}
+        unified = types.pop() if len(types) == 1 else "string"
+        expr = None
+        for tenant_id, folder_id, name, _t in specs:
+            cond = (F.col("tenant_id") == tenant_id) & (
+                F.col("folder_id") == folder_id
+            )
+            branch = kernel.coerce_typed(kmap.getItem(name), unified)
+            expr = (
+                F.when(cond, branch)
+                if expr is None
+                else expr.when(cond, branch)
+            )
+        kcols.append(expr.alias(cname))
+    return extracted.select(*base, *kcols)
+
+
+def process_bound_batch(
+    spark: SparkSession,
+    bound: DataFrame,
+    catalog: Catalog,
+    fact_path: str,
+    extractor: Extractor,
+    quarantine_path: str | None = None,
+) -> dict:
+    """Shared batch/streaming core: folder-metadata broadcast join →
+    untrained-quarantine → ONE extraction job → error-quarantine →
+    union-schema typed build → ONE partitioned append.
+
+    ``bound`` needs (path, rel_path, content, tenant_id, folder_id).
+    Returns counters plus ``committed_rel_paths`` (fact-committed
+    files, the archive set).
+    """
+    from pdf_etl_engine_spark.sources import writers
+
+    metas = latest_folder_metas(catalog)
+    meta_schema = (
+        "tenant_id string, folder_id string, kpi_names array<string>, "
+        "context_hint string"
+    )
+    meta_rows = [
+        (
+            m["tenant_id"],
+            m["folder_id"],
+            [k.get("name", "") for k in m.get("kpi_metadata") or []],
+            m.get("context_hint") or "",
+        )
+        for m in metas
+    ]
+    meta_df = spark.createDataFrame(meta_rows, meta_schema)
+    joined = bound.join(
+        F.broadcast(meta_df), ["tenant_id", "folder_id"], "left"
+    )
+
+    results = {
+        "rows_written": 0,
+        "files_failed": 0,
+        "files_trained": 0,
+        "files_untrained": 0,
+        "committed_rel_paths": [],
+    }
+
+    untrained = joined.filter(F.col("kpi_names").isNull())
+    if quarantine_path:
+        untrained.select(
+            "path",
+            "rel_path",
+            F.format_string(
+                "folder not trained: %s/%s", "tenant_id", "folder_id"
+            ).alias("error"),
+            F.current_timestamp().alias("quarantined_at"),
+        ).write.mode("append").parquet(quarantine_path)
+    results["files_untrained"] = untrained.count()
+
+    trained = joined.filter(F.col("kpi_names").isNotNull())
+    extracted = extract_kpis_batch(trained, extractor)
+    extracted.persist()
+    try:
+        failed = extracted.filter(F.col("extract_error").isNotNull())
+        if quarantine_path:
+            failed.select(
+                "path",
+                "rel_path",
+                F.col("extract_error").alias("error"),
+                F.current_timestamp().alias("quarantined_at"),
+            ).write.mode("append").parquet(quarantine_path)
+        results["files_failed"] = failed.count()
+
+        ok = extracted.filter(F.col("extract_error").isNull())
+        results["files_trained"] = results["files_failed"] + ok.count()
+        batch_pairs = {
+            (r["tenant_id"], r["folder_id"])
+            for r in ok.select("tenant_id", "folder_id").distinct().collect()
+        }
+        batch_metas = [
+            m for m in metas if (m["tenant_id"], m["folder_id"]) in batch_pairs
+        ]
+        if batch_metas:
+            typed = build_typed_rows_batch(ok, batch_metas)
+            typed.persist()
+            try:
+                writers.append_rows(typed, fact_path)
+                results["rows_written"] = typed.count()
+            finally:
+                typed.unpersist()
+            results["committed_rel_paths"] = [
+                r["rel_path"] for r in ok.select("rel_path").collect()
+            ]
+    finally:
+        extracted.unpersist()
+    return results
+
+
 def ingest_batch(
     spark: SparkSession,
     incoming_glob: str,
     catalog: Catalog,
     fact_path: str,
     extractor: Extractor = json_bytes_extractor,
+    quarantine_path: str | None = None,
 ) -> dict[str, int]:
     """The full `POST /` semantics over a batch of files
     (main.py:656-759). Returns counters for observability (the
@@ -325,49 +571,22 @@ def ingest_batch(
         "folder_id_raw", p["folder_id"]
     )
 
-    # Folder metadata lookup (RPC #1 in the reference, main.py:675-687)
-    # → one broadcast join for the whole batch.
-    # Note: folder ids in paths are already sanitized (upload builds
-    # them, main.py:634), so an equality join binds files to folders.
-    folders = catalog.folders().select(
-        "tenant_id", F.col("folder_id").alias("folder_id_raw")
+    # Folder metadata binding (RPC #1 in the reference, main.py:675-687)
+    # happens inside process_bound_batch as ONE broadcast join for the
+    # whole batch — trained files extract, untrained files quarantine
+    # ("Folder not trained", main.py:676-677). Note: folder ids in
+    # paths are already sanitized (upload builds them, main.py:634),
+    # so an equality join binds files to folders.
+    bound = valid.withColumnRenamed("folder_id_raw", "folder_id")
+    core = process_bound_batch(
+        spark, bound, catalog, fact_path, extractor, quarantine_path
     )
-    bound = valid.join(
-        F.broadcast(folders), ["tenant_id", "folder_id_raw"], "left_semi"
-    ).withColumnRenamed("folder_id_raw", "folder_id")
-    n_bound = bound.count()
-
-    # Group per folder schema: each distinct folder may carry a
-    # different KPI set. Typical batches hit one folder; iterate the
-    # few distinct (tenant, folder) pairs, vectorized within each.
-    results = {"files_seen": total, "files_matched": n_bound, "rows_written": 0}
-    pairs = [
-        (r["tenant_id"], r["folder_id"])
-        for r in bound.select("tenant_id", "folder_id").distinct().collect()
-    ]
-    for tenant_id, folder_id in pairs:
-        meta = catalog.get_folder(tenant_id, folder_id)
-        if meta is None:  # "Folder not trained" (main.py:676-677)
-            continue
-        kpi_meta = meta.get("kpi_metadata") or []
-        kpi_names = [k["name"] for k in kpi_meta]
-        subset = bound.filter(
-            (F.col("tenant_id") == tenant_id) & (F.col("folder_id") == folder_id)
-        )
-        extracted = extract_kpis(
-            subset, kpi_names, meta.get("context_hint", ""), extractor
-        )
-        typed = build_typed_rows(extracted, kpi_meta, tenant_id, folder_id)
-        # persist: the extractor (one LLM-RPC-equivalent per document
-        # in production) must run once, not once for the write and
-        # once for the counter
-        typed.persist()
-        try:
-            writers.append_rows(typed, fact_path)
-            results["rows_written"] += typed.count()
-        finally:
-            typed.unpersist()
-    return results
+    return {
+        "files_seen": total,
+        "files_matched": core["files_trained"],
+        "rows_written": core["rows_written"],
+        "files_failed": core["files_failed"],
+    }
 
 
 def build_typed_rows(

@@ -91,19 +91,19 @@ def _ingest_micro_batch(
     extractor: P.Extractor,
     archive: bool,
 ) -> None:
-    """One micro-batch = the reference's single-file handler, batched.
-    Per-folder try/except → quarantine (vs the reference's swallowed
-    errors, main.py:757-759).
+    """One micro-batch = the reference's single-file handler, batched:
+    ONE extraction job and ONE partitioned append for the whole batch
+    however many folders it spans (pipeline.process_bound_batch),
+    untrained folders and per-document extractor failures quarantined
+    row-by-row (vs the reference's swallowed errors, main.py:757-759).
 
     Ordering is load-bearing: the batch is persisted and materialized
-    BEFORE any processing, and archive moves happen only after EVERY
-    folder's append/quarantine committed — Spark plans are lazy, so
+    BEFORE any processing, and archive moves happen only after the
+    batch's append/quarantine committed — Spark plans are lazy, so
     moving a file while a sibling plan may still re-scan it fails with
     FILE_NOT_EXIST (found by driving mixed trained+untrained batches).
     """
     from pyspark.storagelevel import StorageLevel
-
-    from pdf_etl_engine_spark.sources import writers
 
     files = batch_df.withColumn(
         "rel_path", F.regexp_extract(F.col("path"), r"(incoming/.*)$", 1)
@@ -116,50 +116,13 @@ def _ingest_micro_batch(
         bound = valid.withColumn("tenant_id", p["uid"]).withColumn(
             "folder_id", p["folder_id"]
         )
-        pairs = [
-            (r["tenant_id"], r["folder_id"])
-            for r in bound.select("tenant_id", "folder_id").distinct().collect()
-        ]
-        to_archive: list[str] = []
-        for tenant_id, folder_id in pairs:
-            subset = bound.filter(
-                (F.col("tenant_id") == tenant_id)
-                & (F.col("folder_id") == folder_id)
-            )
-            try:
-                meta = catalog.get_folder(tenant_id, folder_id)
-                if meta is None:
-                    raise ValueError(
-                        f"folder not trained: {tenant_id}/{folder_id}"
-                    )
-                kpi_meta = meta.get("kpi_metadata") or []
-                extracted = P.extract_kpis(
-                    subset,
-                    [k["name"] for k in kpi_meta],
-                    meta.get("context_hint", ""),
-                    extractor,
-                )
-                typed = P.build_typed_rows(
-                    extracted, kpi_meta, tenant_id, folder_id
-                )
-                writers.append_rows(typed, fact_path)
-                to_archive.extend(
-                    r["rel_path"] for r in subset.select("rel_path").collect()
-                )
-            except Exception as exc:  # noqa: BLE001 — quarantine, don't drop
-                if quarantine_path:
-                    subset.select(
-                        "path",
-                        "rel_path",
-                        F.lit(str(exc)[:500]).alias("error"),
-                        F.current_timestamp().alias("quarantined_at"),
-                    ).write.mode("append").parquet(quarantine_path)
-                else:
-                    raise
+        core = P.process_bound_batch(
+            spark, bound, catalog, fact_path, extractor, quarantine_path
+        )
         # Archive strictly last: every sink commit for this batch is
         # durable before any source file moves (S6, main.py:750-752).
         if archive:
-            _archive_files(to_archive, bucket_root)
+            _archive_files(core["committed_rel_paths"], bucket_root)
     finally:
         files.unpersist()
 

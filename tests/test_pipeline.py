@@ -167,3 +167,104 @@ def test_discover_fields(workspace, spark):
     assert fields["Report Date"] == ("2024-05-01", "date")
     assert fields["Status"] == ("Approved", "categorical")
     assert fields["Notes"][1] == "string"
+
+
+def test_multi_folder_batch_is_one_extraction_job(tmp_path, spark):
+    """A 20-folder batch must run O(1) Spark jobs (one extraction, one
+    append), not O(folders) — the old per-folder driver loop ran 3+
+    jobs per folder."""
+    cat = pipeline.Catalog(spark, str(tmp_path / "catalog"))
+    n_folders = 20
+    for i in range(n_folders):
+        cat.create_folder(
+            "u1", f"dept_{i:02d}",
+            kpi_metadata=[{"name": f"Metric {i}", "sample_value": "1",
+                           "type": "number"}],
+        )
+        _write_doc(tmp_path, "u1", f"dept_{i:02d}", f"d{i}.pdf",
+                   {f"Metric {i}": str(i)})
+    facts = str(tmp_path / "facts")
+
+    sc = spark.sparkContext
+    group = "multi-folder-ingest-probe"
+    sc.setJobGroup(group, "ingest probe")
+    try:
+        res = pipeline.ingest_batch(
+            spark, f"{tmp_path}/incoming/*/*/*/*", cat, facts
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    assert res["rows_written"] == n_folders
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    # Fixed pipeline overhead only (counts/collects/save + AQE
+    # broadcast-stage jobs) — must NOT scale with folder count.
+    # Measured: 19 jobs at 20 folders, 20 jobs at 40 folders; the old
+    # per-folder loop ran 3+ jobs PER folder (60+ here).
+    assert n_jobs <= 25, f"{n_jobs} jobs for {n_folders} folders"
+
+    # every folder's row landed with its own KPI column typed
+    out = writers.read_fact_table(spark, facts)
+    assert out.count() == n_folders
+    row = out.filter(F.col("folder_id") == "dept_03").collect()[0]
+    assert row["kpi_metric_3"] == 3.0
+
+
+def test_extractor_fault_injection_quarantines_and_completes(
+    tmp_path, spark
+):
+    """Extractor raising on a subset of documents: those rows land in
+    quarantine with the error, the rest commit, the batch finishes."""
+    cat = pipeline.Catalog(spark, str(tmp_path / "catalog"))
+    cat.create_folder("u1", "reports", kpi_metadata=[
+        {"name": "Amount", "sample_value": "1", "type": "number"}])
+    for i in range(10):
+        _write_doc(tmp_path, "u1", "reports", f"r{i}.pdf",
+                   {"Amount": str(i), "poison": i % 3 == 0})
+    facts = str(tmp_path / "facts")
+    quarantine = str(tmp_path / "quarantine")
+
+    def flaky(content, kpi_names, context_hint):
+        data = json.loads(content.decode())
+        if data.get("poison"):
+            raise RuntimeError("simulated extractor outage")
+        return {k: str(data.get(k, "N/A")) for k in kpi_names}
+
+    res = pipeline.ingest_batch(
+        spark, f"{tmp_path}/incoming/*/*/*/*", cat, facts,
+        extractor=flaky, quarantine_path=quarantine,
+    )
+    assert res["rows_written"] == 6  # i in {1,2,4,5,7,8}
+    assert res["files_failed"] == 4  # i in {0,3,6,9}
+    q = spark.read.parquet(quarantine).collect()
+    assert len(q) == 4
+    assert all("simulated extractor outage" in r["error"] for r in q)
+    committed = writers.read_fact_table(spark, facts)
+    assert committed.count() == 6
+
+
+def test_extractor_retry_recovers_transient_failures(tmp_path, spark):
+    """A failure that clears within the retry budget commits normally
+    (rate-limit shape: fail, back off, succeed)."""
+    cat = pipeline.Catalog(spark, str(tmp_path / "catalog"))
+    cat.create_folder("u1", "reports", kpi_metadata=[
+        {"name": "Amount", "sample_value": "1", "type": "number"}])
+    _write_doc(tmp_path, "u1", "reports", "r0.pdf", {"Amount": "7"})
+    facts = str(tmp_path / "facts")
+
+    attempts: dict[str, int] = {}
+
+    def transient(content, kpi_names, context_hint):
+        n = attempts.get("n", 0) + 1
+        attempts["n"] = n
+        if n <= 2:  # first two attempts of this task fail
+            raise TimeoutError("simulated rate limit")
+        data = json.loads(content.decode())
+        return {k: str(data.get(k, "N/A")) for k in kpi_names}
+
+    res = pipeline.ingest_batch(
+        spark, f"{tmp_path}/incoming/*/*/*/*", cat, facts,
+        extractor=transient,
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    assert res["rows_written"] == 1
+    assert res["files_failed"] == 0
