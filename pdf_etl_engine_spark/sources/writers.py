@@ -14,19 +14,74 @@ ALTER TABLE ADD COLUMN schema sync (/root/reference/main.py:256-351,
   union schemas with ``mergeSchema`` so old rows surface NULL for new
   columns — exactly the reference's add-only semantics (columns never
   dropped or retyped, main.py:277-291);
-* commit visibility note: parquet lacks Delta's atomic log. Appends
-  are directory-atomic per task file; a crashed job can leave partial
-  files. Production hardening = Delta/Iceberg table format — the
-  engine code is format-agnostic (swap ``.format("parquet")``).
+* commit visibility: plain parquet lacks Delta's atomic log, so this
+  module carries a minimal one — each append stages its files, moves
+  them into the partition layout, then atomically publishes a commit
+  record under ``_commits/`` listing exactly those files; readers
+  resolve the file set from the log. A crash at ANY point before the
+  final rename leaves the new files invisible (staged dirs and
+  unlogged files are never read) — closing the partial-file window
+  the reference also has (BQ insert + separate archive,
+  main.py:743-752). On an object store the final rename becomes a
+  conditional put; with Delta/Iceberg the whole module collapses into
+  the table format's own log.
 """
 
 from __future__ import annotations
+
+import json as _json
+import os as _os
+import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 PARTITION_COLS = ("tenant_id", "folder_id")
+
+_COMMITS_DIR = "_commits"
+
+
+def _list_parquet_files(root: str) -> list[str]:
+    """Relative paths of non-hidden parquet files under ``root``."""
+    out: list[str] = []
+    for dirpath, dirnames, filenames in _os.walk(root):
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith(("_", "."))
+        ]
+        for fn in filenames:
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                out.append(
+                    _os.path.relpath(_os.path.join(dirpath, fn), root)
+                )
+    return sorted(out)
+
+
+def _publish_commit(path: str, files: list[str]) -> None:
+    """Atomically add one commit record: write-temp + rename — readers
+    see all of the commit's files or none of them."""
+    cdir = _os.path.join(path, _COMMITS_DIR)
+    _os.makedirs(cdir, exist_ok=True)
+    commit_id = _uuid.uuid4().hex
+    tmp = _os.path.join(cdir, f".tmp-{commit_id}")
+    with open(tmp, "w") as fh:
+        _json.dump({"files": files}, fh)
+    _os.replace(tmp, _os.path.join(cdir, f"{commit_id}.json"))
+
+
+def committed_files(path: str) -> list[str] | None:
+    """Relative data-file paths named by the commit log, or None when
+    the table has no log (legacy directory-listing table)."""
+    cdir = _os.path.join(path, _COMMITS_DIR)
+    if not _os.path.isdir(cdir):
+        return None
+    files: list[str] = []
+    for fn in sorted(_os.listdir(cdir)):
+        if fn.startswith((".", "_")) or not fn.endswith(".json"):
+            continue
+        with open(_os.path.join(cdir, fn)) as fh:
+            files.extend(_json.load(fh).get("files", []))
+    return files
 
 
 def create_fact_table(
@@ -50,21 +105,77 @@ def create_fact_table(
 
 
 def append_rows(df: DataFrame, path: str) -> None:
-    """S3: append typed rows. Partitioned by (tenant_id, folder_id)
-    when present so reads prune partitions instead of string-building
-    table names (main.py:262-264 → partition pruning)."""
-    writer = df.write.mode("append").format("parquet")
-    if all(c in df.columns for c in PARTITION_COLS):
+    """S3: atomic append of typed rows. Partitioned by
+    (tenant_id, folder_id) when present so reads prune partitions
+    instead of string-building table names (main.py:262-264 →
+    partition pruning).
+
+    Protocol: write to a hidden staging dir (one per append), move the
+    data files into their final partition dirs under commit-unique
+    names, then publish one commit record naming them. Readers resolve
+    files from the log, so a crash mid-append publishes nothing.
+    """
+    commit_tag = _uuid.uuid4().hex[:12]
+    staging = _os.path.join(path, f"_staging-{commit_tag}")
+    writer = df.write.mode("overwrite").format("parquet")
+    partitioned = all(c in df.columns for c in PARTITION_COLS)
+    if partitioned:
         writer = writer.partitionBy(*PARTITION_COLS)
-    writer.save(path)
+    writer.save(staging)
+
+    # Bootstrap: a legacy table (files but no log) gets its existing
+    # files recorded first so they stay visible under log-based reads.
+    existing = _list_parquet_files(path)
+    if existing and committed_files(path) is None:
+        _publish_commit(path, existing)
+
+    moved: list[str] = []
+    for rel in _list_parquet_files(staging):
+        dst_rel = _os.path.join(
+            _os.path.dirname(rel), f"c{commit_tag}-{_os.path.basename(rel)}"
+        )
+        dst = _os.path.join(path, dst_rel)
+        _os.makedirs(_os.path.dirname(dst), exist_ok=True)
+        _os.replace(_os.path.join(staging, rel), dst)
+        moved.append(dst_rel)
+    _publish_commit(path, moved)
+
+    import shutil as _shutil
+
+    _shutil.rmtree(staging, ignore_errors=True)
 
 
 def read_fact_table(spark: SparkSession, path: str) -> DataFrame:
     """Read with schema union across file generations (S5 read side):
-    rows written before a column existed read NULL for it. The
-    `_schema.json` sidecar (underscore prefix → invisible to the
-    parquet reader) is ignored here by construction."""
-    return spark.read.option("mergeSchema", "true").parquet(path)
+    rows written before a column existed read NULL for it.
+
+    File resolution honors the commit log when one exists — data
+    files a crashed append moved into place but never published are
+    NOT read. Tables without a log (or written by other tools) fall
+    back to directory listing; `_schema.json`, `_commits/` and
+    `_staging-*/` (underscore prefixes) are invisible to the parquet
+    reader by Hadoop's hidden-path convention."""
+    files = committed_files(path)
+    if files is None:
+        return spark.read.option("mergeSchema", "true").parquet(path)
+    if not files:
+        schema = _read_sidecar_schema(path)
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise FileNotFoundError(f"empty committed table at {path}")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(*[_os.path.join(path, f) for f in files])
+    )
+
+
+def _read_sidecar_schema(path: str) -> StructType | None:
+    sidecar = _os.path.join(path, "_schema.json")
+    if not _os.path.exists(sidecar):
+        return None
+    with open(sidecar) as fh:
+        return StructType.fromJson(_json.load(fh))
 
 
 def evolve_columns(

@@ -2,10 +2,12 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from pdf_etl_engine_spark.catalog import load_table
-from pdf_etl_engine_spark.sources import readers
+from pdf_etl_engine_spark.sources import readers, writers
 
 SF = "/root/testdata/sf0.001"
 
@@ -86,3 +88,73 @@ def test_multimodal_resize_and_frames(spark):
         M.resize_image(b"xx", 8, 8)
     with _pytest.raises(NotImplementedError):
         M.sample_frames(b"xx", 2)
+
+
+# ---------------------------------------------------------------------------
+# S3 atomic append: commit-log manifest
+# ---------------------------------------------------------------------------
+
+def _fact_rows(spark, n, tenant="u1", folder="reports"):
+    return spark.createDataFrame(
+        [(tenant, folder, f"row_{i}", float(i)) for i in range(n)],
+        "tenant_id string, folder_id string, row_id string, amount double",
+    )
+
+
+def test_append_is_log_visible(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path)
+    writers.append_rows(_fact_rows(spark, 2, folder="other"), path)
+    df = writers.read_fact_table(spark, path)
+    assert df.count() == 5
+    assert set(r["folder_id"] for r in df.select("folder_id").collect()) == {
+        "reports", "other",
+    }
+
+
+def test_crash_between_file_move_and_commit_is_invisible(spark, tmp_path):
+    """A data file moved into the partition layout whose commit record
+    was never published (crash window) must not be read."""
+    import shutil
+
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path)
+    assert writers.read_fact_table(spark, path).count() == 3
+
+    # simulate the crash: clone a committed file to an unlogged name
+    committed = writers.committed_files(path)
+    src = os.path.join(path, committed[0])
+    shutil.copyfile(src, os.path.join(os.path.dirname(src), "corphan.parquet"))
+    assert writers.read_fact_table(spark, path).count() == 3  # unchanged
+
+    # and a crashed staging dir is equally invisible
+    staging = tmp_path / "facts" / "_staging-deadbeef" / "tenant_id=u1" / "folder_id=reports"
+    staging.mkdir(parents=True)
+    shutil.copyfile(src, staging / "part-0.parquet")
+    assert writers.read_fact_table(spark, path).count() == 3
+
+
+def test_legacy_table_bootstraps_into_log(spark, tmp_path):
+    """append_rows onto a table written without a log keeps the legacy
+    rows visible (bootstrap commit) and adds the new ones."""
+    path = str(tmp_path / "facts")
+    _fact_rows(spark, 4).write.partitionBy(
+        "tenant_id", "folder_id"
+    ).parquet(path)
+    assert writers.committed_files(path) is None  # legacy layout
+    writers.append_rows(_fact_rows(spark, 2, folder="other"), path)
+    assert writers.read_fact_table(spark, path).count() == 6
+
+
+def test_committed_read_still_prunes_partitions(spark, tmp_path):
+    """Log-based file resolution must preserve partition-column
+    recovery and partition pruning."""
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path)
+    writers.append_rows(_fact_rows(spark, 2, folder="other"), path)
+    df = writers.read_fact_table(spark, path).filter(
+        F.col("folder_id") == "other"
+    )
+    assert df.count() == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(folder_id" in plan
