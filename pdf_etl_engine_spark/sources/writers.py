@@ -57,30 +57,74 @@ def _list_parquet_files(root: str) -> list[str]:
     return sorted(out)
 
 
-def _publish_commit(path: str, files: list[str]) -> None:
-    """Atomically add one commit record: write-temp + rename — readers
-    see all of the commit's files or none of them."""
-    cdir = _os.path.join(path, _COMMITS_DIR)
-    _os.makedirs(cdir, exist_ok=True)
-    commit_id = _uuid.uuid4().hex
-    tmp = _os.path.join(cdir, f".tmp-{commit_id}")
-    with open(tmp, "w") as fh:
-        _json.dump({"files": files}, fh)
-    _os.replace(tmp, _os.path.join(cdir, f"{commit_id}.json"))
-
-
-def committed_files(path: str) -> list[str] | None:
-    """Relative data-file paths named by the commit log, or None when
-    the table has no log (legacy directory-listing table)."""
+def _commit_entries(path: str) -> list[tuple[int, str]] | None:
+    """(version, filename) pairs in version order, or None if no log."""
     cdir = _os.path.join(path, _COMMITS_DIR)
     if not _os.path.isdir(cdir):
         return None
-    files: list[str] = []
-    for fn in sorted(_os.listdir(cdir)):
+    out = []
+    for fn in _os.listdir(cdir):
         if fn.startswith((".", "_")) or not fn.endswith(".json"):
             continue
+        out.append((int(fn[: -len(".json")]), fn))
+    return sorted(out)
+
+
+def _publish_commit(path: str, files: list[str], base: bool = False) -> int:
+    """Atomically add the NEXT commit record and return its version.
+
+    Versions are a dense sequence claimed via hard-link (link fails
+    with EEXIST if a concurrent writer took the number — optimistic
+    retry, Delta-style). ``base=True`` marks a snapshot commit:
+    readers discard all earlier commits (compaction publishes these).
+    Readers see all of a commit's files or none of them.
+    """
+    cdir = _os.path.join(path, _COMMITS_DIR)
+    _os.makedirs(cdir, exist_ok=True)
+    tmp = _os.path.join(cdir, f".tmp-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        _json.dump({"files": files, "base": base}, fh)
+    try:
+        while True:
+            entries = _commit_entries(path) or []
+            version = (entries[-1][0] + 1) if entries else 0
+            target = _os.path.join(cdir, f"{version:020d}.json")
+            try:
+                _os.link(tmp, target)
+                return version
+            except FileExistsError:
+                continue  # lost the race — claim the next number
+    finally:
+        _os.unlink(tmp)
+
+
+def table_version(path: str) -> int | None:
+    """Latest commit version, or None for an unlogged/empty table."""
+    entries = _commit_entries(path)
+    if not entries:
+        return None
+    return entries[-1][0]
+
+
+def committed_files(path: str, version: int | None = None) -> list[str] | None:
+    """Relative data-file paths named by the commit log — the table
+    snapshot as of ``version`` (default: latest) — or None when the
+    table has no log (legacy directory-listing table). A ``base``
+    commit resets the file set (compaction snapshot)."""
+    entries = _commit_entries(path)
+    if entries is None:
+        return None
+    cdir = _os.path.join(path, _COMMITS_DIR)
+    files: list[str] = []
+    for v, fn in entries:
+        if version is not None and v > version:
+            break
         with open(_os.path.join(cdir, fn)) as fh:
-            files.extend(_json.load(fh).get("files", []))
+            rec = _json.load(fh)
+        if rec.get("base"):
+            files = list(rec.get("files", []))
+        else:
+            files.extend(rec.get("files", []))
     return files
 
 
@@ -115,20 +159,25 @@ def append_rows(df: DataFrame, path: str) -> None:
     names, then publish one commit record naming them. Readers resolve
     files from the log, so a crash mid-append publishes nothing.
     """
-    commit_tag = _uuid.uuid4().hex[:12]
-    staging = _os.path.join(path, f"_staging-{commit_tag}")
-    writer = df.write.mode("overwrite").format("parquet")
-    partitioned = all(c in df.columns for c in PARTITION_COLS)
-    if partitioned:
-        writer = writer.partitionBy(*PARTITION_COLS)
-    writer.save(staging)
-
     # Bootstrap: a legacy table (files but no log) gets its existing
     # files recorded first so they stay visible under log-based reads.
     existing = _list_parquet_files(path)
     if existing and committed_files(path) is None:
         _publish_commit(path, existing)
+    moved = _stage_files(df, path)
+    _publish_commit(path, moved)
 
+
+def _stage_files(df: DataFrame, path: str) -> list[str]:
+    """Write ``df`` into the table's partition layout via a hidden
+    staging dir; returns the relative paths of the moved data files
+    (NOT yet published — the caller decides the commit record)."""
+    commit_tag = _uuid.uuid4().hex[:12]
+    staging = _os.path.join(path, f"_staging-{commit_tag}")
+    writer = df.write.mode("overwrite").format("parquet")
+    if all(c in df.columns for c in PARTITION_COLS):
+        writer = writer.partitionBy(*PARTITION_COLS)
+    writer.save(staging)
     moved: list[str] = []
     for rel in _list_parquet_files(staging):
         dst_rel = _os.path.join(
@@ -138,24 +187,64 @@ def append_rows(df: DataFrame, path: str) -> None:
         _os.makedirs(_os.path.dirname(dst), exist_ok=True)
         _os.replace(_os.path.join(staging, rel), dst)
         moved.append(dst_rel)
-    _publish_commit(path, moved)
 
     import shutil as _shutil
 
     _shutil.rmtree(staging, ignore_errors=True)
+    return moved
 
 
-def read_fact_table(spark: SparkSession, path: str) -> DataFrame:
+def compact_fact_table(spark: SparkSession, path: str) -> int:
+    """Small-file compaction: rewrite the CURRENT snapshot with one
+    file per (tenant_id, folder_id) partition and publish it as a
+    ``base`` commit — readers atomically switch to the compacted
+    layout; older versions stay readable (time travel) until
+    ``vacuum_fact_table`` reclaims their files.
+
+    The at-scale need: streaming ingest appends a file per micro-batch
+    per partition, and scan cost degrades with file count. On a
+    cluster you'd target ~1 GB files (repartition by size) instead of
+    one per partition. Returns the new table version.
+    """
+    current = read_fact_table(spark, path)
+    if all(c in current.columns for c in PARTITION_COLS):
+        current = current.repartition(*[F.col(c) for c in PARTITION_COLS])
+    else:
+        current = current.coalesce(1)
+    files = _stage_files(current, path)
+    return _publish_commit(path, files, base=True)
+
+
+def vacuum_fact_table(path: str) -> list[str]:
+    """Delete data files not referenced by the CURRENT snapshot
+    (orphans from crashed appends + pre-compaction generations).
+    Time-travel reads older than the last ``base`` commit stop working
+    — run only once no reader needs them (the retention trade every
+    log-structured table format has). Returns the deleted paths."""
+    live = set(committed_files(path) or [])
+    removed = []
+    for rel in _list_parquet_files(path):
+        if rel not in live:
+            _os.unlink(_os.path.join(path, rel))
+            removed.append(rel)
+    return removed
+
+
+def read_fact_table(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
     """Read with schema union across file generations (S5 read side):
     rows written before a column existed read NULL for it.
 
     File resolution honors the commit log when one exists — data
     files a crashed append moved into place but never published are
-    NOT read. Tables without a log (or written by other tools) fall
-    back to directory listing; `_schema.json`, `_commits/` and
-    `_staging-*/` (underscore prefixes) are invisible to the parquet
-    reader by Hadoop's hidden-path convention."""
-    files = committed_files(path)
+    NOT read — and ``version`` reads the snapshot as of that commit
+    (time travel; versions are returned by ``table_version``). Tables
+    without a log (or written by other tools) fall back to directory
+    listing; `_schema.json`, `_commits/` and `_staging-*/` (underscore
+    prefixes) are invisible to the parquet reader by Hadoop's
+    hidden-path convention."""
+    files = committed_files(path, version=version)
     if files is None:
         return spark.read.option("mergeSchema", "true").parquet(path)
     if not files:

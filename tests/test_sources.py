@@ -158,3 +158,52 @@ def test_committed_read_still_prunes_partitions(spark, tmp_path):
     assert df.count() == 2
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(folder_id" in plan
+
+
+def test_time_travel_and_versions(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path)          # v0
+    v0 = writers.table_version(path)
+    writers.append_rows(_fact_rows(spark, 2, folder="other"), path)  # v1
+    v1 = writers.table_version(path)
+    assert v1 == v0 + 1
+    assert writers.read_fact_table(spark, path).count() == 5
+    assert writers.read_fact_table(spark, path, version=v0).count() == 3
+
+
+def test_compaction_snapshot_and_vacuum(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    for i in range(4):  # 4 appends → ≥4 files in the partition
+        writers.append_rows(_fact_rows(spark, 1), path)
+    pre_files = writers.committed_files(path)
+    pre_version = writers.table_version(path)
+    assert len(pre_files) >= 4
+
+    v = writers.compact_fact_table(spark, path)
+    assert v == pre_version + 1
+    post_files = writers.committed_files(path)
+    assert len(post_files) < len(pre_files)
+    assert writers.read_fact_table(spark, path).count() == 4
+    # pre-compaction version still readable (time travel)...
+    assert writers.read_fact_table(
+        spark, path, version=pre_version
+    ).count() == 4
+
+    # ...until vacuum reclaims the old generation's files
+    removed = writers.vacuum_fact_table(path)
+    assert set(removed) == set(pre_files)
+    assert writers.read_fact_table(spark, path).count() == 4
+
+
+def test_vacuum_removes_crash_orphans(spark, tmp_path):
+    import shutil
+
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path)
+    committed = writers.committed_files(path)
+    src = os.path.join(path, committed[0])
+    orphan = os.path.join(os.path.dirname(src), "corphan.parquet")
+    shutil.copyfile(src, orphan)
+    removed = writers.vacuum_fact_table(path)
+    assert [os.path.basename(r) for r in removed] == ["corphan.parquet"]
+    assert writers.read_fact_table(spark, path).count() == 3
