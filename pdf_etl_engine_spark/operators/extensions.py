@@ -862,3 +862,83 @@ def x10_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("fold") == "val", 1)).alias("n_val"),
         F.count(F.when(F.col("fold") == "test", 1)).alias("n_test"),
     )
+
+
+@query(
+    "x11_deterministic_shuffle",
+    oracle="""
+    SELECT doc_id,
+           md5(concat(CAST(doc_id AS VARCHAR), 'epoch1')) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 50
+    """,
+)
+def x11_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 (training-data ops): reproducible corpus shuffle — order by
+    a salted cryptographic hash of the key, never by RNG. The salt is
+    the epoch: changing it reshuffles, same salt replays bit-identically
+    across engines, partitionings and reruns (the property data loaders
+    need for resumable training). Top-50 here so the oracle output is
+    bounded; the full-shuffle form is the same expression feeding
+    ``repartitionByRange(shuffle_key)`` + ``sortWithinPartitions`` — a
+    single range exchange at 100 TB, and this limit plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("epoch1")))
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(50)
+    )
+
+
+@query(
+    "x12_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, doc_id,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT lang, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) / 512) AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT lang, seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY lang, seq_id
+    """,
+)
+def x12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 (training-data ops): pack documents into fixed token-budget
+    training sequences (budget 512) — greedy contiguous packing: a
+    document joins sequence floor(cum_tokens_before/512) within its
+    lang stream. Pure window cumsum + integer division: deterministic,
+    one shuffle on the stream key, no UDF. At 100 TB the stream key
+    becomes (lang, shard) so each window partition is bounded; the
+    downstream writer emits one training sequence per (lang, seq_id)
+    group."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select("lang", "doc_id", n_tokens.alias("n_tokens"))
+    packed = toks.select(
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512
+        ).cast("long").alias("seq_id"),
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -196,3 +196,27 @@ def test_query_construction_schedules_no_job(spark):
             sc.setJobGroup(None, None)
         jobs = sc.statusTracker().getJobIdsForGroup(group)
         assert not jobs, f"{name} scheduled job(s) {jobs} at build time"
+
+
+def test_window_suite_single_exchange(spark):
+    """w123 computes three window frames over two sort orders but must
+    shuffle ONCE: both window specs partition by user_id, so one hash
+    exchange feeds two in-partition sorts."""
+    p = plan_of(registry.QUERIES["w123_window_suite"](spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_deterministic_shuffle_is_take_ordered(spark):
+    """x11's bounded shuffle preview must plan as TakeOrderedAndProject
+    (per-partition heaps), not a global sort."""
+    p = plan_of(registry.QUERIES["x11_deterministic_shuffle"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_sequence_packing_single_exchange(spark):
+    """x12: window cumsum + same-key aggregation — the groupBy(lang,
+    seq_id) reuses the window's hashpartitioning(lang) (partial agg
+    runs map-side on the sorted partitions; no second full shuffle of
+    the rows)."""
+    p = plan_of(registry.QUERIES["x12_sequence_packing"](spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning") <= 2
