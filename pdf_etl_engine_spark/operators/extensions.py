@@ -942,3 +942,56 @@ def x12_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "x13_text_chunking",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(len(t), 1), 24)) AS s
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(s / 24 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(t, s + 1, s + 32)) AS INTEGER)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(t, s + 1, s + 32), ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def x13_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 (training-data ops): overlapping text chunking — 32-token
+    windows with stride 24 (8-token overlap), the embedding-pipeline
+    primitive (chunk → embed → index). Pure array expressions:
+    sequence() builds the start offsets, transform+slice cuts the
+    windows, posexplode emits one row per chunk — per-row codegen, no
+    UDF, no shuffle. At 100 TB this is a map-only stage whose output
+    feeds the ANN index builder (x4b) partitioned by (doc_id band)."""
+    size_, stride = 32, 24
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(tokens) - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(tokens, s + 1, size_))
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )
+    n_chunk = F.size(
+        F.filter(F.split(F.col("chunk_text"), " "), lambda w: w != "")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        n_chunk.alias("n_chunk_tokens"),
+        "chunk_text",
+    )

@@ -43,23 +43,33 @@ def stream_ingest(
     quarantine_path: str | None = None,
     extractor: P.Extractor = P.json_bytes_extractor,
     archive: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Start the continuous ingest query over `{bucket_root}/incoming`.
 
     Use `.trigger(availableNow=True)`-style draining by awaiting the
     returned query's termination in tests; in production it runs
     forever with micro-batches per discovery cycle.
+
+    ``max_files_per_trigger`` is the backpressure knob: it caps each
+    micro-batch's file count so a backlog (cold start, upstream burst)
+    drains in bounded-size batches instead of one giant one — bounding
+    extractor concurrency (the production LLM quota) and batch retry
+    cost. availableNow still drains the WHOLE backlog, just in capped
+    batches; exactly-once pickup is unaffected (checkpointed offsets).
     """
     binary_schema = (
         "path string, modificationTime timestamp, length long, content binary"
     )
-    files = (
+    reader = (
         spark.readStream.format("binaryFile")
         .schema(binary_schema)
         .option("pathGlobFilter", "*.[pP][dD][fF]")  # case-insensitive, like P3
         .option("recursiveFileLookup", "true")
-        .load(f"{bucket_root}/incoming")
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(f"{bucket_root}/incoming")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         _ingest_micro_batch(

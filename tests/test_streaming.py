@@ -247,3 +247,38 @@ def test_stateful_running_profile_across_restarts(spark, tmp_path):
     # restart with new data: state continues from the checkpoint
     drain("b2", [(1, "2024-01-01 11:00:00", 3.0)])
     assert emitted[1] == (3, 15.0), emitted
+
+
+def test_backpressure_caps_micro_batch_size(workspace, spark):
+    """max_files_per_trigger drains a 6-file backlog in capped
+    micro-batches (availableNow still processes everything), with
+    every row committed exactly once."""
+    root, cat = workspace
+    facts = str(root / "facts")
+    ckpt = str(root / "ckpt")
+    for i in range(6):
+        _write_doc(root, "u1", "reports", f"b{i}.pdf",
+                   {"Total Amount ($)": f"${i}.00"})
+
+    batch_sizes = []
+    orig = S._ingest_micro_batch
+
+    def spy(spark_, batch_df, *args, **kwargs):
+        batch_sizes.append(batch_df.count())
+        return orig(spark_, batch_df, *args, **kwargs)
+
+    S._ingest_micro_batch = spy
+    try:
+        q = S.stream_ingest(
+            spark, str(root), cat, facts, ckpt,
+            quarantine_path=str(root / "quarantine"),
+            max_files_per_trigger=2,
+        )
+        q.awaitTermination()
+    finally:
+        S._ingest_micro_batch = orig
+
+    assert sum(batch_sizes) == 6
+    assert max(batch_sizes) <= 2 and len(batch_sizes) >= 3
+    df = writers.read_fact_table(spark, facts)
+    assert df.count() == 6
