@@ -995,3 +995,86 @@ def x13_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_chunk.alias("n_chunk_tokens"),
         "chunk_text",
     )
+
+
+@query(
+    "x14_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), edges AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.e, b.e), s -> s[1] * s[2]))
+            / (a.nrm * b.nrm) >= 0.25
+    ), reach(id, lab) AS (
+      SELECT vec_id, vec_id FROM v
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS vec_id, min(lab) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def x14_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 (dedup family): near-duplicate CLUSTERS — connected
+    components of the x4c pair graph (cos ≥ 0.25), so "keep one
+    canonical document per duplicate group" becomes a filter on
+    component == vec_id. Iterative min-label propagation: each round
+    every vertex takes the min label among itself and its neighbors;
+    converges in graph-diameter rounds (early-stops when no label
+    changes). Genuinely iterative — a driver loop of whole-DataFrame
+    joins, the Pregel pattern — yet still oracle-checkable: DuckDB
+    computes the same components with a recursive CTE. At 100 TB you
+    swap plain propagation for the alternating large-star/small-star
+    rewrite (O(log n) rounds) and localCheckpoint each round to cut
+    lineage; the per-round shuffle key is the edge endpoint, exactly
+    like here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("e"),
+        F.sqrt(_dot(_as_double(F.col("embedding")),
+                    _as_double(F.col("embedding")))).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    half = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.25)
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = emb.select(
+        "vec_id", F.col("vec_id").alias("component")
+    ).persist()
+    try:
+        for _ in range(20):
+            prop = edges.join(
+                labels, edges["src"] == labels["vec_id"]
+            ).select(F.col("dst").alias("vec_id"), "component")
+            new_labels = (
+                labels.unionByName(prop)
+                .groupBy("vec_id")
+                .agg(F.min("component").alias("component"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "vec_id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("vec_id", "component")
+    finally:
+        edges.unpersist()
