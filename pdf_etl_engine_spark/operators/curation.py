@@ -1,0 +1,491 @@
+"""Data-curation operators for LLM training pipelines (SURVEY.md §2.11
+extension surface, second wave): PII redaction, benchmark-contamination
+detection, boilerplate/HTML stripping, stratified sampling, leakage-free
+dataset splits, TF-IDF distinctive terms, and Gopher-style intra-doc
+repetition scoring.
+
+These extend the reference's curation story (the reference's only text
+processing is the fenced-JSON cleanup in main.py:563-571); everything
+here is what a 100 TB pretraining-data pipeline layers on top. Design
+rules shared by all operators in this module:
+
+* All fixtures are synthesized deterministically from ``doc_id`` inside
+  the query (both engines build the identical string), because the
+  testdata corpus is clean word-soup — same pattern as the f2 paren
+  fixtures.
+* No O(n²) candidate generation: contamination uses an equi-join on the
+  n-gram key (the benchmark side is broadcast — eval sets are tiny
+  relative to the corpus); splits join on content key; everything else
+  is per-row scalar work inside whole-stage codegen.
+* Cross-engine determinism: integer arithmetic only for sampling keys
+  and scores (Knuth multiplicative hash mod 2^32, ``div`` integer
+  division), ``stable_round`` for the few ratio columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_etl_engine_spark.catalog import load_table
+from pdf_etl_engine_spark.functions.stable import stable_round
+from pdf_etl_engine_spark.registry import query
+
+
+def _words(col: str = "text") -> Column:
+    """Non-empty whitespace tokens, identical to DuckDB
+    ``list_filter(string_split(text,' '), w -> w <> '')``."""
+    return F.filter(F.split(F.col(col), " "), lambda w: w != "")
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array when the doc
+    has fewer than ``n`` words (DuckDB twin: ``list_transform(range(1,
+    greatest(len(ws)-n+2,1)), i -> array_to_string(list_slice(ws,i,
+    i+n-1),' '))``). Stays inside codegen — no UDF."""
+    size = F.size(words)
+    idx = F.when(size >= n, F.sequence(F.lit(1), size - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+
+
+# ---------------------------------------------------------------------------
+# X15 — PII detection + redaction
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+_SSN_RE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+@query(
+    "x15_pii_redact",
+    oracle=f"""
+    WITH fixture AS (
+      SELECT doc_id, lang,
+             text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ssn 123-45-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.17' AS pii_text
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(pii_text, '{_EMAIL_RE}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(pii_text, '{_PHONE_RE}')) AS INTEGER)
+             AS n_phones,
+           CAST(len(regexp_extract_all(pii_text, '{_SSN_RE}')) AS INTEGER)
+             AS n_ssns,
+           CAST(len(regexp_extract_all(pii_text, '{_IP_RE}')) AS INTEGER)
+             AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(pii_text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_SSN_RE}', '<SSN>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+             '{_IP_RE}', '<IP>', 'g') AS redacted
+    FROM fixture
+    """,
+)
+def x15_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: PII scrubbing — detect and redact emails, US phone numbers,
+    SSNs, and IPv4 addresses with chained ``regexp_replace``. The
+    corpus is synthetic, so each doc gets a deterministic PII suffix
+    built from ``doc_id`` and the scrubber is verified against it.
+
+    Scale: pure per-row regex inside whole-stage codegen — no shuffle,
+    no UDF; at 100 TB this is a map-only stage bounded by scan
+    throughput. Redaction order matters (email before SSN/phone so the
+    address's digits cannot be re-matched); both engines apply the same
+    chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".17"),
+    )
+    fixture = docs.select("doc_id", "lang", pii.alias("pii_text"))
+
+    def count_of(pat: str) -> Column:
+        return F.size(
+            F.regexp_extract_all(F.col("pii_text"), F.lit(pat), F.lit(0))
+        )
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("pii_text"), _EMAIL_RE, "<EMAIL>"),
+                _SSN_RE,
+                "<SSN>",
+            ),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return fixture.select(
+        "doc_id",
+        "lang",
+        count_of(_EMAIL_RE).alias("n_emails"),
+        count_of(_PHONE_RE).alias("n_phones"),
+        count_of(_SSN_RE).alias("n_ssns"),
+        count_of(_IP_RE).alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X16 — benchmark contamination detection
+# ---------------------------------------------------------------------------
+
+@query(
+    "x16_contamination",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 3, 1)),
+                    i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+               AS g
+      FROM ws
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    cand AS (SELECT * FROM grams WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_ngrams,
+           CAST(count(b.g) AS BIGINT) AS n_overlap,
+           round(count(b.g) / count(*) + 5e-10, 4) AS overlap_ratio,
+           count(b.g) * 4 >= count(*) AS contaminated
+    FROM cand c LEFT JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+    """,
+)
+def x16_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: train/eval contamination check — the docs whose
+    ``doc_id % 97 == 0`` stand in for a held-out benchmark; every other
+    doc is scored by the fraction of its distinct word 5-grams that
+    appear anywhere in the benchmark (the standard n-gram-overlap
+    decontamination rule).
+
+    Scale: the benchmark's distinct-5-gram set is tiny relative to a
+    100 TB corpus (eval suites are MBs), so it is ``broadcast()`` and
+    the whole check is a map-side hash join over the exploded candidate
+    grams — no shuffle of corpus text, and the per-doc re-aggregation
+    groups on ``doc_id``, which is the parquet write order, so AQE
+    coalesces it cheaply."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id", F.explode(_ngrams(_words(), 5)).alias("g")
+        )
+        .distinct()
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    cand = grams.filter(F.col("doc_id") % 97 != 0)
+    joined = cand.join(F.broadcast(bench), "g", "left")
+    n_overlap = F.count("hit")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        n_overlap.alias("n_overlap"),
+        stable_round(F.count("hit") / F.count("*"), 4).alias("overlap_ratio"),
+        (F.count("hit") * 4 >= F.count("*")).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X17 — HTML/boilerplate stripping
+# ---------------------------------------------------------------------------
+
+@query(
+    "x17_html_strip",
+    oracle="""
+    WITH fixture AS (
+      SELECT doc_id,
+             '<html><body><h1>Doc' || CAST(doc_id AS VARCHAR)
+               || '</h1><p>' || text
+               || '</p><script>var_x=1;</script><footer>(c)2024</footer>'
+               || '</body></html>' AS raw_html
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw_html) AS INTEGER) AS n_raw_chars,
+           CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+             raw_html, '<script>.*?</script>', '', 'g'),
+             '<[^>]+>', chr(10), 'g'),
+             '\\s+', chr(32), 'g'))) AS INTEGER) AS n_clean_chars,
+           substr(trim(regexp_replace(regexp_replace(regexp_replace(
+             raw_html, '<script>.*?</script>', '', 'g'),
+             '<[^>]+>', chr(10), 'g'),
+             '\\s+', chr(32), 'g')), 1, 40) AS clean_prefix
+    FROM fixture
+    """,
+)
+def x17_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17: boilerplate removal — wrap each doc in a deterministic HTML
+    shell (script block, header, footer), then strip: drop ``<script>``
+    bodies (non-greedy), replace remaining tags with newlines, collapse
+    whitespace, trim. The char-count delta is the boilerplate fraction
+    a web-corpus cleaner reports.
+
+    Scale: chained per-row regex, map-only, codegen'd — same posture as
+    X15. The non-greedy scan is linear in doc length for both RE2
+    (DuckDB) and the JDK engine at these pattern shapes."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("<html><body><h1>Doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><script>var_x=1;</script><footer>(c)2024</footer>"),
+        F.lit("</body></html>"),
+    )
+    fixture = docs.select("doc_id", raw.alias("raw_html"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.col("raw_html"), r"<script>.*?</script>", ""
+                ),
+                r"<[^>]+>",
+                "\n",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return fixture.select(
+        "doc_id",
+        F.length("raw_html").alias("n_raw_chars"),
+        F.length(clean).alias("n_clean_chars"),
+        F.substring(clean, 1, 40).alias("clean_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X18 — stratified deterministic sampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "x18_stratified_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, source,
+             ((doc_id % 1000003) * 2654435761) % 4294967296 AS skey
+      FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY skey, doc_id) AS sample_rank
+      FROM keyed
+    ) WHERE sample_rank <= 20
+    """,
+)
+def x18_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: stratified fixed-size sampling — exactly 20 docs per ``lang``
+    stratum, chosen by a Knuth multiplicative hash of ``doc_id`` (mod
+    2^32) so the sample is deterministic, uniform-ish, and reproducible
+    across engines and runs (integer arithmetic only; a production run
+    would use ``xxhash64`` — the structure is identical).
+
+    Scale: this is the top-k-per-group pattern (T3): partial top-20 per
+    partition before the shuffle means the wire carries at most
+    20 × n_partitions rows per stratum, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    skey = ((F.col("doc_id") % 1000003) * 2654435761) % F.lit(4294967296)
+    w = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", skey.alias("skey"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 20)
+        .select("doc_id", "lang", "source", "sample_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X19 — leakage-free train/val/test split
+# ---------------------------------------------------------------------------
+
+@query(
+    "x19_leakage_split",
+    oracle="""
+    WITH reps AS (
+      SELECT text, min(doc_id) AS rep FROM documents GROUP BY text
+    ),
+    tagged AS (
+      SELECT d.doc_id, d.lang, r.rep,
+             CASE WHEN r.rep % 100 < 80 THEN 'train'
+                  WHEN r.rep % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d JOIN reps r ON d.text = r.text
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           count(DISTINCT rep) AS n_clusters,
+           CAST(count(*) - count(DISTINCT rep) AS BIGINT) AS n_extra_dups,
+           count(DISTINCT lang) AS n_langs
+    FROM tagged GROUP BY split
+    """,
+)
+def x19_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19: leakage-free dataset split — duplicate documents must land
+    in the SAME split (else val/test leak into train). Cluster key is
+    exact content (at 100 TB: a 128-bit content hash, same plan shape);
+    the cluster representative's id decides the 80/10/10 split and every
+    member inherits it via an equi-join on the content key.
+
+    Scale: groupBy(text) and the join both shuffle on the content key —
+    one shuffle each, identically partitioned, so AQE reuses the
+    exchange. No window, no broadcast of anything corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("rep"))
+    split = (
+        F.when(F.col("rep") % 100 < 80, "train")
+        .when(F.col("rep") % 100 < 90, "val")
+        .otherwise("test")
+    )
+    tagged = docs.join(reps, "text").select(
+        "doc_id", "lang", "rep", split.alias("split")
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("rep").alias("n_clusters"),
+        (F.count("*") - F.countDistinct("rep")).alias("n_extra_dups"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X20 — TF-IDF distinctive terms per language
+# ---------------------------------------------------------------------------
+
+@query(
+    "x20_tfidf_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT lang, w AS word, count(*) AS tf FROM words GROUP BY lang, w),
+    df AS (SELECT w AS word, count(DISTINCT doc_id) AS df FROM words GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, word, tf, df,
+             (tf * n_docs * 1000) // df AS score_milli
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT lang, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(score_milli AS BIGINT) AS score_milli
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY score_milli DESC, word) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def x20_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20: top-5 distinctive terms per language by TF-IDF with a linear
+    idf (``tf * N / df``), kept in scaled integer arithmetic
+    (``div``, milli-units) so both engines agree bit-for-bit — no
+    float log in the graded output.
+
+    Scale: tf and df are both partial-aggregated before their shuffles
+    (word-keyed — bounded by vocabulary, not corpus); df and the
+    single-row N are broadcast into the scoring join; the final top-5
+    is a per-lang window over a vocabulary-sized frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(_words()).alias("word")
+    )
+    tf = words.groupBy("lang", "word").agg(F.count("*").alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_milli", F.expr("tf * n_docs * 1000 div df"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score_milli"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "word", "tf", "df", "score_milli")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X21 — intra-document repetition (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x21_repetition",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                    i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+               AS g
+      FROM ws
+    )
+    SELECT doc_id, lang,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           count(DISTINCT g) AS n_distinct,
+           round((count(*) - count(DISTINCT g)) / count(*) + 5e-10, 4)
+             AS rep_ratio,
+           (count(*) - count(DISTINCT g)) * 5 > count(*) AS too_repetitive
+    FROM grams GROUP BY doc_id, lang
+    """,
+)
+def x21_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: intra-doc repetition score — duplicate word-trigram fraction
+    per document, the Gopher/MassiveText quality rule that catches
+    boilerplate-heavy and looping machine-generated text (flag at
+    >20 % duplicate trigrams).
+
+    Scale: the trigram explode is per-doc and immediately re-grouped on
+    ``doc_id`` — with the corpus already partitioned by doc this is a
+    local aggregation (partial counts collapse before any wire
+    transfer); nothing corpus-wide is shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "lang", F.explode(_ngrams(_words(), 3)).alias("g")
+    )
+    n = F.count("*")
+    nd = F.countDistinct("g")
+    return grams.groupBy("doc_id", "lang").agg(
+        n.alias("n_trigrams"),
+        nd.alias("n_distinct"),
+        stable_round((n - nd) / n, 4).alias("rep_ratio"),
+        ((n - nd) * 5 > n).alias("too_repetitive"),
+    )
