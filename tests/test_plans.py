@@ -220,3 +220,41 @@ def test_sequence_packing_single_exchange(spark):
     the rows)."""
     p = plan_of(registry.QUERIES["x12_sequence_packing"](spark, SF_DIR))
     assert p.count("Exchange hashpartitioning") <= 2
+
+def test_curation_map_only_ops_have_no_exchange(spark):
+    """X15/X17 (PII redact, HTML strip) are per-row regex transforms —
+    the plan must be a single map stage: no Exchange, no Window, no
+    Python."""
+    for name in ("x15_pii_redact", "x17_html_strip"):
+        p = plan_of(registry.QUERIES[name](spark, SF_DIR))
+        # the table cache's one-time build plan (below InMemoryTableScan)
+        # may repartition; the QUERY itself must not.
+        query_part = p.split("InMemoryTableScan", 1)[0]
+        assert "Exchange" not in query_part, f"{name} shuffles: {p[:400]}"
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    """X16: the benchmark n-gram set must broadcast — corpus-side
+    grams must not shuffle for the membership join."""
+    p = plan_of(registry.QUERIES["x16_contamination"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_tfidf_df_and_n_are_broadcast(spark):
+    """X20: df (vocabulary-sized) and N (single row) must broadcast
+    into the scoring join; no cartesian product."""
+    p = plan_of(registry.QUERIES["x20_tfidf_terms"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_stratified_sample_window_is_partitioned(spark):
+    """X18: the per-stratum rank must be a PARTITION BY lang window
+    (never a single-partition global window)."""
+    df = registry.QUERIES["x18_stratified_sample"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "Window" in p
+    assert "hashpartitioning(lang" in p
