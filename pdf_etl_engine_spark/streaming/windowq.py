@@ -120,6 +120,90 @@ def stw_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_stream_source(sf_dir: str, table: str) -> str:
+    """Stage a testdata parquet into a scratch directory usable as a
+    file-stream source (the file source wants a directory — a real
+    deployment's landing directory). Keyed by source identity
+    (path + mtime + size) so regenerated testdata restages instead of
+    silently reusing a stale copy."""
+    src = table_path(sf_dir, table)
+    src_stat = os.stat(src)
+    stage = pathlib.Path(
+        tempfile.gettempdir(),
+        "spark_graft_stream",
+        f"{table}_{sf_dir.strip('/').replace('/', '_')}"
+        f"_{int(src_stat.st_mtime)}_{src_stat.st_size}",
+    )
+    stage.mkdir(parents=True, exist_ok=True)
+    staged = stage / f"{table}.parquet"
+    if not staged.exists():
+        shutil.copyfile(src, staged)
+    return str(stage)
+
+
+def _run_to_memory_sink(stream_df: DataFrame, prefix: str) -> DataFrame:
+    """Execute a streaming DataFrame with an availableNow trigger into
+    a uniquely-named in-memory sink (complete mode) and return the
+    result table."""
+    spark = stream_df.sparkSession
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
+    "stw_enrich_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round((CAST(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT))
+             AS DOUBLE) / 100) + 5e-10, 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stw_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-static enrichment: a genuine Structured Streaming
+    run — readStream over the orders landing dir, inner join against
+    the STATIC customer dimension (broadcast: the dim re-broadcasts per
+    micro-batch, never shuffles the stream), then a running aggregate
+    per market segment in complete mode. availableNow + complete makes
+    the final table deterministic, so this streaming query is
+    oracle-graded, not rows-only.
+
+    Scale: stream-static broadcast join is the standard enrichment
+    topology at 100 TB/day — state-free (no stream-stream join state
+    store), dim refresh is a re-broadcast, and the agg keeps one row
+    per segment in the state store."""
+    stage = _stage_stream_source(sf_dir, "orders")
+    static_orders = load_table(spark, sf_dir, "orders")
+    customers = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    stream = (
+        spark.readStream.schema(static_orders.schema)
+        .parquet(stage)
+        .join(customers, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            stable_round(fixed_sum(F.col("o_totalprice"), 100), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+    return _run_to_memory_sink(stream, "stream_enrich")
+
+
 @query("stw_stream_dedup")  # rows-only: a real Structured Streaming run
 def stw_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup-by-key with watermark: readStream over the
@@ -128,29 +212,11 @@ def stw_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a memory sink (checkpoint-free micro-batch replay). This is
     the duplicate-delivery guard the reference lacks (its crash window
     duplicates rows, main.py:743-752)."""
-    # the file-stream source wants a directory; stage the single
-    # parquet into a scratch dir (what a real deployment's landing
-    # directory is anyway)
-    src = table_path(sf_dir, "orders")
-    src_stat = os.stat(src)
-    # Key the staging dir by source identity (path + mtime + size) so a
-    # regenerated testdata file restages instead of silently reusing a
-    # stale copy from a previous run.
-    stage = pathlib.Path(
-        tempfile.gettempdir(),
-        "spark_graft_stream",
-        f"{sf_dir.strip('/').replace('/', '_')}"
-        f"_{int(src_stat.st_mtime)}_{src_stat.st_size}",
-    )
-    stage.mkdir(parents=True, exist_ok=True)
-    staged = stage / "orders.parquet"
-    if not staged.exists():
-        shutil.copyfile(src, staged)
-
+    stage = _stage_stream_source(sf_dir, "orders")
     static = load_table(spark, sf_dir, "orders")
     stream = (
         spark.readStream.schema(static.schema)
-        .parquet(str(stage))
+        .parquet(stage)
         .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
         .withWatermark("o_orderdate", "30 days")
         .dropDuplicates(["o_orderkey"])
@@ -158,13 +224,4 @@ def stw_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .select(F.col("window.start").alias("window_start"), "n_orders")
     )
-    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return _run_to_memory_sink(stream, "stream_dedup")
