@@ -118,6 +118,7 @@ def load_all() -> None:
     reorder the registry so PRIORITY occupies the graded window."""
     from pdf_etl_engine_spark.operators import (  # noqa: F401
         aggregates,
+        ann_index,
         curation,
         extensions,
         extras,
