@@ -460,6 +460,7 @@ def process_bound_batch(
     fact_path: str,
     extractor: Extractor,
     quarantine_path: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Shared batch/streaming core: folder-metadata broadcast join →
     untrained-quarantine → ONE extraction job → error-quarantine →
@@ -467,7 +468,11 @@ def process_bound_batch(
 
     ``bound`` needs (path, rel_path, content, tenant_id, folder_id).
     Returns counters plus ``committed_rel_paths`` (fact-committed
-    files, the archive set).
+    files, the archive set). ``txn`` (streaming callers pass the
+    micro-batch identity) makes the fact append idempotent under
+    micro-batch replay — see ``writers.append_rows``; a replayed
+    batch still returns its rel_paths so the archive step (itself an
+    idempotent move) can complete.
     """
     from pdf_etl_engine_spark.sources import writers
 
@@ -537,8 +542,8 @@ def process_bound_batch(
             typed = build_typed_rows_batch(ok, batch_metas)
             typed.persist()
             try:
-                writers.append_rows(typed, fact_path)
-                results["rows_written"] = typed.count()
+                committed = writers.append_rows(typed, fact_path, txn=txn)
+                results["rows_written"] = typed.count() if committed else 0
             finally:
                 typed.unpersist()
             results["committed_rel_paths"] = [

@@ -70,20 +70,29 @@ def _commit_entries(path: str) -> list[tuple[int, str]] | None:
     return sorted(out)
 
 
-def _publish_commit(path: str, files: list[str], base: bool = False) -> int:
+def _publish_commit(
+    path: str,
+    files: list[str],
+    base: bool = False,
+    txn: tuple[str, int] | None = None,
+) -> int:
     """Atomically add the NEXT commit record and return its version.
 
     Versions are a dense sequence claimed via hard-link (link fails
     with EEXIST if a concurrent writer took the number — optimistic
     retry, Delta-style). ``base=True`` marks a snapshot commit:
     readers discard all earlier commits (compaction publishes these).
-    Readers see all of a commit's files or none of them.
+    Readers see all of a commit's files or none of them. ``txn``
+    stamps the commit with a writer identity — see ``txn_seen``.
     """
     cdir = _os.path.join(path, _COMMITS_DIR)
     _os.makedirs(cdir, exist_ok=True)
     tmp = _os.path.join(cdir, f".tmp-{_uuid.uuid4().hex}")
+    rec: dict = {"files": files, "base": base}
+    if txn is not None:
+        rec["txn"] = [txn[0], int(txn[1])]
     with open(tmp, "w") as fh:
-        _json.dump({"files": files, "base": base}, fh)
+        _json.dump(rec, fh)
     try:
         while True:
             entries = _commit_entries(path) or []
@@ -96,6 +105,28 @@ def _publish_commit(path: str, files: list[str], base: bool = False) -> int:
                 continue  # lost the race — claim the next number
     finally:
         _os.unlink(tmp)
+
+
+def txn_seen(path: str, app_id: str, batch_id: int) -> bool:
+    """True if a commit stamped ``(app_id, batch_id)`` is already in
+    the log — the idempotence check behind exactly-once streaming
+    sinks (Delta's ``txn`` action). A replayed micro-batch (crash
+    between sink commit and checkpoint advance) sees its own earlier
+    commit and publishes nothing.
+
+    Commit records are never deleted (vacuum removes only data files),
+    so the marker survives compaction. The linear scan over commit
+    JSONs is O(commits); a real table format folds this into snapshot
+    state — with Delta this whole function is ``txnVersion``.
+    """
+    entries = _commit_entries(path) or []
+    cdir = _os.path.join(path, _COMMITS_DIR)
+    want = [app_id, int(batch_id)]
+    for _v, fn in entries:
+        with open(_os.path.join(cdir, fn)) as fh:
+            if _json.load(fh).get("txn") == want:
+                return True
+    return False
 
 
 def table_version(path: str) -> int | None:
@@ -148,7 +179,9 @@ def create_fact_table(
         _json.dump(schema.jsonValue(), fh)
 
 
-def append_rows(df: DataFrame, path: str) -> None:
+def append_rows(
+    df: DataFrame, path: str, txn: tuple[str, int] | None = None
+) -> bool:
     """S3: atomic append of typed rows. Partitioned by
     (tenant_id, folder_id) when present so reads prune partitions
     instead of string-building table names (main.py:262-264 →
@@ -158,14 +191,23 @@ def append_rows(df: DataFrame, path: str) -> None:
     data files into their final partition dirs under commit-unique
     names, then publish one commit record naming them. Readers resolve
     files from the log, so a crash mid-append publishes nothing.
+
+    ``txn=(app_id, batch_id)`` makes the append idempotent: if the log
+    already holds that transaction the call is a no-op (returns
+    False). This is what turns a checkpointed ``foreachBatch`` stream
+    into an exactly-once sink — replays re-run the batch but cannot
+    commit it twice. Returns True when rows were published.
     """
+    if txn is not None and txn_seen(path, txn[0], txn[1]):
+        return False
     # Bootstrap: a legacy table (files but no log) gets its existing
     # files recorded first so they stay visible under log-based reads.
     existing = _list_parquet_files(path)
     if existing and committed_files(path) is None:
         _publish_commit(path, existing)
     moved = _stage_files(df, path)
-    _publish_commit(path, moved)
+    _publish_commit(path, moved, txn=txn)
+    return True
 
 
 def _stage_files(df: DataFrame, path: str) -> list[str]:

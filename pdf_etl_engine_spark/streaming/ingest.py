@@ -71,6 +71,13 @@ def stream_ingest(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     files = reader.load(f"{bucket_root}/incoming")
 
+    # Sink-side exactly-once: the checkpoint dir IS the stream's
+    # identity (same checkpoint ⇒ same batch-id sequence across
+    # restarts), so (checkpoint, batch_id) stamps each fact append;
+    # a replayed micro-batch finds its txn in the commit log and
+    # publishes nothing (writers.append_rows).
+    app_id = f"ingest:{checkpoint_dir}"
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         _ingest_micro_batch(
             spark,
@@ -81,6 +88,7 @@ def stream_ingest(
             quarantine_path,
             extractor,
             archive,
+            txn=(app_id, int(batch_id)),
         )
 
     return (
@@ -100,6 +108,7 @@ def _ingest_micro_batch(
     quarantine_path: str | None,
     extractor: P.Extractor,
     archive: bool,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """One micro-batch = the reference's single-file handler, batched:
     ONE extraction job and ONE partitioned append for the whole batch
@@ -127,7 +136,8 @@ def _ingest_micro_batch(
             "folder_id", p["folder_id"]
         )
         core = P.process_bound_batch(
-            spark, bound, catalog, fact_path, extractor, quarantine_path
+            spark, bound, catalog, fact_path, extractor, quarantine_path,
+            txn=txn,
         )
         # Archive strictly last: every sink commit for this batch is
         # durable before any source file moves (S6, main.py:750-752).

@@ -207,3 +207,30 @@ def test_vacuum_removes_crash_orphans(spark, tmp_path):
     removed = writers.vacuum_fact_table(path)
     assert [os.path.basename(r) for r in removed] == ["corphan.parquet"]
     assert writers.read_fact_table(spark, path).count() == 3
+
+
+def test_append_txn_is_idempotent(spark, tmp_path):
+    """Exactly-once sink contract: a replayed (app_id, batch_id)
+    append publishes nothing; a new batch_id appends normally."""
+    path = str(tmp_path / "facts")
+    assert writers.append_rows(_fact_rows(spark, 3), path, txn=("app", 0))
+    v = writers.table_version(path)
+    # replay of batch 0 — no-op
+    assert not writers.append_rows(_fact_rows(spark, 3), path, txn=("app", 0))
+    assert writers.table_version(path) == v
+    assert writers.read_fact_table(spark, path).count() == 3
+    # next batch commits
+    assert writers.append_rows(_fact_rows(spark, 2), path, txn=("app", 1))
+    assert writers.read_fact_table(spark, path).count() == 5
+    # a different app's batch 0 is a different transaction
+    assert writers.append_rows(_fact_rows(spark, 1), path, txn=("app2", 0))
+    assert writers.read_fact_table(spark, path).count() == 6
+
+
+def test_txn_marker_survives_compaction(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path, txn=("app", 0))
+    writers.compact_fact_table(spark, path)
+    writers.vacuum_fact_table(path)
+    assert not writers.append_rows(_fact_rows(spark, 3), path, txn=("app", 0))
+    assert writers.read_fact_table(spark, path).count() == 3

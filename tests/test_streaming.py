@@ -282,3 +282,32 @@ def test_backpressure_caps_micro_batch_size(workspace, spark):
     assert max(batch_sizes) <= 2 and len(batch_sizes) >= 3
     df = writers.read_fact_table(spark, facts)
     assert df.count() == 6
+
+
+def test_micro_batch_replay_does_not_duplicate(workspace, spark):
+    """Sink-side exactly-once: a micro-batch re-delivered after a
+    crash-before-checkpoint (same (app, batch_id) txn) must not
+    double-append to the fact table."""
+    root, cat = workspace
+    facts = str(root / "facts")
+    _write_doc(root, "u1", "reports", "a.pdf",
+               {"Total Amount ($)": "$5.00", "Status": "Active"})
+    batch = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(str(root / "incoming"))
+    )
+    for _ in range(2):  # original run + replay
+        S._ingest_micro_batch(
+            spark, batch, str(root), cat, facts,
+            None, pipeline.json_bytes_extractor, archive=False,
+            txn=("ingest:ckpt", 0),
+        )
+    assert writers.read_fact_table(spark, facts).count() == 1
+    # the NEXT batch id still appends
+    S._ingest_micro_batch(
+        spark, batch, str(root), cat, facts,
+        None, pipeline.json_bytes_extractor, archive=False,
+        txn=("ingest:ckpt", 1),
+    )
+    assert writers.read_fact_table(spark, facts).count() == 2
