@@ -326,11 +326,43 @@ def latest_folder_metas(catalog: Catalog) -> list[dict]:
     return list(by_pair.values())
 
 
+class RateLimiter:
+    """Paced-interval limiter for the production extractor's API
+    quota: ``acquire()`` blocks so calls from this task average at
+    most ``max_rps`` per second. Cluster math: each Spark task runs
+    its own limiter, so the fleet-wide rate is ``max_rps × concurrent
+    tasks`` — pick max_rps = quota / (executors × cores), and bound
+    burst concurrency with ``stream_ingest(max_files_per_trigger=…)``.
+    Clock/sleep injectable for deterministic tests."""
+
+    def __init__(self, max_rps: float, clock=None, sleep=None):
+        import time as _time
+
+        if max_rps <= 0:
+            raise ValueError("max_rps must be positive")
+        self._interval = 1.0 / max_rps
+        self._clock = clock or _time.monotonic
+        self._sleep = sleep or _time.sleep
+        self._next_at: float | None = None
+
+    def acquire(self) -> None:
+        now = self._clock()
+        if self._next_at is None:
+            self._next_at = now + self._interval
+            return
+        wait = self._next_at - now
+        if wait > 0:
+            self._sleep(wait)
+            now = self._next_at
+        self._next_at = max(now, self._next_at) + self._interval
+
+
 def extract_kpis_batch(
     bound_meta: DataFrame,
     extractor: Extractor,
     retries: int = 2,
     backoff_s: float = 0.05,
+    max_rps: float | None = None,
 ) -> DataFrame:
     """U1 over a MIXED-FOLDER batch: one Arrow-batched mapInPandas job
     for the entire batch, with per-row (kpi_names, context_hint) from
@@ -343,12 +375,14 @@ def extract_kpis_batch(
     a document that still fails yields an ``extract_error`` row
     instead of failing its task — callers quarantine those rows and
     the batch completes (vs the reference's silently-swallowed errors,
-    main.py:757-759).
+    main.py:757-759). ``max_rps`` paces extractor calls per task
+    (see ``RateLimiter`` for the cluster-wide quota math).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import time as _time
 
+        limiter = RateLimiter(max_rps) if max_rps else None
         for pdf in batches:
             raw: list[str | None] = []
             err: list[str | None] = []
@@ -358,6 +392,8 @@ def extract_kpis_batch(
                 attempt, last_exc = 0, None
                 while attempt <= retries:
                     try:
+                        if limiter is not None:
+                            limiter.acquire()
                         raw.append(
                             json.dumps(
                                 extractor(

@@ -268,3 +268,45 @@ def test_extractor_retry_recovers_transient_failures(tmp_path, spark):
     )
     assert res["rows_written"] == 1
     assert res["files_failed"] == 0
+
+
+def test_rate_limiter_paces_calls():
+    """RateLimiter with an injected clock: calls past the first are
+    spaced ≥ 1/max_rps apart, sleeping exactly the deficit."""
+    t = [0.0]
+    slept = []
+
+    def clock():
+        return t[0]
+
+    def sleep(s):
+        slept.append(s)
+        t[0] += s
+
+    rl = pipeline.RateLimiter(max_rps=2.0, clock=clock, sleep=sleep)
+    rl.acquire()          # first call: no wait
+    rl.acquire()          # immediate second call: wait 0.5s
+    assert slept == [pytest.approx(0.5)]
+    t[0] += 10            # long idle: no sleep, no burst debt beyond one slot
+    rl.acquire()
+    assert len(slept) == 1
+    with pytest.raises(ValueError):
+        pipeline.RateLimiter(max_rps=0)
+
+
+def test_extract_batch_honors_max_rps(spark):
+    """Plumbing check: max_rps flows through extract_kpis_batch and
+    extraction still completes correctly under pacing."""
+    payload = json.dumps({"Amount": "7"}).encode()
+    bound = spark.createDataFrame(
+        [("p", "rel", "u1", "reports", payload, ["Amount"], "")],
+        "path string, rel_path string, tenant_id string, "
+        "folder_id string, content binary, kpi_names array<string>, "
+        "context_hint string",
+    )
+    out = pipeline.extract_kpis_batch(
+        bound, pipeline.json_bytes_extractor, max_rps=10_000
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["extract_error"] is None
+    assert json.loads(rows[0]["raw_extract"]) == {"Amount": "7"}
