@@ -123,6 +123,7 @@ def load_all() -> None:
         extensions,
         extras,
         filters,
+        incremental,
         joins,
         kernels,
         pipelineq,

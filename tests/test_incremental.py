@@ -1,0 +1,62 @@
+"""Incremental corpus dedup (operators/incremental.py): exact and
+near layers against a fingerprint store, and the accept-loop that
+keeps the store current. Controlled tiny corpus so each layer's
+decision is individually observable.
+"""
+
+from __future__ import annotations
+
+from pdf_etl_engine_spark.operators import incremental as I
+
+DOC_SCHEMA = "doc_id bigint, lang string, text string"
+
+CORPUS = [
+    (0, "en", "the quick brown fox jumps over the lazy dog today"),
+    (1, "en", "pack my box with five dozen liquor jugs right now"),
+    (2, "de", "alle meine entchen schwimmen auf dem see heute morgen"),
+]
+
+BATCH = [
+    # exact duplicate of corpus doc 0 → dropped by the exact layer
+    (10, "en", "the quick brown fox jumps over the lazy dog today"),
+    # near duplicate of doc 1 (one word changed) → passes exact,
+    # dropped by the band layer
+    (11, "en", "pack my box with five dozen liquor jugs right away"),
+    # novel → accepted
+    (12, "en", "completely unrelated sentence about spark physical plans"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_exact_layer_drops_only_byte_identical(spark):
+    store = I.fingerprints(_df(spark, CORPUS))
+    accepted = I.dedup_against_store(_df(spark, BATCH), store, near=False)
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [11, 12]
+
+
+def test_near_layer_drops_band_collisions(spark):
+    store = I.fingerprints(_df(spark, CORPUS))
+    accepted = I.dedup_against_store(_df(spark, BATCH), store, near=True)
+    assert sorted(r["doc_id"] for r in accepted.collect()) == [12]
+
+
+def test_accept_loop_extends_the_store(spark):
+    """Appending an accepted batch's fingerprints makes the store
+    reject a re-offer of the same content."""
+    store = I.fingerprints(_df(spark, CORPUS))
+    batch = _df(spark, BATCH)
+    accepted = I.dedup_against_store(batch, store, near=True)
+    grown = store.unionByName(I.fingerprints(accepted))
+    reoffer = _df(spark, [(20, "en", BATCH[2][2])])  # novel doc, again
+    assert I.dedup_against_store(reoffer, grown).count() == 0
+    # genuinely new content still passes the grown store
+    fresh = _df(spark, [(21, "en", "yet another brand new document body")])
+    assert I.dedup_against_store(fresh, grown).count() == 1
+
+
+def test_store_carries_no_text(spark):
+    fp = I.fingerprints(_df(spark, CORPUS))
+    assert set(fp.columns) == {"fp_id", "content_sha", "band_id", "band_sig"}
