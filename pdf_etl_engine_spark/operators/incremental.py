@@ -151,7 +151,7 @@ def _staged_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "x20_incremental_dedup_exact",
+    "x22_incremental_dedup_exact",
     oracle="""
     SELECT b.lang, count(*) AS n_accepted
     FROM documents b
@@ -161,10 +161,10 @@ def _staged_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY b.lang
     """,
 )
-def x20_incremental_dedup_exact(
+def x22_incremental_dedup_exact(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """X20: exact layer of incremental dedup — the new batch's sha-256
+    """X22: exact layer of incremental dedup — the new batch's sha-256
     anti-joined against the staged fingerprint store (corpus text is
     NOT read by this query; only the store is). Oracle checks the
     anti-join semantics via direct text comparison."""
@@ -174,11 +174,11 @@ def x20_incremental_dedup_exact(
     return accepted.groupBy("lang").agg(F.count("*").alias("n_accepted"))
 
 
-@query("x20b_incremental_dedup_near")  # rows-only: LSH is engine-specific
-def x20b_incremental_dedup_near(
+@query("x22b_incremental_dedup_near")  # rows-only: LSH is engine-specific
+def x22b_incremental_dedup_near(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """X20b: full incremental dedup — exact sha layer plus MinHash
+    """X22b: full incremental dedup — exact sha layer plus MinHash
     band semi-join against the store. A batch doc sharing ANY band
     signature with an accepted doc is dropped as a near-dup."""
     _, batch = _corpus_batch(spark, sf_dir)
