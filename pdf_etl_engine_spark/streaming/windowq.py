@@ -225,3 +225,77 @@ def stw_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("window_start"), "n_orders")
     )
     return _run_to_memory_sink(stream, "stream_dedup")
+
+
+@query(
+    "stw_stream_stream_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           round((CAST(sum(CAST(round((l.l_extendedprice) * 100) AS BIGINT))
+             AS DOUBLE) / 100) + 5e-10, 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 120 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def stw_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-stream inner join: lineitem stream ⋈ orders stream
+    on orderkey PLUS an event-time range (ship within 120 days of the
+    order), watermarks on both sides. The range condition is what lets
+    the state store expire buffered rows — an unbounded-state
+    stream-stream join is the classic production OOM; with watermark +
+    range bound, each side keeps only rows inside the watermark
+    horizon. availableNow drains both landing dirs, the append-mode
+    inner join emits exactly the batch-join rows, and the final
+    aggregate over the sink table is oracle-graded.
+
+    Scale: state is partitioned by the join key (orderkey) across the
+    cluster's state stores; skew lands on hot keys, not hot tasks,
+    because HashPartitioning on orderkey spreads orders uniformly."""
+    o_stage = _stage_stream_source(sf_dir, "orders")
+    l_stage = _stage_stream_source(sf_dir, "lineitem")
+    o_static = load_table(spark, sf_dir, "orders")
+    l_static = load_table(spark, sf_dir, "lineitem")
+    orders = (
+        spark.readStream.schema(o_static.schema)
+        .parquet(o_stage)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        .withWatermark("o_orderdate", "30 days")
+    )
+    items = (
+        spark.readStream.schema(l_static.schema)
+        .parquet(l_stage)
+        .select("l_orderkey", "l_extendedprice", "l_shipdate")
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        .withWatermark("l_shipdate", "30 days")
+    )
+    joined = items.join(
+        orders,
+        F.expr(
+            "l_orderkey = o_orderkey AND "
+            "l_shipdate >= o_orderdate AND "
+            "l_shipdate <= o_orderdate + INTERVAL 120 DAYS"
+        ),
+    )
+    sink = f"stream_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            stable_round(fixed_sum(F.col("l_extendedprice"), 100), 2).alias(
+                "revenue"
+            ),
+        )
+    )
