@@ -30,9 +30,7 @@ The reference service has no vector path at all; this extends its
 
 from __future__ import annotations
 
-import os
 import pathlib
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +43,7 @@ from pdf_etl_engine_spark.operators.extensions import (
     _lsh_buckets,
 )
 from pdf_etl_engine_spark.registry import query
+from pdf_etl_engine_spark.scratch import scratch_dir
 
 # Same (k, L) operating point as x4b — see its docstring for the
 # recall math on this near-uniform testdata.
@@ -103,10 +102,12 @@ def probe_ann_index(
         .select("tb.t", "tb.b")
         .collect()
     )
-    pred = None
+    # unknown query id ⇒ no buckets ⇒ empty candidate set (not a crash)
+    pred = F.lit(False)
     for r in buckets:
-        clause = (F.col("t") == int(r["t"])) & (F.col("b") == int(r["b"]))
-        pred = clause if pred is None else (pred | clause)
+        pred = pred | (
+            (F.col("t") == int(r["t"])) & (F.col("b") == int(r["b"]))
+        )
     cand_ids = (
         spark.read.parquet(index_dir)
         .filter(pred)
@@ -139,15 +140,10 @@ def default_index_dir(sf_dir: str) -> str:
     """Scratch location for the index over ``sf_dir``'s embeddings,
     keyed by source identity (path + mtime + size) so regenerated
     testdata re-indexes instead of reusing a stale build."""
-    src = table_path(sf_dir, "embeddings")
-    st = os.stat(src)
-    return str(
-        pathlib.Path(
-            tempfile.gettempdir(),
-            "spark_graft_ann_index",
-            f"{sf_dir.strip('/').replace('/', '_')}"
-            f"_{N_TABLES}x{N_BITS}_{int(st.st_mtime)}_{st.st_size}",
-        )
+    return scratch_dir(
+        "spark_graft_ann_index",
+        table_path(sf_dir, "embeddings"),
+        f"{N_TABLES}x{N_BITS}",
     )
 
 

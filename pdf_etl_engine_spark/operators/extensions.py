@@ -1055,16 +1055,21 @@ def x14_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id").alias("component")
     ).persist()
     try:
-        for _ in range(20):
+        rounds = 0
+        while True:  # to fixpoint: labels only decrease, so ≤ diameter rounds
             prop = edges.join(
                 labels, edges["src"] == labels["vec_id"]
             ).select(F.col("dst").alias("vec_id"), "component")
-            new_labels = (
-                labels.unionByName(prop)
-                .groupBy("vec_id")
-                .agg(F.min("component").alias("component"))
-                .persist()
+            new_labels = labels.unionByName(prop).groupBy("vec_id").agg(
+                F.min("component").alias("component")
             )
+            rounds += 1
+            if rounds % 8 == 0:
+                # truncate the join/union lineage so plan analysis
+                # doesn't grow with round count (iterative-algorithm
+                # hygiene; at scale this is checkpoint-per-round)
+                new_labels = new_labels.localCheckpoint(eager=False)
+            new_labels = new_labels.persist()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "vec_id")

@@ -33,9 +33,7 @@ concern), the near layer is rows-only (engine-specific hash functions).
 
 from __future__ import annotations
 
-import os
 import pathlib
-import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,6 +45,7 @@ from pdf_etl_engine_spark.operators.extensions import (
     minhash_signature,
 )
 from pdf_etl_engine_spark.registry import query
+from pdf_etl_engine_spark.scratch import scratch_dir
 
 _ROWS_PER_BAND = _N_HASHES // _BANDS
 
@@ -130,19 +129,15 @@ def _corpus_batch(spark: SparkSession, sf_dir: str):
 def default_store_dir(sf_dir: str) -> str:
     """Scratch fingerprint store over ``sf_dir``'s corpus split, keyed
     by source identity so regenerated testdata rebuilds it."""
-    src = table_path(sf_dir, "documents")
-    st = os.stat(src)
-    return str(
-        pathlib.Path(
-            tempfile.gettempdir(),
-            "spark_graft_fp_store",
-            f"{sf_dir.strip('/').replace('/', '_')}"
-            f"_{int(st.st_mtime)}_{st.st_size}",
-        )
-    )
+    return scratch_dir("spark_graft_fp_store", table_path(sf_dir, "documents"))
 
 
-def _staged_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+def staged_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape: fingerprints materialized once to disk,
+    read thereafter (tests/test_incremental.py drives the accept-loop
+    against it). NOT used by the registered queries — constructing a
+    registered query must schedule no Spark job (repo invariant,
+    tests/test_plans.py), so those derive the store lazily instead."""
     out = default_store_dir(sf_dir)
     if not pathlib.Path(out, "_SUCCESS").exists():
         corpus, _ = _corpus_batch(spark, sf_dir)
@@ -165,11 +160,14 @@ def x22_incremental_dedup_exact(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """X22: exact layer of incremental dedup — the new batch's sha-256
-    anti-joined against the staged fingerprint store (corpus text is
-    NOT read by this query; only the store is). Oracle checks the
-    anti-join semantics via direct text comparison."""
-    _, batch = _corpus_batch(spark, sf_dir)
-    store = _staged_store(spark, sf_dir)
+    anti-joined against the corpus fingerprint relation. The store is
+    derived lazily here so query construction stays pure plan-building
+    (repo invariant); production maintains it on disk via
+    ``staged_store``/``fingerprints`` + ``append_rows`` — the join is
+    identical either way. Oracle checks the anti-join semantics via
+    direct text comparison."""
+    corpus, batch = _corpus_batch(spark, sf_dir)
+    store = fingerprints(corpus)
     accepted = dedup_against_store(batch, store, near=False)
     return accepted.groupBy("lang").agg(F.count("*").alias("n_accepted"))
 
@@ -179,9 +177,10 @@ def x22b_incremental_dedup_near(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """X22b: full incremental dedup — exact sha layer plus MinHash
-    band semi-join against the store. A batch doc sharing ANY band
-    signature with an accepted doc is dropped as a near-dup."""
-    _, batch = _corpus_batch(spark, sf_dir)
-    store = _staged_store(spark, sf_dir)
+    band semi-join against the store (lazily derived, see x22). A
+    batch doc sharing ANY band signature with an accepted doc is
+    dropped as a near-dup."""
+    corpus, batch = _corpus_batch(spark, sf_dir)
+    store = fingerprints(corpus)
     accepted = dedup_against_store(batch, store, near=True)
     return accepted.groupBy("lang").agg(F.count("*").alias("n_accepted"))

@@ -489,6 +489,55 @@ def build_typed_rows_batch(
     return extracted.select(*base, *kcols)
 
 
+def _align_to_existing_types(
+    spark: SparkSession, typed: DataFrame, fact_path: str
+) -> DataFrame:
+    """Never-retype, enforced ACROSS batches: if the fact table
+    already holds a column, this batch's values are cast to the
+    table's type (try_cast — unrepresentable values become NULL, the
+    same outcome as a per-value coercion failure). Without this, a
+    batch whose folder mix degrades a shared column to string would
+    write string files into a double column and every subsequent
+    ``mergeSchema`` read of the table would fail."""
+    try:
+        existing = writers.read_fact_table(spark, fact_path).schema
+    except Exception:  # noqa: BLE001 — no table yet: first batch defines types
+        return typed
+    tmap = {f.name: f.dataType.simpleString() for f in existing.fields}
+    cur = dict(typed.dtypes)
+    out = []
+    for c in typed.columns:
+        want = tmap.get(c)
+        if want is not None and cur[c] != want:
+            out.append(F.expr(f"try_cast(`{c}` AS {want})").alias(c))
+        else:
+            out.append(F.col(c))
+    return typed.select(*out)
+
+
+def _write_quarantine(
+    df: DataFrame, quarantine_path: str, txn: tuple[str, int] | None
+) -> None:
+    """Quarantine write, idempotent under micro-batch replay: rows
+    land in a txn-keyed subdirectory (``txn=<app-hash>-<batch>``)
+    written with overwrite, so a replayed batch replaces its own
+    earlier quarantine output instead of appending duplicates.
+    Non-transactional callers get a unique subdir per call (append
+    semantics). The layout is uniformly partitioned-by-txn, so plain
+    ``spark.read.parquet(quarantine_path)`` sees one extra ``txn``
+    string column and never mixes flat files with partition dirs."""
+    import hashlib as _hashlib
+    import os as _os
+    import uuid as _uuid
+
+    if txn is None:
+        sub = f"txn=adhoc-{_uuid.uuid4().hex[:12]}"
+    else:
+        digest = _hashlib.md5(txn[0].encode()).hexdigest()[:12]
+        sub = f"txn={digest}-{int(txn[1])}"
+    df.write.mode("overwrite").parquet(_os.path.join(quarantine_path, sub))
+
+
 def process_bound_batch(
     spark: SparkSession,
     bound: DataFrame,
@@ -526,10 +575,16 @@ def process_bound_batch(
         )
         for m in metas
     ]
+    from pyspark.storagelevel import StorageLevel
+
     meta_df = spark.createDataFrame(meta_rows, meta_schema)
     joined = bound.join(
         F.broadcast(meta_df), ["tenant_id", "folder_id"], "left"
     )
+    # One pass over the (binary-content) batch: quarantine selection,
+    # the untrained count, and extraction all read `joined` — without
+    # the persist each re-executes the scan including full file bytes.
+    joined.persist(StorageLevel.MEMORY_AND_DISK)
 
     results = {
         "rows_written": 0,
@@ -539,54 +594,85 @@ def process_bound_batch(
         "committed_rel_paths": [],
     }
 
-    untrained = joined.filter(F.col("kpi_names").isNull())
-    if quarantine_path:
-        untrained.select(
+    try:
+        untrained = joined.filter(F.col("kpi_names").isNull())
+        untrained_q = untrained.select(
             "path",
             "rel_path",
             F.format_string(
                 "folder not trained: %s/%s", "tenant_id", "folder_id"
             ).alias("error"),
             F.current_timestamp().alias("quarantined_at"),
-        ).write.mode("append").parquet(quarantine_path)
-    results["files_untrained"] = untrained.count()
+        )
+        results["files_untrained"] = untrained.count()
+        if results["files_untrained"] and not quarantine_path:
+            # No quarantine sink configured: failing the batch beats
+            # silently discarding documents (the checkpoint would mark
+            # them processed and they would never be seen again).
+            raise RuntimeError(
+                f"{results['files_untrained']} file(s) for untrained "
+                "folders and no quarantine_path configured — refusing "
+                "to drop them"
+            )
 
-    trained = joined.filter(F.col("kpi_names").isNotNull())
-    extracted = extract_kpis_batch(trained, extractor)
-    extracted.persist()
-    try:
-        failed = extracted.filter(F.col("extract_error").isNotNull())
-        if quarantine_path:
-            failed.select(
+        trained = joined.filter(F.col("kpi_names").isNotNull())
+        extracted = extract_kpis_batch(trained, extractor)
+        extracted.persist()
+        try:
+            failed = extracted.filter(F.col("extract_error").isNotNull())
+            failed_q = failed.select(
                 "path",
                 "rel_path",
                 F.col("extract_error").alias("error"),
                 F.current_timestamp().alias("quarantined_at"),
-            ).write.mode("append").parquet(quarantine_path)
-        results["files_failed"] = failed.count()
+            )
+            results["files_failed"] = failed.count()
+            if results["files_failed"] and not quarantine_path:
+                raise RuntimeError(
+                    f"{results['files_failed']} file(s) failed extraction "
+                    "and no quarantine_path configured — refusing to "
+                    "drop them"
+                )
+            if quarantine_path and (
+                results["files_untrained"] or results["files_failed"]
+            ):
+                _write_quarantine(
+                    untrained_q.unionByName(failed_q), quarantine_path, txn
+                )
 
-        ok = extracted.filter(F.col("extract_error").isNull())
-        results["files_trained"] = results["files_failed"] + ok.count()
-        batch_pairs = {
-            (r["tenant_id"], r["folder_id"])
-            for r in ok.select("tenant_id", "folder_id").distinct().collect()
-        }
-        batch_metas = [
-            m for m in metas if (m["tenant_id"], m["folder_id"]) in batch_pairs
-        ]
-        if batch_metas:
-            typed = build_typed_rows_batch(ok, batch_metas)
-            typed.persist()
-            try:
-                committed = writers.append_rows(typed, fact_path, txn=txn)
-                results["rows_written"] = typed.count() if committed else 0
-            finally:
-                typed.unpersist()
-            results["committed_rel_paths"] = [
-                r["rel_path"] for r in ok.select("rel_path").collect()
+            ok = extracted.filter(F.col("extract_error").isNull())
+            results["files_trained"] = results["files_failed"] + ok.count()
+            batch_pairs = {
+                (r["tenant_id"], r["folder_id"])
+                for r in ok.select("tenant_id", "folder_id")
+                .distinct()
+                .collect()
+            }
+            batch_metas = [
+                m
+                for m in metas
+                if (m["tenant_id"], m["folder_id"]) in batch_pairs
             ]
+            if batch_metas:
+                typed = build_typed_rows_batch(ok, batch_metas)
+                typed = _align_to_existing_types(spark, typed, fact_path)
+                typed.persist()
+                try:
+                    committed = writers.append_rows(
+                        typed, fact_path, txn=txn
+                    )
+                    results["rows_written"] = (
+                        typed.count() if committed else 0
+                    )
+                finally:
+                    typed.unpersist()
+                results["committed_rel_paths"] = [
+                    r["rel_path"] for r in ok.select("rel_path").collect()
+                ]
+        finally:
+            extracted.unpersist()
     finally:
-        extracted.unpersist()
+        joined.unpersist()
     return results
 
 

@@ -257,18 +257,35 @@ def compact_fact_table(spark: SparkSession, path: str) -> int:
     return _publish_commit(path, files, base=True)
 
 
-def vacuum_fact_table(path: str) -> list[str]:
+def vacuum_fact_table(path: str, min_age_s: float = 3600.0) -> list[str]:
     """Delete data files not referenced by the CURRENT snapshot
     (orphans from crashed appends + pre-compaction generations).
     Time-travel reads older than the last ``base`` commit stop working
     — run only once no reader needs them (the retention trade every
-    log-structured table format has). Returns the deleted paths."""
+    log-structured table format has). Returns the deleted paths.
+
+    ``min_age_s`` is the in-flight-append guard (Delta's retention
+    check): ``append_rows`` moves data files into the layout BEFORE
+    publishing their commit, so an unreferenced file younger than the
+    grace window may belong to an append between its move and its
+    publish — deleting it would make that commit reference missing
+    files. Only pass 0 when no writer can be active."""
+    import time as _time
+
     live = set(committed_files(path) or [])
+    cutoff = _time.time() - min_age_s
     removed = []
     for rel in _list_parquet_files(path):
-        if rel not in live:
-            _os.unlink(_os.path.join(path, rel))
-            removed.append(rel)
+        if rel in live:
+            continue
+        full = _os.path.join(path, rel)
+        try:
+            if _os.path.getmtime(full) > cutoff:
+                continue  # possibly an in-flight append: leave it
+            _os.unlink(full)
+        except FileNotFoundError:
+            continue
+        removed.append(rel)
     return removed
 
 

@@ -12,10 +12,8 @@ engine itself is exercised in-grade, rows-only.
 
 from __future__ import annotations
 
-import os
 import pathlib
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +22,7 @@ from pyspark.sql import functions as F
 from pdf_etl_engine_spark.catalog import load_table, table_path
 from pdf_etl_engine_spark.functions.stable import fixed_avg, fixed_sum, stable_round
 from pdf_etl_engine_spark.registry import query
+from pdf_etl_engine_spark.scratch import scratch_dir
 
 
 @query(
@@ -127,13 +126,7 @@ def _stage_stream_source(sf_dir: str, table: str) -> str:
     (path + mtime + size) so regenerated testdata restages instead of
     silently reusing a stale copy."""
     src = table_path(sf_dir, table)
-    src_stat = os.stat(src)
-    stage = pathlib.Path(
-        tempfile.gettempdir(),
-        "spark_graft_stream",
-        f"{table}_{sf_dir.strip('/').replace('/', '_')}"
-        f"_{int(src_stat.st_mtime)}_{src_stat.st_size}",
-    )
+    stage = pathlib.Path(scratch_dir("spark_graft_stream", src))
     stage.mkdir(parents=True, exist_ok=True)
     staged = stage / f"{table}.parquet"
     if not staged.exists():

@@ -60,3 +60,14 @@ def test_accept_loop_extends_the_store(spark):
 def test_store_carries_no_text(spark):
     fp = I.fingerprints(_df(spark, CORPUS))
     assert set(fp.columns) == {"fp_id", "content_sha", "band_id", "band_sig"}
+
+
+def test_staged_store_matches_lazy_fingerprints(spark):
+    """The disk-staged store and the lazily-derived store hold the
+    same fingerprint rows for the same corpus."""
+    sf = "/root/testdata/sf0.001"
+    staged = I.staged_store(spark, sf)
+    corpus, _ = I._corpus_batch(spark, sf)
+    lazy = I.fingerprints(corpus)
+    assert staged.count() == lazy.count()
+    assert staged.exceptAll(lazy).count() == 0

@@ -186,8 +186,13 @@ def test_query_construction_schedules_no_job(spark):
     # warm the table cache first: cache fill is a legitimate job
     for t in ("embeddings", "documents", "lineitem", "events"):
         load_table(spark, SF_DIR, t)
+    # Known exemption (documented, not drift): x4f_ann_index_topk
+    # materializes its LSH index on first use and collects the probe's
+    # L bucket ids — a serving-path side effect its docstring declares.
     for name in ("x4e_ann_ivf_topk", "x4_cosine_topk", "t1_results_topk",
-                 "a2_groupby_pricing_summary"):
+                 "a2_groupby_pricing_summary",
+                 "x22_incremental_dedup_exact",
+                 "x22b_incremental_dedup_near"):
         group = f"build-probe-{name}"
         sc.setJobGroup(group, "plan construction probe")
         try:

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import pathlib
 
 from pyspark.sql import functions as F
 
@@ -190,7 +191,7 @@ def test_compaction_snapshot_and_vacuum(spark, tmp_path):
     ).count() == 4
 
     # ...until vacuum reclaims the old generation's files
-    removed = writers.vacuum_fact_table(path)
+    removed = writers.vacuum_fact_table(path, min_age_s=0)
     assert set(removed) == set(pre_files)
     assert writers.read_fact_table(spark, path).count() == 4
 
@@ -204,7 +205,7 @@ def test_vacuum_removes_crash_orphans(spark, tmp_path):
     src = os.path.join(path, committed[0])
     orphan = os.path.join(os.path.dirname(src), "corphan.parquet")
     shutil.copyfile(src, orphan)
-    removed = writers.vacuum_fact_table(path)
+    removed = writers.vacuum_fact_table(path, min_age_s=0)
     assert [os.path.basename(r) for r in removed] == ["corphan.parquet"]
     assert writers.read_fact_table(spark, path).count() == 3
 
@@ -231,6 +232,18 @@ def test_txn_marker_survives_compaction(spark, tmp_path):
     path = str(tmp_path / "facts")
     writers.append_rows(_fact_rows(spark, 3), path, txn=("app", 0))
     writers.compact_fact_table(spark, path)
-    writers.vacuum_fact_table(path)
+    writers.vacuum_fact_table(path, min_age_s=0)
     assert not writers.append_rows(_fact_rows(spark, 3), path, txn=("app", 0))
     assert writers.read_fact_table(spark, path).count() == 3
+
+
+def test_vacuum_grace_window_spares_recent_orphans(spark, tmp_path):
+    """An unreferenced file younger than min_age_s survives vacuum
+    (it may be an append between its move and its commit publish)."""
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path)
+    orphan = pathlib.Path(path) / "tenant_id=u1" / "folder_id=reports" / "corphan-part-0.parquet"
+    orphan.write_bytes(b"not-a-real-parquet")
+    assert writers.vacuum_fact_table(path) == []          # default grace
+    removed = writers.vacuum_fact_table(path, min_age_s=0)
+    assert removed == ["tenant_id=u1/folder_id=reports/corphan-part-0.parquet"]
