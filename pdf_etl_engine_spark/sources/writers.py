@@ -75,6 +75,8 @@ def _publish_commit(
     files: list[str],
     base: bool = False,
     txn: tuple[str, int] | None = None,
+    remove: list[str] | None = None,
+    stats: dict[str, dict] | None = None,
 ) -> int:
     """Atomically add the NEXT commit record and return its version.
 
@@ -84,6 +86,10 @@ def _publish_commit(
     readers discard all earlier commits (compaction publishes these).
     Readers see all of a commit's files or none of them. ``txn``
     stamps the commit with a writer identity — see ``txn_seen``.
+    ``remove`` lists files this commit drops from the snapshot
+    (copy-on-write DELETE/MERGE — the physical files stay on disk for
+    time travel until vacuum). ``stats`` maps each added file to its
+    column min/max (see ``_file_stats``) for data-skipping reads.
     """
     cdir = _os.path.join(path, _COMMITS_DIR)
     _os.makedirs(cdir, exist_ok=True)
@@ -91,6 +97,10 @@ def _publish_commit(
     rec: dict = {"files": files, "base": base}
     if txn is not None:
         rec["txn"] = [txn[0], int(txn[1])]
+    if remove:
+        rec["remove"] = sorted(remove)
+    if stats:
+        rec["stats"] = stats
     with open(tmp, "w") as fh:
         _json.dump(rec, fh)
     try:
@@ -141,7 +151,8 @@ def committed_files(path: str, version: int | None = None) -> list[str] | None:
     """Relative data-file paths named by the commit log — the table
     snapshot as of ``version`` (default: latest) — or None when the
     table has no log (legacy directory-listing table). A ``base``
-    commit resets the file set (compaction snapshot)."""
+    commit resets the file set (compaction snapshot); a ``remove``
+    list drops files from the snapshot (copy-on-write DELETE/MERGE)."""
     entries = _commit_entries(path)
     if entries is None:
         return None
@@ -155,8 +166,138 @@ def committed_files(path: str, version: int | None = None) -> list[str] | None:
         if rec.get("base"):
             files = list(rec.get("files", []))
         else:
+            dropped = set(rec.get("remove", ()))
+            if dropped:
+                files = [f for f in files if f not in dropped]
             files.extend(rec.get("files", []))
     return files
+
+
+def committed_file_stats(
+    path: str, version: int | None = None
+) -> dict[str, dict]:
+    """Per-file column min/max stats for the snapshot at ``version``
+    — the data-skipping index. Files whose commit predates stats
+    recording simply have no entry (readers keep them)."""
+    entries = _commit_entries(path) or []
+    cdir = _os.path.join(path, _COMMITS_DIR)
+    stats: dict[str, dict] = {}
+    for v, fn in entries:
+        if version is not None and v > version:
+            break
+        with open(_os.path.join(cdir, fn)) as fh:
+            rec = _json.load(fh)
+        if rec.get("base"):
+            stats = {}
+        for f in rec.get("remove", ()):
+            stats.pop(f, None)
+        stats.update(rec.get("stats", {}))
+    live = set(committed_files(path, version=version) or [])
+    return {f: s for f, s in stats.items() if f in live}
+
+
+def _norm_stat(v):
+    """JSON-storable, order-preserving normal form for a parquet
+    min/max value. None ⇒ the value can't participate in pruning
+    (readers keep the file)."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None  # booleans: not worth a skipping index
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()  # ISO-8601 sorts lexicographically
+    return None
+
+
+def _file_stats(full_path: str) -> dict[str, list]:
+    """``{column: [min, max]}`` from the parquet footer — the
+    file-level skipping index every table format carries (Delta
+    ``stats``, Iceberg manifests). Folded across row groups; a column
+    missing stats in ANY row group is omitted (no false pruning).
+    Nested fields are skipped; NULLs don't bound min/max, so an
+    all-null column is simply absent (file always kept)."""
+    try:
+        import pyarrow.parquet as _pq
+
+        md = _pq.ParquetFile(full_path).metadata
+    except Exception:  # noqa: BLE001 — unreadable footer: no index
+        return {}
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in bad:
+                continue
+            st = col.statistics
+            lo = _norm_stat(st.min) if st is not None and st.has_min_max else None
+            hi = _norm_stat(st.max) if st is not None and st.has_min_max else None
+            if lo is None or hi is None:
+                bad.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
+def _stats_for(path: str, files: list[str]) -> dict[str, dict]:
+    return {f: _file_stats(_os.path.join(path, f)) for f in files}
+
+
+def _may_match(stats: dict[str, list], predicates) -> bool:
+    """False only when the file's min/max PROVE no row satisfies every
+    predicate (conjunction). Missing stats / incomparable types ⇒
+    True. Predicates: ``(column, op, value)`` with op in
+    ``== >= > <= <``; NULL never matches any of these ops (SQL), so
+    min/max (which ignore nulls) are sound bounds."""
+    for col, op, val in predicates:
+        s = stats.get(col)
+        if s is None:
+            continue
+        lo, hi = s
+        val = _norm_stat(val) if not isinstance(val, (int, float, str)) else val
+        if val is None:
+            continue
+        try:
+            if op == "==" and (val < lo or val > hi):
+                return False
+            if op == ">=" and hi < val:
+                return False
+            if op == ">" and hi <= val:
+                return False
+            if op == "<=" and lo > val:
+                return False
+            if op == "<" and lo >= val:
+                return False
+        except TypeError:
+            continue  # cross-type compare: can't prove, keep the file
+    return True
+
+
+def pruned_files(
+    path: str, predicates, version: int | None = None
+) -> list[str] | None:
+    """Snapshot file list after data skipping: drop every file whose
+    stats prove it can't contain a matching row. The pruning is
+    advisory-safe — the caller still applies the real filter; skipping
+    only removes scan work, never changes results."""
+    files = committed_files(path, version=version)
+    if files is None:
+        return None
+    stats = committed_file_stats(path, version=version)
+    return [f for f in files if _may_match(stats.get(f, {}), predicates)]
 
 
 def create_fact_table(
@@ -200,14 +341,158 @@ def append_rows(
     """
     if txn is not None and txn_seen(path, txn[0], txn[1]):
         return False
-    # Bootstrap: a legacy table (files but no log) gets its existing
-    # files recorded first so they stay visible under log-based reads.
+    _bootstrap_log(path)
+    moved = _stage_files(df, path)
+    _publish_commit(path, moved, txn=txn, stats=_stats_for(path, moved))
+    return True
+
+
+def _bootstrap_log(path: str) -> None:
+    """A legacy table (files but no log) gets its existing files
+    recorded first so they stay visible under log-based reads."""
     existing = _list_parquet_files(path)
     if existing and committed_files(path) is None:
-        _publish_commit(path, existing)
-    moved = _stage_files(df, path)
-    _publish_commit(path, moved, txn=txn)
-    return True
+        _publish_commit(path, existing, stats=_stats_for(path, existing))
+
+
+def _rel_of_uri(path: str, uri: str) -> str:
+    """`input_file_name()` URI → commit-log-relative path."""
+    from urllib.parse import unquote, urlparse
+
+    return _os.path.relpath(unquote(urlparse(uri).path), _os.path.abspath(path))
+
+
+def delete_rows(spark: SparkSession, path: str, condition: str) -> int:
+    """Copy-on-write DELETE (Delta/Iceberg `DELETE FROM ... WHERE`):
+    rewrite ONLY the files holding matching rows — with those rows
+    filtered out — and publish one commit that atomically swaps the
+    old files for the new (add + remove). Untouched files aren't
+    rewritten; readers never see a half-deleted state; earlier
+    versions stay time-travel-readable until vacuum. This is the
+    GDPR / right-to-be-forgotten primitive a 100 TB corpus table
+    needs: cost scales with the files CONTAINING the rows (further
+    narrowed by partition + stats pruning at the identification
+    scan), not with table size. Rows where ``condition`` is NULL are
+    kept (SQL DELETE semantics). Returns the number of rows deleted.
+    """
+    _bootstrap_log(path)
+    cond = F.expr(condition)
+    cur = read_fact_table(spark, path).withColumn(
+        "_src_file", F.input_file_name()
+    )
+    hits = [
+        r["_src_file"]
+        for r in cur.filter(cond).select("_src_file").distinct().collect()
+    ]
+    if not hits:
+        return 0
+    affected = cur.filter(F.col("_src_file").isin(hits))
+    n_deleted = affected.filter(cond).count()
+    survivors = affected.filter(
+        ~F.coalesce(cond, F.lit(False))
+    ).drop("_src_file")
+    staged = _stage_files(survivors, path)
+    _publish_commit(
+        path,
+        staged,
+        remove=[_rel_of_uri(path, u) for u in hits],
+        stats=_stats_for(path, staged),
+    )
+    return n_deleted
+
+
+def merge_rows(
+    spark: SparkSession, path: str, source: DataFrame, keys: list[str]
+) -> int:
+    """Copy-on-write MERGE (upsert): every table row whose ``keys``
+    match a source row is replaced by that source row; source rows
+    with unseen keys are inserted. Only files containing matched keys
+    are rewritten; the swap is one atomic commit (add + remove). New
+    source columns evolve the schema add-only (older rows read NULL),
+    matching the table's append evolution. The reference's re-train →
+    re-extract flow (main.py:497-503 + re-ingest) silently double
+    -inserts on BigQuery; an upsert keyed on (tenant_id, folder_id,
+    rel_path) is the correct replay semantics at scale. ``source``
+    must be key-unique (standard MERGE precondition — enforced here
+    because a violating merge would corrupt the table nondeterministically).
+    Returns the published table version."""
+    _bootstrap_log(path)
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
+    if dup.limit(1).count():
+        raise ValueError(f"merge source has duplicate keys on {keys}")
+    if not (committed_files(path) or []):
+        staged = _stage_files(source, path)
+        return _publish_commit(path, staged, stats=_stats_for(path, staged))
+    cur = read_fact_table(spark, path).withColumn(
+        "_src_file", F.input_file_name()
+    )
+    kd = source.select(*keys).distinct()
+    hits = [
+        r["_src_file"]
+        for r in cur.join(kd, keys, "left_semi")
+        .select("_src_file")
+        .distinct()
+        .collect()
+    ]
+    survivors = None
+    if hits:
+        survivors = (
+            cur.filter(F.col("_src_file").isin(hits))
+            .join(kd, keys, "left_anti")
+            .drop("_src_file")
+        )
+    out = (
+        source
+        if survivors is None
+        else survivors.unionByName(source, allowMissingColumns=True)
+    )
+    staged = _stage_files(out, path)
+    return _publish_commit(
+        path,
+        staged,
+        remove=[_rel_of_uri(path, u) for u in hits],
+        stats=_stats_for(path, staged),
+    )
+
+
+def read_changes(
+    spark: SparkSession, path: str, since_version: int
+) -> DataFrame:
+    """Change feed (Delta CDF-lite): the rows ADDED by every commit
+    after ``since_version``, tagged ``_commit_version`` — what an
+    incremental downstream pipeline (tokenize-only-new-docs) consumes
+    instead of re-scanning 100 TB. ``base`` commits are skipped
+    (compaction rewrites, it doesn't change rows). Honest limits: a
+    merge/delete commit's added files carry post-image rows including
+    rewritten survivors (no pre-images / per-row change types — that
+    needs a real format's row tracking), and the feed for a version
+    range is readable until vacuum reclaims a removed file in it."""
+    entries = _commit_entries(path) or []
+    cdir = _os.path.join(path, _COMMITS_DIR)
+    parts = []
+    for v, fn in entries:
+        if v <= since_version:
+            continue
+        with open(_os.path.join(cdir, fn)) as fh:
+            rec = _json.load(fh)
+        if rec.get("base") or not rec.get("files"):
+            continue
+        parts.append(
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", path)
+            .parquet(*[_os.path.join(path, f) for f in rec["files"]])
+            .withColumn("_commit_version", F.lit(v))
+        )
+    if not parts:
+        return (
+            read_fact_table(spark, path)
+            .withColumn("_commit_version", F.lit(0))
+            .limit(0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def _stage_files(df: DataFrame, path: str) -> list[str]:
@@ -254,7 +539,7 @@ def compact_fact_table(spark: SparkSession, path: str) -> int:
     else:
         current = current.coalesce(1)
     files = _stage_files(current, path)
-    return _publish_commit(path, files, base=True)
+    return _publish_commit(path, files, base=True, stats=_stats_for(path, files))
 
 
 def vacuum_fact_table(path: str, min_age_s: float = 3600.0) -> list[str]:
@@ -290,7 +575,10 @@ def vacuum_fact_table(path: str, min_age_s: float = 3600.0) -> list[str]:
 
 
 def read_fact_table(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """Read with schema union across file generations (S5 read side):
     rows written before a column existed read NULL for it.
@@ -302,10 +590,31 @@ def read_fact_table(
     without a log (or written by other tools) fall back to directory
     listing; `_schema.json`, `_commits/` and `_staging-*/` (underscore
     prefixes) are invisible to the parquet reader by Hadoop's
-    hidden-path convention."""
+    hidden-path convention.
+
+    ``prune`` is a conjunction of ``(column, op, value)`` bounds the
+    CALLER also applies as a real filter; here it only drops files
+    whose footer stats prove emptiness (data skipping). At 100 TB this
+    is the scan lever after partition pruning — a time-range query
+    over an append-ordered table touches the few files whose min/max
+    overlap it, regardless of partitioning."""
     files = committed_files(path, version=version)
     if files is None:
         return spark.read.option("mergeSchema", "true").parquet(path)
+    if prune and files:
+        stats = committed_file_stats(path, version=version)
+        kept = [f for f in files if _may_match(stats.get(f, {}), prune)]
+        if kept:
+            files = kept
+        else:
+            # provably-empty result: serve the snapshot schema without
+            # scanning data (one file read at planning, zero rows)
+            one = (
+                spark.read.option("mergeSchema", "true")
+                .option("basePath", path)
+                .parquet(*[_os.path.join(path, f) for f in files])
+            )
+            return one.limit(0)
     if not files:
         schema = _read_sidecar_schema(path)
         if schema is not None:

@@ -237,6 +237,208 @@ def test_txn_marker_survives_compaction(spark, tmp_path):
     assert writers.read_fact_table(spark, path).count() == 3
 
 
+def test_delete_rows_copy_on_write(spark, tmp_path):
+    """DELETE rewrites only the files holding matching rows; the swap
+    is one commit; prior versions stay readable (time travel)."""
+    path = str(tmp_path / "facts")
+    # one file per append so "affected" is exactly the reports file
+    writers.append_rows(_fact_rows(spark, 3).coalesce(1), path)  # reports
+    reports_files = set(writers.committed_files(path))
+    writers.append_rows(
+        _fact_rows(spark, 3, folder="other").coalesce(1), path
+    )
+    other_files = set(writers.committed_files(path)) - reports_files
+    v_before = writers.table_version(path)
+
+    n = writers.delete_rows(
+        spark, path, "amount >= 1.0 AND folder_id = 'reports'"
+    )
+    assert n == 2
+    df = writers.read_fact_table(spark, path)
+    assert df.count() == 4
+    left = df.filter(F.col("folder_id") == "reports").collect()
+    assert [r["amount"] for r in left] == [0.0]
+
+    # untouched files were NOT rewritten; affected files left the snapshot
+    now = set(writers.committed_files(path))
+    assert other_files <= now
+    assert not (reports_files & now)
+    # ...but remain on disk for time travel until vacuum
+    assert writers.read_fact_table(spark, path, version=v_before).count() == 6
+
+
+def test_delete_no_match_publishes_nothing(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path)
+    v = writers.table_version(path)
+    assert writers.delete_rows(spark, path, "amount > 100.0") == 0
+    assert writers.table_version(path) == v
+
+
+def test_delete_null_condition_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: a NULL condition does not delete."""
+    path = str(tmp_path / "facts")
+    rows = spark.createDataFrame(
+        [("u1", "reports", "a", 1.0), ("u1", "reports", "b", None)],
+        "tenant_id string, folder_id string, row_id string, amount double",
+    )
+    writers.append_rows(rows, path)
+    assert writers.delete_rows(spark, path, "amount >= 1.0") == 1
+    left = writers.read_fact_table(spark, path).collect()
+    assert [r["row_id"] for r in left] == ["b"]
+
+
+def test_merge_upsert_and_insert(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path)
+    src = spark.createDataFrame(
+        [("u1", "reports", "row_1", 99.0), ("u1", "reports", "row_9", 9.0)],
+        "tenant_id string, folder_id string, row_id string, amount double",
+    )
+    writers.merge_rows(spark, path, src, ["tenant_id", "folder_id", "row_id"])
+    got = {
+        r["row_id"]: r["amount"]
+        for r in writers.read_fact_table(spark, path).collect()
+    }
+    assert got == {"row_0": 0.0, "row_1": 99.0, "row_2": 2.0, "row_9": 9.0}
+
+
+def test_merge_evolves_schema_add_only(spark, tmp_path):
+    """A merge source with a NEW column evolves the table add-only:
+    pre-existing rows read NULL for it (S5 semantics)."""
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 2), path)
+    src = spark.createDataFrame(
+        [("u1", "reports", "row_1", 5.0, "hello")],
+        "tenant_id string, folder_id string, row_id string, "
+        "amount double, note string",
+    )
+    writers.merge_rows(spark, path, src, ["tenant_id", "folder_id", "row_id"])
+    got = {
+        r["row_id"]: (r["amount"], r["note"])
+        for r in writers.read_fact_table(spark, path).collect()
+    }
+    assert got == {"row_0": (0.0, None), "row_1": (5.0, "hello")}
+
+
+def test_merge_duplicate_source_keys_rejected(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 1), path)
+    src = _fact_rows(spark, 2).withColumn("row_id", F.lit("same"))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        writers.merge_rows(
+            spark, path, src, ["tenant_id", "folder_id", "row_id"]
+        )
+
+
+def test_merge_into_empty_table_inserts(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 0), path)  # log exists, no rows
+    writers.merge_rows(
+        spark, path, _fact_rows(spark, 2),
+        ["tenant_id", "folder_id", "row_id"],
+    )
+    assert writers.read_fact_table(spark, path).count() == 2
+
+
+def test_stats_pruning_skips_files(spark, tmp_path):
+    """Appends with disjoint value ranges: a bounded read must prune
+    to exactly the overlapping files, and the pruned read + real
+    filter must equal the full read + real filter."""
+    path = str(tmp_path / "facts")
+
+    def _rows(lo):
+        return spark.createDataFrame(
+            [("u1", "reports", f"r{lo + i}", float(lo + i)) for i in range(3)],
+            "tenant_id string, folder_id string, row_id string, amount double",
+        )
+
+    writers.append_rows(_rows(0), path)             # amounts 0..2
+    low_files = set(writers.committed_files(path))
+    writers.append_rows(_rows(100), path)           # amounts 100..102
+    high_files = set(writers.committed_files(path)) - low_files
+
+    pruned = writers.pruned_files(path, [("amount", ">=", 100.0)])
+    assert set(pruned) == high_files
+    pruned = writers.pruned_files(path, [("amount", "<", 3.0)])
+    assert set(pruned) == low_files
+    # conjunction across columns; string stats participate too
+    pruned = writers.pruned_files(
+        path, [("amount", ">=", 100.0), ("row_id", "<=", "r0")]
+    )
+    assert pruned == []
+
+    full = writers.read_fact_table(spark, path).filter(
+        F.col("amount") >= 100.0
+    )
+    skipped = writers.read_fact_table(
+        spark, path, prune=[("amount", ">=", 100.0)]
+    ).filter(F.col("amount") >= 100.0)
+    assert sorted(map(tuple, skipped.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    # provably-empty: zero rows, schema intact, nothing scanned
+    empty = writers.read_fact_table(
+        spark, path, prune=[("amount", ">", 1e6)]
+    )
+    assert empty.count() == 0
+    assert set(empty.columns) == {"tenant_id", "folder_id", "row_id", "amount"}
+
+
+def test_prune_without_stats_keeps_files(spark, tmp_path):
+    """Files whose commit predates stats (or columns without stats)
+    are never pruned — skipping must stay advisory-safe."""
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path)
+    # strip the stats from every commit record (pre-stats layout)
+    import json
+    cdir = pathlib.Path(path) / "_commits"
+    for f in cdir.glob("*.json"):
+        rec = json.loads(f.read_text())
+        rec.pop("stats", None)
+        f.write_text(json.dumps(rec))
+    assert set(writers.pruned_files(path, [("amount", ">", 1e6)])) == set(
+        writers.committed_files(path)
+    )
+    # unknown column: kept as well
+    writers.append_rows(_fact_rows(spark, 1, folder="other"), path)
+    assert set(writers.pruned_files(path, [("nope", "==", 1)])) == set(
+        writers.committed_files(path)
+    )
+
+
+def test_read_changes_incremental_feed(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 2), path)
+    v0 = writers.table_version(path)
+    writers.append_rows(_fact_rows(spark, 3, folder="other"), path)
+    v1 = writers.table_version(path)
+
+    ch = writers.read_changes(spark, path, since_version=v0)
+    rows = ch.collect()
+    assert len(rows) == 3
+    assert all(r["folder_id"] == "other" for r in rows)
+    assert all(r["_commit_version"] == v1 for r in rows)
+    assert writers.read_changes(spark, path, since_version=v1).count() == 0
+    # compaction adds no logical changes
+    writers.compact_fact_table(spark, path)
+    assert writers.read_changes(spark, path, since_version=v1).count() == 0
+
+
+def test_vacuum_reclaims_deleted_files(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.create_fact_table(spark, path, _fact_rows(spark, 1).schema)
+    writers.append_rows(_fact_rows(spark, 3), path)
+    pre = set(writers.committed_files(path))
+    writers.delete_rows(spark, path, "amount >= 0.0")  # delete all
+    removed = set(writers.vacuum_fact_table(path, min_age_s=0))
+    assert pre <= removed
+    assert writers.read_fact_table(spark, path).count() == 0
+
+
 def test_vacuum_grace_window_spares_recent_orphans(spark, tmp_path):
     """An unreferenced file younger than min_age_s survives vacuum
     (it may be an append between its move and its commit publish)."""
