@@ -77,6 +77,7 @@ def _publish_commit(
     txn: tuple[str, int] | None = None,
     remove: list[str] | None = None,
     stats: dict[str, dict] | None = None,
+    bloom: dict[str, dict] | None = None,
 ) -> int:
     """Atomically add the NEXT commit record and return its version.
 
@@ -89,7 +90,8 @@ def _publish_commit(
     ``remove`` lists files this commit drops from the snapshot
     (copy-on-write DELETE/MERGE — the physical files stay on disk for
     time travel until vacuum). ``stats`` maps each added file to its
-    column min/max (see ``_file_stats``) for data-skipping reads.
+    column min/max (see ``_file_stats``) and ``bloom`` to per-column
+    Bloom filters (see ``_file_blooms``) for data-skipping reads.
     """
     cdir = _os.path.join(path, _COMMITS_DIR)
     _os.makedirs(cdir, exist_ok=True)
@@ -101,6 +103,8 @@ def _publish_commit(
         rec["remove"] = sorted(remove)
     if stats:
         rec["stats"] = stats
+    if bloom:
+        rec["bloom"] = bloom
     with open(tmp, "w") as fh:
         _json.dump(rec, fh)
     try:
@@ -173,27 +177,44 @@ def committed_files(path: str, version: int | None = None) -> list[str] | None:
     return files
 
 
-def committed_file_stats(
-    path: str, version: int | None = None
+def _committed_index(
+    path: str, key: str, version: int | None = None
 ) -> dict[str, dict]:
-    """Per-file column min/max stats for the snapshot at ``version``
-    — the data-skipping index. Files whose commit predates stats
-    recording simply have no entry (readers keep them)."""
+    """Fold a per-file index (``stats`` or ``bloom``) across the
+    commit log up to ``version``, restricted to the live snapshot."""
     entries = _commit_entries(path) or []
     cdir = _os.path.join(path, _COMMITS_DIR)
-    stats: dict[str, dict] = {}
+    idx: dict[str, dict] = {}
     for v, fn in entries:
         if version is not None and v > version:
             break
         with open(_os.path.join(cdir, fn)) as fh:
             rec = _json.load(fh)
         if rec.get("base"):
-            stats = {}
+            idx = {}
         for f in rec.get("remove", ()):
-            stats.pop(f, None)
-        stats.update(rec.get("stats", {}))
+            idx.pop(f, None)
+        idx.update(rec.get(key, {}))
     live = set(committed_files(path, version=version) or [])
-    return {f: s for f, s in stats.items() if f in live}
+    return {f: s for f, s in idx.items() if f in live}
+
+
+def committed_file_stats(
+    path: str, version: int | None = None
+) -> dict[str, dict]:
+    """Per-file column min/max stats for the snapshot at ``version``
+    — the data-skipping index. Files whose commit predates stats
+    recording simply have no entry (readers keep them)."""
+    return _committed_index(path, "stats", version=version)
+
+
+def committed_file_blooms(
+    path: str, version: int | None = None
+) -> dict[str, dict]:
+    """Per-file per-column Bloom filters for the snapshot at
+    ``version`` — the point-lookup skipping index (see
+    ``set_bloom_columns``)."""
+    return _committed_index(path, "bloom", version=version)
 
 
 def _norm_stat(v):
@@ -256,6 +277,145 @@ def _stats_for(path: str, files: list[str]) -> dict[str, dict]:
     return {f: _file_stats(_os.path.join(path, f)) for f in files}
 
 
+_PROPS_FILE = "_props.json"
+_BLOOM_K = 7  # ~1% FPR at 10 bits/key
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_MAX_BITS = 1 << 20  # 128 KiB cap per column per file
+
+
+def table_properties(path: str) -> dict:
+    """Durable table-level properties (Delta's TBLPROPERTIES)."""
+    try:
+        with open(_os.path.join(path, _PROPS_FILE)) as fh:
+            return _json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def set_table_property(path: str, key: str, value) -> None:
+    """Atomically upsert one table property."""
+    _os.makedirs(path, exist_ok=True)
+    props = table_properties(path)
+    props[key] = value
+    tmp = _os.path.join(path, f".{_PROPS_FILE}.{_uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        _json.dump(props, fh)
+    _os.replace(tmp, _os.path.join(path, _PROPS_FILE))
+
+
+def set_bloom_columns(path: str, cols: list[str]) -> None:
+    """Declare the columns every FUTURE commit indexes with a per-file
+    Bloom filter (Delta's ``delta.bloomFilter.*`` per-column property).
+    Min/max stats prune range queries over clustered data but are
+    useless for point lookups on high-cardinality keys whose ranges
+    overlap across files (a uuid ``row_id`` spans the whole keyspace
+    in every file). A Bloom filter answers "might this file contain
+    key = v?" with no false negatives, so an equality probe on a
+    100 TB table touches ~1 file instead of all of them. Existing
+    files are back-filled lazily by rewrites (compaction/merge)."""
+    set_table_property(path, "bloom_cols", sorted(set(cols)))
+
+
+def _bloom_key(v) -> bytes | None:
+    """Canonical byte key for a bloom member/probe — MUST normalize
+    identically on the write and query side, else a probe could miss
+    a present key and wrongly prune (integral floats fold to int so
+    ``100`` and ``100.0`` agree). None ⇒ value can't participate."""
+    v = _norm_stat(v)
+    if v is None:
+        return None
+    if isinstance(v, float) and v.is_integer():
+        v = int(v)
+    return repr(v).encode()
+
+
+def _bloom_positions(key: bytes, m: int, k: int) -> list[int]:
+    import hashlib as _hashlib
+
+    d = _hashlib.blake2b(key, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _file_blooms(full_path: str, cols: list[str]) -> dict[str, dict]:
+    """``{column: {m, k, b64}}`` Bloom filters over the file's values
+    for the declared columns. Sized at ~10 bits per distinct key
+    (≈1% false positives); a column whose values can't be canonically
+    keyed is skipped (file never pruned on it). Real formats store
+    these in sidecar index files, not the log — same information."""
+    import base64 as _base64
+
+    try:
+        import pyarrow.parquet as _pq
+
+        pf = _pq.ParquetFile(full_path)
+        want = [c for c in cols if c in pf.schema_arrow.names]
+        if not want:
+            return {}
+        tbl = pf.read(columns=want)
+    except Exception:  # noqa: BLE001 — unreadable file: no index
+        return {}
+    out: dict[str, dict] = {}
+    for c in want:
+        keys: set[bytes] = set()
+        for v in tbl.column(c).to_pylist():
+            if v is None:
+                continue
+            kb = _bloom_key(v)
+            if kb is None:
+                keys = set()
+                break
+            keys.add(kb)
+        if not keys:
+            continue
+        m = min(_BLOOM_MAX_BITS, max(64, _BLOOM_BITS_PER_KEY * len(keys)))
+        bits = bytearray((m + 7) // 8)
+        for kb in keys:
+            for pos in _bloom_positions(kb, m, _BLOOM_K):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        out[c] = {
+            "m": m,
+            "k": _BLOOM_K,
+            "b64": _base64.b64encode(bytes(bits)).decode(),
+        }
+    return out
+
+
+def _blooms_for(path: str, files: list[str]) -> dict[str, dict]:
+    cols = table_properties(path).get("bloom_cols") or []
+    if not cols:
+        return {}
+    out = {}
+    for f in files:
+        bf = _file_blooms(_os.path.join(path, f), cols)
+        if bf:
+            out[f] = bf
+    return out
+
+
+def _bloom_may_match(blooms: dict[str, dict], predicates) -> bool:
+    """False only when a Bloom filter PROVES an equality predicate's
+    key is absent from the file. Non-equality ops, unindexed columns,
+    and un-keyable values always pass."""
+    import base64 as _base64
+
+    for col, op, val in predicates:
+        if op != "==" or col not in blooms:
+            continue
+        kb = _bloom_key(val)
+        if kb is None:
+            continue
+        bf = blooms[col]
+        bits = _base64.b64decode(bf["b64"])
+        if not all(
+            bits[p >> 3] & (1 << (p & 7))
+            for p in _bloom_positions(kb, bf["m"], bf["k"])
+        ):
+            return False
+    return True
+
+
 def _may_match(stats: dict[str, list], predicates) -> bool:
     """False only when the file's min/max PROVE no row satisfies every
     predicate (conjunction). Missing stats / incomparable types ⇒
@@ -297,7 +457,13 @@ def pruned_files(
     if files is None:
         return None
     stats = committed_file_stats(path, version=version)
-    return [f for f in files if _may_match(stats.get(f, {}), predicates)]
+    blooms = committed_file_blooms(path, version=version)
+    return [
+        f
+        for f in files
+        if _may_match(stats.get(f, {}), predicates)
+        and _bloom_may_match(blooms.get(f, {}), predicates)
+    ]
 
 
 def create_fact_table(
@@ -343,7 +509,13 @@ def append_rows(
         return False
     _bootstrap_log(path)
     moved = _stage_files(df, path)
-    _publish_commit(path, moved, txn=txn, stats=_stats_for(path, moved))
+    _publish_commit(
+        path,
+        moved,
+        txn=txn,
+        stats=_stats_for(path, moved),
+        bloom=_blooms_for(path, moved),
+    )
     return True
 
 
@@ -397,6 +569,7 @@ def delete_rows(spark: SparkSession, path: str, condition: str) -> int:
         staged,
         remove=[_rel_of_uri(path, u) for u in hits],
         stats=_stats_for(path, staged),
+        bloom=_blooms_for(path, staged),
     )
     return n_deleted
 
@@ -422,7 +595,12 @@ def merge_rows(
         raise ValueError(f"merge source has duplicate keys on {keys}")
     if not (committed_files(path) or []):
         staged = _stage_files(source, path)
-        return _publish_commit(path, staged, stats=_stats_for(path, staged))
+        return _publish_commit(
+            path,
+            staged,
+            stats=_stats_for(path, staged),
+            bloom=_blooms_for(path, staged),
+        )
     cur = read_fact_table(spark, path).withColumn(
         "_src_file", F.input_file_name()
     )
@@ -452,6 +630,7 @@ def merge_rows(
         staged,
         remove=[_rel_of_uri(path, u) for u in hits],
         stats=_stats_for(path, staged),
+        bloom=_blooms_for(path, staged),
     )
 
 
@@ -603,7 +782,13 @@ def read_fact_table(
         return spark.read.option("mergeSchema", "true").parquet(path)
     if prune and files:
         stats = committed_file_stats(path, version=version)
-        kept = [f for f in files if _may_match(stats.get(f, {}), prune)]
+        blooms = committed_file_blooms(path, version=version)
+        kept = [
+            f
+            for f in files
+            if _may_match(stats.get(f, {}), prune)
+            and _bloom_may_match(blooms.get(f, {}), prune)
+        ]
         if kept:
             files = kept
         else:
