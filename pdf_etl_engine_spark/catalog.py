@@ -52,14 +52,16 @@ _NANOS_TS_EXPR = (
 # files and re-reads parquet footers — ~100-300 ms of driver-side
 # planning that dominates sub-second queries. The logical plan is
 # immutable, so one DataFrame per (session, sf_dir, table) is safe to
-# reuse across queries.
-_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# reuse across queries. Keyed by applicationId, not id(spark): a
+# stopped session's address can be reused by a fresh one, which would
+# alias stale DataFrames bound to a dead SparkContext.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing exotic physical types.
     Cached per (session, sf_dir, table)."""
-    key = (id(spark), sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _DF_CACHE.get(key)
     if df is not None:
         return df

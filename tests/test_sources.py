@@ -449,3 +449,18 @@ def test_vacuum_grace_window_spares_recent_orphans(spark, tmp_path):
     assert writers.vacuum_fact_table(path) == []          # default grace
     removed = writers.vacuum_fact_table(path, min_age_s=0)
     assert removed == ["tenant_id=u1/folder_id=reports/corphan-part-0.parquet"]
+
+
+def test_df_cache_keyed_by_application_id(spark, sf_dir):
+    """The table cache must key sessions by applicationId, not id():
+    a stopped session's Python object address can be reused by a new
+    SparkSession, which would alias DataFrames bound to a dead
+    SparkContext. applicationId is unique per SparkContext launch."""
+    from pdf_etl_engine_spark import catalog
+
+    load_table(spark, sf_dir, "region")
+    app_id = spark.sparkContext.applicationId
+    keys = [k for k in catalog._DF_CACHE if k[1] == sf_dir and k[2] == "region"]
+    assert keys, "load_table did not populate the cache"
+    assert all(k[0] == app_id for k in keys)
+    assert all(isinstance(k[0], str) for k in catalog._DF_CACHE)
