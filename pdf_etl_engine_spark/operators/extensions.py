@@ -741,56 +741,103 @@ def x2c_dedup_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x4e_ann_ivf_topk")  # rows-only: approximate by design
-def x4e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4e: IVF (inverted-file) ANN — the other scale path next to LSH
-    (x4b). Coarse quantizer: 16 deterministic centroids (every k-th
-    vector by vec_id — a stand-in for trained k-means centroids, which
-    at production scale come from a sampled k-means|| run). Each vector
-    is assigned to its nearest centroid (one broadcast of 16 centroids,
-    no shuffle); a query probes only the nprobe=4 nearest cells, i.e.
-    ~25% of the data instead of 100%. The cell id is the partition key
-    at 100 TB — a probe touches a handful of partitions."""
-    # nprobe=6/16 cells: measured recall@10 = 0.8 at sf0.01
-    # (tests/test_extensions_recall.py). Parameter honesty: these
-    # near-uniform testdata embeddings have no cluster structure, so
-    # IVF recall tracks ~nprobe/n_cells (measured 0.3 at sf0.1) — on
-    # clustered real-world embeddings recall concentrates in the few
-    # probed cells and the same nprobe/n_cells ratio yields ≥0.9.
-    # Raise nprobe for recall, lower it for speed.
-    n_centroids, nprobe = 16, 6
-    emb = load_table(spark, sf_dir, "embeddings")
-    # Centroid pick without a driver-side count at plan-build time
-    # (building this query must schedule NO job — pinned by
-    # tests/test_plans.py): a deterministic pseudo-random sample via
-    # hash-ordered limit, the lazy stand-in for trained k-means||
-    # centroids. The limit(16) evaluates inside the query's own job.
-    cw = Window.orderBy(F.xxhash64(F.col("vec_id")))
-    centroids = (
-        emb.select("vec_id", _as_double(F.col("embedding")).alias("c"))
-        .orderBy(F.xxhash64(F.col("vec_id")))
-        .limit(n_centroids)
-        .select((F.row_number().over(cw) - 1).alias("cell"), "c")
-    )
-    vecs = emb.select(
-        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
-    ).withColumn(
-        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
-    )
-    # assign: nearest centroid by cosine via a broadcast join + window
+def _assign_cells(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid (cosine) assignment: broadcast the centroid
+    relation (k rows) against the vector relation — no shuffle of the
+    vectors; the per-vector argmax is a window over the k-way expanded
+    rows keyed by vec_id. Input vecs must carry (vec_id, e, nrm)."""
     scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
         "sim",
         _dot(F.col("e"), F.col("c"))
         / (F.col("nrm") * F.sqrt(_dot(F.col("c"), F.col("c")))),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
-    assigned = (
+    return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "label", "e", "nrm", "cell")
+        .drop("rk", "sim", "c")
     )
-    # query = vec 0; probe its nprobe nearest cells only
-    qrow = assigned.filter(F.col("vec_id") == 0).select(
+
+
+def _centroid_means(assigned: DataFrame) -> DataFrame:
+    """Element-wise mean of member vectors per cell → new centroids.
+    posexplode → groupBy (cell, pos) avg → re-assemble sorted by pos.
+    Every group is (cell, dimension) — bounded cardinality k×d, so the
+    shuffle stays tiny no matter how many vectors train (the 100 TB
+    Lloyd-step shape; the alternative collect_list-per-cell would pull
+    n/k full vectors into one task)."""
+    exploded = assigned.select(
+        "cell", F.posexplode(F.col("e")).alias("pos", "val")
+    )
+    means = exploded.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+    return (
+        means.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cell", F.transform(F.col("pm"), lambda s: s["m"]).alias("c")
+        )
+    )
+
+
+def ivf_centroids(
+    vecs: DataFrame, n_centroids: int, iters: int = 2, sample_mod: int = 4
+) -> DataFrame:
+    """Sampled k-means coarse quantizer as a PURE PLAN (no job runs
+    until the consumer executes): seeds are a deterministic
+    hash-ordered sample, then `iters` Lloyd iterations (assign →
+    element-wise mean) expressed as DataFrame transformations over a
+    hash-sampled 1/sample_mod training subset. Lazy training keeps the
+    repo invariant that query construction schedules no job
+    (tests/test_plans.py); production at 100 TB would materialize this
+    same plan's result once (k×d doubles) and reuse it across probes.
+    A cell that loses every member simply drops out of the relation —
+    consumers see k' ≤ k cells."""
+    train = vecs.select("vec_id", "e", "nrm")
+    if sample_mod > 1:
+        train = train.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(sample_mod)) == 0
+        )
+    cw = Window.orderBy(F.xxhash64(F.col("vec_id")))
+    cent = (
+        train.orderBy(F.xxhash64(F.col("vec_id")))
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(cw) - 1).alias("cell"),
+            F.col("e").alias("c"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(train, cent).select("cell", "e")
+        cent = _centroid_means(assigned)
+    return cent
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    n_centroids: int = 16,
+    nprobe: int = 6,
+    iters: int = 2,
+    sample_mod: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """IVF probe over any (vec_id, label, embedding) relation: assign
+    every vector to its trained cell, rank cells by query-to-centroid
+    similarity, exact-rescore only the nprobe nearest cells."""
+    centroids = ivf_centroids(
+        emb.select(
+            "vec_id", _as_double(F.col("embedding")).alias("e")
+        ).withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e")))),
+        n_centroids,
+        iters=iters,
+        sample_mod=sample_mod,
+    )
+    vecs = emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    assigned = _assign_cells(vecs, centroids)
+    # query row; probe its nprobe nearest cells only
+    qrow = assigned.filter(F.col("vec_id") == query_vec_id).select(
         F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
     )
     probe_cells = (
@@ -805,7 +852,7 @@ def x4e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell")
     )
     cand = assigned.join(F.broadcast(probe_cells), "cell").filter(
-        F.col("vec_id") != 0
+        F.col("vec_id") != query_vec_id
     )
     out = cand.crossJoin(F.broadcast(qrow)).select(
         "vec_id",
@@ -814,7 +861,32 @@ def x4e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qnrm")), 4
         ).alias("cos_sim"),
     )
-    return out.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
+    return out.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
+
+
+@query("x4e_ann_ivf_topk")  # rows-only: approximate by design
+def x4e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4e: IVF (inverted-file) ANN — the other scale path next to LSH
+    (x4b). Coarse quantizer: k-means centroids trained by 2 lazy Lloyd
+    iterations over a deterministic 25% hash-sample (``ivf_centroids``
+    — the sampled-k-means shape; at production scale the identical plan
+    is materialized once and reused). Each vector is assigned to its
+    nearest centroid via one broadcast of ≤16 centroids — no shuffle of
+    the vectors; a query probes only the nprobe=6 nearest cells. The
+    cell id is the partition key at 100 TB — a probe touches a handful
+    of partitions.
+
+    Recall honesty: on these near-uniform testdata embeddings IVF
+    recall tracks ~nprobe/n_cells regardless of training (no cluster
+    structure to learn). The operator's ≥0.9-recall claim is proven on
+    a CLUSTERED fixture in tests/test_extensions_recall.py
+    (test_ivf_trained_recall_clustered: recall@10 ≥ 0.9 at
+    nprobe/n_cells = 6/16); the sf0.01 uniform-data floor (≥0.8 with
+    nprobe=6/16) is asserted alongside."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, query_vec_id=0, n_centroids=16, nprobe=6, iters=2, sample_mod=4
+    )
 
 
 @query(
