@@ -487,7 +487,10 @@ def create_fact_table(
 
 
 def append_rows(
-    df: DataFrame, path: str, txn: tuple[str, int] | None = None
+    df: DataFrame,
+    path: str,
+    txn: tuple[str, int] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> bool:
     """S3: atomic append of typed rows. Partitioned by
     (tenant_id, folder_id) when present so reads prune partitions
@@ -504,10 +507,18 @@ def append_rows(
     False). This is what turns a checkpointed ``foreachBatch`` stream
     into an exactly-once sink — replays re-run the batch but cannot
     commit it twice. Returns True when rows were published.
+
+    ``cluster_by`` sorts rows within each output task on the given
+    columns before writing, so each file's min/max stats (recorded in
+    the commit) cover a narrow key range and ``pruned_files`` can skip
+    files on high-cardinality predicates — the Delta/Iceberg
+    Z-ORDER-lite write path.
     """
     if txn is not None and txn_seen(path, txn[0], txn[1]):
         return False
     _bootstrap_log(path)
+    if cluster_by:
+        df = df.sortWithinPartitions(*cluster_by)
     moved = _stage_files(df, path)
     _publish_commit(
         path,
@@ -700,12 +711,27 @@ def _stage_files(df: DataFrame, path: str) -> list[str]:
     return moved
 
 
-def compact_fact_table(spark: SparkSession, path: str) -> int:
+def compact_fact_table(
+    spark: SparkSession,
+    path: str,
+    cluster_by: list[str] | None = None,
+    target_files: int | None = None,
+) -> int:
     """Small-file compaction: rewrite the CURRENT snapshot with one
     file per (tenant_id, folder_id) partition and publish it as a
     ``base`` commit — readers atomically switch to the compacted
     layout; older versions stay readable (time travel) until
     ``vacuum_fact_table`` reclaims their files.
+
+    ``cluster_by`` turns this into CLUSTERED compaction (the OPTIMIZE
+    ... ZORDER BY shape): rows are range-repartitioned into
+    ``target_files`` tasks on the cluster keys and sorted within each,
+    so every output file covers a disjoint narrow key range and the
+    commit's per-file min/max stats let ``pruned_files`` skip most
+    files for range/point predicates on those keys — the behavior
+    that makes file-stats data skipping actually bite on
+    high-cardinality columns (plain compaction leaves each file
+    spanning the full key range).
 
     The at-scale need: streaming ingest appends a file per micro-batch
     per partition, and scan cost degrades with file count. On a
@@ -713,7 +739,12 @@ def compact_fact_table(spark: SparkSession, path: str) -> int:
     one per partition. Returns the new table version.
     """
     current = read_fact_table(spark, path)
-    if all(c in current.columns for c in PARTITION_COLS):
+    if cluster_by:
+        n = target_files or current.sparkSession.sparkContext.defaultParallelism
+        current = current.repartitionByRange(
+            n, *[F.col(c) for c in cluster_by]
+        ).sortWithinPartitions(*cluster_by)
+    elif all(c in current.columns for c in PARTITION_COLS):
         current = current.repartition(*[F.col(c) for c in PARTITION_COLS])
     else:
         current = current.coalesce(1)

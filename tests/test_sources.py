@@ -464,3 +464,40 @@ def test_df_cache_keyed_by_application_id(spark, sf_dir):
     assert keys, "load_table did not populate the cache"
     assert all(k[0] == app_id for k in keys)
     assert all(isinstance(k[0], str) for k in catalog._DF_CACHE)
+
+
+def test_clustered_compaction_enables_range_pruning(spark, tmp_path):
+    """VERDICT r2 #8: after clustered compaction on a high-cardinality
+    key, file-stats data skipping must drop most files for a range
+    predicate. Before clustering, every appended file spans the full
+    amount range (interleaved batches), so nothing can prune."""
+    import random
+
+    path = str(tmp_path / "facts")
+    rng = random.Random(7)
+    vals = list(range(600))
+    rng.shuffle(vals)
+    for b in range(3):  # 3 appends, each spanning ~the full range
+        batch = spark.createDataFrame(
+            [
+                ("u1", "reports", f"row_{v}", float(v))
+                for v in vals[b * 200 : (b + 1) * 200]
+            ],
+            "tenant_id string, folder_id string, row_id string, amount double",
+        )
+        writers.append_rows(batch.coalesce(1), path)
+    pred = [("amount", ">=", 500.0)]
+    before = writers.pruned_files(path, pred)
+    assert len(before) == len(writers.committed_files(path))  # no pruning
+
+    writers.compact_fact_table(
+        spark, path, cluster_by=["amount"], target_files=6
+    )
+    files = writers.committed_files(path)
+    after = writers.pruned_files(path, pred)
+    assert len(files) >= 4
+    assert len(after) <= len(files) // 2, (len(after), len(files))
+    # pruning is advisory-safe: the surviving files still hold every
+    # matching row
+    df = writers.read_fact_table(spark, path).filter("amount >= 500.0")
+    assert df.count() == 100
