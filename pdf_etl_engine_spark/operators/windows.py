@@ -172,3 +172,76 @@ def w3_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         stable_round(F.sum("value").over(w), 4).alias("running_value"),
     )
+
+
+@query(
+    "w5_salted_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round((CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / 100) + 5e-10, 4) AS running_value
+    FROM events
+    """,
+)
+def w5_salted_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 skew-proofed: the SALTED two-phase running sum (the window
+    analogue of j8's salted join). A plain running aggregate shuffles
+    every row of a key to ONE task — a hot user key at 100 TB makes
+    one straggler partition no matter how many executors. Rewrite:
+
+    1. split each key's timeline into contiguous chunks (week buckets
+       of `ts` — deterministic, order-preserving), and compute the
+       running sum WITHIN (user_id, chunk) — the wide shuffle is on
+       the salted key, so a hot user spreads over #weeks tasks;
+    2. per-(user_id, chunk) totals get an exclusive prefix sum over
+       chunk order in a second window on user_id alone — but that
+       relation has one row per (key, chunk), thousands of times
+       smaller than the events, so the unsalted partitioning is safe;
+    3. join the chunk offset back on (user_id, chunk) and add.
+
+    Values ride as fixed-point cents (exact, order-free longs), so the
+    salted result is BIT-IDENTICAL to the plain single-window form —
+    salting is a physical rewrite, not a semantic one, which is why
+    the plain window SQL is the oracle. Parity + plan shape pinned by
+    tests/test_plans.py::test_salted_running_sum_*."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        cents.alias("cents"),
+        F.date_trunc("week", F.col("ts")).alias("chunk"),
+    )
+    w_local = (
+        Window.partitionBy("user_id", "chunk")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("local_run", F.sum("cents").over(w_local))
+    totals = base.groupBy("user_id", "chunk").agg(
+        F.sum("cents").alias("chunk_total")
+    )
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "user_id",
+        "chunk",
+        F.coalesce(F.sum("chunk_total").over(w_prior), F.lit(0)).alias(
+            "chunk_offset"
+        ),
+    )
+    joined = local.join(offsets, ["user_id", "chunk"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        stable_round(
+            (F.col("local_run") + F.col("chunk_offset")).cast("double") / 100.0,
+            4,
+        ).alias("running_value"),
+    )

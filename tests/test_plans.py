@@ -263,3 +263,74 @@ def test_stratified_sample_window_is_partitioned(spark):
     p = plan_of(df)
     assert "Window" in p
     assert "hashpartitioning(lang" in p
+
+
+def test_salted_running_sum_parity_on_skewed_key(spark):
+    """w5's two-phase salted rewrite must be a PHYSICAL rewrite only:
+    bit-identical to the plain single-window running sum on a fixture
+    where one hot key owns 80% of rows (the case the salt exists for)."""
+    from pyspark.sql.window import Window
+
+    rows = []
+    for i in range(4000):  # hot key: one user, 80% of rows
+        rows.append((i, 7, f"2024-01-{1 + (i % 28):02d} 00:{i % 60:02d}:00",
+                     round(0.01 * (i % 997), 2)))
+    for i in range(4000, 5000):
+        rows.append((i, i % 50, f"2024-02-{1 + (i % 28):02d} 00:00:00",
+                     round(0.01 * (i % 97), 2)))
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, ts_s STRING, value DOUBLE"
+    ).select(
+        "event_id", "user_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value",
+    )
+    ev.createOrReplaceTempView("events_skewed_w5")
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plain = {
+        (r["event_id"], r["running_value"])
+        for r in ev.select(
+            "event_id",
+            (F.sum(cents).over(w).cast("double") / 100.0).alias(
+                "running_value"
+            ),
+        ).collect()
+    }
+
+    from pdf_etl_engine_spark.operators import windows as W
+
+    # run the salted operator body over the fixture by swapping the
+    # catalog load with a monkeypatched loader
+    import pdf_etl_engine_spark.operators.windows as wmod
+
+    orig = wmod.load_table
+    wmod.load_table = lambda _s, _d, _n: ev
+    try:
+        salted = {
+            (r["event_id"], r["running_value"])
+            for r in W.w5_salted_running_sum(spark, SF_DIR).collect()
+        }
+    finally:
+        wmod.load_table = orig
+    # oracle-side rounding (stable_round) only nudges +5e-10
+    plain_rounded = {(e, round(v + 5e-10, 4)) for e, v in plain}
+    assert salted == plain_rounded
+
+
+def test_salted_running_sum_wide_exchange_is_salted(spark):
+    """The events-wide shuffle in w5 must hash on (user_id, chunk) —
+    never on user_id alone; only the per-(key, chunk) totals relation
+    (thousands of times smaller) may partition on the bare key."""
+    df = registry.QUERIES["w5_salted_running_sum"](spark, SF_DIR)
+    p = plan_of(df)
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    assert exchanges, p
+    salted = [e for e in exchanges if "user_id" in e and "chunk" in e]
+    assert salted, f"no (user_id, chunk) exchange in plan:\n{p}"
