@@ -236,11 +236,30 @@ def json_bytes_extractor(
     }
 
 
+def pdf_extractor(
+    content: bytes, kpi_names: list[str], context_hint: str
+) -> dict[str, str]:
+    """Production DEFAULT extractor: parses actual PDF bytes — content
+    streams (FlateDecode), text-show operators, ``Key: Value`` field
+    lines and document metadata — no model required. See
+    ``functions/pdftext.py`` for scope; unparseable bytes raise so the
+    harness quarantines the file. Covers the reference's extraction
+    loop (main.py:694-715) deterministically; `llm_extractor` is the
+    pluggable LLM upgrade for free-form documents."""
+    from pdf_etl_engine_spark.functions.pdftext import pdf_kpi_extractor
+
+    return pdf_kpi_extractor(content, kpi_names, context_hint)
+
+
 def llm_extractor(content: bytes, kpi_names: list[str], context_hint: str):
-    """Production extractor slot — multimodal LLM over the PDF bytes
-    (main.py:700-707). STUB: no model client in this environment."""
+    """Multimodal-LLM extractor slot (main.py:700-707) for documents
+    whose fields need model understanding rather than text parsing.
+    STUB: no model client in this environment — `pdf_extractor` above
+    is the shipped non-stub production path through the SAME
+    interface."""
     raise NotImplementedError(
-        "wire a multimodal LLM client here in production; tests use "
+        "wire a multimodal LLM client here in production; pdf_extractor "
+        "is the non-LLM production path, tests also use "
         "json_bytes_extractor via the same interface"
     )
 
