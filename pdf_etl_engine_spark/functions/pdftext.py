@@ -29,11 +29,16 @@ import zlib
 
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _BT_RE = re.compile(rb"BT(.*?)ET", re.S)
-# literal string then a text-show operator; TJ arrays handled below
-_TJ_RE = re.compile(rb"(\((?:\\.|[^\\()])*\))\s*(?:Tj|')")
-_TJ_ARRAY_RE = re.compile(rb"\[((?:\\.|[^\]\\])*)\]\s*TJ")
+# one alternation so Tj strings and TJ arrays come out in DOCUMENT
+# ORDER (first-occurrence-wins in pdf_kpi_extractor depends on it)
+_SHOW_RE = re.compile(
+    rb"(?P<lit>\((?:\\.|[^\\()])*\))\s*(?:Tj|')"
+    rb"|\[(?P<arr>(?:\\.|[^\]\\])*)\]\s*TJ"
+)
 _LITERAL_RE = re.compile(rb"\((?:\\.|[^\\()])*\)")
-_ESCAPE_RE = re.compile(rb"\\(\d{1,3}|.)", re.S)
+# octal escapes are base-8 ONLY; \8 or \9 fall through to the
+# "ignore the backslash" rule (PDF 32000-1 §7.3.4.2)
+_ESCAPE_RE = re.compile(rb"\\([0-7]{1,3}|.)", re.S)
 
 _ESCAPES = {
     b"n": b"\n",
@@ -54,9 +59,9 @@ def _decode_literal(tok: bytes) -> str:
 
     def sub(m: re.Match) -> bytes:
         esc = m.group(1)
-        if esc.isdigit():
+        if esc.isdigit() and all(c in b"01234567" for c in esc):
             return bytes([int(esc, 8) & 0xFF])
-        return _ESCAPES.get(esc, esc)
+        return _ESCAPES.get(esc, esc)  # \8, \9, unknown: drop backslash
 
     return _ESCAPE_RE.sub(sub, body).decode("latin-1")
 
@@ -74,29 +79,47 @@ def extract_pdf_text(data: bytes) -> str:
         except zlib.error:
             pass  # uncompressed stream — use as-is
         for bt in _BT_RE.finditer(raw):
-            body = bt.group(1)
-            for m in _TJ_RE.finditer(body):
-                lines.append(_decode_literal(m.group(1)))
-            for m in _TJ_ARRAY_RE.finditer(body):
-                parts = [
-                    _decode_literal(t) for t in _LITERAL_RE.findall(m.group(0))
-                ]
-                lines.append("".join(parts))
+            for m in _SHOW_RE.finditer(bt.group(1)):
+                if m.group("lit") is not None:
+                    lines.append(_decode_literal(m.group("lit")))
+                else:
+                    lines.append(
+                        "".join(
+                            _decode_literal(t)
+                            for t in _LITERAL_RE.findall(m.group("arr"))
+                        )
+                    )
     return "\n".join(lines)
 
 
 def pdf_metadata(data: bytes) -> dict:
-    """Document info: title/author/creation date from the Info
-    dictionary (scanned, not xref-resolved) plus the page count."""
+    """Document info: title/author/creation date from the trailer's
+    Info dictionary plus the page count. The Info OBJECT is resolved
+    via the trailer's ``/Info N 0 R`` reference, so page text that
+    happens to contain ``/Title (...)`` bytes cannot shadow the real
+    metadata; a whole-file scan is only the fallback when no trailer
+    reference exists."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
+    scope = data
+    ref = None
+    for ref in re.finditer(rb"/Info\s+(\d+)\s+\d+\s+R", data):
+        pass  # last trailer wins (incremental updates append)
+    if ref is not None:
+        obj = re.search(
+            rb"(?<!\d)" + ref.group(1) + rb"\s+0\s+obj\b(.*?)endobj",
+            data,
+            re.S,
+        )
+        if obj:
+            scope = obj.group(1)
     meta: dict = {}
     for key, name in (
         (b"Title", "title"),
         (b"Author", "author"),
         (b"CreationDate", "creation_date"),
     ):
-        m = re.search(rb"/" + key + rb"\s*(\((?:\\.|[^\\()])*\))", data)
+        m = re.search(rb"/" + key + rb"\s*(\((?:\\.|[^\\()])*\))", scope)
         if m:
             meta[name] = _decode_literal(m.group(1))
     meta["n_pages"] = len(re.findall(rb"/Type\s*/Page(?![a-zA-Z])", data))

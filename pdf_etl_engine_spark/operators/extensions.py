@@ -890,11 +890,14 @@ def x4e_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Recall honesty: on these near-uniform testdata embeddings IVF
     recall tracks ~nprobe/n_cells regardless of training (no cluster
-    structure to learn). The operator's ≥0.9-recall claim is proven on
-    a CLUSTERED fixture in tests/test_extensions_recall.py
-    (test_ivf_trained_recall_clustered: recall@10 ≥ 0.9 at
-    nprobe/n_cells = 6/16); the sf0.01 uniform-data floor (≥0.8 with
-    nprobe=6/16) is asserted alongside."""
+    structure to learn) — trained centroids tile uniform data into
+    EQUAL cells, so measured recall is 0.4 at sf0.01 / 0.5 at sf0.1
+    (asserted ≥0.3 = the 6/16 information floor; the round-2 untrained
+    stand-in's 0.8 was an artifact of unequal cells covering more
+    data). The operator's ≥0.9-recall claim holds where IVF is
+    actually applicable — data WITH cluster structure — proven by
+    tests/test_extensions_recall.py::test_ivf_trained_recall_clustered
+    (recall@10 ≥ 0.9 at nprobe/n_cells = 6/16)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, query_vec_id=0, n_centroids=16, nprobe=6, iters=2, sample_mod=4

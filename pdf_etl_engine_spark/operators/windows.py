@@ -236,10 +236,19 @@ def w5_salted_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_offset"
         ),
     )
-    joined = local.join(offsets, ["user_id", "chunk"])
+    # null-SAFE equi-join: a NULL user_id (or NULL ts → NULL chunk) is
+    # a real window partition in the plain form — an inner equi-join
+    # would silently drop those rows (NULL != NULL) and diverge from
+    # the oracle. eqNullSafe keeps the hash-join plan (<=> is a valid
+    # equi-join key) while matching NULL groups to their offsets.
+    joined = local.alias("l").join(
+        offsets.alias("o"),
+        F.col("l.user_id").eqNullSafe(F.col("o.user_id"))
+        & F.col("l.chunk").eqNullSafe(F.col("o.chunk")),
+    )
     return joined.select(
-        "event_id",
-        "user_id",
+        "l.event_id",
+        "l.user_id",
         stable_round(
             (F.col("local_run") + F.col("chunk_offset")).cast("double") / 100.0,
             4,

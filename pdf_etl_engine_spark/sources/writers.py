@@ -508,17 +508,23 @@ def append_rows(
     into an exactly-once sink — replays re-run the batch but cannot
     commit it twice. Returns True when rows were published.
 
-    ``cluster_by`` sorts rows within each output task on the given
-    columns before writing, so each file's min/max stats (recorded in
-    the commit) cover a narrow key range and ``pruned_files`` can skip
+    ``cluster_by`` range-repartitions the batch on the given columns
+    (keeping the incoming partition count) and sorts within each task,
+    so each output file covers a disjoint narrow key range and its
+    min/max stats (recorded in the commit) let ``pruned_files`` skip
     files on high-cardinality predicates — the Delta/Iceberg
-    Z-ORDER-lite write path.
+    Z-ORDER-lite write path. A single-partition batch still yields one
+    full-range file; within-batch skipping needs >1 partition, and
+    cross-batch clustering is ``compact_fact_table(cluster_by=…)``.
     """
     if txn is not None and txn_seen(path, txn[0], txn[1]):
         return False
     _bootstrap_log(path)
     if cluster_by:
-        df = df.sortWithinPartitions(*cluster_by)
+        n = max(df.rdd.getNumPartitions(), 1)
+        df = df.repartitionByRange(
+            n, *[F.col(c) for c in cluster_by]
+        ).sortWithinPartitions(*cluster_by)
     moved = _stage_files(df, path)
     _publish_commit(
         path,

@@ -176,3 +176,40 @@ def test_pdf_ingest_end_to_end_golden(tmp_path, spark):
     assert r2["kpi_total_amount____"] == pytest.approx(-500.0)  # parens neg
     assert str(r2["kpi_report_date"]) == "2024-01-03"  # fuzzy format chain
     assert r2["kpi_status"] is None  # N/A → NULL
+
+
+def test_mixed_tj_and_array_preserve_document_order():
+    """first-occurrence-wins depends on document order: a TJ array
+    before a Tj string must stay first."""
+    raw = b"%PDF-1.4\n" + (
+        b"1 0 obj\n<< /Length 99 >>\nstream\n"
+        b"BT [(Report Date: 2024-01-15)] TJ (Report Date: 1999-09-09) Tj ET\n"
+        b"endstream\nendobj\n"
+    )
+    assert pdftext.extract_pdf_text(raw).splitlines() == [
+        "Report Date: 2024-01-15",
+        "Report Date: 1999-09-09",
+    ]
+    got = pdftext.pdf_kpi_extractor(raw, ["Report Date"], "")
+    assert got == {"Report Date": "2024-01-15"}
+
+
+def test_backslash_8_and_9_drop_backslash_not_crash():
+    """PDF spec: \\8 and \\9 are not octal — the backslash is ignored.
+    Such documents must extract, not quarantine."""
+    raw = b"%PDF-1.4\n" + (
+        b"1 0 obj\n<< /Length 30 >>\nstream\n"
+        b"BT (Code: A\\8B\\9\\101) Tj ET\n"
+        b"endstream\nendobj\n"
+    )
+    # \101 octal = 'A'; \8 \9 keep the digit
+    assert pdftext.extract_pdf_text(raw) == "Code: A8B9A"
+
+
+def test_info_dict_resolved_via_trailer_not_page_text():
+    """Page text containing '/Title (...)' bytes must not shadow the
+    real Info dictionary's title."""
+    pdf = build_pdf(
+        ["see /Title (Fake) in body"], title="Real Title", compress=False
+    )
+    assert pdftext.pdf_metadata(pdf)["title"] == "Real Title"

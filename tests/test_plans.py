@@ -334,3 +334,48 @@ def test_salted_running_sum_wide_exchange_is_salted(spark):
     assert exchanges, p
     salted = [e for e in exchanges if "user_id" in e and "chunk" in e]
     assert salted, f"no (user_id, chunk) exchange in plan:\n{p}"
+
+
+def test_salted_running_sum_keeps_null_key_rows(spark):
+    """NULL user_id / NULL ts rows form real window partitions in the
+    plain form; the salted rewrite's join must be null-safe so they
+    survive with identical running values."""
+    from pyspark.sql.window import Window
+
+    ev = spark.createDataFrame(
+        [
+            (1, None, "2024-01-01 00:00:00", 1.0),
+            (2, None, "2024-01-01 00:01:00", 2.5),
+            (3, 5, None, 4.0),
+            (4, 5, "2024-02-01 00:00:00", 1.5),
+        ],
+        "event_id LONG, user_id LONG, ts_s STRING, value DOUBLE",
+    ).select(
+        "event_id", "user_id",
+        F.col("ts_s").cast("timestamp_ntz").alias("ts"), "value",
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plain = {
+        (r["event_id"], round(r["rv"] + 5e-10, 4))
+        for r in ev.select(
+            "event_id", (F.sum(cents).over(w).cast("double") / 100.0).alias("rv")
+        ).collect()
+    }
+
+    import pdf_etl_engine_spark.operators.windows as wmod
+
+    orig = wmod.load_table
+    wmod.load_table = lambda _s, _d, _n: ev
+    try:
+        salted = {
+            (r["event_id"], r["running_value"])
+            for r in wmod.w5_salted_running_sum(spark, SF_DIR).collect()
+        }
+    finally:
+        wmod.load_table = orig
+    assert salted == plain

@@ -501,3 +501,28 @@ def test_clustered_compaction_enables_range_pruning(spark, tmp_path):
     # matching row
     df = writers.read_fact_table(spark, path).filter("amount >= 500.0")
     assert df.count() == 100
+
+
+def test_clustered_append_enables_range_pruning(spark, tmp_path):
+    """append_rows(cluster_by=…) must range-repartition the batch so a
+    multi-partition append is skippable immediately (not only after
+    clustered compaction)."""
+    import random
+
+    path = str(tmp_path / "facts")
+    rng = random.Random(11)
+    vals = list(range(400))
+    rng.shuffle(vals)
+    batch = spark.createDataFrame(
+        [("u1", "reports", f"row_{v}", float(v)) for v in vals],
+        "tenant_id string, folder_id string, row_id string, amount double",
+    ).repartition(4)
+    writers.append_rows(batch, path, cluster_by=["amount"])
+    files = writers.committed_files(path)
+    assert len(files) == 4
+    kept = writers.pruned_files(path, [("amount", ">=", 300.0)])
+    assert len(kept) <= len(files) // 2, (len(kept), len(files))
+    assert (
+        writers.read_fact_table(spark, path).filter("amount >= 300.0").count()
+        == 100
+    )
