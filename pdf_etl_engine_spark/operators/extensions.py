@@ -1293,3 +1293,51 @@ def x14b_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
     return connected_components(emb.select("vec_id"), edges)
+
+
+@query(
+    "x14c_dedup_clusters_star",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), edges AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+      WHERE list_sum(list_transform(list_zip(a.e, b.e), s -> s[1] * s[2]))
+            / (a.nrm * b.nrm) >= 0.25
+    ), reach(id, lab) AS (
+      SELECT vec_id, vec_id FROM v
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS vec_id, min(lab) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def x14c_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14c: the large-star/small-star CC engine (x14b's labeling) run
+    over the EXACT edge set, oracle-graded against the same DuckDB
+    recursive CTE as x14 — cross-engine validation that the O(log n)
+    star rewrite computes identical components to both the plain
+    min-label propagation (x14) and a recursive-CTE closure. x14b is
+    this engine composed with LSH edge generation instead of the
+    O(n²) oracle-baseline join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("e"),
+        F.sqrt(_dot(_as_double(F.col("embedding")),
+                    _as_double(F.col("embedding")))).alias("nrm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    edges = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.25)
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+    )
+    return connected_components(emb.select("vec_id"), edges)
