@@ -134,6 +134,26 @@ def _norm_field(s: str) -> str:
     return re.sub(r"[^a-zA-Z0-9_]", "_", s).lower()
 
 
+def pdf_discover_fields(content: bytes) -> dict[str, str]:
+    """Train-time field discovery over real PDF bytes — the
+    deterministic stand-in for the reference's "extract all data labels
+    and headers" LLM pass (main.py:435-452): every ``Key: Value`` line
+    becomes a candidate field keyed by its PRINTED label (first
+    occurrence wins), so the user curates names as the document shows
+    them. Raises on unparseable bytes like the extractor does."""
+    text = extract_pdf_text(content)
+    fields: dict[str, str] = {}
+    seen: set[str] = set()
+    for line in text.splitlines():
+        if ":" in line:
+            k, v = line.split(":", 1)
+            label, norm = k.strip(), _norm_field(k.strip())
+            if label and norm not in seen:
+                seen.add(norm)
+                fields[label] = v.strip()
+    return fields
+
+
 def pdf_kpi_extractor(
     content: bytes, kpi_names: list[str], context_hint: str
 ) -> dict[str, str]:

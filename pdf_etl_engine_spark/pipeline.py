@@ -41,11 +41,13 @@ FOLDERS_SCHEMA = (
     "tenant_id string, folder_id string, display_name string, "
     "context_hint string, is_trained boolean, status string, owner string, "
     "created_at timestamp, "
-    "kpi_metadata array<struct<name:string, sample_value:string, type:string>>"
+    "kpi_metadata array<struct<name:string, sample_value:string, type:string>>, "
+    "selected_kpis array<string>, kpi_samples map<string,string>"
 )
 
 SHARES_SCHEMA = (
-    "owner_id string, folder_id string, shared_email string, permission string"
+    "owner_id string, folder_id string, shared_email string, "
+    "permission string, created_at timestamp"
 )
 
 
@@ -76,10 +78,15 @@ class Catalog:
         context_hint: str = "",
         kpi_metadata: list[dict[str, str]] | None = None,
         owner: str | None = None,
+        selected_kpis: list[str] | None = None,
+        kpi_samples: dict[str, str] | None = None,
     ) -> None:
         """`/create-folder` + `/confirm-kpis` persistence
-        (main.py:385-403, 497-503). folder_id is sanitized with the
-        identifier kernel, like main.py:385."""
+        (main.py:385-403, 476-503). folder_id is sanitized with the
+        identifier kernel, like main.py:385. ``selected_kpis`` /
+        ``kpi_samples`` mirror the confirm-kpis write (main.py:497-499)
+        — kept so `/get-kpis`'s legacy fallback path (main.py:566-583)
+        has raw material when ``kpi_metadata`` is absent."""
         folder_id = kernel.sanitize_ident_py(folder_id)
         meta = [
             (k.get("name", ""), k.get("sample_value", ""), k.get("type", "string"))
@@ -96,6 +103,8 @@ class Catalog:
                 owner or tenant_id,
                 None,
                 meta,
+                list(selected_kpis or []) or None,
+                dict(kpi_samples or {}) or None,
             )
         ]
         df = self.spark.createDataFrame(row, FOLDERS_SCHEMA).withColumn(
@@ -178,35 +187,64 @@ class Catalog:
         self, owner_id: str, folder_id: str, shared_email: str, permission: str
     ) -> None:
         """`/share-folder` (main.py:617-629); email lowercased like
-        main.py:74."""
+        main.py:74. ``folder_id`` passes through the identifier kernel
+        (the same grammar every stored folder_id has, main.py:385) so a
+        share row can never carry path-traversal bytes into the upload
+        path that composes filesystem paths from it."""
         if permission not in ("view", "edit"):
             raise ValueError("permission must be view|edit (main.py:626)")
         df = self.spark.createDataFrame(
-            [(owner_id, folder_id, shared_email.lower(), permission)],
+            [
+                (
+                    owner_id,
+                    kernel.sanitize_ident_py(folder_id),
+                    shared_email.lower(),
+                    permission,
+                    None,
+                )
+            ],
             SHARES_SCHEMA,
-        )
+        ).withColumn("created_at", F.current_timestamp())
         df.write.mode("append").parquet(self.shares_path)
 
     def shares(self) -> DataFrame:
         return self._read_or_empty(self.shares_path, SHARES_SCHEMA)
 
-    def can_read(
-        self, requester: str, requester_email: str, owner_id: str, folder_id: str
-    ) -> bool:
-        """Permission layering of `/get-results` (main.py:796-802):
-        owner OR a share row exists."""
-        if requester == owner_id:
-            return True
-        n = (
+    def effective_share(
+        self, owner_id: str, folder_id: str, shared_email: str
+    ) -> str | None:
+        """The LIVE permission for (owner, folder, email), or None if
+        never shared. The reference stores one Firestore doc per triple
+        and ``set()`` upserts it (main.py:617-626), so the LATEST share
+        wins — re-sharing as 'view' downgrades an earlier 'edit'. Our
+        share table is append-only parquet, so the upsert is replayed
+        here as newest-wins by created_at (rows predating the timestamp
+        column sort last — any stamped re-share supersedes them)."""
+        rows = (
             self.shares()
             .filter(
                 (F.col("owner_id") == owner_id)
                 & (F.col("folder_id") == folder_id)
-                & (F.col("shared_email") == requester_email.lower())
+                & (F.col("shared_email") == shared_email.lower())
             )
-            .count()
+            .orderBy(F.desc_nulls_last("created_at"))
+            .limit(1)
+            .collect()
         )
-        return n > 0
+        return rows[0]["permission"] if rows else None
+
+    def can_read(
+        self, requester: str, requester_email: str, owner_id: str, folder_id: str
+    ) -> bool:
+        """Permission layering of `/get-results` (main.py:796-802):
+        owner OR a live share (newest generation — any permission level
+        grants read, matching the reference's existence check)."""
+        if requester == owner_id:
+            return True
+        return (
+            self.effective_share(owner_id, folder_id, requester_email)
+            is not None
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,22 @@ def _sanitize_id(name: str) -> str:
     return re.sub(r"[^a-zA-Z0-9_]", "_", name).lower()
 
 
+def _valid_folder_id(name: str | None) -> bool:
+    """True when ``name`` is already in the folder-id grammar — i.e. a
+    value ``_sanitize_id`` could have minted. Used to VALIDATE (not
+    silently rewrite) caller-supplied ids before they are composed into
+    filesystem paths: a traversal-bearing id like ``../../x`` fails
+    here and the route 400s instead of writing outside the bucket
+    root."""
+    return bool(name) and re.fullmatch(r"[a-z0-9_]+", name) is not None
+
+
+def _valid_owner_id(name: str | None) -> bool:
+    """Owner ids are IdP uids (alphanumeric, case-sensitive); any path
+    metacharacter (``/``, ``.``, ``\\``) fails validation."""
+    return bool(name) and re.fullmatch(r"[A-Za-z0-9_-]+", name) is not None
+
+
 def _sanitize_filename(name: str) -> str:
     """Upload filename grammar (main.py:637)."""
     return re.sub(r"[^a-zA-Z0-9_.-]", "_", name)
@@ -93,13 +109,35 @@ class Service:
         incoming_root: str,
         verifier: HmacTokenVerifier,
         extractor: pipeline.Extractor = pipeline.pdf_extractor,
+        type_inferrer=None,
+        discover: Callable[[bytes], dict[str, str]] | None = None,
     ):
+        import os
+
+        # The path grammar (main.py:664-669) is literally
+        # `incoming/{uid}/{folder}/batch/...`: the pipeline recovers
+        # rel_paths by matching the `incoming/` component, so a root
+        # whose last segment is named anything else would silently
+        # ingest zero rows. Fail fast at construction instead.
+        if os.path.basename(os.path.normpath(incoming_root)) != "incoming":
+            raise ValueError(
+                "incoming_root's last path component must be 'incoming' "
+                f"(the reference's bucket grammar, main.py:664-669); got "
+                f"{incoming_root!r}"
+            )
         self.spark = spark
         self.catalog = catalog
         self.fact_path = fact_path
         self.incoming_root = incoming_root
         self.verifier = verifier
         self.extractor = extractor
+        from pdf_etl_engine_spark.plans import types as _types
+
+        # Pluggable type inference: the reference tries an LLM first and
+        # falls back per-value (main.py:159-162, 480-483); the shipped
+        # default is the deterministic fallback inferrer.
+        self.type_inferrer = type_inferrer or _types.FallbackTypeInferrer()
+        self.discover = discover
 
     # -- /setup-account (main.py:356-373) --------------------------------
     def setup_account(self, token: str | None) -> tuple[int, dict]:
@@ -165,23 +203,26 @@ class Service:
             }
         if not filename.lower().endswith(".pdf"):
             return 400, {"error": "Only PDF files are allowed"}
-        # share lookup (main.py:640-651): exact (owner, folder, email) row
-        from pyspark.sql import functions as F
-
-        rows = (
-            self.catalog.shares()
-            .filter(
-                (F.col("owner_id") == owner_id)
-                & (F.col("folder_id") == folder_id)
-                & (F.col("shared_email") == ident["email"])
-            )
-            .collect()
+        # Ids are about to be composed into a filesystem path — reject
+        # anything outside the id grammar (traversal guard; the
+        # reference string-builds the GCS object name the same way at
+        # main.py:634 where `..` is inert, but on a filesystem it
+        # escapes the root).
+        if not _valid_owner_id(owner_id) or not _valid_folder_id(folder_id):
+            return 400, {"error": "Invalid owner_id or folder_id"}
+        # Share lookup (main.py:617-630): the reference reads ONE
+        # Firestore doc keyed (owner, folder, email) that set() upserts
+        # — the latest share wins. Our append-only share table replays
+        # that as newest-wins (Catalog.effective_share), so a
+        # re-share downgrading edit→view takes effect.
+        permission = self.catalog.effective_share(
+            owner_id, folder_id, ident["email"]
         )
-        if not rows:
+        if permission is None:
             return 403, {
                 "error": "Share not found. You do not have access to this folder."
             }
-        if all(r["permission"] != "edit" for r in rows):
+        if permission != "edit":
             return 403, {
                 "error": "You have view-only access. Upload not permitted."
             }
@@ -211,6 +252,7 @@ class Service:
         token: str | None,
         folder_id: str | None,
         owner_id: str | None = None,
+        limit: int = 100,
     ) -> tuple[int, dict]:
         ident = self.verifier.verify(token)
         if not ident:
@@ -223,10 +265,187 @@ class Service:
             for m in pipeline.latest_folder_metas(self.catalog)
         }
         if (target, folder_id) not in known:
-            return 404, {"error": "Folder not found or access denied"}
+            if owner_id is not None:
+                return 404, {"error": "Folder not found or access denied"}
+            # owner_id omitted and not the caller's own folder: the
+            # reference falls back to a cross-tenant search gated by
+            # ownership/share (main.py:783-791) — a viewer can omit
+            # owner_id and still reach a folder shared with them.
+            meta = self.catalog.resolve_folder_for_read(
+                ident["uid"], ident["email"], folder_id
+            )
+            if meta is None:
+                return 404, {"error": "Folder not found or access denied"}
+            target = meta.get("owner") or meta["tenant_id"]
         if not self.catalog.can_read(
             ident["uid"], ident["email"], target, folder_id
         ):
             return 403, {"error": "Unauthorized"}
-        df = pipeline.read_results(self.spark, self.fact_path, target, folder_id)
+        # limit is clamped so no caller can turn the bounded top-k read
+        # into an unbounded collect of a 100 TB partition.
+        limit = max(1, min(int(limit), 1000))
+        df = pipeline.read_results(
+            self.spark, self.fact_path, target, folder_id, limit=limit
+        )
         return 200, {"results": [r.asDict(recursive=True) for r in df.collect()]}
+
+    # -- /get-kpis (main.py:517-591) --------------------------------------
+    def get_kpis(
+        self,
+        token: str | None,
+        folder_id: str | None,
+        owner_id: str | None = None,
+    ) -> tuple[int, dict]:
+        """Folder-metadata read — the call a UI makes on every folder
+        open. Status matrix mirrors the reference: 401 / 400 missing
+        folder_id / 404 not found / 403 denied / 200 with is_trained,
+        selected_kpis, context_hint, status. Pre-computed
+        ``kpi_metadata`` is the fast path (main.py:551-561); folders
+        trained before type inference existed fall back to on-the-fly
+        typing of their raw samples (main.py:564-589) via the pluggable
+        inferrer. Deviation (hardening): the reference's last-resort
+        share probe matches ANY share on (owner, folder) regardless of
+        recipient (main.py:545-548) — here reads stay gated per
+        recipient via ``can_read``."""
+        ident = self.verifier.verify(token)
+        if not ident:
+            return 401, {"error": "Unauthorized"}
+        if not folder_id:
+            return 400, {"error": "folder_id required"}
+        target = owner_id or ident["uid"]
+        folder = self.catalog.get_folder(target, folder_id)
+        if folder is None:
+            return 404, {"error": "Folder not found"}
+        is_owner = ident["uid"] == (folder.get("owner") or target)
+        if not is_owner and not self.catalog.can_read(
+            ident["uid"], ident["email"], target, folder_id
+        ):
+            return 403, {"error": "Access denied"}
+        base = {
+            "is_trained": bool(folder.get("is_trained")),
+            "context_hint": folder.get("context_hint") or "",
+            "status": folder.get("status") or "unknown",
+        }
+        kpi_metadata = folder.get("kpi_metadata")
+        if kpi_metadata:
+            return 200, {**base, "selected_kpis": kpi_metadata}
+        # Legacy-folder fallback: type the raw samples on the fly.
+        selected = folder.get("selected_kpis") or []
+        samples = folder.get("kpi_samples") or {}
+        kpi_types = self.type_inferrer.infer(samples) if samples else {}
+        from pdf_etl_engine_spark.plans.types import infer_type_of_value
+
+        return 200, {
+            **base,
+            "selected_kpis": [
+                {
+                    "name": name,
+                    "sample_value": samples.get(name, ""),
+                    "type": kpi_types.get(
+                        name, infer_type_of_value(samples.get(name, ""))
+                    ),
+                }
+                for name in selected
+            ],
+        }
+
+    # -- /analyze-master (main.py:413-461) --------------------------------
+    def analyze_master(
+        self, token: str | None, payload: dict
+    ) -> tuple[int, dict]:
+        """Train step 1: discover candidate fields from a master
+        document. The reference downloads the blob and asks an LLM for
+        ``{field_name: example_value}`` (main.py:430-452); here
+        discovery runs ``pipeline.discover_fields`` over the file —
+        one binaryFile scan + Arrow-batched discovery UDF — with the
+        PDF ``Key: Value`` reader as the deterministic default and the
+        LLM slot pluggable via ``Service(discover=...)``. 404 when the
+        file does not exist (main.py:433-434); response shape is the
+        reference's ``detected_kpis`` key/value list (main.py:458)."""
+        ident = self.verifier.verify(token)
+        if not ident:
+            return 401, {"error": "Unauthorized"}
+        file_path = payload.get("file_path")
+        if not file_path:
+            return 400, {"error": "file_path required"}
+        import os
+        import posixpath
+
+        # file_path is bucket-relative (`incoming/...`, main.py:427);
+        # resolve against the bucket root with traversal guarded.
+        bucket_root = os.path.dirname(os.path.normpath(self.incoming_root))
+        norm = posixpath.normpath(file_path)
+        if norm.startswith(("/", "..")) or not norm.startswith("incoming/"):
+            return 400, {"error": "file_path must be under incoming/"}
+        full = os.path.join(bucket_root, norm)
+        if not os.path.isfile(full):
+            return 404, {"error": f"File {file_path} not found"}
+        binary = self.spark.read.format("binaryFile").load(full)
+        discovered = pipeline.discover_fields(
+            binary, extractor_discover=self._discover_fn()
+        )
+        detected = [
+            {"key": r["kpi_name"], "value": r["sample_value"]}
+            for r in discovered.select("kpi_name", "sample_value").collect()
+        ]
+        return 200, {"detected_kpis": detected}
+
+    def _discover_fn(self) -> Callable[[bytes], dict[str, str]]:
+        if self.discover is not None:
+            return self.discover
+        from pdf_etl_engine_spark.functions.pdftext import pdf_discover_fields
+
+        return pdf_discover_fields
+
+    # -- /confirm-kpis (main.py:468-512) ----------------------------------
+    def confirm_kpis(
+        self, token: str | None, payload: dict
+    ) -> tuple[int, dict]:
+        """Train step 2: persist the user-curated KPI set with inferred
+        types. Builds ``kpi_metadata`` from selected_kpis + kpi_samples
+        via the pluggable inferrer (per-KPI fallback layering exactly
+        like main.py:480-483), then writes a new folder generation with
+        is_trained=True / status=active plus the raw selected_kpis and
+        kpi_samples (main.py:486-503) — newest-wins reads make it
+        authoritative. The reference's typed-table create
+        (sync_bigquery_schema_typed, main.py:506) is subsumed by the
+        fact table's add-only schema evolution on first append
+        (sources/writers.py). 404 when the folder was never created
+        (the reference's Firestore ``update`` on a missing doc fails,
+        surfaced as its catch-all 500, main.py:497-511 — a library call
+        can do better)."""
+        ident = self.verifier.verify(token)
+        if not ident:
+            return 401, {"error": "Unauthorized"}
+        folder_id = payload.get("folder_id")
+        selected = payload.get("selected_kpis")
+        samples = payload.get("kpi_samples") or {}
+        if not folder_id or selected is None:
+            return 400, {"error": "folder_id and selected_kpis required"}
+        existing = self.catalog.get_folder(ident["uid"], folder_id)
+        if existing is None:
+            return 404, {"error": "Folder not found"}
+        kpi_types = self.type_inferrer.infer(samples) if samples else {}
+        from pdf_etl_engine_spark.plans.types import infer_type_of_value
+
+        kpi_metadata = [
+            {
+                "name": name,
+                "sample_value": samples.get(name, ""),
+                "type": kpi_types.get(
+                    name, infer_type_of_value(samples.get(name, ""))
+                ),
+            }
+            for name in selected
+        ]
+        self.catalog.create_folder(
+            ident["uid"],
+            folder_id,
+            display_name=existing.get("display_name") or "",
+            context_hint=existing.get("context_hint") or "",
+            kpi_metadata=kpi_metadata,
+            owner=existing.get("owner") or ident["uid"],
+            selected_kpis=list(selected),
+            kpi_samples=dict(samples),
+        )
+        return 200, {"status": "success", "kpi_metadata": kpi_metadata}
