@@ -603,18 +603,25 @@ def process_bound_batch(
     extractor: Extractor,
     quarantine_path: str | None = None,
     txn: tuple[str, int] | None = None,
+    archive_manifest_dir: str | None = None,
 ) -> dict:
     """Shared batch/streaming core: folder-metadata broadcast join →
     untrained-quarantine → ONE extraction job → error-quarantine →
     union-schema typed build → ONE partitioned append.
 
     ``bound`` needs (path, rel_path, content, tenant_id, folder_id).
-    Returns counters plus ``committed_rel_paths`` (fact-committed
-    files, the archive set). ``txn`` (streaming callers pass the
-    micro-batch identity) makes the fact append idempotent under
-    micro-batch replay — see ``writers.append_rows``; a replayed
-    batch still returns its rel_paths so the archive step (itself an
-    idempotent move) can complete.
+    Returns counters. ``txn`` (streaming callers pass the micro-batch
+    identity) makes the fact append idempotent under micro-batch
+    replay — see ``writers.append_rows``.
+
+    ``archive_manifest_dir``: when set, the fact-committed files'
+    rel_paths are written there as parquet FROM THE EXECUTORS (the
+    archive set — ``streaming.ingest`` moves them distributed). This
+    replaces collecting every committed path to the driver: at a
+    million-file backlog the driver would hold the whole list and
+    serially rename it (VERDICT r4 #4). A replayed batch still writes
+    its manifest so the archive step (itself an idempotent move) can
+    complete.
     """
     from pdf_etl_engine_spark.sources import writers
 
@@ -648,7 +655,7 @@ def process_bound_batch(
         "files_failed": 0,
         "files_trained": 0,
         "files_untrained": 0,
-        "committed_rel_paths": [],
+        "archive_manifest": None,
     }
 
     try:
@@ -723,9 +730,14 @@ def process_bound_batch(
                     )
                 finally:
                     typed.unpersist()
-                results["committed_rel_paths"] = [
-                    r["rel_path"] for r in ok.select("rel_path").collect()
-                ]
+                if archive_manifest_dir:
+                    # executor-side manifest write while `extracted` is
+                    # still persisted — the archive job later reads
+                    # THIS, never the (about to move) source files
+                    ok.select("rel_path").write.mode("overwrite").parquet(
+                        archive_manifest_dir
+                    )
+                    results["archive_manifest"] = archive_manifest_dir
         finally:
             extracted.unpersist()
     finally:

@@ -1,0 +1,198 @@
+"""pdftext hardening (VERDICT r4 #3 + ADVICE quarantine contract):
+ASCIIHex/ASCII85 filters, hex and UTF-16BE strings, /ObjStm compressed
+objects, and ValueError on structural corruption. Fixtures are
+hand-assembled minimal PDFs — the extractor scans objects linearly, so
+each fixture carries exactly the structures under test."""
+
+from __future__ import annotations
+
+import base64
+import zlib
+
+import pytest
+
+from pdf_etl_engine_spark.functions import pdftext
+
+
+def _pdf(objects: list[bytes], info_num: int | None = None) -> bytes:
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = []
+    for i, obj in enumerate(objects, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    trailer = b"trailer\n<< /Size " + str(len(objects) + 1).encode()
+    trailer += b" /Root 1 0 R"
+    if info_num is not None:
+        trailer += b" /Info " + str(info_num).encode() + b" 0 R"
+    trailer += b" >>\nstartxref\n" + str(xref_pos).encode() + b"\n%%EOF\n"
+    return bytes(out + trailer)
+
+
+def _page_objs(content_obj: bytes) -> list[bytes]:
+    return [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        content_obj,
+    ]
+
+
+def _stream_obj(dict_extra: bytes, payload: bytes) -> bytes:
+    return (
+        b"<< " + dict_extra + b"/Length " + str(len(payload)).encode()
+        + b" >>\nstream\n" + payload + b"\nendstream"
+    )
+
+
+CONTENT = b"BT /F1 12 Tf (Total: 42) Tj 0 -14 Td (Status: ok) Tj ET"
+
+
+def test_ascii_hex_filter():
+    hexed = CONTENT.hex().encode() + b">"
+    pdf = _pdf(_page_objs(_stream_obj(b"/Filter /ASCIIHexDecode ", hexed)))
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "Total: 42", "Status: ok"
+    ]
+
+
+def test_ascii85_filter():
+    enc = base64.a85encode(CONTENT) + b"~>"
+    pdf = _pdf(_page_objs(_stream_obj(b"/Filter /ASCII85Decode ", enc)))
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "Total: 42", "Status: ok"
+    ]
+
+
+def test_filter_chain_a85_then_flate():
+    # stream was Flate-compressed then ASCII85-armored; decode order is
+    # the declared array order (§7.4): A85 first, then Flate
+    enc = base64.a85encode(zlib.compress(CONTENT)) + b"~>"
+    pdf = _pdf(_page_objs(
+        _stream_obj(b"/Filter [/ASCII85Decode /FlateDecode] ", enc)
+    ))
+    assert "Total: 42" in pdftext.extract_pdf_text(pdf)
+
+
+def test_hex_string_and_utf16be_shows():
+    content = (
+        b"BT"
+        b" <" + b"Total: 42".hex().encode() + b"> Tj"
+        # UTF-16BE literal with BOM: 'Caf\xe9'
+        b" (\xfe\xff\x00C\x00a\x00f\x00\xe9) Tj"
+        # TJ array mixing literal, kerning number, hex string
+        b" [(Sta) -20 <747573>] TJ"
+        b" ET"
+    )
+    pdf = _pdf(_page_objs(_stream_obj(b"", content)))
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "Total: 42", "Café", "Status"
+    ]
+
+
+def test_utf16be_hex_string():
+    s = "Café".encode("utf-16-be")
+    content = b"BT <FEFF" + s.hex().encode() + b"> Tj ET"
+    pdf = _pdf(_page_objs(_stream_obj(b"", content)))
+    assert pdftext.extract_pdf_text(pdf) == "Café"
+
+
+def _objstm_payload(objs: dict[int, bytes]) -> tuple[bytes, int, int]:
+    header = b""
+    bodies = b""
+    for num, body in objs.items():
+        header += f"{num} {len(bodies)} ".encode()
+        bodies += body + b"\n"
+    return header + bodies, len(objs), len(header)
+
+
+def test_objstm_info_and_pages():
+    """PDF 1.5 shape: Info dict and page objects live inside a
+    compressed /ObjStm; the xref stream (/Type /XRef) is binary and
+    must not pollute text extraction."""
+    packed, n, first = _objstm_payload({
+        7: b"<< /Title (Q4 Report) /Author (Ada) >>",
+        8: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        9: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+    })
+    objstm = _stream_obj(
+        b"/Type /ObjStm /N " + str(n).encode() + b" /First "
+        + str(first).encode() + b" /Filter /FlateDecode ",
+        zlib.compress(packed),
+    )
+    # fake xref stream: random-ish binary that inflates to bytes
+    # containing no BT block, plus W/Index keys like a real one
+    xref = _stream_obj(
+        b"/Type /XRef /W [1 2 1] /Filter /FlateDecode ",
+        zlib.compress(b"\x01\x00\x10\x00" * 8),
+    )
+    pdf = _pdf(
+        [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [8 0 R 9 0 R] /Count 2 >>",
+            b"<< /Dummy true >>",
+            _stream_obj(b"/Filter /FlateDecode ", zlib.compress(CONTENT)),
+            objstm,
+            xref,
+        ],
+        info_num=7,
+    )
+    meta = pdftext.pdf_metadata(pdf)
+    assert meta["title"] == "Q4 Report"
+    assert meta["author"] == "Ada"
+    assert meta["n_pages"] == 2
+    assert "Total: 42" in pdftext.extract_pdf_text(pdf)
+    # the extractor surface answers metadata KPIs through the same path
+    got = pdftext.pdf_kpi_extractor(pdf, ["Title", "Page Count"], "")
+    assert got == {"Title": "Q4 Report", "Page Count": "2"}
+
+
+def test_quarantine_declared_flate_corrupt():
+    """ADVICE r4: declared FlateDecode that does not inflate is
+    corruption → ValueError (quarantine), not silent empty text."""
+    pdf = _pdf(_page_objs(
+        _stream_obj(b"/Filter /FlateDecode ", b"\x00garbage-not-zlib")
+    ))
+    with pytest.raises(ValueError, match="FlateDecode"):
+        pdftext.extract_pdf_text(pdf)
+
+
+def test_quarantine_content_but_no_text():
+    """A document with page /Contents from which zero text-show ops
+    survive is mangled → ValueError instead of an all-N/A row."""
+    # stream body present but truncated mid-operator: no (..) Tj pairs
+    pdf = _pdf(_page_objs(_stream_obj(b"", b"BT /F1 12 Tf (Tot")))
+    with pytest.raises(ValueError, match="no text"):
+        pdftext.extract_pdf_text(pdf)
+
+
+def test_image_only_streams_skipped_not_fatal():
+    """An image XObject with an unsupported codec (DCTDecode) is
+    skipped; the page text is still recovered."""
+    img = _stream_obj(
+        b"/Subtype /Image /Filter /DCTDecode ", b"\xff\xd8\xff\xe0fakejpeg"
+    )
+    objs = _page_objs(_stream_obj(b"", CONTENT)) + [img]
+    assert "Total: 42" in pdftext.extract_pdf_text(_pdf(objs))
+
+
+def test_unsupported_filter_content_skipped():
+    """A content stream behind an unsupported codec (LZW) can't be
+    read: with no other text that is the mangled-document case →
+    quarantine."""
+    pdf = _pdf(_page_objs(
+        _stream_obj(b"/Filter /LZWDecode ", b"\x80\x0b\x60\x50")
+    ))
+    with pytest.raises(ValueError, match="no text"):
+        pdftext.extract_pdf_text(pdf)
+
+
+def test_discover_fields_roundtrip():
+    pdf = _pdf(_page_objs(_stream_obj(b"", CONTENT)))
+    assert pdftext.pdf_discover_fields(pdf) == {
+        "Total": "42", "Status": "ok"
+    }
