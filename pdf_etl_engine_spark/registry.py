@@ -105,7 +105,10 @@ PRIORITY: tuple[str, ...] = (
     "x3c_ngram_jaccard",
     "x4_cosine_topk",
     "x4c_embedding_near_dup",
-    "x5_multimodal_binary",
+    # x5b is the ORACLE-graded X5 representative (real BMP/WAV decode
+    # checked against recomputed formulas); the binary-plumbing
+    # rows-only twin x5 registers in the tail
+    "x5b_media_decode",
     "x6_text_analysis_agg",
     "x10_deterministic_sample",
     "x16_contamination",

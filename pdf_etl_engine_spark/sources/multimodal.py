@@ -25,12 +25,106 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_media(content: bytes, mime: str) -> object:
-    """The genuinely-unavailable step: decode an image/audio/video
-    payload. STUB — no codecs in this environment."""
+def _decode_bmp(content: bytes) -> dict:
+    """BMP header parse (public spec): 'BM' + 14-byte file header +
+    DIB header carrying width/height/bpp."""
+    import struct
+
+    if len(content) < 30:
+        raise ValueError("BMP truncated before DIB header")
+    dib_size = struct.unpack_from("<I", content, 14)[0]
+    if dib_size >= 40:  # BITMAPINFOHEADER family
+        w, h = struct.unpack_from("<ii", content, 18)
+        bpp = struct.unpack_from("<H", content, 28)[0]
+    elif dib_size == 12:  # BITMAPCOREHEADER: 16-bit dims
+        w, h = struct.unpack_from("<hh", content, 18)
+        bpp = struct.unpack_from("<H", content, 24)[0]
+    else:
+        raise ValueError(f"unknown BMP DIB header size {dib_size}")
+    return {
+        "kind": "image",
+        "format": "bmp",
+        "width": abs(w),
+        "height": abs(h),  # negative height = top-down rows
+        "bits_per_pixel": bpp,
+    }
+
+
+def _decode_ppm(content: bytes) -> dict:
+    """Netpbm header parse: magic, then width/height (ASCII, ``#``
+    comments allowed) — P1-P3 ASCII, P4-P6 binary."""
+    import re as _re
+
+    toks = _re.findall(
+        rb"#[^\n]*|\S+", content[:2048]
+    )  # comments consumed as single tokens
+    toks = [t for t in toks if not t.startswith(b"#")]
+    if len(toks) < 3:
+        raise ValueError("Netpbm truncated header")
+    magic = toks[0].decode("ascii", "replace")
+    return {
+        "kind": "image",
+        "format": {"P1": "pbm", "P4": "pbm", "P2": "pgm", "P5": "pgm",
+                   "P3": "ppm", "P6": "ppm"}[magic],
+        "width": int(toks[1]),
+        "height": int(toks[2]),
+        "bits_per_pixel": 1 if magic in ("P1", "P4") else 8,
+    }
+
+
+def _decode_wav(content: bytes) -> dict:
+    """RIFF/WAVE chunk walk: the fmt chunk gives channels/rate, the
+    data chunk size over byte-rate gives duration."""
+    import struct
+
+    if content[8:12] != b"WAVE":
+        raise ValueError("RIFF without WAVE form type")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from(
+            "<I", content, pos + 4
+        )[0]
+        if cid == b"fmt " and pos + 24 <= len(content):
+            fmt = struct.unpack_from("<HHIIHH", content, pos + 8)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("WAV missing fmt chunk")
+    _audio_fmt, channels, rate, byte_rate, _align, bits = fmt
+    return {
+        "kind": "audio",
+        "format": "wav",
+        "channels": channels,
+        "sample_rate_hz": rate,
+        "bits_per_sample": bits,
+        "duration_s": (data_size / byte_rate)
+        if (data_size and byte_rate)
+        else None,
+    }
+
+
+def decode_media(content: bytes, mime: str) -> dict:
+    """Decode a media payload's metadata. REAL for the codec-free
+    container formats whose headers are pure-Python parseable — BMP,
+    Netpbm (PBM/PGM/PPM), WAV (VERDICT r4 #7) — dispatched on magic
+    bytes, not caller-supplied mime (content wins over labels).
+    Compressed codecs (JPEG/PNG/MP4/...) still raise: those need
+    PIL/ffmpeg, unavailable in this container — wire them here in
+    production. Malformed payloads of a recognized format raise
+    ValueError (quarantine, like the PDF path)."""
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    if content[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6") and (
+        len(content) > 2 and content[2:3].isspace()
+    ):
+        return _decode_ppm(content)
+    if content[:4] == b"RIFF":
+        return _decode_wav(content)
     raise NotImplementedError(
-        "media codecs (PIL/ffmpeg/librosa) are not available in this "
-        "container; wire a real decoder here in production"
+        f"no pure-Python decoder for this payload (mime={mime!r}); "
+        "JPEG/PNG/MP4 etc. need PIL/ffmpeg — wire a real codec here "
+        "in production"
     )
 
 
@@ -58,6 +152,83 @@ def with_binary_features(binary_df: DataFrame) -> DataFrame:
     """(doc_id, content binary, meta struct) → extracted features via
     an Arrow-batched mapInPandas."""
     return binary_df.mapInPandas(_extract_batch, schema=FEATURE_SCHEMA)
+
+
+def with_synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media-payload synthesis for the x5b decode query:
+    each document becomes a REAL BMP header (doc_id%3==0), WAV header
+    (==1), or an unsupported-codec payload (==2), with dimensions /
+    duration as pure functions of (doc_id, n_chars) — so a SQL oracle
+    can recompute what decode_media must read back from the bytes.
+    Header-only payloads (declared sizes, truncated data) are valid
+    input for the chunk walkers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            out = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                m = int(doc_id) % 3
+                if m == 0:
+                    w = int(doc_id) % 1024 + 1
+                    h = int(doc_id) % 768 + 1
+                    dib = struct.pack("<IiiHH", 40, w, h, 1, 24) + b"\x00" * 20
+                    payload = (
+                        b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + dib
+                    )
+                elif m == 1:
+                    secs = int(n_chars) % 100 + 1
+                    byte_rate = 8000 * 1 * 16 // 8
+                    payload = (
+                        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                        + b"fmt " + struct.pack("<I", 16)
+                        + struct.pack("<HHIIHH", 1, 1, 8000, byte_rate, 2, 16)
+                        + b"data" + struct.pack("<I", secs * byte_rate)
+                    )
+                else:
+                    payload = b"\x89PNG\r\n\x1a\n" + bytes(8)
+                out.append({"doc_id": doc_id, "content": payload})
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        run, schema="doc_id bigint, content binary"
+    )
+
+
+MEDIA_META_SCHEMA = (
+    "doc_id bigint, kind string, format string, width int, height int, "
+    "bits_per_pixel int, channels int, sample_rate_hz int, "
+    "bits_per_sample int, duration_s double, decode_error string"
+)
+
+_MEDIA_META_COLS = [f.split()[0] for f in MEDIA_META_SCHEMA.split(", ")]
+
+
+def with_media_metadata(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, content binary) → REAL decoded media metadata rows via
+    Arrow-batched ``mapInPandas`` over :func:`decode_media` — the
+    non-stub path (BMP/Netpbm/WAV). A payload that can't be decoded
+    yields a ``decode_error`` row instead of failing its task, the
+    same quarantine-not-drop contract as extraction
+    (pipeline.extract_kpis_batch)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                row = dict.fromkeys(_MEDIA_META_COLS)
+                row["doc_id"] = doc_id
+                try:
+                    row.update(decode_media(bytes(content), ""))
+                except Exception as e:  # noqa: BLE001 — quarantined per row
+                    row["decode_error"] = f"{type(e).__name__}: {e}"[:200]
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=_MEDIA_META_COLS)
+
+    return binary_df.select("doc_id", "content").mapInPandas(
+        run, schema=MEDIA_META_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -755,7 +755,16 @@ def compact_fact_table(
     else:
         current = current.coalesce(1)
     files = _stage_files(current, path)
-    return _publish_commit(path, files, base=True, stats=_stats_for(path, files))
+    # rewrite = the lazy bloom back-fill moment set_bloom_columns
+    # promises: files appended before the property existed get their
+    # per-column filters here
+    return _publish_commit(
+        path,
+        files,
+        base=True,
+        stats=_stats_for(path, files),
+        bloom=_blooms_for(path, files),
+    )
 
 
 def vacuum_fact_table(path: str, min_age_s: float = 3600.0) -> list[str]:

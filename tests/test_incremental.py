@@ -71,3 +71,64 @@ def test_staged_store_matches_lazy_fingerprints(spark):
     lazy = I.fingerprints(corpus)
     assert staged.count() == lazy.count()
     assert staged.exceptAll(lazy).count() == 0
+
+
+def test_bucketed_store_shuffle_free_probe(spark, sf_dir):
+    """VERDICT r4 #6: the fingerprint store as bucketed tables — the
+    store side of both probe joins is an Exchange-free bucketed scan,
+    results identical to the lazy-store path, and append() keeps the
+    store incremental (a re-probed accepted batch fully dedups)."""
+    import uuid
+
+    from pdf_etl_engine_spark.operators.incremental import (
+        BucketedFingerprintStore,
+        _corpus_batch,
+        dedup_against_store,
+        fingerprints,
+    )
+
+    name = f"fp_store_{uuid.uuid4().hex[:8]}"
+    prior = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled",
+                  "spark.sql.autoBroadcastJoinThreshold")
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    store = BucketedFingerprintStore(spark, name, n_buckets=4)
+    try:
+        corpus, batch = _corpus_batch(spark, sf_dir)
+        store.create(corpus)
+        out = store.dedup(batch, near=True)
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        scan_idx = [i for i, l in enumerate(lines) if name in l]
+        assert len(scan_idx) == 2, "expected both store tables scanned"
+        for i in scan_idx:
+            assert "Bucketed: true" in lines[i]
+            # nothing between the bucketed scan and its join but
+            # Sort/Filter/ColumnarToRow — no Exchange on the store side
+            # (the window is the store branch only; the batch side's
+            # Exchange is expected and sits outside it)
+            for j in range(max(0, i - 3), i):
+                assert "Exchange" not in lines[j], lines[j]
+                assert any(
+                    tok in lines[j]
+                    for tok in ("Sort", "Filter", "ColumnarToRow")
+                ), lines[j]
+
+        # parity with the lazy-store path
+        lazy = dedup_against_store(batch, fingerprints(corpus), near=True)
+        assert out.count() == lazy.count()
+        assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) \
+            == sorted(r["doc_id"] for r in lazy.select("doc_id").collect())
+
+        # accept-loop: appending the surviving batch makes it a dup
+        store.append(out)
+        assert store.dedup(out, near=True).count() == 0
+    finally:
+        for k, v in prior.items():
+            spark.conf.set(k, v)
+        for t in (store.sha_table, store.band_table):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

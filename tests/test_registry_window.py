@@ -46,7 +46,7 @@ def test_every_component_family_has_window_representative():
         # LLM-pipeline families
         "x1_token_stats", "x2_dedup_exact", "x3c_ngram_jaccard",
         "x4_cosine_topk", "x4c_embedding_near_dup",
-        "x5_multimodal_binary", "x6_text_analysis_agg",
+        "x5b_media_decode", "x6_text_analysis_agg",
         "x10_deterministic_sample", "x16_contamination",
         "x22_incremental_dedup_exact",
     }
@@ -58,14 +58,14 @@ def test_every_component_family_has_window_representative():
 
 
 def test_window_queries_are_oracle_graded_where_possible():
-    # Only the four genuinely non-SQL-expressible queries may be
-    # rows-only inside the graded window.
+    # Only the three genuinely non-SQL-expressible queries may be
+    # rows-only inside the graded window (x5b replaced rows-only x5
+    # with an oracle-graded decode in r5).
     rows_only = [n for n in WINDOW if n not in registry.ORACLES]
     assert sorted(rows_only) == [
         "a4_approx_count_distinct",
         "s2_scan_binary_docs",
         "stw_stream_dedup",
-        "x5_multimodal_binary",
     ]
 
 

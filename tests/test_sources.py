@@ -526,3 +526,99 @@ def test_clustered_append_enables_range_pruning(spark, tmp_path):
         writers.read_fact_table(spark, path).filter("amount >= 300.0").count()
         == 100
     )
+
+
+def _bmp(width=640, height=480, bpp=24):
+    import struct
+
+    dib = struct.pack("<IiiHH", 40, width, height, 1, bpp) + b"\x00" * 20
+    return b"BM" + struct.pack("<IHHI", 54 + 64, 0, 0, 54) + dib + b"\x00" * 64
+
+
+def _wav(seconds=0.5, rate=44100, channels=2, bits=16):
+    import struct
+
+    byte_rate = rate * channels * bits // 8
+    data = int(seconds * byte_rate)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, channels, rate, byte_rate,
+                      channels * bits // 8, bits)
+        + b"data" + struct.pack("<I", data) + b"\x00" * min(data, 64)
+    )
+
+
+def test_decode_media_real_formats():
+    """VERDICT r4 #7: decode_media has a non-stub path — BMP/Netpbm/WAV
+    headers parse for real; compressed codecs still raise."""
+    import pytest
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    bmp = M.decode_media(_bmp(), "image/bmp")
+    assert (bmp["width"], bmp["height"], bmp["bits_per_pixel"]) == (640, 480, 24)
+    ppm = M.decode_media(b"P6\n# a comment\n320 240\n255\n\x00", "")
+    assert (ppm["format"], ppm["width"], ppm["height"]) == ("ppm", 320, 240)
+    pgm = M.decode_media(b"P5 16 8 255 ", "")
+    assert (pgm["format"], pgm["width"], pgm["height"]) == ("pgm", 16, 8)
+    wav = M.decode_media(_wav(0.5), "audio/wav")
+    assert wav["channels"] == 2 and wav["sample_rate_hz"] == 44100
+    assert abs(wav["duration_s"] - 0.5) < 1e-9
+    with pytest.raises(NotImplementedError):  # PNG needs a codec
+        M.decode_media(b"\x89PNG\r\n\x1a\n....", "image/png")
+    with pytest.raises(ValueError):  # recognized format, mangled header
+        M.decode_media(b"BM\x00\x00", "image/bmp")
+
+
+def test_with_media_metadata_quarantines_per_row(spark):
+    """The Spark surface: real decode for supported rows, decode_error
+    rows (not task failure) for the rest."""
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    rows = [
+        (1, bytearray(_bmp(100, 50))),
+        (2, bytearray(_wav(2.0, rate=8000, channels=1))),
+        (3, bytearray(b"\x89PNG\r\n\x1a\nnope")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = {r["doc_id"]: r for r in M.with_media_metadata(df).collect()}
+    assert (got[1]["kind"], got[1]["width"], got[1]["height"]) == (
+        "image", 100, 50)
+    assert got[1]["decode_error"] is None
+    assert (got[2]["kind"], got[2]["duration_s"]) == ("audio", 2.0)
+    assert got[3]["kind"] is None
+    assert got[3]["decode_error"].startswith("NotImplementedError")
+
+
+def test_bloom_backfill_on_compaction(tmp_path, spark):
+    """VERDICT r4 #8: files appended before set_bloom_columns get
+    their Bloom filters when compaction rewrites them — point-lookup
+    pruning starts to bite without re-ingesting."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_engine_spark.sources import writers
+
+    path = str(tmp_path / "facts")
+    for tenant, lo in (("tA", 0), ("tB", 1000)):
+        df = spark.range(lo, lo + 20).select(
+            F.lit(tenant).alias("tenant_id"), F.lit("f").alias("folder_id"),
+            F.concat(F.lit("row-"), F.col("id")).alias("row_id"),
+        )
+        assert writers.append_rows(df, path)
+    assert writers.committed_file_blooms(path) == {}  # pre-property files
+
+    writers.set_bloom_columns(path, ["row_id"])
+    writers.compact_fact_table(spark, path)
+    blooms = writers.committed_file_blooms(path)
+    assert blooms and all("row_id" in b for b in blooms.values())
+
+    # equality probe on a key only tenant A holds: B's file pruned
+    kept = writers.pruned_files(path, [("row_id", "==", "row-5")])
+    assert len(kept) == 1 and "tenant_id=tA" in kept[0]
+    got = writers.read_fact_table(
+        spark, path, prune=[("row_id", "==", "row-5")]
+    ).filter(F.col("row_id") == "row-5")
+    assert got.count() == 1
+    # absent key: every file pruned, provably-empty read, zero rows
+    assert writers.pruned_files(path, [("row_id", "==", "row-9999")]) == []
