@@ -489,3 +489,64 @@ def x21_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round((n - nd) / n, 4).alias("rep_ratio"),
         ((n - nd) * 5 > n).alias("too_repetitive"),
     )
+
+
+@query(
+    "x23_mixture_plan",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             count(*) AS n_docs,
+             sum(len(list_filter(string_split(text, ' '),
+                                 w -> w <> ''))) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT *, sum(n_tokens) OVER () AS corpus_tokens,
+             count(*) OVER () AS n_sources
+      FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / corpus_tokens + 5e-10, 6)
+             AS corpus_frac,
+           round(least(1.0, (10000.0 / n_sources) / n_tokens) + 5e-10, 6)
+             AS sample_rate,
+           CAST(round(least(1.0, (10000.0 / n_sources) / n_tokens)
+                      * n_tokens, 0) AS BIGINT) AS sampled_tokens
+    FROM tot
+    """,
+)
+def x23_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23: corpus mixture planning — the step before sampling a
+    pretraining mix. Per-source token mass → corpus fraction → the
+    per-source sampling rate that hits an equal-share token budget
+    (10k tokens here — small enough that the rate<1 branch is the one
+    exercised at every test SF), capped at 1.0 for under-represented sources
+    (upsampling is a separate policy decision). This is the
+    DoReMi/The-Pile-style accounting every large pretraining run does
+    over its source taxonomy.
+
+    Scale shape: stage 1 is a partial-aggregated groupBy(source) —
+    token counting collapses map-side, the wire carries one row per
+    source; stage 2's window runs over #sources rows (tens), not the
+    corpus. Nothing corpus-wide is ever shuffled or re-read."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    budget_per_src = F.lit(10_000.0) / F.count("*").over(w)
+    rate = F.least(F.lit(1.0), budget_per_src / F.col("n_tokens"))
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        stable_round(
+            F.col("n_tokens") / F.sum("n_tokens").over(w), 6
+        ).alias("corpus_frac"),
+        stable_round(rate, 6).alias("sample_rate"),
+        F.round(rate * F.col("n_tokens"), 0).cast("bigint").alias(
+            "sampled_tokens"
+        ),
+    )

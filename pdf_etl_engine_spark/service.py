@@ -131,6 +131,12 @@ class Service:
         self.incoming_root = incoming_root
         self.verifier = verifier
         self.extractor = extractor
+        # Always wire a quarantine sink: without one the pipeline
+        # (correctly) refuses to drop untrained/failed files by raising
+        # — but a service route must degrade to a counted quarantine,
+        # not an exception (the reference swallows these cases with a
+        # 200, main.py:757-759; we count them instead).
+        self.quarantine_path = f"{fact_path.rstrip('/')}_quarantine"
         from pdf_etl_engine_spark.plans import types as _types
 
         # Pluggable type inference: the reference tries an LLM first and
@@ -237,13 +243,17 @@ class Service:
 
     # -- / (GCS trigger, main.py:656-759): process the batch --------------
     def process_batch(self) -> tuple[int, dict]:
-        res = pipeline.ingest_batch(
-            self.spark,
-            f"{self.incoming_root}/*/*/*/*",
-            self.catalog,
-            self.fact_path,
-            extractor=self.extractor,
-        )
+        try:
+            res = pipeline.ingest_batch(
+                self.spark,
+                f"{self.incoming_root}/*/*/*/*",
+                self.catalog,
+                self.fact_path,
+                extractor=self.extractor,
+                quarantine_path=self.quarantine_path,
+            )
+        except Exception as e:  # noqa: BLE001 — route boundary
+            return 500, {"error": f"{type(e).__name__}: {e}"[:500]}
         return 200, res
 
     # -- /get-results (main.py:764-811) -----------------------------------

@@ -322,3 +322,30 @@ def test_train_flow_routes_end_to_end(tmp_path, spark):
     row = body["results"][0]
     assert row["kpi_total_amount____"] == 10.0
     assert row["kpi_status"] == "Paid"
+
+
+def test_process_batch_quarantines_untrained(tmp_path, spark):
+    """A file landing in an untrained folder quarantines (counted) —
+    the route answers 200 with counters instead of raising, and the
+    quarantine table holds the row (vs the reference's silent 200,
+    main.py:757-759)."""
+    import pathlib
+
+    svc, verifier = _service(tmp_path, spark)
+    owner = verifier.issue("user_abc", "owner@example.com")
+    svc.create_folder(owner, {"name": "Trained", "kpi_metadata": KPI_META})
+    good = pathlib.Path(svc.incoming_root, "user_abc", "trained", "batch",
+                        "ok.pdf")
+    good.parent.mkdir(parents=True, exist_ok=True)
+    good.write_bytes(build_pdf(["Total Amount ($): $3.00"]))
+    stray = pathlib.Path(svc.incoming_root, "user_abc", "never_trained",
+                         "batch", "stray.pdf")
+    stray.parent.mkdir(parents=True, exist_ok=True)
+    stray.write_bytes(build_pdf(["Whatever: 1"]))
+
+    status, counters = svc.process_batch()
+    assert status == 200
+    assert counters["rows_written"] == 1
+    q = spark.read.parquet(svc.quarantine_path)
+    assert q.count() == 1
+    assert "never_trained" in q.collect()[0]["error"]
