@@ -310,3 +310,39 @@ def test_extract_batch_honors_max_rps(spark):
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["extract_error"] is None
     assert json.loads(rows[0]["raw_extract"]) == {"Amount": "7"}
+
+
+def test_catalog_reads_pre_r5_schema(tmp_path, spark):
+    """Round-4 catalogs (folders without selected_kpis/kpi_samples,
+    shares without created_at) keep working under the widened explicit
+    schemas: missing parquet columns read NULL, and a stamped re-share
+    supersedes an unstamped legacy row (desc_nulls_last)."""
+    OLD_FOLDERS = (
+        "tenant_id string, folder_id string, display_name string, "
+        "context_hint string, is_trained boolean, status string, "
+        "owner string, created_at timestamp, "
+        "kpi_metadata array<struct<name:string, sample_value:string, "
+        "type:string>>"
+    )
+    OLD_SHARES = (
+        "owner_id string, folder_id string, shared_email string, "
+        "permission string"
+    )
+    d = str(tmp_path / "cat")
+    spark.createDataFrame(
+        [("u1", "f1", "F", "", True, "active", "u1", None,
+          [("K", "1", "number")])],
+        OLD_FOLDERS,
+    ).write.parquet(d + "/folders")
+    spark.createDataFrame(
+        [("u1", "f1", "e@x.com", "edit")], OLD_SHARES
+    ).write.parquet(d + "/shares")
+
+    cat = pipeline.Catalog(spark, d)
+    f = cat.get_folder("u1", "f1")
+    assert f["display_name"] == "F"
+    assert f["selected_kpis"] is None and f["kpi_samples"] is None
+    assert cat.effective_share("u1", "f1", "e@x.com") == "edit"
+    cat.add_share("u1", "f1", "e@x.com", "view")  # stamped row wins
+    assert cat.effective_share("u1", "f1", "e@x.com") == "view"
+    assert cat.can_read("u2", "e@x.com", "u1", "f1")
