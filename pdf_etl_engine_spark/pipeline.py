@@ -755,11 +755,26 @@ def ingest_batch(
 ) -> dict[str, int]:
     """The full `POST /` semantics over a batch of files
     (main.py:656-759). Returns counters for observability (the
-    reference prints; we count)."""
-    files = scan_incoming(spark, incoming_glob).withColumn(
-        "rel_path", _relative_path(F.col("path"))
-    )
-    total = files.count()
+    reference prints; we count). A glob that matches nothing is an
+    empty batch (all-zero counters), not an error — the reference's
+    per-file push trigger can't fire on an empty bucket, but a
+    poll-style caller can."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        files = scan_incoming(spark, incoming_glob).withColumn(
+            "rel_path", _relative_path(F.col("path"))
+        )
+        total = files.count()
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return {
+            "files_seen": 0,
+            "files_matched": 0,
+            "rows_written": 0,
+            "files_failed": 0,
+        }
     valid = filter_ingestable(files, "rel_path")
 
     p = kernel.path_parts(F.col("rel_path"))

@@ -349,3 +349,13 @@ def test_process_batch_quarantines_untrained(tmp_path, spark):
     q = spark.read.parquet(svc.quarantine_path)
     assert q.count() == 1
     assert "never_trained" in q.collect()[0]["error"]
+
+
+def test_process_batch_empty_bucket_is_zero_not_500(tmp_path, spark):
+    """A trigger firing before any upload answers 200 with zero
+    counters (PATH_NOT_FOUND is an empty batch, not an error)."""
+    svc, _ = _service(tmp_path, spark)
+    status, counters = svc.process_batch()
+    assert status == 200
+    assert counters == {"files_seen": 0, "files_matched": 0,
+                        "rows_written": 0, "files_failed": 0}
