@@ -29,10 +29,12 @@ Quarantine contract (load-bearing — pipeline.extract_kpis_batch routes
 raised errors to the quarantine sink instead of writing all-N/A rows):
 ``ValueError`` on a missing ``%PDF-`` header, on a stream whose dict
 declares FlateDecode but whose bytes zlib cannot inflate, on a
-malformed ASCIIHex/ASCII85 payload, and on a document that HAS page
-content streams (``/Contents``) but from which zero text-show
-operators were recovered (truncated/mangled content beats an empty
-extraction).
+malformed ASCIIHex/ASCII85 payload, and on zero recovered text WITH
+evidence of damage (a BT text block that yields no complete text-show
+— truncation/mangling — or a content stream behind an unsupported
+filter). A legitimately text-free document (image-only scan: streams
+decode cleanly, no BT anywhere) extracts as empty text rather than
+quarantining, so its metadata KPIs still answer.
 
 Not handled (documented limits): CID/Type0 composite-font glyph
 remapping (hex strings decode by byte value / UTF-16BE only),
@@ -232,19 +234,31 @@ def _objstm_objects(data: bytes) -> dict[int, bytes]:
     return out
 
 
+_BT_TOKEN_RE = re.compile(rb"(?<![A-Za-z])BT(?![A-Za-z])")
+
+
 def extract_pdf_text(data: bytes) -> str:
     """Text-show strings from every content stream, one line per
     text-show operator, in document order. Raises ``ValueError`` on
-    structural corruption — see the module quarantine contract."""
+    EVIDENCE of corruption (ADVICE r4 quarantine contract), while a
+    legitimately text-free document (image-only scan, pure vector
+    page — streams decode cleanly and contain no BT text block at
+    all) returns ``""`` so its metadata KPIs still answer. Evidence
+    means: a stream carries a BT token but no complete text-show
+    survived (truncated/mangled operators), or a non-image content
+    stream hid behind an unsupported filter (nothing could be read)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
     lines: list[str] = []
+    suspicious: str | None = None
     for dict_bytes, raw in _iter_streams(data):
         if _SKIP_TYPE_RE.search(dict_bytes):
             continue  # xref stream / XMP / image / ObjStm: not page text
         decoded = _decode_stream(dict_bytes, raw)
         if decoded is None:
+            suspicious = "stream behind unsupported filter"
             continue
+        shows_before = len(lines)
         for bt in _BT_RE.finditer(decoded):
             for m in _SHOW_RE.finditer(bt.group(1)):
                 if m.group("lit") is not None:
@@ -258,13 +272,13 @@ def extract_pdf_text(data: bytes) -> str:
                             for t in _STR_RE.findall(m.group("arr"))
                         )
                     )
-    if not lines and re.search(rb"/Contents\b", data):
-        # Pages declare content but no text-show operator survived
-        # decoding: truncated/mangled streams. Quarantine beats an
-        # all-N/A row (ADVICE r4).
+        if len(lines) == shows_before and _BT_TOKEN_RE.search(decoded):
+            # a text block was started but nothing could be shown:
+            # unterminated BT (truncation) or mangled operators
+            suspicious = "BT text block with no recoverable text-show"
+    if not lines and suspicious:
         raise ValueError(
-            "document has page content streams but no text could be "
-            "recovered"
+            f"no text recovered and document looks damaged: {suspicious}"
         )
     return "\n".join(lines)
 
@@ -322,15 +336,11 @@ def _norm_field(s: str) -> str:
     return re.sub(r"[^a-zA-Z0-9_]", "_", s).lower()
 
 
-def pdf_discover_fields(content: bytes) -> dict[str, str]:
-    """Train-time field discovery over real PDF bytes — the
-    deterministic stand-in for the reference's "extract all data labels
-    and headers" LLM pass (main.py:435-452): every ``Key: Value`` line
-    becomes a candidate field keyed by its PRINTED label (first
-    occurrence wins), so the user curates names as the document shows
-    them. Raises on unparseable bytes like the extractor does."""
-    text = extract_pdf_text(content)
-    fields: dict[str, str] = {}
+def _field_lines(text: str):
+    """The ``Key: Value`` field-line contract, shared by discovery and
+    extraction so the two can never disagree about what a field is:
+    yields ``(printed_label, normalized_key, value)`` per line, first
+    occurrence of a normalized key wins."""
     seen: set[str] = set()
     for line in text.splitlines():
         if ":" in line:
@@ -338,8 +348,20 @@ def pdf_discover_fields(content: bytes) -> dict[str, str]:
             label, norm = k.strip(), _norm_field(k.strip())
             if label and norm not in seen:
                 seen.add(norm)
-                fields[label] = v.strip()
-    return fields
+                yield label, norm, v.strip()
+
+
+def pdf_discover_fields(content: bytes) -> dict[str, str]:
+    """Train-time field discovery over real PDF bytes — the
+    deterministic stand-in for the reference's "extract all data labels
+    and headers" LLM pass (main.py:435-452): every ``Key: Value`` line
+    becomes a candidate field keyed by its PRINTED label, so the user
+    curates names as the document shows them. Raises on unparseable
+    bytes like the extractor does."""
+    return {
+        label: value
+        for label, _norm, value in _field_lines(extract_pdf_text(content))
+    }
 
 
 def pdf_kpi_extractor(
@@ -352,13 +374,9 @@ def pdf_kpi_extractor(
     also answerable as KPIs. Raises on unparseable bytes so the
     harness quarantines the document."""
     text = extract_pdf_text(content)
-    fields: dict[str, str] = {}
-    for line in text.splitlines():
-        if ":" in line:
-            k, v = line.split(":", 1)
-            key = _norm_field(k.strip())
-            if key and key not in fields:  # first occurrence wins
-                fields[key] = v.strip()
+    fields: dict[str, str] = {
+        norm: value for _label, norm, value in _field_lines(text)
+    }
     meta = pdf_metadata(content)
     for mk in ("title", "author", "creation_date"):
         if mk in meta:

@@ -219,7 +219,11 @@ class Catalog:
         wins — re-sharing as 'view' downgrades an earlier 'edit'. Our
         share table is append-only parquet, so the upsert is replayed
         here as newest-wins by created_at (rows predating the timestamp
-        column sort last — any stamped re-share supersedes them)."""
+        column sort last — any stamped re-share supersedes them).
+        Timestamp ties — in practice only the pre-timestamp legacy
+        rows, which all read NULL — break toward 'edit', preserving
+        the old any-edit-row-wins semantics for grandfathered shares
+        instead of picking whichever row file listing yields first."""
         rows = (
             self.shares()
             .filter(
@@ -227,7 +231,10 @@ class Catalog:
                 & (F.col("folder_id") == folder_id)
                 & (F.col("shared_email") == shared_email.lower())
             )
-            .orderBy(F.desc_nulls_last("created_at"))
+            .orderBy(
+                F.desc_nulls_last("created_at"),
+                F.desc(F.col("permission") == "edit"),
+            )
             .limit(1)
             .collect()
         )

@@ -324,6 +324,15 @@ class Service:
             return 400, {"error": "folder_id required"}
         target = owner_id or ident["uid"]
         folder = self.catalog.get_folder(target, folder_id)
+        if folder is None and owner_id is None:
+            # owner_id omitted: same cross-tenant fallback as
+            # get_results (main.py:545-548 does this for /get-kpis
+            # too) — a viewer's UI typically only knows folder_id
+            folder = self.catalog.resolve_folder_for_read(
+                ident["uid"], ident["email"], folder_id
+            )
+            if folder is not None:
+                target = folder.get("owner") or folder["tenant_id"]
         if folder is None:
             return 404, {"error": "Folder not found"}
         is_owner = ident["uid"] == (folder.get("owner") or target)
@@ -340,24 +349,34 @@ class Service:
         if kpi_metadata:
             return 200, {**base, "selected_kpis": kpi_metadata}
         # Legacy-folder fallback: type the raw samples on the fly.
-        selected = folder.get("selected_kpis") or []
-        samples = folder.get("kpi_samples") or {}
-        kpi_types = self.type_inferrer.infer(samples) if samples else {}
-        from pdf_etl_engine_spark.plans.types import infer_type_of_value
-
         return 200, {
             **base,
-            "selected_kpis": [
-                {
-                    "name": name,
-                    "sample_value": samples.get(name, ""),
-                    "type": kpi_types.get(
-                        name, infer_type_of_value(samples.get(name, ""))
-                    ),
-                }
-                for name in selected
-            ],
+            "selected_kpis": self._build_kpi_metadata(
+                folder.get("selected_kpis") or [],
+                folder.get("kpi_samples") or {},
+            ),
         }
+
+    def _build_kpi_metadata(
+        self, selected: list[str], samples: dict[str, str]
+    ) -> list[dict[str, str]]:
+        """The inferrer/per-value fallback layering of main.py:480-483,
+        shared by confirm-kpis (train time) and get-kpis' legacy path
+        (read time) so the two can never diverge: batch inferrer first,
+        per-value kernel inference as the fallback."""
+        from pdf_etl_engine_spark.plans.types import infer_type_of_value
+
+        kpi_types = self.type_inferrer.infer(samples) if samples else {}
+        return [
+            {
+                "name": name,
+                "sample_value": samples.get(name, ""),
+                "type": kpi_types.get(
+                    name, infer_type_of_value(samples.get(name, ""))
+                ),
+            }
+            for name in selected
+        ]
 
     # -- /analyze-master (main.py:413-461) --------------------------------
     def analyze_master(
@@ -387,6 +406,19 @@ class Service:
         norm = posixpath.normpath(file_path)
         if norm.startswith(("/", "..")) or not norm.startswith("incoming/"):
             return 400, {"error": "file_path must be under incoming/"}
+        # Ownership gate (hardening — the reference reads ANY blob by
+        # path with no check, main.py:427-433, a cross-tenant leak):
+        # analyzing another tenant's master requires an edit share on
+        # that folder, the same bar as uploading into it.
+        parts = norm.split("/")
+        if len(parts) < 3:
+            return 400, {"error": "file_path must be incoming/{uid}/{folder}/..."}
+        owner_seg, folder_seg = parts[1], parts[2]
+        if owner_seg != ident["uid"] and (
+            self.catalog.effective_share(owner_seg, folder_seg, ident["email"])
+            != "edit"
+        ):
+            return 403, {"error": "Access denied"}
         full = os.path.join(bucket_root, norm)
         if not os.path.isfile(full):
             return 404, {"error": f"File {file_path} not found"}
@@ -435,19 +467,7 @@ class Service:
         existing = self.catalog.get_folder(ident["uid"], folder_id)
         if existing is None:
             return 404, {"error": "Folder not found"}
-        kpi_types = self.type_inferrer.infer(samples) if samples else {}
-        from pdf_etl_engine_spark.plans.types import infer_type_of_value
-
-        kpi_metadata = [
-            {
-                "name": name,
-                "sample_value": samples.get(name, ""),
-                "type": kpi_types.get(
-                    name, infer_type_of_value(samples.get(name, ""))
-                ),
-            }
-            for name in selected
-        ]
+        kpi_metadata = self._build_kpi_metadata(list(selected), samples)
         self.catalog.create_folder(
             ident["uid"],
             folder_id,

@@ -98,8 +98,10 @@ def _decode_wav(content: bytes) -> dict:
         "channels": channels,
         "sample_rate_hz": rate,
         "bits_per_sample": bits,
+        # data_size == 0 is a valid empty recording (0.0 s); None only
+        # when the data chunk or byte rate is genuinely absent
         "duration_s": (data_size / byte_rate)
-        if (data_size and byte_rate)
+        if (data_size is not None and byte_rate)
         else None,
     }
 

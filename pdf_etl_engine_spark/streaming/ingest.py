@@ -144,7 +144,15 @@ def _ingest_micro_batch(
                 Path(bucket_root) / "_archive" / f"txn={tag}-{int(txn[1])}"
             )
         elif archive:
-            manifest_dir = str(Path(bucket_root) / "_archive" / "adhoc")
+            # txn-less callers get a unique manifest per batch so two
+            # concurrent batches can't clobber each other's file list;
+            # a crashed batch leaves a small orphan manifest (its files
+            # simply re-archive on the next poll)
+            import uuid
+
+            manifest_dir = str(
+                Path(bucket_root) / "_archive" / f"adhoc-{uuid.uuid4().hex[:12]}"
+            )
         core = P.process_bound_batch(
             spark, bound, catalog, fact_path, extractor, quarantine_path,
             txn=txn, archive_manifest_dir=manifest_dir,

@@ -196,3 +196,18 @@ def test_discover_fields_roundtrip():
     assert pdftext.pdf_discover_fields(pdf) == {
         "Total": "42", "Status": "ok"
     }
+
+
+def test_text_free_scan_is_not_quarantined():
+    """An image-only PDF (content stream draws an XObject, no BT
+    anywhere; image itself DCT-encoded) is legitimately text-free:
+    empty text, N/A KPIs, metadata still answered — NOT a ValueError
+    (only damage evidence quarantines)."""
+    content = b"q 612 0 0 792 0 0 cm /Im0 Do Q"
+    img = _stream_obj(
+        b"/Subtype /Image /Filter /DCTDecode ", b"\xff\xd8\xff\xe0fake"
+    )
+    pdf = _pdf(_page_objs(_stream_obj(b"", content)) + [img])
+    assert pdftext.extract_pdf_text(pdf) == ""
+    got = pdftext.pdf_kpi_extractor(pdf, ["Total", "Page Count"], "")
+    assert got == {"Total": "N/A", "Page Count": "1"}

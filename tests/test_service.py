@@ -359,3 +359,48 @@ def test_process_batch_empty_bucket_is_zero_not_500(tmp_path, spark):
     assert status == 200
     assert counters == {"files_seen": 0, "files_matched": 0,
                         "rows_written": 0, "files_failed": 0}
+
+
+def test_get_kpis_resolves_shared_folder_without_owner_id(tmp_path, spark):
+    """A viewer's UI typically knows only folder_id — get_kpis falls
+    back to the cross-tenant resolve like get_results does."""
+    svc, verifier = _service(tmp_path, spark)
+    owner = verifier.issue("user_abc", "owner@example.com")
+    viewer = verifier.issue("user_vw", "viewer@example.com")
+    stranger = verifier.issue("user_zz", "zz@example.com")
+    svc.create_folder(owner, {"name": "Docs", "kpi_metadata": KPI_META})
+    svc.share_folder(owner, {
+        "folder_id": "docs", "shared_email": "viewer@example.com",
+    })
+    status, body = svc.get_kpis(viewer, "docs")  # owner_id omitted
+    assert status == 200 and body["is_trained"] is True
+    assert svc.get_kpis(stranger, "docs")[0] == 404  # unresolvable
+
+
+def test_analyze_master_cross_tenant_requires_edit_share(tmp_path, spark):
+    """Hardening over the reference (which reads ANY blob by path,
+    main.py:427-433): analyzing another tenant's master needs an edit
+    share — the same bar as uploading into the folder."""
+    import pathlib
+
+    svc, verifier = _service(tmp_path, spark)
+    owner = verifier.issue("user_abc", "owner@example.com")
+    intruder = verifier.issue("user_zz", "zz@example.com")
+    editor = verifier.issue("user_ed", "editor@example.com")
+    svc.create_folder(owner, {"name": "Docs"})
+    mpath = pathlib.Path(svc.incoming_root, "user_abc", "docs", "master",
+                         "m.pdf")
+    mpath.parent.mkdir(parents=True, exist_ok=True)
+    mpath.write_bytes(build_pdf(["Secret Total: 99"]))
+    req = {"file_path": "incoming/user_abc/docs/master/m.pdf"}
+
+    assert svc.analyze_master(intruder, req)[0] == 403
+    svc.share_folder(owner, {
+        "folder_id": "docs", "shared_email": "editor@example.com",
+        "permission": "edit",
+    })
+    status, body = svc.analyze_master(editor, req)
+    assert status == 200
+    assert {d["key"] for d in body["detected_kpis"]} == {"Secret Total"}
+    # owner always can
+    assert svc.analyze_master(owner, req)[0] == 200
