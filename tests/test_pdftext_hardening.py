@@ -211,3 +211,53 @@ def test_text_free_scan_is_not_quarantined():
     assert pdftext.extract_pdf_text(pdf) == ""
     got = pdftext.pdf_kpi_extractor(pdf, ["Total", "Page Count"], "")
     assert got == {"Total": "N/A", "Page Count": "1"}
+
+
+def test_fuzz_only_valueerror_escapes():
+    """The quarantine contract requires ValueError (or clean output)
+    as the ONLY outcome on arbitrary garbage — any other exception
+    would fail the extraction task instead of quarantining the row.
+    Deterministic seeded fuzz over structured-ish mutations."""
+    import random
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    rng = random.Random(0xC0FFEE)
+    base = _pdf(_page_objs(_stream_obj(
+        b"/Filter /FlateDecode ", zlib.compress(CONTENT))))
+    snippets = [b"stream\n", b"endstream", b"BT", b"ET", b"(", b")",
+                b"<<", b">>", b"/Filter /FlateDecode", b"/ObjStm",
+                b"/N 5 /First 9999", b"obj", b"endobj", b"\xfe\xff",
+                b"<41", b"[(a) 5 ", b"\\", b"/Info 99 0 R"]
+    for trial in range(300):
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            if not data:
+                break
+            op = rng.randrange(3)
+            pos = rng.randrange(len(data))
+            if op == 0:  # splice a structural token
+                data[pos:pos] = rng.choice(snippets)
+            elif op == 1:  # flip bytes
+                data[pos] = rng.randrange(256)
+            else:  # truncate
+                del data[pos:]
+        blob = bytes(data)
+        if not blob.startswith(b"%PDF-"):
+            blob = b"%PDF-1.4\n" + blob
+        for fn in (pdftext.extract_pdf_text, pdftext.pdf_metadata):
+            try:
+                fn(blob)
+            except ValueError:
+                pass  # the quarantine path — allowed
+        try:
+            pdftext.pdf_kpi_extractor(blob, ["Total"], "")
+        except ValueError:
+            pass
+        # media decoders: same contract (ValueError or
+        # NotImplementedError only)
+        media = rng.choice([b"BM", b"RIFF", b"P6 ", b""]) + blob[:64]
+        try:
+            M.decode_media(media, "")
+        except (ValueError, NotImplementedError):
+            pass
