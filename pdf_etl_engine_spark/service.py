@@ -378,6 +378,50 @@ class Service:
             for name in selected
         ]
 
+    # -- folder listing (extension — the reference's UI reads Firestore
+    # directly for this; a library/service consumer needs a route) ------
+    def list_folders(self, token: str | None) -> tuple[int, dict]:
+        """Folders the caller owns plus folders shared with them
+        (newest generation each, permission attached). Driver-side
+        iteration over the tiny catalog — the same broadcast-scale
+        metadata every route reads."""
+        ident = self.verifier.verify(token)
+        if not ident:
+            return 401, {"error": "Unauthorized"}
+        from pyspark.sql import functions as F
+
+        own, shared = [], []
+        share_rows = {
+            (r["owner_id"], r["folder_id"]): r["permission"]
+            for r in self.catalog.shares()
+            .filter(F.col("shared_email") == ident["email"])
+            .orderBy(F.asc_nulls_first("created_at"))  # newest last wins
+            .collect()
+        }
+        for m in pipeline.latest_folder_metas(self.catalog):
+            entry = {
+                "folder_id": m["folder_id"],
+                "display_name": m.get("display_name") or "",
+                "is_trained": bool(m.get("is_trained")),
+                "status": m.get("status") or "unknown",
+            }
+            owner = m.get("owner") or m["tenant_id"]
+            if owner == ident["uid"]:
+                own.append(entry)
+            elif (owner, m["folder_id"]) in share_rows:
+                shared.append(
+                    {
+                        **entry,
+                        "owner_id": owner,
+                        "permission": share_rows[(owner, m["folder_id"])],
+                    }
+                )
+        key = lambda e: e["folder_id"]  # noqa: E731 — stable output order
+        return 200, {
+            "folders": sorted(own, key=key),
+            "shared_folders": sorted(shared, key=key),
+        }
+
     # -- /analyze-master (main.py:413-461) --------------------------------
     def analyze_master(
         self, token: str | None, payload: dict

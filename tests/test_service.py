@@ -404,3 +404,34 @@ def test_analyze_master_cross_tenant_requires_edit_share(tmp_path, spark):
     assert {d["key"] for d in body["detected_kpis"]} == {"Secret Total"}
     # owner always can
     assert svc.analyze_master(owner, req)[0] == 200
+
+
+def test_list_folders_owned_and_shared(tmp_path, spark):
+    """Extension route: owned + shared folder listing with live
+    (newest-wins) permission attached."""
+    svc, verifier = _service(tmp_path, spark)
+    owner = verifier.issue("user_abc", "owner@example.com")
+    viewer = verifier.issue("user_vw", "viewer@example.com")
+    svc.create_folder(owner, {"name": "Alpha", "kpi_metadata": KPI_META})
+    svc.create_folder(owner, {"name": "Beta"})
+    svc.share_folder(owner, {
+        "folder_id": "alpha", "shared_email": "viewer@example.com",
+        "permission": "edit",
+    })
+    svc.share_folder(owner, {  # downgrade: listing shows the live perm
+        "folder_id": "alpha", "shared_email": "viewer@example.com",
+        "permission": "view",
+    })
+    assert svc.list_folders(None)[0] == 401
+    status, body = svc.list_folders(owner)
+    assert status == 200
+    assert [f["folder_id"] for f in body["folders"]] == ["alpha", "beta"]
+    assert body["folders"][0]["is_trained"] is True
+    assert body["shared_folders"] == []
+    status, body = svc.list_folders(viewer)
+    assert status == 200 and body["folders"] == []
+    assert body["shared_folders"] == [{
+        "folder_id": "alpha", "display_name": "Alpha",
+        "is_trained": True, "status": "active",
+        "owner_id": "user_abc", "permission": "view",
+    }]
