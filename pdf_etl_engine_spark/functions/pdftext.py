@@ -36,9 +36,22 @@ filter). A legitimately text-free document (image-only scan: streams
 decode cleanly, no BT anywhere) extracts as empty text rather than
 quarantining, so its metadata KPIs still answer.
 
-Not handled (documented limits): CID/Type0 composite-font glyph
-remapping (hex strings decode by byte value / UTF-16BE only),
-encryption, LZW/RunLength/predictor filters.
+Font decoding (VERDICT r5 #1): subset-embedded fonts carry a
+``/ToUnicode`` CMap stream (PDF 32000-1 §9.10.3) mapping glyph codes
+to Unicode; without it their Tj operands are raw glyph codes. This
+module parses ``begincodespacerange`` (code width), ``beginbfchar``
+and ``beginbfrange`` (both scalar-destination and array-destination
+forms), resolves each page's ``/Resources → /Font`` dictionary
+(inline or indirect, fonts in ObjStm included), tracks the active
+font via the ``Tf`` operator across the content stream, and decodes
+every text-show through the active font's CMap — 1-byte simple-font
+and 2-byte CID/Type0 codes both. Codes absent from the CMap fall back
+to their code-point value (deterministic, never an exception).
+
+Not handled (documented limits): CID fonts whose ONLY mapping is a
+/CIDSystemInfo-registered external CMap (no embedded /ToUnicode —
+rare outside CJK print workflows), encryption, LZW/RunLength/
+predictor filters.
 """
 
 from __future__ import annotations
@@ -49,14 +62,6 @@ import zlib
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _OBJHDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _BT_RE = re.compile(rb"BT(.*?)ET", re.S)
-# one alternation so Tj strings, hex strings and TJ arrays come out in
-# DOCUMENT ORDER (first-occurrence-wins in pdf_kpi_extractor depends
-# on it)
-_SHOW_RE = re.compile(
-    rb"(?P<lit>\((?:\\.|[^\\()])*\))\s*(?:Tj|')"
-    rb"|(?P<hex><[0-9A-Fa-f\s]*>)\s*(?:Tj|')"
-    rb"|\[(?P<arr>(?:\\.|[^\]\\])*)\]\s*TJ"
-)
 # TJ array elements: literal or hex string (numbers are kerning)
 _STR_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>")
 # octal escapes are base-8 ONLY; \8 or \9 fall through to the
@@ -187,17 +192,19 @@ def _decode_stream(dict_bytes: bytes, raw: bytes) -> bytes | None:
 
 
 def _iter_streams(data: bytes):
-    """Yield ``(dict_bytes, raw_stream_bytes)`` per stream object —
-    the dict is everything between the object header and the
+    """Yield ``(obj_num, dict_bytes, raw_stream_bytes)`` per stream
+    object — the dict is everything between the object header and the
     ``stream`` keyword (sufficient for token/filter search; nested
-    dicts are inert there)."""
-    hdr_ends = [m.end() for m in _OBJHDR_RE.finditer(data)]
+    dicts are inert there). ``obj_num`` is the owning object's number
+    (0 when no header precedes — tolerated fragment)."""
     import bisect
 
+    hdrs = [(m.end(), int(m.group(1))) for m in _OBJHDR_RE.finditer(data)]
+    hdr_ends = [h[0] for h in hdrs]
     for sm in _STREAM_RE.finditer(data):
         i = bisect.bisect_right(hdr_ends, sm.start())
-        dict_start = hdr_ends[i - 1] if i else 0
-        yield data[dict_start : sm.start()], sm.group(1)
+        dict_start, num = hdrs[i - 1] if i else (0, 0)
+        yield num, data[dict_start : sm.start()], sm.group(1)
 
 
 # ---------------------------------------------------------------------------
@@ -211,7 +218,7 @@ def _objstm_objects(data: bytes) -> dict[int, bytes]:
     objects. Header per spec: N (num, offset) integer pairs, object
     bodies starting at /First."""
     out: dict[int, bytes] = {}
-    for dict_bytes, raw in _iter_streams(data):
+    for _num, dict_bytes, raw in _iter_streams(data):
         if not re.search(rb"/Type\s*/ObjStm\b", dict_bytes):
             continue
         payload = _decode_stream(dict_bytes, raw)
@@ -236,6 +243,288 @@ def _objstm_objects(data: bytes) -> dict[int, bytes]:
 
 _BT_TOKEN_RE = re.compile(rb"(?<![A-Za-z])BT(?![A-Za-z])")
 
+# ---------------------------------------------------------------------------
+# /ToUnicode CMaps (§9.10.3): subset-font glyph code → Unicode
+# ---------------------------------------------------------------------------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CSR_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_CHEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+# bfrange body tokens: a hex string or an array of hex strings
+_BFR_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|\[((?:<[0-9A-Fa-f]*>|\s)*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_OBJ_BODY_RE = re.compile(rb"(?<![\d.])(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_FONTDICT_ENT_RE = re.compile(rb"/([A-Za-z0-9.#_+-]+)\s+(\d+)\s+\d+\s+R")
+_RANGE_CLAMP = 1 << 16  # a bfrange wider than the 2-byte code space is garbage
+
+
+def _utf16_hex_to_str(h: bytes) -> str:
+    """CMap destination hex (UTF-16BE code units) → str."""
+    if len(h) % 2:
+        h += b"0"
+    raw = bytes.fromhex(h.decode("ascii"))
+    if len(raw) % 2:  # odd byte count: single-byte destination form
+        return raw.decode("latin-1")
+    return raw.decode("utf-16-be", errors="replace")
+
+
+def _parse_tounicode(payload: bytes) -> tuple[int, dict[int, str]] | None:
+    """Parsed CMap → ``(code_width_bytes, {code: unicode})``; None when
+    the stream carries no usable mappings. Width comes from the
+    codespacerange when present, else from the first source code's hex
+    length. Malformed entries are skipped, never raised — a damaged
+    CMap degrades to code-point fallback, matching viewer behavior."""
+    width = 0
+    m = _CSR_RE.search(payload)
+    if m:
+        hexes = _CHEX_RE.findall(m.group(1))
+        if hexes:
+            width = max(1, len(hexes[0]) // 2)
+    mapping: dict[int, str] = {}
+    for sec in _BFCHAR_RE.finditer(payload):
+        hexes = _CHEX_RE.findall(sec.group(1))
+        for i in range(0, len(hexes) - 1, 2):
+            src, dst = hexes[i], hexes[i + 1]
+            width = width or max(1, len(src) // 2)
+            mapping[int(src, 16)] = _utf16_hex_to_str(dst)
+    for sec in _BFRANGE_RE.finditer(payload):
+        toks: list[tuple[bytes | None, bytes | None]] = [
+            (t.group(1), t.group(2)) for t in _BFR_TOK_RE.finditer(sec.group(1))
+        ]
+        i = 0
+        while i + 3 <= len(toks):
+            lo_h, hi_h = toks[i][0], toks[i + 1][0]
+            if lo_h is None or hi_h is None:
+                i += 1  # malformed entry: resync one token forward
+                continue
+            dst_hex, dst_arr = toks[i + 2]
+            lo, hi = int(lo_h, 16), int(hi_h, 16)
+            if hi < lo or hi - lo >= _RANGE_CLAMP:
+                i += 3
+                continue
+            width = width or max(1, len(lo_h) // 2)
+            if dst_arr is not None:
+                dsts = _CHEX_RE.findall(dst_arr)
+                for off, d in enumerate(dsts[: hi - lo + 1]):
+                    mapping[lo + off] = _utf16_hex_to_str(d)
+            elif dst_hex is not None:
+                base_raw = dst_hex
+                base = int(base_raw, 16) if base_raw else 0
+                n_units = max(1, len(base_raw) // 4)
+                for off in range(hi - lo + 1):
+                    v = base + off
+                    if n_units == 1 and v < 0x110000 and not (
+                        0xD800 <= v <= 0xDFFF
+                    ):
+                        mapping[lo + off] = chr(v)
+                    else:  # multi-unit destination: re-encode via UTF-16
+                        try:
+                            mapping[lo + off] = (
+                                v.to_bytes(2 * n_units, "big")
+                                .decode("utf-16-be", errors="replace")
+                            )
+                        except OverflowError:
+                            pass
+            i += 3
+    if not mapping:
+        return None
+    return max(1, width), mapping
+
+
+def _decode_with_cmap(raw: bytes, cmap: tuple[int, dict[int, str]]) -> str:
+    """Glyph-code bytes → text through a ToUnicode map. Unmapped codes
+    fall back to their code-point value (for 1-byte codes that is the
+    latin-1 byte, i.e. the no-font behavior), deterministically."""
+    width, mapping = cmap
+    out: list[str] = []
+    for i in range(0, len(raw), width):
+        code = int.from_bytes(raw[i : i + width], "big")
+        hit = mapping.get(code)
+        if hit is None:
+            hit = (
+                chr(code)
+                if code < 0x110000 and not (0xD800 <= code <= 0xDFFF)
+                else "�"
+            )
+        out.append(hit)
+    return "".join(out)
+
+
+def _balanced_dict(data: bytes, start: int) -> bytes | None:
+    """``<<...>>`` slice starting at ``start`` (which must point at
+    ``<<``), honoring nesting; None when unterminated."""
+    depth, i, n = 0, start, len(data)
+    while i < n - 1:
+        pair = data[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+        else:
+            i += 1
+    return None
+
+
+def _object_index(data: bytes) -> dict[int, bytes]:
+    """{obj_num: body} over direct objects + /ObjStm-packed objects
+    (PDF 1.5 writers put font and page dicts in either place)."""
+    idx = {int(m.group(1)): m.group(2) for m in _OBJ_BODY_RE.finditer(data)}
+    idx.update(_objstm_objects(data))
+    return idx
+
+
+def _font_value(body: bytes, objects: dict[int, bytes]) -> bytes | None:
+    """The value of ``/Font`` in a resources dict: inline ``<<...>>``
+    or an indirect reference, resolved one level."""
+    m = re.search(rb"/Font\s*", body)
+    if not m:
+        return None
+    rest = body[m.end() :]
+    if rest.startswith(b"<<"):
+        return _balanced_dict(body, m.end())
+    ref = _REF_RE.match(rest)
+    if ref:
+        return objects.get(int(ref.group(1)))
+    return None
+
+
+def _build_font_tables(
+    data: bytes,
+) -> tuple[dict[int, dict[bytes, int]], dict[bytes, int], dict[int, tuple]]:
+    """Resolve the font plumbing once per document:
+    ``(per_stream, global_fonts, cmaps)`` where ``per_stream`` maps a
+    content-stream object number → {font_resource_name: font_obj_num}
+    (from its page's /Resources), ``global_fonts`` is the union
+    fallback for streams no page claims, and ``cmaps`` maps
+    font_obj_num → parsed ToUnicode ``(width, mapping)``. Documents
+    with no /ToUnicode anywhere short-circuit to empty tables — the
+    pre-CMap fast path."""
+    if b"/ToUnicode" not in data:
+        return {}, {}, {}
+    objects = _object_index(data)
+    # font object → parsed ToUnicode CMap (CMap streams are always
+    # direct stream objects; §7.5.7 forbids streams inside ObjStm)
+    tounicode_of: dict[int, int] = {}
+    for num, body in objects.items():
+        if not re.search(rb"/Type\s*/Font\b", body):
+            continue
+        m = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
+        if m:
+            tounicode_of[num] = int(m.group(1))
+    wanted = set(tounicode_of.values())
+    cmap_streams: dict[int, tuple] = {}
+    if wanted:
+        for snum, dict_bytes, raw in _iter_streams(data):
+            if snum in wanted:
+                payload = _decode_stream(dict_bytes, raw)
+                if payload is not None:
+                    parsed = _parse_tounicode(payload)
+                    if parsed:
+                        cmap_streams[snum] = parsed
+    cmaps = {
+        fnum: cmap_streams[tnum]
+        for fnum, tnum in tounicode_of.items()
+        if tnum in cmap_streams
+    }
+    # page → content streams + font resource names
+    per_stream: dict[int, dict[bytes, int]] = {}
+    global_fonts: dict[bytes, int] = {}
+    for body in objects.values():
+        if not re.search(rb"/Type\s*/Page(?![a-zA-Z])", body):
+            continue
+        fonts: dict[bytes, int] = {}
+        rm = re.search(rb"/Resources\s*", body)
+        if rm:
+            rest = body[rm.end() :]
+            res = (
+                _balanced_dict(body, rm.end())
+                if rest.startswith(b"<<")
+                else objects.get(int(_REF_RE.match(rest).group(1)))
+                if _REF_RE.match(rest)
+                else None
+            )
+            if res:
+                fdict = _font_value(res, objects)
+                if fdict:
+                    fonts = {
+                        name: int(num)
+                        for name, num in _FONTDICT_ENT_RE.findall(fdict)
+                    }
+        if not fonts:
+            continue
+        global_fonts.update(fonts)
+        cm = re.search(
+            rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", body
+        )
+        if cm:
+            for ref in _REF_RE.findall(cm.group(1)):
+                per_stream.setdefault(int(ref), {}).update(fonts)
+    return per_stream, global_fonts, cmaps
+
+
+# Tf operator (font select) interleaved with the show operators so
+# font state tracks document order: /Name size Tf
+_TF_SHOW_RE = re.compile(
+    rb"/(?P<font>[A-Za-z0-9.#_+-]+)\s+[0-9.+-]+\s+Tf(?![A-Za-z])"
+    rb"|(?P<lit>\((?:\\.|[^\\()])*\))\s*(?:Tj|')"
+    rb"|(?P<hex><[0-9A-Fa-f\s]*>)\s*(?:Tj|')"
+    rb"|\[(?P<arr>(?:\\.|[^\]\\])*)\]\s*TJ"
+)
+
+
+def _show_to_text(m: re.Match, cmap: tuple | None) -> str:
+    """One text-show match → text, through the active font's ToUnicode
+    CMap when there is one, else the direct byte/UTF-16BE path."""
+    if m.group("lit") is not None:
+        if cmap is None:
+            return _decode_literal(m.group("lit"))
+        body = m.group("lit")[1:-1]
+
+        def sub(esc_m: re.Match) -> bytes:
+            esc = esc_m.group(1)
+            if esc.isdigit() and all(c in b"01234567" for c in esc):
+                return bytes([int(esc, 8) & 0xFF])
+            return _ESCAPES.get(esc, esc)
+
+        return _decode_with_cmap(_ESCAPE_RE.sub(sub, body), cmap)
+    if m.group("hex") is not None:
+        if cmap is None:
+            return _decode_hex(m.group("hex"))
+        digits = re.sub(rb"\s+", b"", m.group("hex")[1:-1])
+        if len(digits) % 2:
+            digits += b"0"
+        return _decode_with_cmap(
+            bytes.fromhex(digits.decode("ascii")), cmap
+        )
+    parts = []
+    for t in _STR_RE.findall(m.group("arr")):
+        if cmap is None:
+            parts.append(_decode_string_tok(t))
+        elif t.startswith(b"<"):
+            digits = re.sub(rb"\s+", b"", t[1:-1])
+            if len(digits) % 2:
+                digits += b"0"
+            parts.append(
+                _decode_with_cmap(bytes.fromhex(digits.decode("ascii")), cmap)
+            )
+        else:
+
+            def sub2(esc_m: re.Match) -> bytes:
+                esc = esc_m.group(1)
+                if esc.isdigit() and all(c in b"01234567" for c in esc):
+                    return bytes([int(esc, 8) & 0xFF])
+                return _ESCAPES.get(esc, esc)
+
+            parts.append(
+                _decode_with_cmap(_ESCAPE_RE.sub(sub2, t[1:-1]), cmap)
+            )
+    return "".join(parts)
+
 
 def extract_pdf_text(data: bytes) -> str:
     """Text-show strings from every content stream, one line per
@@ -249,29 +538,32 @@ def extract_pdf_text(data: bytes) -> str:
     stream hid behind an unsupported filter (nothing could be read)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
+    per_stream, global_fonts, cmaps = _build_font_tables(data)
     lines: list[str] = []
     suspicious: str | None = None
-    for dict_bytes, raw in _iter_streams(data):
+    for snum, dict_bytes, raw in _iter_streams(data):
         if _SKIP_TYPE_RE.search(dict_bytes):
             continue  # xref stream / XMP / image / ObjStm: not page text
         decoded = _decode_stream(dict_bytes, raw)
         if decoded is None:
             suspicious = "stream behind unsupported filter"
             continue
+        fonts = per_stream.get(snum, global_fonts)
+        # BT..ET spans: shows only count inside them (existing
+        # contract); Tf updates track across the whole stream because
+        # text state persists between blocks (§9.3.1)
+        spans = [(m.start(1), m.end(1)) for m in _BT_RE.finditer(decoded)]
         shows_before = len(lines)
-        for bt in _BT_RE.finditer(decoded):
-            for m in _SHOW_RE.finditer(bt.group(1)):
-                if m.group("lit") is not None:
-                    lines.append(_decode_literal(m.group("lit")))
-                elif m.group("hex") is not None:
-                    lines.append(_decode_hex(m.group("hex")))
-                else:
-                    lines.append(
-                        "".join(
-                            _decode_string_tok(t)
-                            for t in _STR_RE.findall(m.group("arr"))
-                        )
-                    )
+        active_cmap: tuple | None = None
+        si = 0
+        for m in _TF_SHOW_RE.finditer(decoded):
+            if m.group("font") is not None:
+                active_cmap = cmaps.get(fonts.get(m.group("font"), -1))
+                continue
+            while si < len(spans) and spans[si][1] < m.start():
+                si += 1
+            if si < len(spans) and spans[si][0] <= m.start() < spans[si][1]:
+                lines.append(_show_to_text(m, active_cmap))
         if len(lines) == shows_before and _BT_TOKEN_RE.search(decoded):
             # a text block was started but nothing could be shown:
             # unterminated BT (truncation) or mangled operators
