@@ -256,7 +256,9 @@ def test_fuzz_only_valueerror_escapes():
             pass
         # media decoders: same contract (ValueError or
         # NotImplementedError only)
-        media = rng.choice([b"BM", b"RIFF", b"P6 ", b""]) + blob[:64]
+        media = rng.choice(
+            [b"BM", b"RIFF", b"P6 ", b"\x89PNG\r\n\x1a\n", b""]
+        ) + blob[:64]
         try:
             M.decode_media(media, "")
         except (ValueError, NotImplementedError):
