@@ -414,9 +414,13 @@ def x20_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     float log in the graded output.
 
     Scale: tf and df are both partial-aggregated before their shuffles
-    (word-keyed — bounded by vocabulary, not corpus); df and the
-    single-row N are broadcast into the scoring join; the final top-5
-    is a per-lang window over a vocabulary-sized frame."""
+    (word-keyed — bounded by vocabulary, not corpus). The tf⋈df join
+    is word-keyed on BOTH sides with NO static broadcast hint
+    (VERDICT r5 #5): a real corpus vocabulary — noise tokens included
+    — can exceed any broadcast limit, so only the single-row N is
+    unconditionally broadcast, and AQE is free to upgrade the df side
+    to a runtime broadcast when its actual size qualifies. The final
+    top-5 is a per-lang window over a vocabulary-sized frame."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", "lang", F.explode(_words()).alias("word")
@@ -425,7 +429,7 @@ def x20_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "word")
+        tf.join(df, "word")
         .crossJoin(F.broadcast(n))
         .withColumn("score_milli", F.expr("tf * n_docs * 1000 div df"))
     )

@@ -249,13 +249,25 @@ def test_contamination_benchmark_side_is_broadcast(spark):
     assert "SortMergeJoin" not in p
 
 
-def test_tfidf_df_and_n_are_broadcast(spark):
-    """X20: df (vocabulary-sized) and N (single row) must broadcast
-    into the scoring join; no cartesian product."""
-    p = plan_of(registry.QUERIES["x20_tfidf_terms"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in p
+def test_tfidf_df_join_is_not_unconditional_broadcast(spark):
+    """X20 (VERDICT r5 #5): the vocabulary-sized df table must NOT
+    carry an unconditional broadcast hint — noise tokens make a corpus
+    vocabulary unbounded. Discriminator: with the auto-broadcast
+    threshold disabled the tf⋈df join MUST fall back to a shuffle
+    join (a hinted broadcast would ignore the threshold); the only
+    surviving broadcast is the deliberately-hinted single-row N. At
+    real sizes the planner/AQE still broadcasts df when its ACTUAL
+    size qualifies — which is the safe adaptive behavior."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(registry.QUERIES["x20_tfidf_terms"](spark, SF_DIR))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert "CartesianProduct" not in p
-    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" not in p, p[:1200]
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p[:1200]
+    # the single-row N cross join keeps its explicit broadcast
+    assert p.count("BroadcastExchange") == 1, p[:1200]
 
 
 def test_stratified_sample_window_is_partitioned(spark):
