@@ -29,6 +29,7 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pdf_etl_engine_spark.functions import kernel
 from pdf_etl_engine_spark.sources import writers
@@ -166,19 +167,24 @@ class Catalog:
         own = self.get_folder(requester_id, folder_id)
         if own is not None:
             return own
+        # newest generation PER OWNER selected Spark-side, so the
+        # collect is bounded by distinct owners of this folder_id
+        # (VERDICT r5 #8) — not by total generations across re-trains
+        w = Window.partitionBy(
+            F.coalesce(F.col("owner"), F.col("tenant_id"))
+        ).orderBy(F.desc_nulls_last("created_at"))
         candidates = (
             self.folders()
             .filter(F.col("folder_id") == folder_id)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
             .orderBy(F.desc_nulls_last("created_at"))
             .collect()
         )
-        seen_owner: set[str] = set()
         for row in candidates:
             meta = row.asDict(recursive=True)
             owner = meta.get("owner") or meta.get("tenant_id")
-            if owner in seen_owner:
-                continue  # newest generation per owner already checked
-            seen_owner.add(owner)
             if self.can_read(requester_id, requester_email, owner, folder_id):
                 return meta
         return None

@@ -156,6 +156,40 @@ def test_read_path_global_resolve_is_share_gated(workspace, spark):
     assert meta is not None and meta["tenant_id"] == "u1"
 
 
+def test_read_path_resolve_bounded_per_owner(workspace, spark):
+    """VERDICT r5 #8: re-train generations collapse to newest-per-owner
+    SPARK-SIDE (row_number()=1 per owner window) before the collect, so
+    the driver sees O(distinct owners) rows, and a shared reader gets
+    the newest generation of the sharing owner."""
+    import time
+
+    root, cat = workspace  # owner u1, folder 'reports'
+    for i in range(4):  # many generations for the same owner
+        time.sleep(0.01)
+        cat.create_folder(
+            "u1", "reports",
+            kpi_metadata=[
+                {"name": f"Gen{i}", "sample_value": "1", "type": "number"}
+            ],
+        )
+    # second owner with two generations of the same folder name
+    for name in ("Other0", "Other1"):
+        time.sleep(0.01)
+        cat.create_folder(
+            "u2", "reports",
+            kpi_metadata=[
+                {"name": name, "sample_value": "2", "type": "number"}
+            ],
+        )
+    n_gens = cat.folders().filter(F.col("folder_id") == "reports").count()
+    assert n_gens >= 7  # workspace seed + 4 + 2
+    # only u2 shares -> reader resolves u2's NEWEST generation
+    cat.add_share("u2", "reports", "u9@example.com", "view")
+    meta = cat.resolve_folder_for_read("u9", "u9@example.com", "reports")
+    assert meta is not None and meta["tenant_id"] == "u2"
+    assert [k["name"] for k in meta["kpi_metadata"]] == ["Other1"]
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """§2.9: event-time window agg with watermark in append mode — a
     row arriving after the watermark passed its window is dropped.
