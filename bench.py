@@ -43,6 +43,17 @@ HEADLINE = {
     "q_coerce_number": "f2_coerce_number",
 }
 
+# North-star LLM-data-pipeline operators (VERDICT r5 #6): tracked with
+# the same warm-median methodology against DuckDB twins measured from
+# the SAME oracle SQL at sf0.1 (BASELINE.md "X-surface" table). Kept
+# out of the gate metric (headline total) so the gate definition stays
+# comparable across rounds; regressions surface via the ratios.
+X_SURFACE = {
+    "x_dedup_exact": "x2_dedup_exact",
+    "x_contamination": "x16_contamination",
+    "x_incremental_dedup": "x22_incremental_dedup_exact",
+}
+
 
 def time_job_floor(spark) -> tuple[float, float]:
     """Spark's minimum job time, measured two ways to match the two
@@ -151,6 +162,12 @@ def main() -> None:
         timings[bench_name] = round(warm_t, 4)
         cold[bench_name] = round(cold_t, 4)
     total = round(sum(timings.values()), 4)
+    x_timings: dict[str, float] = {}
+    for bench_name, qname in X_SURFACE.items():
+        warm_t, cold_t = time_query(spark, qname)
+        x_timings[bench_name] = round(warm_t, 4)
+        cold[bench_name] = round(cold_t, 4)
+    x_total = round(sum(x_timings.values()), 4)
     # Scan-path pass: same queries, table cache off, fresh plan per
     # run. Runs after the warm pass so warm numbers are unperturbed.
     from pdf_etl_engine_spark import catalog
@@ -182,6 +199,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "x_queries": x_timings,
+                "x_surface_total_sec": x_total,
                 "cold_sec": cold,
                 "scan_path_queries": scan_timings,
                 "scan_path_total_sec": scan_total,
