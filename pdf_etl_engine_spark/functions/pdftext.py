@@ -332,6 +332,105 @@ def _parse_tounicode(payload: bytes) -> tuple[int, dict[int, str]] | None:
     return max(1, width), mapping
 
 
+# ---------------------------------------------------------------------------
+# /Encoding /Differences (§9.6.6): glyph-NAME re-encoding for simple
+# fonts — the other common subset-font path (TeX/dvips output). Glyph
+# names resolve through an Adobe Glyph List subset + uniXXXX forms.
+# ---------------------------------------------------------------------------
+
+_AGL_NAMED = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "fi": "ﬁ", "fl": "ﬂ", "germandbls": "ß",
+    "eacute": "é", "egrave": "è", "ecircumflex": "ê", "edieresis": "ë",
+    "aacute": "á", "agrave": "à", "acircumflex": "â", "adieresis": "ä",
+    "aring": "å", "ccedilla": "ç", "iacute": "í", "igrave": "ì",
+    "icircumflex": "î", "idieresis": "ï", "ntilde": "ñ", "oacute": "ó",
+    "ograve": "ò", "ocircumflex": "ô", "odieresis": "ö", "oslash": "ø",
+    "uacute": "ú", "ugrave": "ù", "ucircumflex": "û", "udieresis": "ü",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "degree": "°", "sterling": "£", "euro": "€", "yen": "¥",
+    "cent": "¢", "section": "§", "paragraph": "¶", "copyright": "©",
+    "registered": "®", "trademark": "™", "plusminus": "±",
+    "multiply": "×", "divide": "÷", "ellipsis": "…",
+}
+# single letters map to themselves
+for _c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _AGL_NAMED[_c] = _c
+
+_UNI_NAME_RE = re.compile(r"uni([0-9A-Fa-f]{4})|u([0-9A-Fa-f]{4,6})")
+
+
+def _glyph_to_char(name: bytes) -> str | None:
+    """AGL-subset glyph name → character; None when unknown (decode
+    falls back to the code's byte value)."""
+    n = name.decode("latin-1")
+    hit = _AGL_NAMED.get(n)
+    if hit is not None:
+        return hit
+    m = _UNI_NAME_RE.fullmatch(n)
+    if m:
+        cp = int(m.group(1) or m.group(2), 16)
+        if cp < 0x110000 and not (0xD800 <= cp <= 0xDFFF):
+            return chr(cp)
+    return None
+
+
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)")
+
+
+def _parse_differences(arr: bytes) -> dict[int, str]:
+    """``/Differences [ code /name /name ... ]`` → {code: char}.
+    Integers reset the running code; each name claims the next code.
+    Unknown glyph names are skipped (byte-value fallback)."""
+    mapping: dict[int, str] = {}
+    code: int | None = None
+    for m in _DIFF_TOK_RE.finditer(arr):
+        if m.group(1) is not None:
+            code = int(m.group(1))
+            continue
+        if code is None or code > 0xFF:
+            continue
+        ch = _glyph_to_char(m.group(2))
+        if ch is not None:
+            mapping[code] = ch
+        code += 1
+    return mapping
+
+
+def _font_differences(body: bytes, objects: dict[int, bytes]) -> dict | None:
+    """The font's /Encoding /Differences map, whether the encoding
+    dict is inline or an indirect object."""
+    m = re.search(rb"/Encoding\s*", body)
+    if not m:
+        return None
+    rest = body[m.end() :]
+    if rest.startswith(b"<<"):
+        enc = _balanced_dict(body, m.end())
+    else:
+        ref = _REF_RE.match(rest)
+        enc = objects.get(int(ref.group(1))) if ref else None
+    if not enc:
+        return None
+    d = re.search(rb"/Differences\s*\[([^\]]*)\]", enc)
+    if not d:
+        return None
+    mapping = _parse_differences(d.group(1))
+    return mapping or None
+
+
 def _decode_with_cmap(raw: bytes, cmap: tuple[int, dict[int, str]]) -> str:
     """Glyph-code bytes → text through a ToUnicode map. Unmapped codes
     fall back to their code-point value (for 1-byte codes that is the
@@ -402,20 +501,27 @@ def _build_font_tables(
     (from its page's /Resources), ``global_fonts`` is the union
     fallback for streams no page claims, and ``cmaps`` maps
     font_obj_num → parsed ToUnicode ``(width, mapping)``. Documents
-    with no /ToUnicode anywhere short-circuit to empty tables — the
-    pre-CMap fast path."""
-    if b"/ToUnicode" not in data:
+    with no /ToUnicode and no /Differences anywhere short-circuit to
+    empty tables — the pre-CMap fast path. A font carrying both maps
+    uses /ToUnicode (the authoritative text-extraction table, §9.10.2);
+    /Differences is the fallback for simple re-encoded fonts."""
+    if b"/ToUnicode" not in data and b"/Differences" not in data:
         return {}, {}, {}
     objects = _object_index(data)
     # font object → parsed ToUnicode CMap (CMap streams are always
     # direct stream objects; §7.5.7 forbids streams inside ObjStm)
     tounicode_of: dict[int, int] = {}
+    diff_maps: dict[int, tuple] = {}
     for num, body in objects.items():
         if not re.search(rb"/Type\s*/Font\b", body):
             continue
         m = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
         if m:
             tounicode_of[num] = int(m.group(1))
+            continue
+        diff = _font_differences(body, objects)
+        if diff:
+            diff_maps[num] = (1, diff)
     wanted = set(tounicode_of.values())
     cmap_streams: dict[int, tuple] = {}
     if wanted:
@@ -426,11 +532,14 @@ def _build_font_tables(
                     parsed = _parse_tounicode(payload)
                     if parsed:
                         cmap_streams[snum] = parsed
-    cmaps = {
-        fnum: cmap_streams[tnum]
-        for fnum, tnum in tounicode_of.items()
-        if tnum in cmap_streams
-    }
+    cmaps = dict(diff_maps)
+    cmaps.update(
+        {
+            fnum: cmap_streams[tnum]
+            for fnum, tnum in tounicode_of.items()
+            if tnum in cmap_streams
+        }
+    )
     # page → content streams + font resource names
     per_stream: dict[int, dict[bytes, int]] = {}
     global_fonts: dict[bytes, int] = {}

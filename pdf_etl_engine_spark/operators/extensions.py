@@ -622,13 +622,14 @@ def x5_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x5b_media_decode",
     oracle="""
-    SELECT CASE WHEN doc_id % 4 IN (0, 2) THEN 'image'
-                WHEN doc_id % 4 = 1 THEN 'audio' END AS kind,
+    SELECT CASE WHEN doc_id % 5 IN (0, 2, 3) THEN 'image'
+                WHEN doc_id % 5 = 1 THEN 'audio' END AS kind,
            count(*) AS n_docs,
-           sum(CASE WHEN doc_id % 4 = 0 THEN (doc_id % 1024) + 1
-                    WHEN doc_id % 4 = 2 THEN (doc_id % 32) + 1
+           sum(CASE WHEN doc_id % 5 = 0 THEN (doc_id % 1024) + 1
+                    WHEN doc_id % 5 = 2 THEN (doc_id % 32) + 1
+                    WHEN doc_id % 5 = 3 THEN (doc_id % 512) + 1
                END) AS sum_width,
-           sum(CASE WHEN doc_id % 4 = 1
+           sum(CASE WHEN doc_id % 5 = 1
                     THEN CAST((n_chars % 100) + 1 AS DOUBLE)
                END) AS sum_duration
     FROM documents GROUP BY 1
@@ -637,14 +638,15 @@ def x5_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x5b_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5b: REAL multimodal decode, oracle-graded end-to-end. Each
     document synthesizes a valid BMP/WAV header, a complete PNG
-    (zlib-inflated + defiltered on decode — VERDICT r5 #4), or an
-    unsupported codec payload, with dimensions/duration as pure
-    functions of (doc_id, n_chars); ``decode_media`` parses them back
-    from the BYTES (sources/multimodal.py) and the aggregate must
-    match what SQL recomputes from the formulas. Unsupported payloads
-    surface as the NULL-kind group — the quarantine contract is part
-    of the graded result. Scale shape: two Arrow-batched map stages,
-    zero shuffles before the final partial agg."""
+    (zlib-inflated + defiltered on decode — VERDICT r5 #4), a JPEG
+    SOI+SOF0 frame, or an unsupported codec payload, with dimensions
+    /duration as pure functions of (doc_id, n_chars); ``decode_media``
+    parses them back from the BYTES (sources/multimodal.py) and the
+    aggregate must match what SQL recomputes from the formulas.
+    Unsupported payloads surface as the NULL-kind group — the
+    quarantine contract is part of the graded result. Scale shape:
+    two Arrow-batched map stages, zero shuffles before the final
+    partial agg."""
     from pdf_etl_engine_spark.sources.multimodal import (
         with_media_metadata,
         with_synth_media,

@@ -197,14 +197,28 @@ def stw_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory_sink(stream, "stream_enrich")
 
 
-@query("stw_stream_dedup")  # rows-only: a real Structured Streaming run
+@query(
+    "stw_stream_dedup",
+    oracle="""
+    SELECT CAST(to_timestamp(CAST(floor(epoch(o_orderdate) / 2592000)
+             AS BIGINT) * 2592000) AS TIMESTAMP) AS window_start,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
 def stw_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup-by-key with watermark: readStream over the
     orders parquet → withWatermark(30 days) → dropDuplicates(o_orderkey)
     → tumbling monthly count — executed with an availableNow trigger
     into a memory sink (checkpoint-free micro-batch replay). This is
     the duplicate-delivery guard the reference lacks (its crash window
-    duplicates rows, main.py:743-752)."""
+    duplicates rows, main.py:743-752).
+
+    Oracle-graded (VERDICT r5 tail): which physical row survives
+    dropDuplicates is arrival-order-dependent, but the GRADED result —
+    per-window distinct-key counts — is deterministic, and Spark's
+    epoch-aligned 30-day window ≡ the oracle's epoch-floor bucket
+    (both engines run UTC here; the driver harness pins no other TZ)."""
     stage = _stage_stream_source(sf_dir, "orders")
     static = load_table(spark, sf_dir, "orders")
     stream = (

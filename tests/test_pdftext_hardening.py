@@ -428,3 +428,55 @@ def test_no_tounicode_fast_path_unchanged():
     assert pdftext.extract_pdf_text(pdf).splitlines() == [
         "Total: 42", "Status: ok"
     ]
+
+
+def test_encoding_differences_simple_font():
+    """/Encoding /Differences re-encoded simple font (the TeX/dvips
+    shape): codes re-map through AGL glyph names; unknown names fall
+    back to the byte value; uniXXXX names resolve directly."""
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        _stream_obj(b"", b"BT /F1 10 Tf (\x01\x02\x03\x04\x05) Tj"
+                         b" (\x10\x11) Tj ET"),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+CMR10"
+        b" /Encoding << /Type /Encoding /Differences"
+        b" [ 1 /T /o /t /a /l 16 /uni00E9 /unknownglyph ] >> >>",
+    ])
+    lines = pdftext.extract_pdf_text(pdf).splitlines()
+    assert lines[0] == "Total"
+    assert lines[1] == "é\x11"  # uniXXXX resolved; unknown -> byte value
+
+
+def test_encoding_differences_indirect_and_named_punct():
+    """Differences via an indirect /Encoding object, using named
+    punctuation/ligature glyphs."""
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        _stream_obj(b"", b"BT /F1 10 Tf (\x01\x02\x03\x04) Tj ET"),
+        b"<< /Type /Font /Subtype /Type1 /Encoding 6 0 R >>",
+        b"<< /Type /Encoding /Differences"
+        b" [ 1 /quotedblleft /fi /quotedblright /endash ] >>",
+    ])
+    assert pdftext.extract_pdf_text(pdf) == "“ﬁ”–"
+
+
+def test_tounicode_wins_over_differences():
+    """A font with BOTH maps uses /ToUnicode (authoritative for text
+    extraction, PDF 32000-1 9.10.2)."""
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        _stream_obj(b"", b"BT /F1 10 Tf <01> Tj ET"),
+        b"<< /Type /Font /ToUnicode 6 0 R /Encoding"
+        b" << /Differences [ 1 /X ] >> >>",
+        _cmap_stream(b"beginbfchar <01> <0059> endbfchar"),  # -> 'Y'
+    ])
+    assert pdftext.extract_pdf_text(pdf) == "Y"

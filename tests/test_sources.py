@@ -565,10 +565,69 @@ def test_decode_media_real_formats():
     wav = M.decode_media(_wav(0.5), "audio/wav")
     assert wav["channels"] == 2 and wav["sample_rate_hz"] == 44100
     assert abs(wav["duration_s"] - 0.5) < 1e-9
-    with pytest.raises(NotImplementedError):  # JPEG needs a codec
-        M.decode_media(b"\xff\xd8\xff\xe0....", "image/jpeg")
+    with pytest.raises(NotImplementedError):  # no decoder for gzip
+        M.decode_media(b"\x1f\x8b\x08....", "application/gzip")
     with pytest.raises(ValueError):  # recognized format, mangled header
         M.decode_media(b"BM\x00\x00", "image/bmp")
+
+
+def _jpeg(width=320, height=200, ncomp=3, extra_app=True):
+    import struct
+
+    segs = b""
+    if extra_app:  # APP0/JFIF before the frame header, like real files
+        segs += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof = struct.pack(">BHHB", 8, height, width, ncomp) + bytes(3 * ncomp)
+    segs += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    return b"\xff\xd8" + segs + b"\xff\xd9"
+
+
+def _mp4(duration_s=7.5, timescale=1000, version=0):
+    import struct
+
+    if version:
+        mvhd_body = bytes([1]) + bytes(3) + bytes(16) + struct.pack(
+            ">IQ", timescale, int(duration_s * timescale)
+        ) + bytes(80)
+    else:
+        mvhd_body = bytes([0]) + bytes(3) + bytes(8) + struct.pack(
+            ">II", timescale, int(duration_s * timescale)
+        ) + bytes(80)
+    mvhd = struct.pack(">I4s", 8 + len(mvhd_body), b"mvhd") + mvhd_body
+    moov = struct.pack(">I4s", 8 + len(mvhd), b"moov") + mvhd
+    ftyp = struct.pack(">I4s", 16, b"ftyp") + b"isom" + struct.pack(">I", 512)
+    return ftyp + moov
+
+
+def test_decode_media_jpeg_and_mp4_headers():
+    """JPEG SOFn marker walk and MP4 moov/mvhd box walk are real
+    container-level parses; mangled structure quarantines."""
+    import pytest
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    j = M.decode_media(_jpeg(320, 200), "image/jpeg")
+    assert (j["format"], j["width"], j["height"], j["bits_per_pixel"]) == (
+        "jpeg", 320, 200, 24)
+    # progressive (SOF2) and grayscale also parse
+    prog = _jpeg(64, 32, ncomp=1).replace(b"\xff\xc0", b"\xff\xc2")
+    j2 = M.decode_media(prog, "")
+    assert (j2["width"], j2["height"], j2["bits_per_pixel"]) == (64, 32, 8)
+    with pytest.raises(ValueError):  # segment length overruns payload
+        M.decode_media(b"\xff\xd8\xff\xe0\xff\xff", "")
+    with pytest.raises(ValueError, match="SOF"):  # no frame header
+        M.decode_media(b"\xff\xd8\xff\xd9", "")
+
+    for version in (0, 1):
+        v = M.decode_media(_mp4(7.5, version=version), "video/mp4")
+        assert (v["kind"], v["format"]) == ("video", "isom")
+        assert abs(v["duration_s"] - 7.5) < 1e-9
+    with pytest.raises(ValueError, match="moov"):
+        M.decode_media(_mp4()[:16], "")  # ftyp only, no moov
+    bad = bytearray(_mp4())
+    bad[16:20] = (9999).to_bytes(4, "big")  # moov size overruns
+    with pytest.raises(ValueError, match="overruns"):
+        M.decode_media(bytes(bad), "")
 
 
 def test_decode_media_png_real():
@@ -654,9 +713,11 @@ def test_with_media_metadata_quarantines_per_row(spark):
     rows = [
         (1, bytearray(_bmp(100, 50))),
         (2, bytearray(_wav(2.0, rate=8000, channels=1))),
-        (3, bytearray(b"\xff\xd8\xff\xe0jpeg")),
+        (3, bytearray(b"\x1f\x8b\x08gzip")),  # no decoder
         (4, bytearray(M._synth_png(5, 3))),
         (5, bytearray(b"\x89PNG\r\n\x1a\nnope")),  # torn PNG
+        (6, bytearray(_jpeg(12, 34))),
+        (7, bytearray(_mp4(3.25))),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, content binary")
     got = {r["doc_id"]: r for r in M.with_media_metadata(df).collect()}
@@ -670,6 +731,9 @@ def test_with_media_metadata_quarantines_per_row(spark):
             got[4]["height"]) == ("image", "png", 5, 3)
     assert got[5]["kind"] is None
     assert got[5]["decode_error"].startswith("ValueError")
+    assert (got[6]["kind"], got[6]["format"], got[6]["width"],
+            got[6]["height"]) == ("image", "jpeg", 12, 34)
+    assert (got[7]["kind"], got[7]["duration_s"]) == ("video", 3.25)
 
 
 def test_bloom_backfill_on_compaction(tmp_path, spark):
