@@ -58,14 +58,14 @@ def test_every_component_family_has_window_representative():
 
 
 def test_window_queries_are_oracle_graded_where_possible():
-    # Only the three genuinely non-SQL-expressible queries may be
+    # Only the two genuinely non-SQL-expressible queries may be
     # rows-only inside the graded window (x5b replaced rows-only x5
-    # with an oracle-graded decode in r5).
+    # with an oracle-graded decode in r5; stw_stream_dedup gained a
+    # batch-equivalent oracle in r6).
     rows_only = [n for n in WINDOW if n not in registry.ORACLES]
     assert sorted(rows_only) == [
         "a4_approx_count_distinct",
         "s2_scan_binary_docs",
-        "stw_stream_dedup",
     ]
 
 
