@@ -1,0 +1,569 @@
+"""Pure-Python/numpy baseline JPEG codec (ITU-T T.81, public spec).
+
+Decoder: full sequential-baseline decode — marker walk (DQT/DHT/SOF0/
+SOF1/DRI/SOS), canonical Huffman scan decode with byte-stuffing and
+restart markers, dequantization, batched 8x8 inverse DCT (one numpy
+einsum over all blocks, not per-block Python loops), chroma upsample,
+YCbCr->RGB. This upgrades the engine's JPEG support from the r5
+header-level SOF parse to a real pixel decode, the same honesty level
+as the PNG path (zlib inflate + defilter). Corruption anywhere — bad
+marker structure, invalid Huffman code, truncated scan, coefficient
+overflow — raises ValueError (the quarantine contract); progressive
+(SOF2) and the other non-baseline frame types raise
+NotImplementedError (valid-but-unsupported, like PNG Adam7).
+
+Encoder: a small spec-conformant baseline encoder (grayscale or
+YCbCr with per-component sampling factors, optional restart
+intervals). It exists so tests and the x5b media-synthesis path can
+build REAL scan-bearing JPEGs deterministically without PIL; it is
+not a production encoder.
+
+Reference parity note: the reference ships no codec at all — binary
+payloads go to Gemini as-is (main.py:694-707); this module is part of
+the from-scratch multimodal surface (SURVEY.md §2 X5).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index i in scan order -> raster index r*8+c
+ZIGZAG = []
+for _s in range(15):
+    _rng = range(_s + 1) if _s % 2 else reversed(range(_s + 1))
+    for _i in _rng:
+        _r, _c = _i, _s - _i
+        if _r < 8 and _c < 8:
+            ZIGZAG.append(_r * 8 + _c)
+ZIGZAG = tuple(ZIGZAG)
+_UNZIGZAG = np.argsort(np.array(ZIGZAG))  # raster -> scan position
+
+# orthonormal DCT-II basis: spatial = C.T @ coeffs @ C
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(1 / 8) if _k == 0 else 0.5
+        )
+
+
+def _build_huff(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman code table from a DHT segment's BITS/HUFFVAL:
+    {(code_length, code): symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise ValueError("JPEG DHT HUFFVAL shorter than BITS counts")
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _Bits:
+    """MSB-first bit reader over entropy-coded scan bytes with 0xFF00
+    de-stuffing; encountering a real marker mid-read is an error
+    except at declared restart points."""
+
+    __slots__ = ("d", "p", "acc", "n", "marker")
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.d
+        while self.n <= 24:
+            p = self.p
+            if self.marker is not None or p >= len(d):
+                raise ValueError("JPEG scan data ends before image is complete")
+            b = d[p]
+            self.p = p + 1
+            if b == 0xFF:
+                if self.p >= len(d):
+                    raise ValueError("JPEG scan truncated at 0xFF")
+                m = d[self.p]
+                if m == 0x00:
+                    self.p += 1  # stuffed byte
+                else:
+                    self.marker = m  # real marker: stop feeding bits
+                    self.p += 1
+                    return
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        if self.n < nbits:
+            self._fill()
+            if self.n < nbits:
+                raise ValueError("JPEG scan data exhausted mid-symbol")
+        self.n -= nbits
+        v = (self.acc >> self.n) & ((1 << nbits) - 1)
+        return v
+
+    def read1(self) -> int:
+        if self.n < 1:
+            self._fill()
+            if self.n < 1:
+                raise ValueError("JPEG scan data exhausted mid-symbol")
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def restart(self, idx: int) -> None:
+        """Byte-align, consume the expected RSTn marker, resume."""
+        self.acc, self.n = 0, 0  # drop padding bits
+        if self.marker is None:
+            # marker not yet reached: it must be the next bytes
+            self._scan_to_marker()
+        m = self.marker
+        if m != 0xD0 + (idx % 8):
+            raise ValueError(
+                f"JPEG expected RST{idx % 8} restart marker, got "
+                f"{m:#x}" if m is not None else "JPEG missing restart marker"
+            )
+        self.marker = None
+
+    def _scan_to_marker(self) -> None:
+        d = self.d
+        while self.p < len(d):
+            b = d[self.p]
+            self.p += 1
+            if b == 0xFF and self.p < len(d):
+                m = d[self.p]
+                self.p += 1
+                if m != 0x00:
+                    self.marker = m
+                    return
+        raise ValueError("JPEG scan ended while seeking restart marker")
+
+
+def _decode_huff(bits: _Bits, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.read1()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code in scan")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1: map a `size`-bit magnitude to its signed value."""
+    if size and v < (1 << (size - 1)):
+        v -= (1 << size) - 1
+    return v
+
+
+class _Frame:
+    __slots__ = (
+        "precision", "width", "height", "comps", "qtables", "hdc", "hac",
+        "dri",
+    )
+
+    def __init__(self) -> None:
+        self.precision = 0
+        self.width = 0
+        self.height = 0
+        # comps: list of (comp_id, h_samp, v_samp, quant_table_id)
+        self.comps: list[tuple[int, int, int, int]] = []
+        self.qtables: dict[int, np.ndarray] = {}
+        self.hdc: dict[int, dict] = {}
+        self.hac: dict[int, dict] = {}
+        self.dri = 0
+
+
+def _parse_segments(content: bytes) -> tuple[_Frame, list[tuple[int, int]], int]:
+    """Walk marker segments up to SOS. Returns (frame, scan component
+    spec [(comp_index, dc_id, ac_id)], scan data offset)."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    fr = _Frame()
+    pos = 2
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(
+                f"JPEG marker expected at {pos}, got {content[pos]:#x}"
+            )
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        if 0xD0 <= marker <= 0xD7 or marker in (0x01, 0xFF):
+            pos += 2
+            continue
+        seg_len = struct.unpack_from(">H", content, pos + 2)[0]
+        if seg_len < 2 or pos + 2 + seg_len > len(content):
+            raise ValueError("JPEG segment length overruns payload")
+        body = content[pos + 4 : pos + 2 + seg_len]
+        if marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6:
+                raise ValueError("JPEG SOF segment too short")
+            fr.precision, fr.height, fr.width, ncomp = struct.unpack_from(
+                ">BHHB", body
+            )
+            if not fr.width or not fr.height:
+                raise ValueError("JPEG SOF has zero dimensions")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("JPEG SOF component list truncated")
+            for i in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                h, v = hv >> 4, hv & 0xF
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError(f"JPEG bad sampling factors {h}x{v}")
+                fr.comps.append((cid, h, v, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG frame type SOF{marker - 0xC0} (progressive/"
+                "hierarchical/arithmetic) not supported; baseline only"
+            )
+        elif marker == 0xDB:  # DQT
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0xF
+                n = 64 * (2 if pq else 1)
+                if bp + 1 + n > len(body):
+                    raise ValueError("JPEG DQT table truncated")
+                raw = body[bp + 1 : bp + 1 + n]
+                fr.qtables[tq] = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int32)
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                )
+                bp += 1 + n
+        elif marker == 0xC4:  # DHT
+            bp = 0
+            while bp + 17 <= len(body):
+                tc, th = body[bp] >> 4, body[bp] & 0xF
+                bits = body[bp + 1 : bp + 17]
+                nv = sum(bits)
+                vals = body[bp + 17 : bp + 17 + nv]
+                if len(vals) < nv:
+                    raise ValueError("JPEG DHT values truncated")
+                (fr.hac if tc else fr.hdc)[th] = _build_huff(bits, vals)
+                bp += 17 + nv
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("JPEG DRI segment too short")
+            fr.dri = struct.unpack_from(">H", body)[0]
+        elif marker == 0xDA:  # SOS
+            if not fr.comps:
+                raise ValueError("JPEG SOS before SOF frame header")
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("JPEG SOS header truncated")
+            spec = []
+            cids = [c[0] for c in fr.comps]
+            for i in range(ns):
+                cs, tda = body[1 + 2 * i], body[2 + 2 * i]
+                if cs not in cids:
+                    raise ValueError(f"JPEG SOS references unknown comp {cs}")
+                spec.append((cids.index(cs), tda >> 4, tda & 0xF))
+            return fr, spec, pos + 2 + seg_len
+        pos += 2 + seg_len
+    raise ValueError(
+        "JPEG has no SOS scan" if fr.comps else "JPEG has no SOF frame header"
+    )
+
+
+def decode_planes(content: bytes) -> tuple[_Frame, list[np.ndarray]]:
+    """Full baseline decode to per-component sample planes (each at its
+    own sampling resolution, cropped to component dimensions)."""
+    fr, spec, scan_at = _parse_segments(content)
+    if len(spec) != len(fr.comps):
+        raise NotImplementedError("JPEG multi-scan (non-interleaved) files "
+                                  "not supported; single interleaved scan only")
+    hmax = max(c[1] for c in fr.comps)
+    vmax = max(c[2] for c in fr.comps)
+    mcux = -(-fr.width // (8 * hmax))
+    mcuy = -(-fr.height // (8 * vmax))
+    n_mcus = mcux * mcuy
+    # per-component coefficient stores, scan(zigzag) order, float32
+    stores = []
+    for _, h, v, tq in fr.comps:
+        if tq not in fr.qtables:
+            raise ValueError(f"JPEG quant table {tq} not defined")
+        stores.append(
+            np.zeros((mcuy * v, mcux * h, 64), dtype=np.float32)
+        )
+    qts = [fr.qtables[c[3]].astype(np.float32) for c in fr.comps]
+    for ci, dc_id, ac_id in spec:
+        if dc_id not in fr.hdc or ac_id not in fr.hac:
+            raise ValueError("JPEG scan references undefined Huffman table")
+
+    bits = _Bits(content, scan_at)
+    preds = [0] * len(fr.comps)
+    coef = np.zeros(64, dtype=np.float32)
+    for m in range(n_mcus):
+        if fr.dri and m and m % fr.dri == 0:
+            bits.restart(m // fr.dri - 1)
+            preds = [0] * len(fr.comps)
+        my, mx = divmod(m, mcux)
+        for ci, dc_id, ac_id in spec:
+            _, h, v, _tq = fr.comps[ci]
+            dct, act = fr.hdc[dc_id], fr.hac[ac_id]
+            for by in range(v):
+                for bx in range(h):
+                    coef[:] = 0.0
+                    t = _decode_huff(bits, dct)
+                    if t > 11:
+                        raise ValueError(f"JPEG DC category {t} out of range")
+                    preds[ci] += _extend(bits.read(t), t)
+                    coef[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_huff(bits, act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run overruns block")
+                        coef[k] = _extend(bits.read(s), s)
+                        k += 1
+                    stores[ci][my * v + by, mx * h + bx] = coef
+    # dequant + de-zigzag + batched IDCT per component
+    level = 1 << (fr.precision - 1)
+    planes = []
+    for (_, h, v, _tq), store, qt in zip(fr.comps, stores, qts):
+        by, bx, _ = store.shape
+        flat = store.reshape(-1, 64) * qt[None, :]
+        blocks = flat[:, _UNZIGZAG].reshape(-1, 8, 8)
+        spatial = _C.T[None] @ blocks @ _C[None]  # batched IDCT
+        spatial = np.clip(np.round(spatial + level), 0, (1 << fr.precision) - 1)
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        cw = -(-fr.width * h // hmax)
+        ch = -(-fr.height * v // vmax)
+        planes.append(plane[:ch, :cw].astype(np.uint8))
+    return fr, planes
+
+
+def decode_pixels(content: bytes) -> np.ndarray:
+    """Decode to an (H, W, C) uint8 array — grayscale C=1 passthrough,
+    3-component YCbCr converted to RGB (JFIF convention), chroma
+    planes upsampled by sample-factor replication."""
+    fr, planes = decode_planes(content)
+    hmax = max(c[1] for c in fr.comps)
+    vmax = max(c[2] for c in fr.comps)
+    up = []
+    for (_, h, v, _tq), plane in zip(fr.comps, planes):
+        if h != hmax or v != vmax:
+            plane = plane.repeat(vmax // v, axis=0).repeat(hmax // h, axis=1)
+        up.append(plane[: fr.height, : fr.width].astype(np.float32))
+    if len(up) == 1:
+        return up[0][..., None].astype(np.uint8)
+    if len(up) == 3:
+        y, cb, cr = up
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return np.clip(
+            np.stack([r, g, b], axis=-1).round(), 0, 255
+        ).astype(np.uint8)
+    raise NotImplementedError(
+        f"JPEG with {len(up)} components (CMYK/unknown) not supported"
+    )
+
+
+def decode_meta(content: bytes) -> dict:
+    """Decode metadata the honest way: run the FULL scan decode (so
+    'decoded' means decoded — corrupt entropy data quarantines), then
+    report frame fields."""
+    fr, _planes = decode_planes(content)
+    return {
+        "kind": "image",
+        "format": "jpeg",
+        "width": fr.width,
+        "height": fr.height,
+        "bits_per_pixel": fr.precision * len(fr.comps),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Encoder — deterministic fixture/synthesis path (tests, x5b synth).
+# ---------------------------------------------------------------------------
+
+# Fixed canonical Huffman spec shared by all encoded components: DC
+# categories 0-11 at code length 4 (12 of 16 slots; incomplete codes
+# are valid per T.81 §C.2), all 162 baseline AC symbols at length 8.
+_ENC_DC_BITS = bytes([0, 0, 0, 12] + [0] * 12)
+_ENC_DC_VALS = bytes(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_ENC_AC_BITS = bytes([0] * 7 + [162] + [0] * 8)
+_ENC_AC_VALS = bytes(_AC_SYMS)
+
+
+def _enc_codes(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
+    inv = {}
+    for (length, code), sym in _build_huff(bits, vals).items():
+        inv[sym] = (code, length)
+    return inv
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def align(self) -> None:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-fill pad
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _put_coeff(w: _BitWriter, codes: dict, sym_high: int, v: int) -> None:
+    s = _category(v)
+    code, length = codes[sym_high | s]
+    w.put(code, length)
+    if s:
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def encode_baseline(
+    img: np.ndarray,
+    quant: int = 1,
+    sampling: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as a
+    sequential-baseline JFIF-style JPEG. `quant=1` keeps every DCT
+    coefficient (near-lossless: only float rounding error), larger
+    values quantize. `sampling` gives per-component (h, v) factors
+    (default 1x1 everywhere; [(2, 2), (1, 1), (1, 1)] is 4:2:0)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2 or img.shape[2] == 1
+    height, width = img.shape[:2]
+    if not height or not width:
+        raise ValueError("cannot encode empty image")
+    if gray:
+        planes = [img.reshape(height, width).astype(np.float32)]
+        sampling = sampling or [(1, 1)]
+    else:
+        rgb = img.astype(np.float32)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        sampling = sampling or [(1, 1)] * 3
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    qtab = np.full(64, quant, dtype=np.float32)
+    dc_codes = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    # per-component quantized coefficient blocks in MCU layout
+    comp_blocks = []
+    for plane, (h, v) in zip(planes, sampling):
+        if h != hmax or v != vmax:  # box-average downsample
+            fy, fx = vmax // v, hmax // h
+            ph = -(-plane.shape[0] // fy) * fy
+            pw = -(-plane.shape[1] // fx) * fx
+            pad = np.pad(plane, ((0, ph - plane.shape[0]),
+                                 (0, pw - plane.shape[1])), mode="edge")
+            plane = pad.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * v * 8, mcux * h * 8
+        pad = np.pad(plane, ((0, th - plane.shape[0]),
+                             (0, tw - plane.shape[1])), mode="edge")
+        blocks = (
+            pad.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3)
+        ) - (1 << 7)
+        coeffs = _C[None, None] @ blocks @ _C.T[None, None]  # batched FDCT
+        qcoef = np.round(coeffs / qtab.reshape(8, 8)).astype(np.int32)
+        comp_blocks.append(qcoef)
+
+    w = _BitWriter()
+    preds = [0] * len(planes)
+    n_rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            w.align()
+            w.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+            n_rst += 1
+            preds = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, (h, v) in enumerate(sampling):
+            for by in range(v):
+                for bx in range(h):
+                    blk = comp_blocks[ci][my * v + by, mx * h + bx]
+                    zz = blk.reshape(64)[list(ZIGZAG)]
+                    diff = int(zz[0]) - preds[ci]
+                    preds[ci] = int(zz[0])
+                    _put_coeff(w, dc_codes, 0, diff)
+                    nz = np.nonzero(zz[1:])[0]
+                    k = 1
+                    for idx in nz:
+                        pos = int(idx) + 1
+                        run = pos - k
+                        while run > 15:
+                            code, length = ac_codes[0xF0]
+                            w.put(code, length)
+                            run -= 16
+                        _put_coeff(w, ac_codes, run << 4, int(zz[pos]))
+                        k = pos + 1
+                    if k < 64:
+                        code, length = ac_codes[0x00]
+                        w.put(code, length)
+    w.align()
+    scan = bytes(w.out)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    ncomp = len(planes)
+    dqt = seg(0xDB, b"\x00" + bytes(int(quant) & 0xFF for _ in range(64)))
+    sof_body = struct.pack(">BHHB", 8, height, width, ncomp) + b"".join(
+        struct.pack(">BBB", i + 1, (h << 4) | v, 0)
+        for i, (h, v) in enumerate(sampling)
+    )
+    dht = seg(0xC4, b"\x00" + _ENC_DC_BITS + _ENC_DC_VALS) + seg(
+        0xC4, b"\x10" + _ENC_AC_BITS + _ENC_AC_VALS
+    )
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval \
+        else b""
+    sos_body = bytes([ncomp]) + b"".join(
+        bytes([i + 1, 0x00]) for i in range(ncomp)
+    ) + b"\x00\x3f\x00"
+    return (
+        b"\xff\xd8" + dqt + seg(0xC0, sof_body) + dht + dri
+        + seg(0xDA, sos_body) + scan + b"\xff\xd9"
+    )

@@ -1,0 +1,112 @@
+"""Baseline JPEG codec (functions/jpegcodec) — the r6 upgrade that
+makes JPEG 'decoded' an honest claim: full Huffman scan decode +
+dequant + batched IDCT, roundtripped against the in-repo encoder
+(independent implementations of the bit-level format)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pdf_etl_engine_spark.functions import jpegcodec as J
+
+
+def test_zigzag_is_the_spec_order():
+    # spot-check the canonical T.81 figure 5 order
+    assert J.ZIGZAG[:10] == (0, 1, 8, 16, 9, 2, 3, 10, 17, 24)
+    assert sorted(J.ZIGZAG) == list(range(64))
+
+
+def test_gray_constant_roundtrip_exact():
+    img = np.full((17, 23), 77, dtype=np.uint8)
+    px = J.decode_pixels(J.encode_baseline(img))
+    assert px.shape == (17, 23, 1)
+    assert (px[..., 0] == img).all()
+
+
+def test_gray_gradient_roundtrip_quant1_is_near_lossless():
+    img = (np.add.outer(np.arange(40) * 3, np.arange(56)) % 256).astype(
+        np.uint8
+    )
+    px = J.decode_pixels(J.encode_baseline(img, quant=1))
+    assert np.abs(px[..., 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_gray_random_heavier_quant_still_close():
+    rng = np.random.default_rng(11)
+    smooth = rng.integers(90, 110, (24, 24), dtype=np.uint8)
+    px = J.decode_pixels(J.encode_baseline(smooth, quant=4))
+    assert np.abs(px[..., 0].astype(int) - smooth.astype(int)).max() <= 8
+
+
+def test_rgb_roundtrip_within_color_convert_rounding():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (33, 29, 3), dtype=np.uint8)
+    px = J.decode_pixels(J.encode_baseline(img))
+    assert px.shape == (33, 29, 3)
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_chroma_subsampled_420_constant_color():
+    img = np.full((32, 48, 3), (200, 30, 90), dtype=np.uint8)
+    px = J.decode_pixels(
+        J.encode_baseline(img, sampling=[(2, 2), (1, 1), (1, 1)])
+    )
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_non_multiple_of_mcu_dimensions_crop_correctly():
+    img = (np.add.outer(np.arange(19), np.arange(13) * 5) % 256).astype(
+        np.uint8
+    )
+    px = J.decode_pixels(J.encode_baseline(img))
+    assert px.shape == (19, 13, 1)
+    assert np.abs(px[..., 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_restart_markers_roundtrip_and_reset_predictors():
+    img = (np.add.outer(np.arange(64), np.arange(64)) % 256).astype(np.uint8)
+    b = J.encode_baseline(img, restart_interval=3)
+    assert b"\xff\xdd" in b  # DRI segment written
+    assert b"\xff\xd0" in b  # at least RST0 present
+    px = J.decode_pixels(b)
+    assert np.abs(px[..., 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_decode_meta_runs_the_full_scan():
+    img = np.full((40, 60), 10, dtype=np.uint8)
+    b = J.encode_baseline(img)
+    meta = J.decode_meta(b)
+    assert (meta["width"], meta["height"], meta["bits_per_pixel"]) == (
+        60, 40, 8)
+    # cutting entropy-coded bytes is detected even though the SOF
+    # header (all a lazy parser would read) is intact
+    with pytest.raises(ValueError):
+        J.decode_meta(b[:-16])
+
+
+def test_corrupt_scan_quarantines():
+    b = bytearray(J.encode_baseline(np.full((16, 16), 200, dtype=np.uint8)))
+    b[-6] ^= 0x55  # flip bits inside the scan
+    with pytest.raises(ValueError):
+        J.decode_meta(bytes(b))
+
+
+def test_progressive_and_unknown_markers():
+    b = J.encode_baseline(np.full((8, 8), 1, dtype=np.uint8))
+    with pytest.raises(NotImplementedError, match="progressive"):
+        J.decode_meta(b.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_meta(b"not a jpeg")
+    with pytest.raises(ValueError, match="no SOS"):
+        # tables + frame header but the scan never starts
+        J.decode_meta(b[: b.index(b"\xff\xda")] + b"\xff\xd9")
+
+
+def test_undefined_tables_are_structural_errors():
+    b = J.encode_baseline(np.full((8, 8), 1, dtype=np.uint8))
+    # strip the DQT segment: quant table 0 becomes undefined
+    at = b.index(b"\xff\xdb")
+    seg_len = int.from_bytes(b[at + 2 : at + 4], "big")
+    with pytest.raises(ValueError, match="quant table"):
+        J.decode_meta(b[:at] + b[at + 2 + seg_len :])

@@ -571,15 +571,22 @@ def test_decode_media_real_formats():
         M.decode_media(b"BM\x00\x00", "image/bmp")
 
 
-def _jpeg(width=320, height=200, ncomp=3, extra_app=True):
+def _jpeg(width=320, height=200, ncomp=3, value=77, extra_app=True):
+    """REAL scan-bearing baseline JPEG (constant-color image) via the
+    in-repo encoder, with an optional APP0/JFIF segment spliced in
+    like real files carry."""
     import struct
 
-    segs = b""
-    if extra_app:  # APP0/JFIF before the frame header, like real files
-        segs += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
-    sof = struct.pack(">BHHB", 8, height, width, ncomp) + bytes(3 * ncomp)
-    segs += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    return b"\xff\xd8" + segs + b"\xff\xd9"
+    import numpy as np
+
+    from pdf_etl_engine_spark.functions import jpegcodec
+
+    shape = (height, width) if ncomp == 1 else (height, width, 3)
+    b = jpegcodec.encode_baseline(np.full(shape, value, dtype=np.uint8))
+    if extra_app:  # APP0 right after SOI, before the tables
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        b = b[:2] + app0 + b[2:]
+    return b
 
 
 def _mp4(duration_s=7.5, timescale=1000, version=0):
@@ -600,8 +607,9 @@ def _mp4(duration_s=7.5, timescale=1000, version=0):
 
 
 def test_decode_media_jpeg_and_mp4_headers():
-    """JPEG SOFn marker walk and MP4 moov/mvhd box walk are real
-    container-level parses; mangled structure quarantines."""
+    """JPEG goes through the FULL baseline decode (Huffman + IDCT) and
+    the MP4 moov/mvhd box walk is a real container-level parse;
+    mangled structure quarantines."""
     import pytest
 
     from pdf_etl_engine_spark.sources import multimodal as M
@@ -609,10 +617,16 @@ def test_decode_media_jpeg_and_mp4_headers():
     j = M.decode_media(_jpeg(320, 200), "image/jpeg")
     assert (j["format"], j["width"], j["height"], j["bits_per_pixel"]) == (
         "jpeg", 320, 200, 24)
-    # progressive (SOF2) and grayscale also parse
-    prog = _jpeg(64, 32, ncomp=1).replace(b"\xff\xc0", b"\xff\xc2")
-    j2 = M.decode_media(prog, "")
-    assert (j2["width"], j2["height"], j2["bits_per_pixel"]) == (64, 32, 8)
+    gray = M.decode_media(_jpeg(64, 32, ncomp=1), "")
+    assert (gray["width"], gray["height"], gray["bits_per_pixel"]) == (
+        64, 32, 8)
+    # progressive (SOF2): valid-but-unsupported, distinct from corrupt
+    prog = _jpeg(64, 32, ncomp=1).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        M.decode_media(prog, "")
+    # corrupt entropy-coded scan data quarantines — decode is real
+    with pytest.raises(ValueError):
+        M.decode_media(_jpeg(64, 32, ncomp=1)[:-24], "")
     with pytest.raises(ValueError):  # segment length overruns payload
         M.decode_media(b"\xff\xd8\xff\xe0\xff\xff", "")
     with pytest.raises(ValueError, match="SOF"):  # no frame header
