@@ -662,6 +662,47 @@ def x5b_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x5c_resize_pipeline",
+    oracle="""
+    SELECT CASE WHEN doc_id % 5 IN (2, 3) THEN 'resized'
+                WHEN doc_id % 5 = 0 THEN 'quarantined'
+                ELSE 'unsupported' END AS status,
+           count(*) AS n_docs,
+           sum(CASE WHEN doc_id % 5 IN (2, 3) THEN 12 END) AS sum_width
+    FROM documents GROUP BY 1
+    """,
+)
+def x5c_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5c (r6): the resize pipeline graded end-to-end against an
+    independent prediction. Synth payloads (x5b's) go through the REAL
+    decode → nearest-neighbor resample → PNG re-encode path
+    (sources/multimodal.resize_image): complete PNGs and scan-bearing
+    JPEGs resize ('resized'), the header-only BMPs fail pixel decode
+    with ValueError ('quarantined'), WAV/gzip payloads have no pixel
+    decoder ('unsupported') — the oracle recomputes each class from
+    the doc_id formulas without touching any codec. Scale shape: two
+    Arrow-batched map stages, zero shuffles before the final agg."""
+    from pdf_etl_engine_spark.sources.multimodal import (
+        with_resized_images,
+        with_synth_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = with_resized_images(with_synth_media(docs), 12, 7)
+    status = (
+        F.when(F.col("resize_error").isNull(), F.lit("resized"))
+        .when(F.col("resize_error").startswith("ValueError"),
+              F.lit("quarantined"))
+        .otherwise(F.lit("unsupported"))
+    )
+    return resized.groupBy(status.alias("status")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("resize_error").isNull(), F.col("width")))
+        .alias("sum_width"),
+    )
+
+
+@query(
     "x4c_embedding_near_dup",
     oracle="""
     WITH v AS (

@@ -279,6 +279,165 @@ def _decode_png(content: bytes) -> dict:
     }
 
 
+def _png_pixels(content: bytes):
+    """Decode an 8-bit gray/RGB/gray+alpha/RGBA PNG to an (H, W, C)
+    uint8 array (palette and sub-byte/16-bit depths raise
+    NotImplementedError — metadata decode still covers them)."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    meta = _decode_png(content)  # full validation pass (CRC, defilter)
+    pos = len(_PNG_SIG)
+    idat = bytearray()
+    ihdr = None
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        data = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    width, height, bit_depth, color_type = ihdr[0], ihdr[1], ihdr[2], ihdr[3]
+    if bit_depth != 8 or color_type == 3:
+        raise NotImplementedError(
+            f"PNG pixel decode supports 8-bit non-palette images only "
+            f"(depth {bit_depth}, color type {color_type})"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    raw = _png_defilter(_z.decompress(bytes(idat)), height, stride, channels)
+    del meta
+    return np.frombuffer(raw, dtype=np.uint8).reshape(height, width, channels)
+
+
+def _bmp_pixels(content: bytes):
+    """Decode an uncompressed 24-bpp BITMAPINFOHEADER BMP to (H, W, 3)
+    RGB uint8 (the only variant our fixtures and most scanners emit;
+    others raise NotImplementedError)."""
+    import struct
+
+    import numpy as np
+
+    meta = _decode_bmp(content)
+    if meta["bits_per_pixel"] != 24:
+        raise NotImplementedError(
+            f"BMP pixel decode supports 24 bpp only, got "
+            f"{meta['bits_per_pixel']}"
+        )
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if compression:
+        raise NotImplementedError(f"BMP compression {compression} unsupported")
+    data_at = struct.unpack_from("<I", content, 10)[0]
+    w, h = meta["width"], meta["height"]
+    raw_h = struct.unpack_from("<i", content, 22)[0]
+    stride = (w * 3 + 3) & ~3
+    need = data_at + stride * h
+    if len(content) < need:
+        raise ValueError(
+            f"BMP pixel data truncated: {len(content)} < {need} bytes"
+        )
+    rows = np.frombuffer(
+        content[data_at : data_at + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if raw_h > 0:  # positive height = bottom-up row order
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+def _ppm_pixels(content: bytes):
+    """Decode binary P5 (gray) / P6 (RGB) Netpbm with maxval <= 255 to
+    (H, W, C) uint8."""
+    import numpy as np
+
+    meta = _decode_ppm(content)
+    # re-tokenize WITH positions to find the raster offset
+    magic = content[:2].decode("ascii", "replace")
+    if magic not in ("P5", "P6"):
+        raise NotImplementedError(f"Netpbm pixel decode needs P5/P6, {magic}")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(content) and content[pos : pos + 1] == b"#":
+            while pos < len(content) and content[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("Netpbm header truncated before raster")
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("Netpbm 16-bit samples unsupported")
+    channels = 3 if magic == "P6" else 1
+    need = w * h * channels
+    raster = content[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError(f"Netpbm raster truncated: {len(raster)} < {need}")
+    del meta
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
+
+
+def encode_png(pixels) -> bytes:
+    """Encode an (H, W) or (H, W, C) uint8 array (C in 1/2/3/4) as a
+    filter-0 non-interlaced PNG — the engine's canonical re-encode
+    target for resized images."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    scan = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(scan)) + chunk(b"IEND", b"")
+    )
+
+
+def decode_pixels(content: bytes):
+    """Decode a payload to an (H, W, C) uint8 pixel array, dispatched
+    on magic bytes like :func:`decode_media`: PNG, baseline JPEG, 24-
+    bpp BMP, binary Netpbm. Audio/video and unrecognized payloads
+    raise NotImplementedError; corrupt payloads raise ValueError."""
+    if content[: len(_PNG_SIG)] == _PNG_SIG:
+        return _png_pixels(content)
+    if content[:2] == b"\xff\xd8":
+        from pdf_etl_engine_spark.functions import jpegcodec
+
+        return jpegcodec.decode_pixels(content)
+    if content[:2] == b"BM":
+        return _bmp_pixels(content)
+    if content[:2] in (b"P5", b"P6") and (
+        len(content) > 2 and content[2:3].isspace()
+    ):
+        return _ppm_pixels(content)
+    raise NotImplementedError(
+        "no pure-Python pixel decoder for this payload; "
+        "wire PIL/ffmpeg here in production"
+    )
+
+
 def decode_media(content: bytes, mime: str) -> dict:
     """Decode a media payload's metadata, dispatched on magic bytes —
     not caller-supplied mime (content wins over labels). REAL at two
@@ -456,45 +615,73 @@ def with_media_metadata(binary_df: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Typed multimodal transform surface: decode / resize / frame-sample.
-# The Spark-side contract (schemas, Arrow batching, partition behavior)
-# is real and tested; the codec calls are the clearly-stubbed step
-# (this container ships no PIL/ffmpeg). Each deterministic fake keeps
-# the byte-shape arithmetic honest so downstream sizing logic is
-# exercisable.
+# All REAL as of r6: resize decodes PNG/JPEG/BMP/Netpbm pixels
+# (pure-Python codecs above) and re-encodes PNG; frame sampling
+# demuxes the MP4 sample tables and returns the actual encoded sample
+# bytes. Only decoding *inside* a video sample (H.264 etc.) still
+# needs ffmpeg and stays out of scope for this container.
 # ---------------------------------------------------------------------------
 
-RESIZE_SCHEMA = "doc_id bigint, width int, height int, n_bytes int"
-FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int"
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_bytes int, content binary, "
+    "resize_error string"
+)
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame_bytes int, frame binary, "
+    "frame_error string"
+)
 
 
 def resize_image(content: bytes, width: int, height: int) -> bytes:
-    """STUB — real impl: PIL/opencv decode → resample → re-encode."""
-    raise NotImplementedError("image codecs unavailable in this container")
+    """REAL resize for every format the engine can pixel-decode
+    (PNG / baseline JPEG / 24-bpp BMP / binary Netpbm): decode →
+    centered nearest-neighbor resample → re-encode as PNG. Corrupt
+    payloads raise ValueError (quarantine); formats without a
+    pure-Python pixel decoder raise NotImplementedError."""
+    import numpy as np
 
-
-def sample_frames(content: bytes, every_n: int) -> list[bytes]:
-    """STUB — real impl: ffmpeg/pyav demux → keyframe sample."""
-    raise NotImplementedError("video codecs unavailable in this container")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid resize target {width}x{height}")
+    px = decode_pixels(content)
+    src_h, src_w = px.shape[:2]
+    yi = np.minimum(
+        ((np.arange(height) + 0.5) * src_h / height).astype(np.int64),
+        src_h - 1,
+    )
+    xi = np.minimum(
+        ((np.arange(width) + 0.5) * src_w / width).astype(np.int64),
+        src_w - 1,
+    )
+    return encode_png(px[yi][:, xi])
 
 
 def with_resized_images(
     binary_df: DataFrame, width: int, height: int
 ) -> DataFrame:
-    """(doc_id, content) → resize metadata rows. Production swaps the
-    deterministic fake for resize_image(); batch shape identical."""
+    """(doc_id, content) → resized PNG rows via Arrow-batched
+    ``mapInPandas`` over :func:`resize_image`. Undecodable or corrupt
+    payloads yield a ``resize_error`` row instead of failing the task
+    (the same quarantine-not-drop contract as extraction)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # fake: "resized" size scales with target area, bounded by
-            # the source payload (deterministic, codec-free)
-            n = pdf["content"].map(len)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": width,
-                    "height": height,
-                    "n_bytes": n.clip(upper=width * height * 3).astype("int32"),
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                row = {
+                    "doc_id": doc_id, "width": width, "height": height,
+                    "n_bytes": None, "content": None, "resize_error": None,
                 }
+                try:
+                    out = resize_image(bytes(content), width, height)
+                    row["n_bytes"] = len(out)
+                    row["content"] = out
+                except Exception as e:  # noqa: BLE001 — quarantined per row
+                    row["resize_error"] = f"{type(e).__name__}: {e}"[:200]
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_bytes", "content",
+                         "resize_error"],
             )
 
     return binary_df.select("doc_id", "content").mapInPandas(
@@ -502,21 +689,187 @@ def with_resized_images(
     )
 
 
+def _mp4_boxes(buf: bytes, pos: int, end: int):
+    """ISO BMFF box generator (module-level twin of the walker inside
+    ``_decode_mp4``): yields (type, body_start, box_end)."""
+    import struct
+
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", buf, pos)
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("MP4 largesize box truncated")
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            hdr = 16
+        else:
+            hdr = 8
+        if size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"MP4 box {btype!r} overruns payload")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_find(buf: bytes, pos: int, end: int, path: tuple[bytes, ...]):
+    """Descend a box path (e.g. (b'moov', b'trak')) yielding the body
+    ranges of every box matching the final path element."""
+    if not path:
+        yield pos, end
+        return
+    for btype, body, bend in _mp4_boxes(buf, pos, end):
+        if btype == path[0]:
+            yield from _mp4_find(buf, body, bend, path[1:])
+
+
+def _mp4_video_samples(content: bytes) -> tuple[list[tuple[int, int]], list[int]]:
+    """Demux the first video track's sample layout from the stbl
+    tables (ISO 14496-12 §8.5-8.7): returns ([(absolute_offset,
+    size), ...] per sample, [1-based sync sample numbers] — empty
+    when every sample is sync). No codec needed: this is pure
+    container math over stsz/stsc/stco(co64)/stss."""
+    import struct
+
+    for trak_s, trak_e in _mp4_find(content, 0, len(content),
+                                    (b"moov", b"trak")):
+        hdlr = None
+        for body, bend in _mp4_find(content, trak_s, trak_e,
+                                    (b"mdia", b"hdlr")):
+            hdlr = content[body + 8 : body + 12]
+        if hdlr != b"vide":
+            continue
+        tables: dict[bytes, tuple[int, int]] = {}
+        for stbl_s, stbl_e in _mp4_find(content, trak_s, trak_e,
+                                        (b"mdia", b"minf", b"stbl")):
+            for btype, body, bend in _mp4_boxes(content, stbl_s, stbl_e):
+                tables[btype] = (body, bend)
+        if b"stsz" not in tables or b"stsc" not in tables or not (
+            b"stco" in tables or b"co64" in tables
+        ):
+            raise ValueError("MP4 video track missing sample tables")
+
+        def full(name: bytes) -> tuple[int, int]:
+            body, bend = tables[name]
+            return body + 4, bend  # skip version/flags
+
+        # stsz: uniform size or per-sample table
+        p, e = full(b"stsz")
+        uniform, count = struct.unpack_from(">II", content, p)
+        if uniform:
+            sizes = [uniform] * count
+        else:
+            if p + 8 + 4 * count > e:
+                raise ValueError("MP4 stsz table truncated")
+            sizes = list(struct.unpack_from(f">{count}I", content, p + 8))
+        # chunk offsets
+        name = b"stco" if b"stco" in tables else b"co64"
+        p, e = full(name)
+        n_chunks = struct.unpack_from(">I", content, p)[0]
+        fmt, sz = (">I", 4) if name == b"stco" else (">Q", 8)
+        if p + 4 + sz * n_chunks > e:
+            raise ValueError(f"MP4 {name.decode()} table truncated")
+        chunk_offs = [
+            struct.unpack_from(fmt, content, p + 4 + i * sz)[0]
+            for i in range(n_chunks)
+        ]
+        # stsc: (first_chunk, samples_per_chunk) runs
+        p, e = full(b"stsc")
+        n_runs = struct.unpack_from(">I", content, p)[0]
+        if p + 4 + 12 * n_runs > e:
+            raise ValueError("MP4 stsc table truncated")
+        runs = [
+            struct.unpack_from(">III", content, p + 4 + i * 12)[:2]
+            for i in range(n_runs)
+        ]
+        samples: list[tuple[int, int]] = []
+        si = 0
+        for ri, (first_chunk, per_chunk) in enumerate(runs):
+            last_chunk = (
+                runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+            )
+            for ci in range(first_chunk - 1, last_chunk):
+                if ci >= n_chunks:
+                    raise ValueError("MP4 stsc references missing chunk")
+                off = chunk_offs[ci]
+                for _ in range(per_chunk):
+                    if si >= count:
+                        break
+                    samples.append((off, sizes[si]))
+                    off += sizes[si]
+                    si += 1
+        if si < count:
+            raise ValueError(
+                f"MP4 sample tables inconsistent: {si} of {count} samples "
+                "mapped to chunks"
+            )
+        sync: list[int] = []
+        if b"stss" in tables:
+            p, e = full(b"stss")
+            n_sync = struct.unpack_from(">I", content, p)[0]
+            if p + 4 + 4 * n_sync > e:
+                raise ValueError("MP4 stss table truncated")
+            sync = list(struct.unpack_from(f">{n_sync}I", content, p + 4))
+        return samples, sync
+    raise ValueError("MP4 has no video track")
+
+
+def sample_frames(content: bytes, every_n: int) -> list[bytes]:
+    """REAL container-level frame sampling: demux the MP4 sample
+    tables and return every Nth video sample's encoded bytes —
+    keyframes (stss sync samples) when the track declares them, since
+    only those decode independently. Decoding *inside* a sample
+    (H.264/H.265) is the ffmpeg production slot; the byte extraction
+    here is exact. Broken tables or out-of-file offsets raise
+    ValueError."""
+    if every_n <= 0:
+        raise ValueError(f"invalid sampling interval {every_n}")
+    if len(content) < 12 or content[4:8] != b"ftyp":
+        raise NotImplementedError(
+            "frame sampling needs an ISO BMFF (ftyp) payload; other "
+            "containers need ffmpeg in production"
+        )
+    samples, sync = _mp4_video_samples(content)
+    if sync:
+        picked = [samples[i - 1] for i in sync[::every_n]
+                  if 1 <= i <= len(samples)]
+    else:
+        picked = samples[::every_n]
+    out = []
+    for off, size in picked:
+        if off + size > len(content):
+            raise ValueError(
+                f"MP4 sample at {off}+{size} overruns payload "
+                f"({len(content)} bytes)"
+            )
+        out.append(content[off : off + size])
+    return out
+
+
 def with_sampled_frames(binary_df: DataFrame, every_n: int = 10) -> DataFrame:
-    """(doc_id, content) → one row per sampled frame. Production swaps
-    the deterministic fake for sample_frames(); the explode shape (one
-    input row → many output rows) is the real contract."""
+    """(doc_id, content) → one row per sampled frame (the real MP4
+    demux path; 1→N explode). Payloads that aren't demuxable MP4s
+    yield a single ``frame_error`` row instead of failing the task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "frame_idx", "frame_bytes", "frame", "frame_error"]
         for pdf in batches:
-            out = {"doc_id": [], "frame_idx": [], "frame_bytes": []}
+            rows = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                n_frames = max(len(bytes(content)) // (64 * every_n), 1)
-                for i in range(n_frames):
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(i * every_n)
-                    out["frame_bytes"].append(64)
-            yield pd.DataFrame(out)
+                try:
+                    frames = sample_frames(bytes(content), every_n)
+                    for i, fb in enumerate(frames):
+                        rows.append({
+                            "doc_id": doc_id, "frame_idx": i * every_n,
+                            "frame_bytes": len(fb), "frame": fb,
+                            "frame_error": None,
+                        })
+                except Exception as e:  # noqa: BLE001 — quarantined per row
+                    rows.append({
+                        "doc_id": doc_id, "frame_idx": None,
+                        "frame_bytes": None, "frame": None,
+                        "frame_error": f"{type(e).__name__}: {e}"[:200],
+                    })
+            yield pd.DataFrame(rows, columns=cols)
 
     return binary_df.select("doc_id", "content").mapInPandas(
         run, schema=FRAME_SCHEMA

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 import pathlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from pdf_etl_engine_spark.catalog import load_table
@@ -63,32 +64,178 @@ def test_orc_filter_pushdown(spark, tmp_path):
     )[1].split("]", 1)[0]
 
 
-def test_multimodal_resize_and_frames(spark):
-    """X5 plumbing: resize + frame-sample transforms over binary
-    payloads (deterministic fakes in the codec slot; schemas, Arrow
-    batching, and the 1→N frame explode are the real contract)."""
+def _mp4_with_samples(sample_sizes, sync=None, per_chunk=3):
+    """A demuxable MP4: ftyp + mdat holding deterministic per-sample
+    bytes + moov/trak/mdia(hdlr=vide)/minf/stbl with real
+    stsz/stsc/stco(/stss) tables pointing into the mdat."""
+    import struct
+
+    def box(t, body):
+        return struct.pack(">I4s", 8 + len(body), t) + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    payload = b"".join(
+        bytes([i & 0xFF]) * s for i, s in enumerate(sample_sizes)
+    )
+    mdat_at = len(ftyp)
+    mdat = box(b"mdat", payload)
+
+    # chunk layout: groups of `per_chunk` samples
+    chunk_offs, chunk_counts = [], []
+    off = mdat_at + 8
+    i = 0
+    while i < len(sample_sizes):
+        n = min(per_chunk, len(sample_sizes) - i)
+        chunk_offs.append(off)
+        chunk_counts.append(n)
+        off += sum(sample_sizes[i : i + n])
+        i += n
+    stsz = box(b"stsz", struct.pack(">III", 0, 0, len(sample_sizes))
+               + b"".join(struct.pack(">I", s) for s in sample_sizes))
+    # stsc runs: collapse equal consecutive counts
+    runs = []
+    for ci, n in enumerate(chunk_counts):
+        if not runs or runs[-1][1] != n:
+            runs.append((ci + 1, n))
+    stsc = box(b"stsc", struct.pack(">II", 0, len(runs))
+               + b"".join(struct.pack(">III", fc, n, 1) for fc, n in runs))
+    stco = box(b"stco", struct.pack(">II", 0, len(chunk_offs))
+               + b"".join(struct.pack(">I", o) for o in chunk_offs))
+    stss = (box(b"stss", struct.pack(">II", 0, len(sync))
+                + b"".join(struct.pack(">I", s) for s in sync))
+            if sync else b"")
+    stbl = box(b"stbl", stsz + stsc + stco + stss)
+    minf = box(b"minf", stbl)
+    hdlr = box(b"hdlr", struct.pack(">I", 0) + b"\x00" * 4 + b"vide"
+               + b"\x00" * 12)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", mdia)
+    mvhd = box(b"mvhd", bytes([0]) + bytes(3) + bytes(8)
+               + struct.pack(">II", 1000, 5000) + bytes(80))
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def test_multimodal_resize_real(spark):
+    """X5 resize is REAL: decodes PNG/JPEG/BMP pixels, nearest-
+    neighbor resamples, re-encodes PNG; undecodable payloads
+    quarantine per row."""
+    import numpy as np
     from pyspark.sql import functions as F
+
+    from pdf_etl_engine_spark.functions import jpegcodec
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    # direct: constant-color JPEG resizes to a constant-color PNG
+    out = M.resize_image(
+        jpegcodec.encode_baseline(np.full((40, 60), 99, dtype=np.uint8)),
+        16, 8,
+    )
+    px = M.decode_pixels(out)
+    assert px.shape == (8, 16, 1) and (px == 99).all()
+    # PNG RGB roundtrip keeps channel structure
+    src = M.encode_png(np.full((10, 10, 3), (5, 250, 125), dtype=np.uint8))
+    px = M.decode_pixels(M.resize_image(src, 4, 4))
+    assert px.shape == (4, 4, 3) and (px[0, 0] == (5, 250, 125)).all()
+    with pytest.raises(NotImplementedError):
+        M.resize_image(b"xx", 8, 8)
+    with pytest.raises(ValueError):
+        M.resize_image(src, 0, 4)
+
+    # Spark surface: mixed decodable + garbage rows
+    rows = [
+        (1, bytearray(M._synth_png(20, 12))),
+        (2, bytearray(jpegcodec.encode_baseline(
+            np.full((9, 7), 30, dtype=np.uint8)))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = {r["doc_id"]: r for r in M.with_resized_images(df, 6, 5).collect()}
+    for ok_id in (1, 2):
+        assert got[ok_id]["resize_error"] is None
+        rp = M.decode_pixels(bytes(got[ok_id]["content"]))
+        assert rp.shape[:2] == (5, 6)
+    assert got[3]["content"] is None
+    assert got[3]["resize_error"].startswith("NotImplementedError")
+
+
+def test_pixel_decoders_bmp_and_netpbm():
+    """decode_pixels covers 24-bpp BMP (bottom-up BGR, padded rows)
+    and binary Netpbm exactly."""
+    import struct
+
+    import numpy as np
 
     from pdf_etl_engine_spark.sources import multimodal as M
 
-    docs = load_table(spark, SF, "documents").limit(20)
-    binary = docs.select(
-        "doc_id", F.encode(F.col("text"), "utf-8").alias("content")
-    )
-    resized = M.with_resized_images(binary, 32, 32).collect()
-    assert len(resized) == 20
-    assert all(r["width"] == 32 and r["n_bytes"] <= 32 * 32 * 3 for r in resized)
+    # 2x2 24bpp BMP: rows bottom-up, BGR, stride padded to 4 bytes
+    w, h = 2, 2
+    stride = (w * 3 + 3) & ~3
+    top = [(255, 0, 0), (0, 255, 0)]     # red, green (RGB)
+    bottom = [(0, 0, 255), (10, 20, 30)]  # blue, gray-ish
+    def row(pixels):
+        raw = b"".join(bytes([b, g, r]) for r, g, b in pixels)
+        return raw + bytes(stride - len(raw))
+    data = row(bottom) + row(top)  # bottom-up storage
+    dib = struct.pack("<IiiHH", 40, w, h, 1, 24) + bytes(24)  # 40-byte DIB
+    bmp = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54) + dib + data
+    px = M.decode_pixels(bmp)
+    assert px.shape == (2, 2, 3)
+    assert tuple(px[0, 0]) == (255, 0, 0) and tuple(px[1, 1]) == (10, 20, 30)
+    with pytest.raises(ValueError):  # declared rows missing
+        M.decode_pixels(bmp[:-4])
 
-    frames = M.with_sampled_frames(binary, every_n=2)
-    per_doc = frames.groupBy("doc_id").count().collect()
-    assert len(per_doc) == 20
-    assert all(r["count"] >= 1 for r in per_doc)
+    # P6 RGB and P5 gray with a comment in the header
+    p6 = b"P6\n# c\n2 1\n255\n" + bytes([9, 8, 7, 1, 2, 3])
+    px = M.decode_pixels(p6)
+    assert px.shape == (1, 2, 3) and tuple(px[0, 1]) == (1, 2, 3)
+    p5 = b"P5 3 2 255 " + bytes(range(6))
+    px = M.decode_pixels(p5)
+    assert px.shape == (2, 3, 1) and px[1, 2, 0] == 5
+    with pytest.raises(ValueError):
+        M.decode_pixels(p5[:-2])  # truncated raster
+    # resize goes through the same decoders
+    out = M.resize_image(p6, 4, 2)
+    assert M.decode_pixels(out).shape == (2, 4, 3)
 
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        M.resize_image(b"xx", 8, 8)
-    with _pytest.raises(NotImplementedError):
+
+def test_multimodal_frame_sampling_real(spark):
+    """X5 frame sampling is REAL container demux: every Nth video
+    sample's exact bytes come back out of the mdat (keyframes first
+    when stss declares them)."""
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    sizes = [10, 20, 30, 40, 50, 60, 70]
+    mp4 = _mp4_with_samples(sizes)
+    frames = M.sample_frames(mp4, 2)  # samples 0, 2, 4, 6
+    assert [len(f) for f in frames] == [10, 30, 50, 70]
+    # contents are the exact mdat bytes (sample i is byte i repeated)
+    assert frames[1] == bytes([2]) * 30
+    assert frames[3] == bytes([6]) * 70
+
+    # stss present: sampling walks sync samples (1-based 1, 4, 6)
+    mp4k = _mp4_with_samples(sizes, sync=[1, 4, 6])
+    kf = M.sample_frames(mp4k, 2)  # sync[::2] -> samples 1, 6
+    assert [len(f) for f in kf] == [10, 60]
+
+    with pytest.raises(NotImplementedError):
         M.sample_frames(b"xx", 2)
+    # corrupt: stco pointing outside the file
+    bad = bytearray(mp4)
+    at = bytes(bad).index(b"stco") + 12
+    bad[at : at + 4] = (2 ** 31).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        M.sample_frames(bytes(bad), 2)
+
+    # Spark surface: 1→N explode + per-row quarantine
+    rows = [(1, bytearray(mp4)), (2, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    out = M.with_sampled_frames(df, every_n=3).collect()
+    mine = [r for r in out if r["doc_id"] == 1]
+    assert [r["frame_bytes"] for r in sorted(mine,
+            key=lambda r: r["frame_idx"])] == [10, 40, 70]
+    err = [r for r in out if r["doc_id"] == 2]
+    assert len(err) == 1 and err[0]["frame_error"] is not None
 
 
 # ---------------------------------------------------------------------------
