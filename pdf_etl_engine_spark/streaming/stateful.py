@@ -65,3 +65,93 @@ def user_running_profile(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Timeout-driven sessionization — the second canonical stateful shape
+# (r6). Unlike the built-in F.session_window aggregation, the session
+# row here is emitted by an EVENT-TIME TIMEOUT when the user's gap
+# elapses (hasTimedOut path), which is the pattern every custom
+# stateful operator that must act on *absence* of data needs
+# (abandoned-cart, connection-liveness, end-of-session features).
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+SESSION_STATE = "start timestamp, last timestamp, n long, total double"
+
+
+def _make_session_updater(gap_s: float):
+    gap_ms = int(gap_s * 1000)
+
+    def _row(key, start, last, n, total) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [start],
+                "session_end": [last],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield _row(key, start, last, n, total)
+            return
+        cur = state.get if state.exists else None
+        closed = []
+        for pdf in pdfs:
+            for ts, value in zip(
+                pdf.sort_values("ts")["ts"], pdf.sort_values("ts")["value"]
+            ):
+                if cur is None:
+                    cur = (ts, ts, 1, float(value or 0.0))
+                elif (ts - cur[1]).total_seconds() * 1000 <= gap_ms:
+                    cur = (cur[0], max(cur[1], ts), cur[2] + 1,
+                           cur[3] + float(value or 0.0))
+                else:  # gap exceeded inside the data: close inline
+                    closed.append(cur)
+                    cur = (ts, ts, 1, float(value or 0.0))
+        if cur is not None:
+            state.update(cur)
+            # fire once the watermark passes last+gap; clamp above the
+            # current watermark (required by the state API)
+            last_ms = int(cur[1].timestamp() * 1000)
+            state.setTimeoutTimestamp(
+                max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        for s in closed:
+            yield _row(key, *s)
+
+    return update
+
+
+def user_sessions(
+    events_stream: DataFrame, gap_s: float = 600.0, lateness: str = "1 minute"
+) -> DataFrame:
+    """(user_id, ts, value) stream → one row per COMPLETED session
+    (append mode): a session closes either inline (a new event beyond
+    the gap) or via event-time timeout when the watermark passes
+    last_event + gap with no new data. State is one 4-tuple per open
+    session per user — at 100 TB the keys shard across executors and
+    the store is RocksDB per partition; nothing global."""
+    return (
+        events_stream.withWatermark("ts", lateness)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_updater(gap_s),
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

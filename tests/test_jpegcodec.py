@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pdf_etl_engine_spark.functions import jpegcodec as J
 
@@ -101,6 +103,28 @@ def test_progressive_and_unknown_markers():
     with pytest.raises(ValueError, match="no SOS"):
         # tables + frame header but the scan never starts
         J.decode_meta(b[: b.index(b"\xff\xda")] + b"\xff\xd9")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 25),
+    w=st.integers(1, 25),
+    seed=st.integers(0, 2**31),
+    color=st.booleans(),
+    rst=st.sampled_from([0, 2]),
+)
+def test_property_roundtrip_any_shape(h, w, seed, color, rst):
+    """Any image shape (including 1-pixel and non-8-multiple edges),
+    gray or RGB, with or without restart markers, roundtrips within
+    the documented error bound at quant=1."""
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    px = J.decode_pixels(J.encode_baseline(img, restart_interval=rst))
+    assert px.shape == (h, w, 3 if color else 1)
+    ref = img if color else img[..., None]
+    assert np.abs(px.astype(int) - ref.astype(int)).max() <= (3 if color
+                                                              else 1)
 
 
 def test_undefined_tables_are_structural_errors():

@@ -283,6 +283,68 @@ def test_stateful_running_profile_across_restarts(spark, tmp_path):
     assert emitted[1] == (3, 15.0), emitted
 
 
+def test_stateful_sessionization_timeout_and_inline_close(spark, tmp_path):
+    """Timeout-driven sessions (r6): a session closes inline when a
+    later event exceeds the gap, and via EVENT-TIME TIMEOUT when the
+    watermark passes last+gap with no new data for the key — the
+    absence-of-data path the built-in session_window agg can't
+    customize."""
+    from pdf_etl_engine_spark.streaming.stateful import user_sessions
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    emitted = []
+
+    def drain(tag, rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts_s string, value double"
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                 "value")
+        df.coalesce(1).write.parquet(str(src / tag))
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            user_sessions(stream, gap_s=600.0, lateness="1 minute")
+            .writeStream.foreachBatch(
+                lambda bdf, bid: emitted.extend(
+                    (r["user_id"], str(r["session_start"]),
+                     str(r["session_end"]), r["n_events"], r["total_value"])
+                    for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "sess_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # b1: user 1 has two events 5 min apart (one session), user 2 one
+    drain("b1", [(1, "2024-06-01 10:00:00", 5.0),
+                 (1, "2024-06-01 10:05:00", 7.0),
+                 (2, "2024-06-01 10:00:00", 1.0)])
+    assert emitted == []  # nothing closed yet
+
+    # b2: user 1 reappears 2h later -> session 1 closes INLINE; the
+    # watermark advances to ~11:59 (covers user 2's 10:10 timeout,
+    # which fires in the NEXT batch evaluation)
+    drain("b2", [(1, "2024-06-01 12:00:00", 2.0)])
+    assert (1, "2024-06-01 10:00:00", "2024-06-01 10:05:00", 2, 12.0) \
+        in emitted
+
+    # b3: unrelated key advances processing; its watermark (12:04)
+    # passes user 2's timeout (10:10) -> user 2's session times out,
+    # while user 1's new session (timeout 12:10 > 12:04) stays open
+    drain("b3", [(3, "2024-06-01 12:05:00", 0.5)])
+    assert (2, "2024-06-01 10:00:00", "2024-06-01 10:00:00", 1, 1.0) \
+        in emitted
+    assert not any(r[0] == 1 and r[1].startswith("2024-06-01 12:")
+                   for r in emitted), emitted
+
+
 def test_backpressure_caps_micro_batch_size(workspace, spark):
     """max_files_per_trigger drains a 6-file backlog in capped
     micro-batches (availableNow still processes everything), with
