@@ -52,6 +52,8 @@ X_SURFACE = {
     "x_dedup_exact": "x2_dedup_exact",
     "x_contamination": "x16_contamination",
     "x_incremental_dedup": "x22_incremental_dedup_exact",
+    "x_repetition": "x21_repetition",
+    "x_embedding_near_dup": "x4c_embedding_near_dup",
 }
 
 
