@@ -259,6 +259,66 @@ class Catalog:
             is not None
         )
 
+    def compact_metadata(self) -> dict[str, int]:
+        """Offline maintenance: rewrite the append-only metadata
+        tables down to their LIVE rows (newest generation per key),
+        bounding catalog growth. Every write appends one small parquet
+        file (Firestore ``set()`` replayed as append + newest-wins
+        read), so a folder re-trained 10⁴ times accumulates 10⁴ dead
+        generations every read re-sorts past — this keeps reads
+        O(live keys). The kept row per key is chosen by EXACTLY the
+        read-side ordering (folders: newest ``created_at``; shares:
+        newest, edit-beats-view on legacy NULL-timestamp ties), so
+        ``get_folder`` / ``effective_share`` / ``resolve_folder_for_
+        read`` answers are unchanged — pinned by tests. Run it like
+        vacuum: when no concurrent metadata writer is active (the
+        swap is write-to-temp + directory rename, not a concurrent-
+        safe commit). Returns {table: rows_kept}."""
+        import os
+        import shutil
+        import uuid as _uuid
+
+        from pyspark.sql import Window
+
+        specs = [
+            (
+                self.folders_path,
+                FOLDERS_SCHEMA,
+                ["tenant_id", "folder_id"],
+                [F.desc_nulls_last("created_at")],
+            ),
+            (
+                self.shares_path,
+                SHARES_SCHEMA,
+                ["owner_id", "folder_id", "shared_email"],
+                [
+                    F.desc_nulls_last("created_at"),
+                    F.desc(F.col("permission") == "edit"),
+                ],
+            ),
+        ]
+        kept: dict[str, int] = {}
+        for path, schema, keys, order in specs:
+            if not os.path.exists(path):
+                continue
+            w = Window.partitionBy(*keys).orderBy(*order)
+            live = (
+                self._read_or_empty(path, schema)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            tmp = f"{path}.compact.{_uuid.uuid4().hex}"
+            live.write.mode("overwrite").parquet(tmp)
+            bak = f"{path}.bak.{_uuid.uuid4().hex}"
+            os.rename(path, bak)
+            os.rename(tmp, path)
+            shutil.rmtree(bak)
+            kept[os.path.basename(path)] = (
+                self.spark.read.schema(schema).parquet(path).count()
+            )
+        return kept
+
 
 # ---------------------------------------------------------------------------
 # Extractor interface (U1 — the reference's Gemini call, main.py:694-715)

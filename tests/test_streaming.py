@@ -146,6 +146,39 @@ def test_retrain_newest_generation_wins(workspace, spark):
     assert [k["name"] for k in meta["kpi_metadata"]] == ["Revised KPI"]
 
 
+def test_catalog_metadata_compaction_preserves_answers(workspace, spark):
+    """compact_metadata (r6): dead generations drop, live answers
+    don't move — get_folder still returns the newest KPI set and
+    effective_share still honors the latest permission downgrade."""
+    import glob
+    import time
+
+    root, cat = workspace
+    for gen in range(4):  # re-train x4: 4 more folder generations
+        time.sleep(0.01)
+        cat.create_folder(
+            "u1", "reports",
+            kpi_metadata=[{"name": f"KPI gen {gen}", "sample_value": "1",
+                           "type": "number"}],
+        )
+    cat.add_share("u1", "reports", "Reader@Example.com", "edit")
+    time.sleep(0.01)
+    cat.add_share("u1", "reports", "Reader@Example.com", "view")  # downgrade
+
+    files_before = len(glob.glob(f"{cat.folders_path}/*.parquet"))
+    kept = cat.compact_metadata()
+    files_after = len(glob.glob(f"{cat.folders_path}/*.parquet"))
+
+    assert kept["folders"] >= 1 and kept["shares"] >= 1
+    assert files_after < files_before
+    meta = cat.get_folder("u1", "reports")
+    assert [k["name"] for k in meta["kpi_metadata"]] == ["KPI gen 3"]
+    # the downgrade survives compaction (newest-wins kept row)
+    assert cat.effective_share("u1", "reports", "reader@example.com") == "view"
+    # idempotent: a second pass keeps the same live rows
+    assert cat.compact_metadata() == kept
+
+
 def test_read_path_global_resolve_is_share_gated(workspace, spark):
     """resolve_folder_for_read finds another tenant's folder ONLY when
     a share grants it (main.py:783-791 + 796-802)."""
