@@ -6,7 +6,7 @@ The reference closes its ingest loop by sending PDF bytes to a
 multimodal LLM and reading back a `{kpi: value}` JSON object
 (/root/reference/main.py:694-715). This module closes the same loop
 deterministically: parse the PDF's content streams, recover the
-text-show operators (Tj / TJ / '), and read ``Key: Value`` field lines
+text-show operators (Tj / TJ / ' / "), and read ``Key: Value`` field
 the way the LLM prompt contract does — missing KPIs yield ``"N/A"``
 exactly like the prompt instructs (main.py:697). The LLM slot
 (`pipeline.llm_extractor`) remains the pluggable upgrade path; this
@@ -17,7 +17,7 @@ Format coverage (all public knowledge, PDF 32000-1):
   chains of them (§7.4); unsupported filters (DCTDecode etc. — image
   codecs) mark the stream non-text and it is skipped;
 * literal strings with escape/octal sequences (§7.3.4.2) and hex
-  strings (§7.3.4.3), both as Tj/'/TJ operands; UTF-16BE strings
+  strings (§7.3.4.3), as Tj / ' / " / TJ operands; UTF-16BE strings
   (BOM-prefixed, §7.9.2.2) decode to text;
 * PDF 1.5+ compressed objects: ``/ObjStm`` object streams are
   unpacked so Info dictionaries and page objects stored inside them
@@ -580,8 +580,8 @@ def _build_font_tables(
 # font state tracks document order: /Name size Tf
 _TF_SHOW_RE = re.compile(
     rb"/(?P<font>[A-Za-z0-9.#_+-]+)\s+[0-9.+-]+\s+Tf(?![A-Za-z])"
-    rb"|(?P<lit>\((?:\\.|[^\\()])*\))\s*(?:Tj|')"
-    rb"|(?P<hex><[0-9A-Fa-f\s]*>)\s*(?:Tj|')"
+    rb"|(?P<lit>\((?:\\.|[^\\()])*\))\s*(?:Tj|'|\")"
+    rb"|(?P<hex><[0-9A-Fa-f\s]*>)\s*(?:Tj|'|\")"
     rb"|\[(?P<arr>(?:\\.|[^\]\\])*)\]\s*TJ"
 )
 

@@ -480,3 +480,17 @@ def test_tounicode_wins_over_differences():
         _cmap_stream(b"beginbfchar <01> <0059> endbfchar"),  # -> 'Y'
     ])
     assert pdftext.extract_pdf_text(pdf) == "Y"
+
+
+def test_quote_show_operators():
+    """The ' (next-line-show) and " (spacing-next-line-show, with its
+    two numeric word/char-spacing operands) both emit their string —
+    the full PDF 32000-1 §9.4.3 show-operator family."""
+    content = (
+        b"BT /F1 12 Tf (Line one) Tj T* (Line two) ' "
+        b"2 0.5 (Line three) \" ET"
+    )
+    pdf = _pdf(_page_objs(_stream_obj(b"", content)))
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "Line one", "Line two", "Line three"
+    ]
