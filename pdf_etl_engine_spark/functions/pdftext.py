@@ -13,9 +13,13 @@ exactly like the prompt instructs (main.py:697). The LLM slot
 extractor is the default that works on actual bytes with no model.
 
 Format coverage (all public knowledge, PDF 32000-1):
-* stream filters: FlateDecode, ASCIIHexDecode, ASCII85Decode, and
-  chains of them (§7.4); unsupported filters (DCTDecode etc. — image
-  codecs) mark the stream non-text and it is skipped;
+* stream filters: FlateDecode, LZWDecode (9-12 bit codes,
+  EarlyChange), RunLengthDecode, ASCIIHexDecode, ASCII85Decode, and
+  chains of them (§7.4), plus the /DecodeParms predictors for
+  Flate/LZW — TIFF horizontal differencing and the PNG row filters
+  modern writers put on ObjStm/XRef streams (§7.4.4.4); unsupported
+  filters (DCTDecode/JBIG2 etc. — image codecs) mark the stream
+  non-text and it is skipped;
 * literal strings with escape/octal sequences (§7.3.4.2) and hex
   strings (§7.3.4.3), as Tj / ' / " / TJ operands; UTF-16BE strings
   (BOM-prefixed, §7.9.2.2) decode to text;
@@ -50,8 +54,7 @@ to their code-point value (deterministic, never an exception).
 
 Not handled (documented limits): CID fonts whose ONLY mapping is a
 /CIDSystemInfo-registered external CMap (no embedded /ToUnicode —
-rare outside CJK print workflows), encryption, LZW/RunLength/
-predictor filters.
+rare outside CJK print workflows), and encryption.
 """
 
 from __future__ import annotations
@@ -152,6 +155,143 @@ def _ascii85_decode(raw: bytes) -> bytes:
         raise ValueError(f"ASCII85Decode: {e}") from None
 
 
+def _lzw_decode(raw: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (§7.4.4): variable 9-12 bit codes MSB-first, code 256
+    clears the table, 257 is EOD; ``EarlyChange`` (default 1) widens
+    the code length one entry early. Malformed code sequences raise
+    (quarantine contract)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, None
+    acc = n = 0
+    for byte in raw:
+        acc = (acc << 8) | byte
+        n += 8
+        while n >= width:
+            n -= width
+            code = (acc >> n) & ((1 << width) - 1)
+            if code == 256:
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise ValueError("LZWDecode: first code not a literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"LZWDecode: code {code} beyond table")
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)  # missing EOD: tolerate, emit what decoded
+
+
+def _rle_decode(raw: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): length byte 0-127 = copy n+1 literal
+    bytes, 129-255 = repeat next byte 257-n times, 128 = EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        ln = raw[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            chunk = raw[i + 1 : i + 2 + ln]
+            if len(chunk) != ln + 1:
+                raise ValueError("RunLengthDecode: literal run truncated")
+            out += chunk
+            i += 2 + ln
+        else:
+            if i + 1 >= len(raw):
+                raise ValueError("RunLengthDecode: repeat run truncated")
+            out += raw[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+_PARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*<<([^>]*)>>")
+
+
+def _predictor_parms(dict_bytes: bytes) -> tuple[int, int, int]:
+    """(predictor, columns, bytes_per_pixel) from /DecodeParms —
+    (1, _, _) when absent (no prediction)."""
+    m = _PARMS_RE.search(dict_bytes)
+    if not m:
+        return 1, 1, 1
+    body = m.group(1)
+
+    def val(name: bytes, default: int) -> int:
+        vm = re.search(rb"/" + name + rb"\s+(\d+)", body)
+        return int(vm.group(1)) if vm else default
+
+    pred = val(b"Predictor", 1)
+    columns = val(b"Columns", 1)
+    colors = val(b"Colors", 1)
+    bpc = val(b"BitsPerComponent", 8)
+    return pred, columns, max(1, (colors * bpc) // 8)
+
+
+def _unpredict(raw: bytes, pred: int, columns: int, bpp: int) -> bytes:
+    """Reverse Flate/LZW prediction (§7.4.4.4): TIFF horizontal
+    differencing (predictor 2) or the PNG per-row filters (10-15,
+    one filter-type byte per row) — the layout every modern writer's
+    ObjStm / XRef streams use."""
+    if pred <= 1:
+        return raw
+    stride = columns * bpp
+    if pred == 2:  # TIFF: component left-delta (8-bit path)
+        out = bytearray(raw)
+        for r in range(0, len(out) - stride + 1, stride):
+            for i in range(bpp, stride):
+                out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+        return bytes(out)
+    # PNG predictors: filter byte + stride bytes per row
+    if len(raw) % (stride + 1):
+        raise ValueError(
+            f"predictor {pred}: stream is not whole {stride + 1}-byte rows"
+        )
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(0, len(raw), stride + 1):
+        ft = raw[r]
+        line = bytearray(raw[r + 1 : r + 1 + stride])
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                line[i] = (
+                    line[i]
+                    + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                ) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"predictor row has invalid PNG filter {ft}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
 def _stream_filters(dict_bytes: bytes) -> list[bytes]:
     m = _FILTER_RE.search(dict_bytes)
     if not m:
@@ -162,7 +302,8 @@ def _stream_filters(dict_bytes: bytes) -> list[bytes]:
 
 
 def _decode_stream(dict_bytes: bytes, raw: bytes) -> bytes | None:
-    """Apply the stream's declared filter chain. None ⇒ the stream is
+    """Apply the stream's declared filter chain (Flate/LZW with
+    predictors, ASCIIHex, ASCII85, RunLength). None ⇒ the stream is
     not decodable text (image/unsupported codec) and must be skipped.
     A declared FlateDecode that fails to inflate raises — that is
     corruption, not an image (the quarantine contract)."""
@@ -182,10 +323,15 @@ def _decode_stream(dict_bytes: bytes, raw: bytes) -> bytes | None:
                 raise ValueError(
                     f"FlateDecode declared but stream does not inflate: {e}"
                 ) from None
+            raw = _unpredict(raw, *_predictor_parms(dict_bytes))
+        elif f == b"LZWDecode" or f == b"LZW":
+            raw = _unpredict(_lzw_decode(raw), *_predictor_parms(dict_bytes))
         elif f == b"ASCIIHexDecode" or f == b"AHx":
             raw = _ascii_hex_decode(raw)
         elif f == b"ASCII85Decode" or f == b"A85":
             raw = _ascii85_decode(raw)
+        elif f == b"RunLengthDecode" or f == b"RL":
+            raw = _rle_decode(raw)
         else:
             return None  # image/other codec: not text, not an error
     return raw

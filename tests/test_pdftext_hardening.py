@@ -181,11 +181,11 @@ def test_image_only_streams_skipped_not_fatal():
 
 
 def test_unsupported_filter_content_skipped():
-    """A content stream behind an unsupported codec (LZW) can't be
+    """A content stream behind an unsupported codec (JBIG2) can't be
     read: with no other text that is the mangled-document case →
     quarantine."""
     pdf = _pdf(_page_objs(
-        _stream_obj(b"/Filter /LZWDecode ", b"\x80\x0b\x60\x50")
+        _stream_obj(b"/Filter /JBIG2Decode ", b"\x80\x0b\x60\x50")
     ))
     with pytest.raises(ValueError, match="no text"):
         pdftext.extract_pdf_text(pdf)
@@ -493,4 +493,114 @@ def test_quote_show_operators():
     pdf = _pdf(_page_objs(_stream_obj(b"", content)))
     assert pdftext.extract_pdf_text(pdf).splitlines() == [
         "Line one", "Line two", "Line three"
+    ]
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Minimal in-test LZW encoder (PDF §7.4.4 conventions: initial
+    clear code, 9→12 bit growth with EarlyChange=1, EOD terminator) —
+    an independent implementation to roundtrip the decoder against."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    codes = [(256, 9)]
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        codes.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        # EarlyChange: widen one entry before the table fills the width
+        if next_code + 1 > (1 << width) and width < 12:
+            width += 1
+        w = c
+    if w:
+        codes.append((table[w], width))
+    codes.append((257, width))
+    acc = n = 0
+    out = bytearray()
+    for code, cw in codes:
+        acc = (acc << cw) | code
+        n += cw
+        while n >= 8:
+            n -= 8
+            out.append((acc >> n) & 0xFF)
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_filter():
+    pdf = _pdf(_page_objs(
+        _stream_obj(b"/Filter /LZWDecode ", _lzw_encode(CONTENT))
+    ))
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "Total: 42", "Status: ok"
+    ]
+
+
+def test_lzw_code_width_growth():
+    """A payload with >253 new table entries forces the 9→10 bit
+    transition; EarlyChange handling must keep encoder and decoder in
+    sync across it."""
+    payload = bytes(range(256)) * 6 + b"abcabcabc" * 40
+    assert pdftext._lzw_decode(_lzw_encode(payload)) == payload
+    with pytest.raises(ValueError):
+        pdftext._lzw_decode(b"\xff\xff\xff\xff")  # code beyond table
+
+
+def test_run_length_filter():
+    rle = bytearray()
+    for i in range(0, len(CONTENT), 4):  # literal runs of ≤4
+        chunk = CONTENT[i : i + 4]
+        rle += bytes([len(chunk) - 1]) + chunk
+    rle += bytes([254, ord("X"), 128])  # 3×'X' repeat run + EOD
+    content_obj = _stream_obj(b"/Filter /RunLengthDecode ", bytes(rle))
+    pdf = _pdf(_page_objs(content_obj))
+    # the trailing XXX lands outside BT..ET so text is unchanged
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "Total: 42", "Status: ok"
+    ]
+
+
+def test_flate_png_predictor():
+    """Flate + /DecodeParms /Predictor 12 (PNG Up) — the layout modern
+    writers emit for ObjStm/XRef streams; rows must defilter before
+    the content parses."""
+    columns = 20
+    padded = CONTENT + b" " * (-len(CONTENT) % columns)
+    rows = [padded[i : i + columns] for i in range(0, len(padded), columns)]
+    filtered = bytearray()
+    prev = bytes(columns)
+    for row in rows:
+        filtered += b"\x02" + bytes(
+            (row[i] - prev[i]) & 0xFF for i in range(columns)
+        )
+        prev = row
+    payload = zlib.compress(bytes(filtered))
+    content_obj = _stream_obj(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 20 >> ",
+        payload,
+    )
+    pdf = _pdf(_page_objs(content_obj))
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "Total: 42", "Status: ok"
+    ]
+
+
+def test_flate_tiff_predictor():
+    columns = len(CONTENT)
+    diffed = bytes([CONTENT[0]]) + bytes(
+        (CONTENT[i] - CONTENT[i - 1]) & 0xFF for i in range(1, columns)
+    )
+    content_obj = _stream_obj(
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns "
+        + str(columns).encode() + b" >> ",
+        zlib.compress(diffed),
+    )
+    pdf = _pdf(_page_objs(content_obj))
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "Total: 42", "Status: ok"
     ]
