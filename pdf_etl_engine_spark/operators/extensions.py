@@ -599,11 +599,11 @@ def x9_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x5_multimodal_binary")  # rows-only: binary plumbing, no SQL twin
 def x5_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5: opaque binary payload + typed metadata carried through a
-    distributed transform. The payload here is the utf-8 encoding of
-    `text` (the container ships no image/audio codecs — decode is the
-    clearly-stubbed step in pipeline.extract_features_stub); schema,
-    batching, and partition behavior are the real thing: an Arrow-
-    batched mapInPandas over (id, content, meta) rows."""
+    distributed transform — an Arrow-batched mapInPandas over
+    (id, content, meta) rows. The payload here is the utf-8 encoding
+    of `text`, so the per-row decode_media verdict is 'unsupported'
+    (text/plain has no media magic); x5b/x5c run the same plumbing
+    over real decodable payloads."""
     from pdf_etl_engine_spark.sources.multimodal import with_binary_features
 
     docs = load_table(spark, sf_dir, "documents")

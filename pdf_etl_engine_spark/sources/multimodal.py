@@ -3,8 +3,12 @@
 Images/audio/video ride through the engine as opaque ``binary``
 payloads plus a typed metadata struct (the reference's document blob,
 main.py:433, 692, generalized). The Spark-side plumbing — schema,
-Arrow batching, partition behavior — is real; only the *codec* is a
-stub because this container ships no image/audio libraries.
+Arrow batching, partition behavior — is real, and so are the codecs
+this container allows pure-Python: full pixel decodes for PNG and
+baseline JPEG (functions/jpegcodec), BMP/Netpbm/WAV/MP4 container
+parses, nearest-neighbor resize with PNG re-encode, and MP4
+sample-table frame demux. Only decoding INSIDE a compressed video
+sample (H.264 etc.) still needs ffmpeg in production.
 
 Pattern: ``mapInPandas`` so one Python worker call handles an Arrow
 batch of documents (not one RPC per file like the reference,
@@ -469,10 +473,22 @@ def decode_media(content: bytes, mime: str) -> dict:
     )
 
 
+def _decoded_label(b: bytes) -> str:
+    """'decoded' feature: the real decode_media verdict — format tag
+    for decodable payloads, the error class otherwise (deterministic
+    either way)."""
+    try:
+        meta = decode_media(bytes(b), "")
+        return f"{meta['kind']}/{meta['format']}:{len(b)}b"
+    except NotImplementedError:
+        return f"unsupported:{len(b)}b"
+    except ValueError:
+        return f"corrupt:{len(b)}b"
+
+
 def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic fake feature extraction: byte length + first-4-
-    bytes hex + a 'decoded' marker. Stands in for decode_media so the
-    distributed plumbing is fully exercised and testable."""
+    """Feature extraction over the binary column: byte length +
+    first-4-bytes hex + the decode_media verdict per payload."""
     for pdf in batches:
         content = pdf["content"]
         meta = pdf["meta"]
@@ -482,9 +498,7 @@ def _extract_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "n_bytes": content.map(len).astype("int32"),
                 "header_hex": content.map(lambda b: bytes(b[:4]).hex()),
                 "lang": meta.map(lambda m: m["lang"]),
-                "decoded": content.map(
-                    lambda b: f"stub:{len(b)}b"  # decode_media() in production
-                ),
+                "decoded": content.map(_decoded_label),
             }
         )
 
@@ -590,7 +604,7 @@ _MEDIA_META_COLS = [f.split()[0] for f in MEDIA_META_SCHEMA.split(", ")]
 def with_media_metadata(binary_df: DataFrame) -> DataFrame:
     """(doc_id, content binary) → REAL decoded media metadata rows via
     Arrow-batched ``mapInPandas`` over :func:`decode_media` — the
-    non-stub path (BMP/Netpbm/WAV). A payload that can't be decoded
+    non-stub path (PNG/JPEG/BMP/Netpbm/WAV/MP4). A payload that can't be decoded
     yields a ``decode_error`` row instead of failing its task, the
     same quarantine-not-drop contract as extraction
     (pipeline.extract_kpis_batch)."""
