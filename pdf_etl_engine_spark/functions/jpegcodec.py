@@ -1,22 +1,27 @@
-"""Pure-Python/numpy baseline JPEG codec (ITU-T T.81, public spec).
+"""Pure-Python/numpy JPEG codec (ITU-T T.81, public spec) —
+sequential baseline AND progressive.
 
-Decoder: full sequential-baseline decode — marker walk (DQT/DHT/SOF0/
-SOF1/DRI/SOS), canonical Huffman scan decode with byte-stuffing and
-restart markers, dequantization, batched 8x8 inverse DCT (one numpy
-einsum over all blocks, not per-block Python loops), chroma upsample,
-YCbCr->RGB. This upgrades the engine's JPEG support from the r5
-header-level SOF parse to a real pixel decode, the same honesty level
-as the PNG path (zlib inflate + defilter). Corruption anywhere — bad
-marker structure, invalid Huffman code, truncated scan, coefficient
-overflow — raises ValueError (the quarantine contract); progressive
-(SOF2) and the other non-baseline frame types raise
-NotImplementedError (valid-but-unsupported, like PNG Adam7).
+Decoder: full multi-scan decode — marker walk (DQT/DHT/SOF0/SOF1/
+SOF2/DRI/SOS), canonical Huffman scan decode with byte-stuffing and
+restart markers, progressive spectral-selection + successive-
+approximation scans (DC initial/refinement, AC initial/refinement
+with EOB runs and correction bits, T.81 Annex G), dequantization,
+batched 8x8 inverse DCT (one numpy einsum over all blocks, not
+per-block Python loops), chroma upsample, YCbCr->RGB. This covers
+the two frame types that make up essentially all real-world JPEG
+files. Corruption anywhere — bad marker structure, invalid Huffman
+code, truncated scan, band overrun — raises ValueError (the
+quarantine contract); the exotic frame types (lossless,
+hierarchical, arithmetic-coded) raise NotImplementedError
+(valid-but-unsupported, like PNG Adam7).
 
-Encoder: a small spec-conformant baseline encoder (grayscale or
-YCbCr with per-component sampling factors, optional restart
-intervals). It exists so tests and the x5b media-synthesis path can
-build REAL scan-bearing JPEGs deterministically without PIL; it is
-not a production encoder.
+Encoder: spec-conformant baseline and progressive encoders
+(grayscale or YCbCr, per-component sampling factors, restart
+intervals, progressive scan scripts with successive approximation).
+They exist so tests and the x5b media-synthesis path can build REAL
+scan-bearing JPEGs deterministically without PIL — and so every
+decoder path is exercised by an independent implementation of the
+bit-level format; they are not production encoders.
 
 Reference parity note: the reference ships no codec at all — binary
 payloads go to Gemini as-is (main.py:694-707); this module is part of
@@ -167,7 +172,7 @@ def _extend(v: int, size: int) -> int:
 class _Frame:
     __slots__ = (
         "precision", "width", "height", "comps", "qtables", "hdc", "hac",
-        "dri",
+        "dri", "progressive",
     )
 
     def __init__(self) -> None:
@@ -180,51 +185,289 @@ class _Frame:
         self.hdc: dict[int, dict] = {}
         self.hac: dict[int, dict] = {}
         self.dri = 0
+        self.progressive = False
 
 
-def _parse_segments(content: bytes) -> tuple[_Frame, list[tuple[int, int]], int]:
-    """Walk marker segments up to SOS. Returns (frame, scan component
-    spec [(comp_index, dc_id, ac_id)], scan data offset)."""
+def _parse_sof(fr: _Frame, body: bytes) -> None:
+    if len(body) < 6:
+        raise ValueError("JPEG SOF segment too short")
+    fr.precision, fr.height, fr.width, ncomp = struct.unpack_from(
+        ">BHHB", body
+    )
+    if not fr.width or not fr.height:
+        raise ValueError("JPEG SOF has zero dimensions")
+    if len(body) < 6 + 3 * ncomp:
+        raise ValueError("JPEG SOF component list truncated")
+    for i in range(ncomp):
+        cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+        h, v = hv >> 4, hv & 0xF
+        if not (1 <= h <= 4 and 1 <= v <= 4):
+            raise ValueError(f"JPEG bad sampling factors {h}x{v}")
+        fr.comps.append((cid, h, v, tq))
+
+
+def _scan_end(bits: _Bits) -> int:
+    """Byte position of the next marker after an entropy-coded scan
+    (the reader may already have consumed it during its last fill)."""
+    if bits.marker is not None:
+        return bits.p - 2
+    d = bits.d
+    p = bits.p
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00:
+            return p
+        p += 1
+    return len(d)
+
+
+class _ScanState:
+    """Mutable per-scan entropy state (DC predictors + AC EOB run),
+    reset at restart markers."""
+
+    __slots__ = ("preds", "eobrun")
+
+    def __init__(self, ncomp: int) -> None:
+        self.reset(ncomp)
+
+    def reset(self, ncomp: int) -> None:
+        self.preds = [0] * ncomp
+        self.eobrun = 0
+
+
+def _decode_block_baseline(
+    bits: _Bits, coef: np.ndarray, st: _ScanState, ci: int, dct: dict,
+    act: dict,
+) -> None:
+    t = _decode_huff(bits, dct)
+    if t > 11:
+        raise ValueError(f"JPEG DC category {t} out of range")
+    st.preds[ci] += _extend(bits.read(t), t)
+    coef[0] = st.preds[ci]
+    k = 1
+    while k < 64:
+        rs = _decode_huff(bits, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run overruns block")
+        coef[k] = _extend(bits.read(s), s)
+        k += 1
+
+
+def _decode_block_ac_first(
+    bits: _Bits, coef: np.ndarray, st: _ScanState, act: dict,
+    ss: int, se: int, al: int,
+) -> None:
+    """Progressive AC initial scan for one block (T.81 G.2): run/size
+    coding of coef >> al within the [ss, se] band, with EOB runs
+    spanning blocks."""
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(bits, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            st.eobrun = (1 << r) - 1 + (bits.read(r) if r else 0)
+            return
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC run overruns band")
+        coef[k] = _extend(bits.read(s), s) << al
+        k += 1
+
+
+def _refine_nonzero(bits: _Bits, coef: np.ndarray, k: int, p1: int) -> None:
+    """One correction bit for an already-nonzero coefficient
+    (T.81 G.1.2.3): a 1-bit appends magnitude p1 toward the sign."""
+    if bits.read(1):
+        v = int(coef[k])
+        if (abs(v) & p1) == 0:
+            coef[k] = v + (p1 if v > 0 else -p1)
+
+
+def _decode_block_ac_refine(
+    bits: _Bits, coef: np.ndarray, st: _ScanState, act: dict,
+    ss: int, se: int, al: int,
+) -> None:
+    """Progressive AC refinement scan for one block: newly-nonzero
+    coefficients arrive as ±1<<al; coefficients already nonzero from
+    earlier scans receive one correction bit each."""
+    p1 = 1 << al
+    k = ss
+    if st.eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(bits, act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    st.eobrun = (1 << r) + (bits.read(r) if r else 0)
+                    break
+                newval = 0  # ZRL: run of 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG AC refinement: coefficient size must be 1"
+                    )
+                newval = p1 if bits.read(1) else -p1
+            while k <= se:
+                if coef[k] != 0:
+                    _refine_nonzero(bits, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if st.eobrun > 0:
+        while k <= se:  # band remainder: correction bits only
+            if coef[k] != 0:
+                _refine_nonzero(bits, coef, k, p1)
+            k += 1
+        st.eobrun -= 1
+
+
+def _decode_scan(
+    content: bytes, fr: _Frame, stores: list[np.ndarray],
+    spec: list[tuple[int, int, int]], ss: int, se: int, ah: int, al: int,
+    start: int, geom: dict,
+) -> int:
+    """Decode one entropy-coded scan (baseline full scan, progressive
+    DC initial/refinement, or progressive AC initial/refinement).
+    Returns the byte offset of the marker ending the scan."""
+    dc_scan = ss == 0
+    if fr.progressive and dc_scan and se != 0:
+        raise ValueError("JPEG progressive DC scan must have Se=0")
+    if fr.progressive and not dc_scan and len(spec) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    if not fr.progressive and len(spec) != len(fr.comps):
+        raise NotImplementedError(
+            "JPEG sequential non-interleaved multi-scan not supported"
+        )
+    for ci, dc_id, ac_id in spec:
+        if dc_scan and ah == 0 and dc_id not in fr.hdc:
+            raise ValueError("JPEG scan references undefined DC table")
+        if (not fr.progressive or not dc_scan) and not (
+            fr.progressive and dc_scan
+        ) and ac_id not in fr.hac:
+            raise ValueError("JPEG scan references undefined AC table")
+
+    bits = _Bits(content, start)
+    st = _ScanState(len(fr.comps))
+    coef = None
+
+    interleaved = len(spec) > 1 or not fr.progressive
+    if interleaved:
+        units = geom["mcux"] * geom["mcuy"]
+    else:
+        ci = spec[0][0]
+        cby, cbx = geom["cdims"][ci]
+        units = cbx * cby
+    n_rst = 0
+    for u in range(units):
+        if fr.dri and u and u % fr.dri == 0:
+            bits.restart(n_rst)
+            n_rst += 1
+            st.reset(len(fr.comps))
+        if interleaved:
+            my, mx = divmod(u, geom["mcux"])
+            for ci, dc_id, ac_id in spec:
+                _, h, v, _tq = fr.comps[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        blk = stores[ci][my * v + by, mx * h + bx]
+                        if not fr.progressive:
+                            blk[:] = 0
+                            _decode_block_baseline(
+                                bits, blk, st, ci, fr.hdc[dc_id],
+                                fr.hac[ac_id],
+                            )
+                        elif ah == 0:  # DC initial
+                            t = _decode_huff(bits, fr.hdc[dc_id])
+                            if t > 11:
+                                raise ValueError(
+                                    f"JPEG DC category {t} out of range"
+                                )
+                            st.preds[ci] += _extend(bits.read(t), t)
+                            blk[0] = st.preds[ci] << al
+                        else:  # DC refinement: one raw bit
+                            blk[0] = int(blk[0]) + (bits.read(1) << al)
+        else:
+            ci, dc_id, ac_id = spec[0]
+            by, bx = divmod(u, geom["cdims"][ci][1])
+            coef = stores[ci][by, bx]
+            if dc_scan:
+                if ah == 0:
+                    t = _decode_huff(bits, fr.hdc[dc_id])
+                    if t > 11:
+                        raise ValueError(f"JPEG DC category {t} out of range")
+                    st.preds[ci] += _extend(bits.read(t), t)
+                    coef[0] = st.preds[ci] << al
+                else:
+                    coef[0] = int(coef[0]) + (bits.read(1) << al)
+            elif ah == 0:
+                _decode_block_ac_first(
+                    bits, coef, st, fr.hac[ac_id], ss, se, al
+                )
+            else:
+                _decode_block_ac_refine(
+                    bits, coef, st, fr.hac[ac_id], ss, se, al
+                )
+    return _scan_end(bits)
+
+
+def decode_planes(content: bytes) -> tuple[_Frame, list[np.ndarray]]:
+    """Full decode (sequential baseline AND progressive) to
+    per-component sample planes, each at its own sampling resolution,
+    cropped to component dimensions. Walks every marker segment,
+    decoding each entropy-coded scan as it appears; progressive files
+    accumulate coefficients across their DC/AC spectral and
+    successive-approximation scans."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     fr = _Frame()
+    stores: list[np.ndarray] | None = None
+    geom: dict = {}
+    saw_scan = False
     pos = 2
-    while pos + 4 <= len(content):
+    while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError(
                 f"JPEG marker expected at {pos}, got {content[pos]:#x}"
             )
         marker = content[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         if 0xD0 <= marker <= 0xD7 or marker in (0x01, 0xFF):
             pos += 2
             continue
+        if pos + 4 > len(content):
+            raise ValueError("JPEG truncated inside marker segment")
         seg_len = struct.unpack_from(">H", content, pos + 2)[0]
         if seg_len < 2 or pos + 2 + seg_len > len(content):
             raise ValueError("JPEG segment length overruns payload")
         body = content[pos + 4 : pos + 2 + seg_len]
-        if marker in (0xC0, 0xC1):  # baseline / extended sequential
-            if len(body) < 6:
-                raise ValueError("JPEG SOF segment too short")
-            fr.precision, fr.height, fr.width, ncomp = struct.unpack_from(
-                ">BHHB", body
-            )
-            if not fr.width or not fr.height:
-                raise ValueError("JPEG SOF has zero dimensions")
-            if len(body) < 6 + 3 * ncomp:
-                raise ValueError("JPEG SOF component list truncated")
-            for i in range(ncomp):
-                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
-                h, v = hv >> 4, hv & 0xF
-                if not (1 <= h <= 4 and 1 <= v <= 4):
-                    raise ValueError(f"JPEG bad sampling factors {h}x{v}")
-                fr.comps.append((cid, h, v, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
+            if fr.comps:
+                raise ValueError("JPEG has multiple SOF frame headers")
+            fr.progressive = marker == 0xC2
+            _parse_sof(fr, body)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG frame type SOF{marker - 0xC0} (progressive/"
-                "hierarchical/arithmetic) not supported; baseline only"
+                f"JPEG frame type SOF{marker - 0xC0} (lossless/"
+                "hierarchical/arithmetic) not supported"
             )
         elif marker == 0xDB:  # DQT
             bp = 0
@@ -268,78 +511,53 @@ def _parse_segments(content: bytes) -> tuple[_Frame, list[tuple[int, int]], int]
                 if cs not in cids:
                     raise ValueError(f"JPEG SOS references unknown comp {cs}")
                 spec.append((cids.index(cs), tda >> 4, tda & 0xF))
-            return fr, spec, pos + 2 + seg_len
+            ss, se, ahl = struct.unpack_from(">BBB", body, 1 + 2 * ns)
+            ah, al = ahl >> 4, ahl & 0xF
+            if not fr.progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("JPEG baseline scan with progressive params")
+            if stores is None:
+                hmax = max(c[1] for c in fr.comps)
+                vmax = max(c[2] for c in fr.comps)
+                geom = {
+                    "hmax": hmax,
+                    "vmax": vmax,
+                    "mcux": -(-fr.width // (8 * hmax)),
+                    "mcuy": -(-fr.height // (8 * vmax)),
+                    "cdims": [],
+                }
+                stores = []
+                for _, h, v, tq in fr.comps:
+                    if tq not in fr.qtables:
+                        raise ValueError(f"JPEG quant table {tq} not defined")
+                    stores.append(
+                        np.zeros(
+                            (geom["mcuy"] * v, geom["mcux"] * h, 64),
+                            dtype=np.int32,
+                        )
+                    )
+                    geom["cdims"].append((
+                        -(-(fr.height * v) // (8 * geom["vmax"])),
+                        -(-(fr.width * h) // (8 * geom["hmax"])),
+                    ))
+            saw_scan = True
+            pos = _decode_scan(
+                content, fr, stores, spec, ss, se, ah, al,
+                pos + 2 + seg_len, geom,
+            )
+            continue
         pos += 2 + seg_len
-    raise ValueError(
-        "JPEG has no SOS scan" if fr.comps else "JPEG has no SOF frame header"
-    )
-
-
-def decode_planes(content: bytes) -> tuple[_Frame, list[np.ndarray]]:
-    """Full baseline decode to per-component sample planes (each at its
-    own sampling resolution, cropped to component dimensions)."""
-    fr, spec, scan_at = _parse_segments(content)
-    if len(spec) != len(fr.comps):
-        raise NotImplementedError("JPEG multi-scan (non-interleaved) files "
-                                  "not supported; single interleaved scan only")
-    hmax = max(c[1] for c in fr.comps)
-    vmax = max(c[2] for c in fr.comps)
-    mcux = -(-fr.width // (8 * hmax))
-    mcuy = -(-fr.height // (8 * vmax))
-    n_mcus = mcux * mcuy
-    # per-component coefficient stores, scan(zigzag) order, float32
-    stores = []
-    for _, h, v, tq in fr.comps:
-        if tq not in fr.qtables:
-            raise ValueError(f"JPEG quant table {tq} not defined")
-        stores.append(
-            np.zeros((mcuy * v, mcux * h, 64), dtype=np.float32)
+    if not saw_scan or stores is None:
+        raise ValueError(
+            "JPEG has no SOS scan" if fr.comps
+            else "JPEG has no SOF frame header"
         )
-    qts = [fr.qtables[c[3]].astype(np.float32) for c in fr.comps]
-    for ci, dc_id, ac_id in spec:
-        if dc_id not in fr.hdc or ac_id not in fr.hac:
-            raise ValueError("JPEG scan references undefined Huffman table")
-
-    bits = _Bits(content, scan_at)
-    preds = [0] * len(fr.comps)
-    coef = np.zeros(64, dtype=np.float32)
-    for m in range(n_mcus):
-        if fr.dri and m and m % fr.dri == 0:
-            bits.restart(m // fr.dri - 1)
-            preds = [0] * len(fr.comps)
-        my, mx = divmod(m, mcux)
-        for ci, dc_id, ac_id in spec:
-            _, h, v, _tq = fr.comps[ci]
-            dct, act = fr.hdc[dc_id], fr.hac[ac_id]
-            for by in range(v):
-                for bx in range(h):
-                    coef[:] = 0.0
-                    t = _decode_huff(bits, dct)
-                    if t > 11:
-                        raise ValueError(f"JPEG DC category {t} out of range")
-                    preds[ci] += _extend(bits.read(t), t)
-                    coef[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_huff(bits, act)
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r == 15:  # ZRL: sixteen zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run overruns block")
-                        coef[k] = _extend(bits.read(s), s)
-                        k += 1
-                    stores[ci][my * v + by, mx * h + bx] = coef
     # dequant + de-zigzag + batched IDCT per component
     level = 1 << (fr.precision - 1)
     planes = []
-    for (_, h, v, _tq), store, qt in zip(fr.comps, stores, qts):
+    for (_, h, v, tq), store in zip(fr.comps, stores):
+        qt = fr.qtables[tq].astype(np.float32)
         by, bx, _ = store.shape
-        flat = store.reshape(-1, 64) * qt[None, :]
+        flat = store.reshape(-1, 64).astype(np.float32) * qt[None, :]
         blocks = flat[:, _UNZIGZAG].reshape(-1, 8, 8)
         spatial = _C.T[None] @ blocks @ _C[None]  # batched IDCT
         spatial = np.clip(np.round(spatial + level), 0, (1 << fr.precision) - 1)
@@ -348,8 +566,8 @@ def decode_planes(content: bytes) -> tuple[_Frame, list[np.ndarray]]:
             .transpose(0, 2, 1, 3)
             .reshape(by * 8, bx * 8)
         )
-        cw = -(-fr.width * h // hmax)
-        ch = -(-fr.height * v // vmax)
+        cw = -(-fr.width * h // geom["hmax"])
+        ch = -(-fr.height * v // geom["vmax"])
         planes.append(plane[:ch, :cw].astype(np.uint8))
     return fr, planes
 
@@ -401,13 +619,15 @@ def decode_meta(content: bytes) -> dict:
 
 # Fixed canonical Huffman spec shared by all encoded components: DC
 # categories 0-11 at code length 4 (12 of 16 slots; incomplete codes
-# are valid per T.81 §C.2), all 162 baseline AC symbols at length 8.
+# are valid per T.81 §C.2), all 162 baseline AC symbols plus the 14
+# progressive EOBn run symbols (r<<4, r=1..14) at length 8 (176 of
+# 256 slots).
 _ENC_DC_BITS = bytes([0, 0, 0, 12] + [0] * 12)
 _ENC_DC_VALS = bytes(range(12))
 _AC_SYMS = [0x00, 0xF0] + [
     (r << 4) | s for r in range(16) for s in range(1, 11)
-]
-_ENC_AC_BITS = bytes([0] * 7 + [162] + [0] * 8)
+] + [r << 4 for r in range(1, 15)]
+_ENC_AC_BITS = bytes([0] * 7 + [len(_AC_SYMS)] + [0] * 8)
 _ENC_AC_VALS = bytes(_AC_SYMS)
 
 
@@ -567,3 +787,293 @@ def encode_baseline(
         b"\xff\xd8" + dqt + seg(0xC0, sof_body) + dht + dri
         + seg(0xDA, sos_body) + scan + b"\xff\xd9"
     )
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder — fixture path for the progressive decoder
+# (spectral selection + successive approximation + EOB runs).
+# ---------------------------------------------------------------------------
+
+def _toward_zero(v: int, shift: int) -> int:
+    """T.81 G.1.2.2: progressive AC point transform divides by 2^Al
+    rounding TOWARD ZERO (unlike the DC arithmetic shift)."""
+    return -((-v) >> shift) if v < 0 else v >> shift
+
+
+def _quantized_blocks(
+    img: np.ndarray, quant: int, sampling: list[tuple[int, int]] | None
+):
+    """Shared encoder front half: color convert, subsample, pad,
+    batched FDCT, quantize. Returns (height, width, sampling,
+    mcux, mcuy, comp_blocks[(by,bx,8,8) int32])."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2 or img.shape[2] == 1
+    height, width = img.shape[:2]
+    if not height or not width:
+        raise ValueError("cannot encode empty image")
+    if gray:
+        planes = [img.reshape(height, width).astype(np.float32)]
+        sampling = sampling or [(1, 1)]
+    else:
+        rgb = img.astype(np.float32)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        sampling = sampling or [(1, 1)] * 3
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    qtab = np.full(64, quant, dtype=np.float32)
+    comp_blocks = []
+    for plane, (h, v) in zip(planes, sampling):
+        if h != hmax or v != vmax:
+            fy, fx = vmax // v, hmax // h
+            ph = -(-plane.shape[0] // fy) * fy
+            pw = -(-plane.shape[1] // fx) * fx
+            pad = np.pad(plane, ((0, ph - plane.shape[0]),
+                                 (0, pw - plane.shape[1])), mode="edge")
+            plane = pad.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * v * 8, mcux * h * 8
+        pad = np.pad(plane, ((0, th - plane.shape[0]),
+                             (0, tw - plane.shape[1])), mode="edge")
+        blocks = (
+            pad.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3)
+        ) - (1 << 7)
+        coeffs = _C[None, None] @ blocks @ _C.T[None, None]
+        comp_blocks.append(
+            np.round(coeffs / qtab.reshape(8, 8)).astype(np.int32)
+        )
+    return height, width, sampling, mcux, mcuy, comp_blocks
+
+
+def _zz_of(blk: np.ndarray) -> np.ndarray:
+    return blk.reshape(64)[list(ZIGZAG)]
+
+
+def _enc_dc_scan(
+    w: _BitWriter, dc_codes: dict, comp_blocks, sampling, mcux, mcuy, al: int
+) -> None:
+    """Interleaved progressive DC scan: diff-coded DC >> al."""
+    preds = [0] * len(sampling)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (h, v) in enumerate(sampling):
+            for by in range(v):
+                for bx in range(h):
+                    dc = int(comp_blocks[ci][my * v + by, mx * h + bx][0, 0])
+                    t = dc >> al  # arithmetic shift per G.1.2.1
+                    _put_coeff(w, dc_codes, 0, t - preds[ci])
+                    preds[ci] = t
+    w.align()
+
+
+def _enc_dc_refine(
+    w: _BitWriter, comp_blocks, sampling, mcux, mcuy, al: int
+) -> None:
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (h, v) in enumerate(sampling):
+            for by in range(v):
+                for bx in range(h):
+                    dc = int(comp_blocks[ci][my * v + by, mx * h + bx][0, 0])
+                    w.put((dc >> al) & 1, 1)
+    w.align()
+
+
+def _comp_band_blocks(comp_blocks, ci, cby, cbx):
+    for by in range(cby):
+        for bx in range(cbx):
+            yield _zz_of(comp_blocks[ci][by, bx])
+
+
+def _enc_ac_first(
+    w: _BitWriter, ac_codes: dict, blocks, ss: int, se: int, al: int
+) -> None:
+    """Non-interleaved progressive AC initial scan with EOB runs."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            w.put(code, ln)
+            w.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in blocks:
+        band = [_toward_zero(int(zz[k]), al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                w.put(code, ln)
+                run -= 16
+            _put_coeff(w, ac_codes, run << 4, v)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun = 1
+    flush()
+    w.align()
+
+
+def _enc_ac_refine(
+    w: _BitWriter, ac_codes: dict, blocks, ss: int, se: int, al: int
+) -> None:
+    """Non-interleaved progressive AC refinement scan: newly-nonzero
+    coefficients (|v| >> al == 1) as run-coded ±1, correction bits for
+    older coefficients appended after the symbol that passes them
+    (T.81 G.1.2.3), EOB-run correction bits buffered until flush."""
+    eobrun = 0
+    bebuf: list[int] = []
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            w.put(code, ln)
+            w.put(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in bebuf:
+            w.put(b, 1)
+        bebuf.clear()
+
+    for zz in blocks:
+        band = [int(zz[k]) for k in range(ss, se + 1)]
+        scaled = [_toward_zero(v, al) for v in band]
+        new = [i for i, v in enumerate(scaled) if abs(v) == 1]
+        if not new:
+            eobrun += 1
+            bebuf.extend(
+                (abs(v) >> al) & 1 for v in band if abs(_toward_zero(v, al)) >= 2
+            )
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        pend: list[int] = []
+        for i in range(new[-1] + 1):
+            a = abs(scaled[i])
+            if a >= 2:
+                pend.append((abs(band[i]) >> al) & 1)
+            elif a == 0:
+                run += 1
+                if run == 16:
+                    code, ln = ac_codes[0xF0]
+                    w.put(code, ln)
+                    for b in pend:
+                        w.put(b, 1)
+                    pend.clear()
+                    run = 0
+            else:  # newly nonzero: run-coded ±1
+                code, ln = ac_codes[(run << 4) | 1]
+                w.put(code, ln)
+                w.put(1 if band[i] > 0 else 0, 1)
+                for b in pend:
+                    w.put(b, 1)
+                pend.clear()
+                run = 0
+        if new[-1] < len(band) - 1:
+            # band remainder joins the EOB run (a new coefficient at
+            # the band end needs no EOB: the decoder exits at k > Se)
+            eobrun = 1
+            bebuf.extend(
+                (abs(band[i]) >> al) & 1
+                for i in range(new[-1] + 1, len(band))
+                if abs(scaled[i]) >= 2
+            )
+    flush()
+    w.align()
+
+
+def encode_progressive(
+    img: np.ndarray,
+    quant: int = 1,
+    sampling: list[tuple[int, int]] | None = None,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    successive: bool = True,
+) -> bytes:
+    """Encode as a progressive (SOF2) JPEG with the standard scan
+    shape: interleaved DC first, per-component AC spectral bands, and
+    (with ``successive``) a successive-approximation split — initial
+    scans at Al=1 followed by refinement scans at Al=0, exercising
+    every progressive decode path (EOB runs, ZRL-in-refinement,
+    correction bits)."""
+    height, width, sampling, mcux, mcuy, comp_blocks = _quantized_blocks(
+        img, quant, sampling
+    )
+    ncomp = len(sampling)
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    cdims = [
+        (-(-(height * v) // (8 * vmax)), -(-(width * h) // (8 * hmax)))
+        for h, v in sampling
+    ]
+    dc_codes = _enc_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _enc_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    def sos(spec: list[int], ss: int, se: int, ah: int, al: int,
+            scan: bytes) -> bytes:
+        body = bytes([len(spec)]) + b"".join(
+            bytes([ci + 1, 0x00]) for ci in spec
+        ) + bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body) + scan
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes(int(quant) & 0xFF for _ in range(64)))
+    sof_body = struct.pack(">BHHB", 8, height, width, ncomp) + b"".join(
+        struct.pack(">BBB", i + 1, (h << 4) | v, 0)
+        for i, (h, v) in enumerate(sampling)
+    )
+    out += seg(0xC2, sof_body)
+    out += seg(0xC4, b"\x00" + _ENC_DC_BITS + _ENC_DC_VALS)
+    out += seg(0xC4, b"\x10" + _ENC_AC_BITS + _ENC_AC_VALS)
+
+    al0 = 1 if successive else 0
+    w = _BitWriter()
+    _enc_dc_scan(w, dc_codes, comp_blocks, sampling, mcux, mcuy, al0)
+    out += sos(list(range(ncomp)), 0, 0, 0, al0, bytes(w.out))
+    for ci in range(ncomp):
+        cby, cbx = cdims[ci]
+        for lo, hi in bands:
+            w = _BitWriter()
+            _enc_ac_first(
+                w, ac_codes, _comp_band_blocks(comp_blocks, ci, cby, cbx),
+                lo, hi, al0,
+            )
+            out += sos([ci], lo, hi, 0, al0, bytes(w.out))
+    if successive:
+        w = _BitWriter()
+        _enc_dc_refine(w, comp_blocks, sampling, mcux, mcuy, 0)
+        out += sos(list(range(ncomp)), 0, 0, 1, 0, bytes(w.out))
+        for ci in range(ncomp):
+            cby, cbx = cdims[ci]
+            for lo, hi in bands:
+                w = _BitWriter()
+                _enc_ac_refine(
+                    w, ac_codes, _comp_band_blocks(comp_blocks, ci, cby, cbx),
+                    lo, hi, 0,
+                )
+                out += sos([ci], lo, hi, 1, 0, bytes(w.out))
+    out += b"\xff\xd9"
+    return bytes(out)

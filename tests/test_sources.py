@@ -767,10 +767,15 @@ def test_decode_media_jpeg_and_mp4_headers():
     gray = M.decode_media(_jpeg(64, 32, ncomp=1), "")
     assert (gray["width"], gray["height"], gray["bits_per_pixel"]) == (
         64, 32, 8)
-    # progressive (SOF2): valid-but-unsupported, distinct from corrupt
-    prog = _jpeg(64, 32, ncomp=1).replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="progressive"):
-        M.decode_media(prog, "")
+    # progressive (SOF2) decodes for real too (r6)
+    import numpy as np
+
+    from pdf_etl_engine_spark.functions import jpegcodec
+    prog = jpegcodec.encode_progressive(
+        np.full((32, 64), 50, dtype=np.uint8)
+    )
+    jp = M.decode_media(prog, "")
+    assert (jp["width"], jp["height"], jp["bits_per_pixel"]) == (64, 32, 8)
     # corrupt entropy-coded scan data quarantines — decode is real
     with pytest.raises(ValueError):
         M.decode_media(_jpeg(64, 32, ncomp=1)[:-24], "")
