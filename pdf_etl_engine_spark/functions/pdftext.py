@@ -27,7 +27,13 @@ Format coverage (all public knowledge, PDF 32000-1):
   unpacked so Info dictionaries and page objects stored inside them
   resolve (§7.5.7); cross-reference streams themselves need no
   parsing — extraction scans objects linearly — and are skipped as
-  non-text (``/Type /XRef``).
+  non-text (``/Type /XRef``);
+* standard-security-handler encryption (§7.6.3, RC4 V1/V2 R2/R3)
+  with the EMPTY user password — the common owner-locked document:
+  file-key derivation, /U verification, per-object stream and
+  Info-string decryption. A real user password raises ValueError
+  (quarantine — no credential source); V≥4 AES/crypt-filter
+  encryption raises NotImplementedError.
 
 Quarantine contract (load-bearing — pipeline.extract_kpis_batch routes
 raised errors to the quarantine sink instead of writing all-N/A rows):
@@ -54,7 +60,8 @@ to their code-point value (deterministic, never an exception).
 
 Not handled (documented limits): CID fonts whose ONLY mapping is a
 /CIDSystemInfo-registered external CMap (no embedded /ToUnicode —
-rare outside CJK print workflows), and encryption.
+rare outside CJK print workflows), AES (V≥4) encryption, and
+password-protected documents (correctly quarantined, not decoded).
 """
 
 from __future__ import annotations
@@ -337,20 +344,174 @@ def _decode_stream(dict_bytes: bytes, raw: bytes) -> bytes | None:
     return raw
 
 
-def _iter_streams(data: bytes):
-    """Yield ``(obj_num, dict_bytes, raw_stream_bytes)`` per stream
+# ---------------------------------------------------------------------------
+# Standard security handler (§7.6.3): RC4 decryption with the empty
+# user password — the common "owner-locked" document case.
+# ---------------------------------------------------------------------------
+
+# the spec's 32-byte password padding string (Algorithm 2 step a)
+_PDF_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _string_tok_bytes(tok: bytes) -> bytes:
+    """String token → raw BYTES (no text decoding) — for the /O and
+    /U encryption entries."""
+    if tok.startswith(b"<"):
+        digits = re.sub(rb"\s+", b"", tok[1:-1])
+        if len(digits) % 2:
+            digits += b"0"
+        return bytes.fromhex(digits.decode("ascii"))
+
+    def sub(m: re.Match) -> bytes:
+        esc = m.group(1)
+        if esc.isdigit() and all(c in b"01234567" for c in esc):
+            return bytes([int(esc, 8) & 0xFF])
+        return _ESCAPES.get(esc, esc)
+
+    return _ESCAPE_RE.sub(sub, tok[1:-1])
+
+
+class _Rc4Decryptor:
+    """Per-object RC4 decryption (Algorithm 1: file key + 3 low bytes
+    of the object number + 2 of the generation, MD5, truncated)."""
+
+    def __init__(self, key: bytes) -> None:
+        import hashlib
+
+        self._key = key
+        self._md5 = hashlib.md5
+
+    def decrypt(self, objnum: int, gen: int, data: bytes) -> bytes:
+        k = self._md5(
+            self._key
+            + objnum.to_bytes(3, "little")
+            + gen.to_bytes(2, "little")
+        ).digest()[: min(len(self._key) + 5, 16)]
+        return _rc4(k, data)
+
+
+_STR_TOK = rb"(\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>)"
+
+
+def _parse_encryption(data: bytes) -> _Rc4Decryptor | None:
+    """Resolve the trailer's /Encrypt dictionary. Returns a decryptor
+    when the document opens with the EMPTY user password (verified
+    against /U), None when unencrypted. A real user password raises
+    ValueError (quarantine — the engine has no credential source);
+    V≥4 crypt-filter / AES encryption raises NotImplementedError."""
+    import hashlib
+    import struct as _struct
+
+    ref = None
+    for ref in re.finditer(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", data):
+        pass  # last trailer wins
+    if ref is None:
+        return None
+    num = ref.group(1)
+    obj = re.search(
+        rb"(?<!\d)" + num + rb"\s+\d+\s+obj\b(.*?)endobj", data, re.S
+    )
+    if not obj:
+        raise ValueError("PDF /Encrypt object missing")
+    body = obj.group(1)
+    if not re.search(rb"/Filter\s*/Standard\b", body):
+        raise NotImplementedError("PDF non-standard security handler")
+    getint = lambda name, default: (  # noqa: E731
+        int(m.group(1))
+        if (m := re.search(rb"/" + name + rb"\s+(-?\d+)", body))
+        else default
+    )
+    v = getint(b"V", 1)
+    r = getint(b"R", 2)
+    if v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(
+            f"PDF encryption V={v} R={r} (AES/crypt filters) not supported"
+        )
+    length = getint(b"Length", 40)
+    p = getint(b"P", -1)
+    mo = re.search(rb"/O\s*" + _STR_TOK, body)
+    mu = re.search(rb"/U\s*" + _STR_TOK, body)
+    if not mo or not mu:
+        raise ValueError("PDF /Encrypt missing /O or /U")
+    o_entry = _string_tok_bytes(mo.group(1))
+    u_entry = _string_tok_bytes(mu.group(1))
+    id1 = b""
+    for mid in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data):
+        id1 = bytes.fromhex(
+            re.sub(rb"\s+", b"", mid.group(1)).decode("ascii")
+        )
+    # Algorithm 2: file key from the (empty, padded) user password
+    n = 5 if r == 2 else max(5, length // 8)
+    h = hashlib.md5(
+        _PDF_PAD + o_entry[:32] + _struct.pack("<i", p) + id1
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    # Algorithm 6: verify against /U
+    if r == 2:
+        ok = _rc4(key, _PDF_PAD) == u_entry[:32]
+    else:
+        x = _rc4(key, hashlib.md5(_PDF_PAD + id1).digest())
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x == u_entry[:16]
+    if not ok:
+        raise ValueError(
+            "PDF is encrypted with a user password (quarantine: "
+            "no credentials available)"
+        )
+    return _Rc4Decryptor(key)
+
+
+def _iter_streams(data: bytes, dec: _Rc4Decryptor | None = None):
+    """Yield ``(obj_num, dict_bytes, stream_bytes)`` per stream
     object — the dict is everything between the object header and the
     ``stream`` keyword (sufficient for token/filter search; nested
     dicts are inert there). ``obj_num`` is the owning object's number
-    (0 when no header precedes — tolerated fragment)."""
+    (0 when no header precedes — tolerated fragment). With a
+    decryptor, stream bytes are RC4-decrypted per object — except
+    cross-reference streams, which the spec leaves unencrypted so the
+    file stays navigable."""
     import bisect
 
-    hdrs = [(m.end(), int(m.group(1))) for m in _OBJHDR_RE.finditer(data)]
+    hdrs = [
+        (m.end(), int(m.group(1)), int(m.group(2)))
+        for m in _OBJHDR_RE.finditer(data)
+    ]
     hdr_ends = [h[0] for h in hdrs]
     for sm in _STREAM_RE.finditer(data):
         i = bisect.bisect_right(hdr_ends, sm.start())
-        dict_start, num = hdrs[i - 1] if i else (0, 0)
-        yield num, data[dict_start : sm.start()], sm.group(1)
+        dict_start, num, gen = hdrs[i - 1] if i else (0, 0, 0)
+        dict_bytes = data[dict_start : sm.start()]
+        raw = sm.group(1)
+        if dec is not None and not re.search(
+            rb"/Type\s*/XRef\b", dict_bytes
+        ):
+            raw = dec.decrypt(num, gen, raw)
+        yield num, dict_bytes, raw
 
 
 # ---------------------------------------------------------------------------
@@ -358,13 +519,15 @@ def _iter_streams(data: bytes):
 # ---------------------------------------------------------------------------
 
 
-def _objstm_objects(data: bytes) -> dict[int, bytes]:
+def _objstm_objects(
+    data: bytes, dec: _Rc4Decryptor | None = None
+) -> dict[int, bytes]:
     """``{obj_num: body_bytes}`` for every object stored inside an
     object stream — where PDF 1.5+ writers put Info dicts and page
     objects. Header per spec: N (num, offset) integer pairs, object
     bodies starting at /First."""
     out: dict[int, bytes] = {}
-    for _num, dict_bytes, raw in _iter_streams(data):
+    for _num, dict_bytes, raw in _iter_streams(data, dec):
         if not re.search(rb"/Type\s*/ObjStm\b", dict_bytes):
             continue
         payload = _decode_stream(dict_bytes, raw)
@@ -615,11 +778,13 @@ def _balanced_dict(data: bytes, start: int) -> bytes | None:
     return None
 
 
-def _object_index(data: bytes) -> dict[int, bytes]:
+def _object_index(
+    data: bytes, dec: _Rc4Decryptor | None = None
+) -> dict[int, bytes]:
     """{obj_num: body} over direct objects + /ObjStm-packed objects
     (PDF 1.5 writers put font and page dicts in either place)."""
     idx = {int(m.group(1)): m.group(2) for m in _OBJ_BODY_RE.finditer(data)}
-    idx.update(_objstm_objects(data))
+    idx.update(_objstm_objects(data, dec))
     return idx
 
 
@@ -639,7 +804,7 @@ def _font_value(body: bytes, objects: dict[int, bytes]) -> bytes | None:
 
 
 def _build_font_tables(
-    data: bytes,
+    data: bytes, dec: _Rc4Decryptor | None = None,
 ) -> tuple[dict[int, dict[bytes, int]], dict[bytes, int], dict[int, tuple]]:
     """Resolve the font plumbing once per document:
     ``(per_stream, global_fonts, cmaps)`` where ``per_stream`` maps a
@@ -653,7 +818,7 @@ def _build_font_tables(
     /Differences is the fallback for simple re-encoded fonts."""
     if b"/ToUnicode" not in data and b"/Differences" not in data:
         return {}, {}, {}
-    objects = _object_index(data)
+    objects = _object_index(data, dec)
     # font object → parsed ToUnicode CMap (CMap streams are always
     # direct stream objects; §7.5.7 forbids streams inside ObjStm)
     tounicode_of: dict[int, int] = {}
@@ -671,7 +836,7 @@ def _build_font_tables(
     wanted = set(tounicode_of.values())
     cmap_streams: dict[int, tuple] = {}
     if wanted:
-        for snum, dict_bytes, raw in _iter_streams(data):
+        for snum, dict_bytes, raw in _iter_streams(data, dec):
             if snum in wanted:
                 payload = _decode_stream(dict_bytes, raw)
                 if payload is not None:
@@ -793,10 +958,11 @@ def extract_pdf_text(data: bytes) -> str:
     stream hid behind an unsupported filter (nothing could be read)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
-    per_stream, global_fonts, cmaps = _build_font_tables(data)
+    dec = _parse_encryption(data)
+    per_stream, global_fonts, cmaps = _build_font_tables(data, dec)
     lines: list[str] = []
     suspicious: str | None = None
-    for snum, dict_bytes, raw in _iter_streams(data):
+    for snum, dict_bytes, raw in _iter_streams(data, dec):
         if _SKIP_TYPE_RE.search(dict_bytes):
             continue  # xref stream / XMP / image / ObjStm: not page text
         decoded = _decode_stream(dict_bytes, raw)
@@ -841,11 +1007,14 @@ def pdf_metadata(data: bytes) -> dict:
     reference exists."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
-    packed = _objstm_objects(data)
+    dec = _parse_encryption(data)
+    packed = _objstm_objects(data, dec)
     scope = data
     ref = None
     for ref in re.finditer(rb"/Info\s+(\d+)\s+\d+\s+R", data):
         pass  # last trailer wins (incremental updates append)
+    info_direct = False
+    info_num = 0
     if ref is not None:
         num = ref.group(1)
         obj = re.search(
@@ -853,7 +1022,10 @@ def pdf_metadata(data: bytes) -> dict:
         )
         if obj:
             scope = obj.group(1)
+            info_direct = True
+            info_num = int(num)
         elif int(num) in packed:
+            # strings inside an ObjStm were decrypted with the stream
             scope = packed[int(num)]
     meta: dict = {}
     for key, name in (
@@ -866,7 +1038,14 @@ def pdf_metadata(data: bytes) -> dict:
             scope,
         )
         if m:
-            meta[name] = _decode_string_tok(m.group(1))
+            if dec is not None and info_direct:
+                # direct-object Info strings are RC4-encrypted per
+                # object (§7.6.2: all strings outside ObjStm are)
+                meta[name] = _bytes_to_text(
+                    dec.decrypt(info_num, 0, _string_tok_bytes(m.group(1)))
+                )
+            else:
+                meta[name] = _decode_string_tok(m.group(1))
     page_re = rb"/Type\s*/Page(?![a-zA-Z])"
     n_pages = len(re.findall(page_re, data))
     for body in packed.values():

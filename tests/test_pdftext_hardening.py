@@ -604,3 +604,106 @@ def test_flate_tiff_predictor():
     assert pdftext.extract_pdf_text(pdf).splitlines() == [
         "Total: 42", "Status: ok"
     ]
+
+
+def _build_encrypted_pdf(r=3, length=128, user_pwd=b"", title=b"Secret Report"):
+    """Standard-security-handler encrypted PDF built per the spec
+    algorithms (§7.6.3) — RC4 V1/V2, R2/R3 — so the decoder's key
+    derivation and /U verification are exercised end-to-end."""
+    import hashlib
+    import struct
+
+    from pdf_etl_engine_spark.functions.pdftext import _PDF_PAD, _rc4
+
+    md5 = lambda b: hashlib.md5(b).digest()  # noqa: E731
+    pad = lambda p: (p + _PDF_PAD)[:32]  # noqa: E731
+    n = 5 if r == 2 else length // 8
+    p_flags = -44
+
+    # /O from an owner password (Algorithm 3)
+    h = md5(pad(b"owner-secret"))
+    if r >= 3:
+        for _ in range(50):
+            h = md5(h)
+    okey = h[:n]
+    o_entry = _rc4(okey, pad(user_pwd))
+    if r >= 3:
+        for i in range(1, 20):
+            o_entry = _rc4(bytes(b ^ i for b in okey), o_entry)
+
+    file_id = bytes(range(16))
+    # file key (Algorithm 2) for the user password
+    h = md5(pad(user_pwd) + o_entry + struct.pack("<i", p_flags) + file_id)
+    if r >= 3:
+        for _ in range(50):
+            h = md5(h[:n])
+    key = h[:n]
+    # /U (Algorithms 4/5)
+    if r == 2:
+        u_entry = _rc4(key, _PDF_PAD)
+    else:
+        x = _rc4(key, md5(_PDF_PAD + file_id))
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        u_entry = x + bytes(16)
+
+    def objkey(num):
+        return md5(key + num.to_bytes(3, "little") + bytes(2))[
+            : min(n + 5, 16)
+        ]
+
+    enc_content = _rc4(objkey(4), CONTENT)
+    enc_title = _rc4(objkey(5), title)
+    v = 1 if r == 2 else 2
+    objects = _page_objs(_stream_obj(b"", enc_content)) + [
+        b"<< /Title <" + enc_title.hex().encode() + b"> >>",
+        (b"<< /Filter /Standard /V " + str(v).encode() + b" /R "
+         + str(r).encode() + b" /Length " + str(length).encode()
+         + b" /P " + str(p_flags).encode()
+         + b" /O <" + o_entry.hex().encode() + b">"
+         + b" /U <" + u_entry.hex().encode() + b"> >>"),
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = []
+    for i, obj in enumerate(objects, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objects) + 1).encode()
+            + b" /Root 1 0 R /Info 5 0 R /Encrypt 6 0 R"
+            + b" /ID [<" + file_id.hex().encode() + b"> <"
+            + file_id.hex().encode() + b">] >>\nstartxref\n"
+            + str(xref_pos).encode() + b"\n%%EOF\n")
+    return bytes(out)
+
+
+@pytest.mark.parametrize("r,length", [(2, 40), (3, 128)])
+def test_encrypted_pdf_empty_user_password(r, length):
+    """Owner-locked PDFs (empty user password — the common case) decrypt
+    transparently: RC4 file-key derivation, /U verification, per-object
+    stream + Info-string decryption."""
+    pdf = _build_encrypted_pdf(r=r, length=length)
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "Total: 42", "Status: ok"
+    ]
+    meta = pdftext.pdf_metadata(pdf)
+    assert meta["title"] == "Secret Report"
+
+
+def test_encrypted_pdf_real_user_password_quarantines():
+    pdf = _build_encrypted_pdf(r=3, length=128, user_pwd=b"hunter2")
+    with pytest.raises(ValueError, match="password"):
+        pdftext.extract_pdf_text(pdf)
+    with pytest.raises(ValueError, match="password"):
+        pdftext.pdf_metadata(pdf)
+
+
+def test_encrypted_pdf_aes_unsupported():
+    pdf = _build_encrypted_pdf(r=3, length=128)
+    pdf = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4", 1)
+    with pytest.raises(NotImplementedError, match="not supported"):
+        pdftext.extract_pdf_text(pdf)
