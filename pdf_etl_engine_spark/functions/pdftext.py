@@ -28,12 +28,14 @@ Format coverage (all public knowledge, PDF 32000-1):
   resolve (§7.5.7); cross-reference streams themselves need no
   parsing — extraction scans objects linearly — and are skipped as
   non-text (``/Type /XRef``);
-* standard-security-handler encryption (§7.6.3, RC4 V1/V2 R2/R3)
-  with the EMPTY user password — the common owner-locked document:
-  file-key derivation, /U verification, per-object stream and
-  Info-string decryption. A real user password raises ValueError
-  (quarantine — no credential source); V≥4 AES/crypt-filter
-  encryption raises NotImplementedError.
+* standard-security-handler encryption with the EMPTY user password
+  — the common owner-locked document: RC4 V1/V2 (R2/R3), the AESV2
+  crypt filter (V4/R4), and AES-256 (V5/R6 via the Algorithm 2.B
+  KDF; AES is pure-Python, FIPS-197-vector-validated —
+  functions/cryptokit.py). File-key derivation, /U verification,
+  per-object stream and Info-string decryption. A real user password
+  raises ValueError (quarantine — no credential source); other
+  handlers raise NotImplementedError.
 
 Quarantine contract (load-bearing — pipeline.extract_kpis_batch routes
 raised errors to the quarantine sink instead of writing all-N/A rows):
@@ -60,8 +62,8 @@ to their code-point value (deterministic, never an exception).
 
 Not handled (documented limits): CID fonts whose ONLY mapping is a
 /CIDSystemInfo-registered external CMap (no embedded /ToUnicode —
-rare outside CJK print workflows), AES (V≥4) encryption, and
-password-protected documents (correctly quarantined, not decoded).
+rare outside CJK print workflows), and password-protected documents
+(correctly quarantined, not decoded).
 """
 
 from __future__ import annotations
@@ -411,15 +413,70 @@ class _Rc4Decryptor:
         return _rc4(k, data)
 
 
+class _AesDecryptor:
+    """AES-CBC decryption for the AESV2 (per-object MD5 key + sAlT,
+    §7.6.2 Algorithm 1 step b) and AESV3 (file key used directly)
+    crypt filters. Payload = 16-byte IV + ciphertext; RFC 2898
+    padding stripped; malformed payloads raise (quarantine)."""
+
+    def __init__(self, key: bytes, v5: bool) -> None:
+        self._key = key
+        self._v5 = v5
+
+    def decrypt(self, objnum: int, gen: int, data: bytes) -> bytes:
+        import hashlib
+
+        from pdf_etl_engine_spark.functions.cryptokit import aes_cbc_decrypt
+
+        if self._v5:
+            k = self._key
+        else:
+            k = hashlib.md5(
+                self._key
+                + objnum.to_bytes(3, "little")
+                + gen.to_bytes(2, "little")
+                + b"sAlT"
+            ).digest()[: min(len(self._key) + 5, 16)]
+        if len(data) < 16 or (len(data) - 16) % 16:
+            raise ValueError("AES-encrypted payload not block-aligned")
+        pt = aes_cbc_decrypt(k, data[:16], data[16:])
+        pad = pt[-1] if pt else 0
+        if not 1 <= pad <= 16 or len(pt) < pad:
+            raise ValueError("AES-encrypted payload has invalid padding")
+        return pt[:-pad]
+
+
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 password KDF: iterated
+    SHA-256/384/512 selected by an AES-CBC checksum."""
+    import hashlib
+
+    from pdf_etl_engine_spark.functions.cryptokit import aes_cbc_encrypt
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1)
+        k = (
+            hashlib.sha256, hashlib.sha384, hashlib.sha512
+        )[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 _STR_TOK = rb"(\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>)"
 
 
 def _parse_encryption(data: bytes) -> _Rc4Decryptor | None:
     """Resolve the trailer's /Encrypt dictionary. Returns a decryptor
-    when the document opens with the EMPTY user password (verified
-    against /U), None when unencrypted. A real user password raises
-    ValueError (quarantine — the engine has no credential source);
-    V≥4 crypt-filter / AES encryption raises NotImplementedError."""
+    when the document opens with the EMPTY user password — RC4 V1/V2
+    (R2/R3), AESV2 crypt filter (V4/R4), and AES-256 (V5/R6, verified
+    via the Algorithm 2.B KDF) — or None when unencrypted. A real
+    user password raises ValueError (quarantine — the engine has no
+    credential source); other handlers/filters raise
+    NotImplementedError."""
     import hashlib
     import struct as _struct
 
@@ -444,18 +501,52 @@ def _parse_encryption(data: bytes) -> _Rc4Decryptor | None:
     )
     v = getint(b"V", 1)
     r = getint(b"R", 2)
-    if v not in (1, 2) or r not in (2, 3):
-        raise NotImplementedError(
-            f"PDF encryption V={v} R={r} (AES/crypt filters) not supported"
-        )
-    length = getint(b"Length", 40)
-    p = getint(b"P", -1)
     mo = re.search(rb"/O\s*" + _STR_TOK, body)
     mu = re.search(rb"/U\s*" + _STR_TOK, body)
     if not mo or not mu:
         raise ValueError("PDF /Encrypt missing /O or /U")
     o_entry = _string_tok_bytes(mo.group(1))
     u_entry = _string_tok_bytes(mu.group(1))
+    p = getint(b"P", -1)
+    length = getint(b"Length", 40)
+
+    if v == 5 and r == 6:
+        # ISO 32000-2 AES-256: Algorithm 2.A with the empty password
+        from pdf_etl_engine_spark.functions.cryptokit import aes_cbc_decrypt
+
+        if len(u_entry) < 48:
+            raise ValueError("PDF V5 /U entry shorter than 48 bytes")
+        vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+        if _hash_2b(b"", vsalt, b"") != u_entry[:32]:
+            raise ValueError(
+                "PDF is encrypted with a user password (quarantine: "
+                "no credentials available)"
+            )
+        mue = re.search(rb"/UE\s*" + _STR_TOK, body)
+        if not mue:
+            raise ValueError("PDF V5 /Encrypt missing /UE")
+        ue = _string_tok_bytes(mue.group(1))
+        file_key = aes_cbc_decrypt(
+            _hash_2b(b"", ksalt, b""), bytes(16), ue[:32]
+        )
+        return _AesDecryptor(file_key, v5=True)
+
+    if not (v in (1, 2) and r in (2, 3)) and not (v == 4 and r == 4):
+        raise NotImplementedError(
+            f"PDF encryption V={v} R={r} not supported"
+        )
+    aes = False
+    if v == 4:
+        mcf = re.search(rb"/CFM\s*/(\w+)", body)
+        cfm = mcf.group(1) if mcf else b""
+        if cfm == b"AESV2":
+            aes = True
+            length = 128
+        elif cfm != b"V2":
+            raise NotImplementedError(
+                f"PDF V4 crypt filter /CFM /{cfm.decode('latin-1')} "
+                "not supported"
+            )
     id1 = b""
     for mid in re.finditer(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data):
         id1 = bytes.fromhex(
@@ -463,9 +554,10 @@ def _parse_encryption(data: bytes) -> _Rc4Decryptor | None:
         )
     # Algorithm 2: file key from the (empty, padded) user password
     n = 5 if r == 2 else max(5, length // 8)
-    h = hashlib.md5(
-        _PDF_PAD + o_entry[:32] + _struct.pack("<i", p) + id1
-    ).digest()
+    seed = _PDF_PAD + o_entry[:32] + _struct.pack("<i", p) + id1
+    if r >= 4 and re.search(rb"/EncryptMetadata\s+false", body):
+        seed += b"\xff\xff\xff\xff"
+    h = hashlib.md5(seed).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:n]).digest()
@@ -483,7 +575,7 @@ def _parse_encryption(data: bytes) -> _Rc4Decryptor | None:
             "PDF is encrypted with a user password (quarantine: "
             "no credentials available)"
         )
-    return _Rc4Decryptor(key)
+    return _AesDecryptor(key, v5=False) if aes else _Rc4Decryptor(key)
 
 
 def _iter_streams(data: bytes, dec: _Rc4Decryptor | None = None):

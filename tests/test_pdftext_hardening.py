@@ -707,3 +707,130 @@ def test_encrypted_pdf_aes_unsupported():
     pdf = pdf.replace(b"/V 2 /R 3", b"/V 4 /R 4", 1)
     with pytest.raises(NotImplementedError, match="not supported"):
         pdftext.extract_pdf_text(pdf)
+
+
+def _pad16(b: bytes) -> bytes:
+    n = 16 - len(b) % 16
+    return b + bytes([n]) * n
+
+
+def _build_aesv2_pdf(title=b"AES Report"):
+    """V4/R4 AESV2 crypt-filter PDF: R3-style key derivation, per-
+    object MD5+sAlT keys, IV-prefixed AES-128-CBC payloads."""
+    import hashlib
+    import struct
+
+    from pdf_etl_engine_spark.functions.cryptokit import aes_cbc_encrypt
+    from pdf_etl_engine_spark.functions.pdftext import _PDF_PAD, _rc4
+
+    md5 = lambda b: hashlib.md5(b).digest()  # noqa: E731
+    n = 16
+    p_flags = -44
+    o_entry = bytes(range(100, 132))  # opaque: decoder never re-derives it
+    file_id = bytes(range(16))
+    h = md5(_PDF_PAD + o_entry + struct.pack("<i", p_flags) + file_id)
+    for _ in range(50):
+        h = md5(h[:n])
+    key = h[:n]
+    x = _rc4(key, md5(_PDF_PAD + file_id))
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    u_entry = x + bytes(16)
+
+    def objkey(num):
+        return md5(key + num.to_bytes(3, "little") + bytes(2) + b"sAlT")[:16]
+
+    iv = bytes(range(16))
+    enc_content = iv + aes_cbc_encrypt(objkey(4), iv, _pad16(CONTENT))
+    enc_title = iv + aes_cbc_encrypt(objkey(5), iv, _pad16(title))
+    objects = _page_objs(_stream_obj(b"", enc_content)) + [
+        b"<< /Title <" + enc_title.hex().encode() + b"> >>",
+        (b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P "
+         + str(p_flags).encode()
+         + b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+         + b" /StmF /StdCF /StrF /StdCF"
+         + b" /O <" + o_entry.hex().encode() + b">"
+         + b" /U <" + u_entry.hex().encode() + b"> >>"),
+    ]
+    return _assemble_encrypted(objects, file_id)
+
+
+def _build_aes256_pdf(title=b"AES256 Report", wrong_password=False):
+    """V5/R6 AES-256 PDF: U = Hash2B(pwd, vsalt) + salts, /UE wraps the
+    random file key, payloads are IV + AES-256-CBC."""
+    import os
+
+    from pdf_etl_engine_spark.functions.cryptokit import aes_cbc_encrypt
+    from pdf_etl_engine_spark.functions.pdftext import _hash_2b
+
+    rngb = os.urandom  # salts/keys need no determinism for the test
+    file_key = rngb(32)
+    vsalt, ksalt = rngb(8), rngb(8)
+    pwd = b"secret" if wrong_password else b""
+    u_entry = _hash_2b(pwd, vsalt, b"") + vsalt + ksalt
+    ue = aes_cbc_encrypt(_hash_2b(pwd, ksalt, b""), bytes(16), file_key)
+    iv = rngb(16)
+    enc_content = iv + aes_cbc_encrypt(file_key, iv, _pad16(CONTENT))
+    enc_title = iv + aes_cbc_encrypt(file_key, iv, _pad16(title))
+    objects = _page_objs(_stream_obj(b"", enc_content)) + [
+        b"<< /Title <" + enc_title.hex().encode() + b"> >>",
+        (b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+         + b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+         + b" /StmF /StdCF /StrF /StdCF"
+         + b" /O <" + bytes(48).hex().encode() + b">"
+         + b" /U <" + u_entry.hex().encode() + b">"
+         + b" /OE <" + bytes(32).hex().encode() + b">"
+         + b" /UE <" + ue.hex().encode() + b"> >>"),
+    ]
+    return _assemble_encrypted(objects, bytes(range(16)))
+
+
+def _assemble_encrypted(objects, file_id):
+    out = bytearray(b"%PDF-1.7\n")
+    offsets = []
+    for i, obj in enumerate(objects, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objects) + 1).encode()
+            + b" /Root 1 0 R /Info 5 0 R /Encrypt 6 0 R"
+            + b" /ID [<" + file_id.hex().encode() + b"> <"
+            + file_id.hex().encode() + b">] >>\nstartxref\n"
+            + str(xref_pos).encode() + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def test_encrypted_pdf_aesv2():
+    pdf = _build_aesv2_pdf()
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "Total: 42", "Status: ok"
+    ]
+    assert pdftext.pdf_metadata(pdf)["title"] == "AES Report"
+
+
+def test_encrypted_pdf_aes256_r6():
+    pdf = _build_aes256_pdf()
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "Total: 42", "Status: ok"
+    ]
+    assert pdftext.pdf_metadata(pdf)["title"] == "AES256 Report"
+
+
+def test_encrypted_pdf_aes256_wrong_password_quarantines():
+    pdf = _build_aes256_pdf(wrong_password=True)
+    with pytest.raises(ValueError, match="password"):
+        pdftext.extract_pdf_text(pdf)
+
+
+def test_encrypted_pdf_aes_corrupt_payload_quarantines():
+    pdf = _build_aesv2_pdf()
+    # truncate the content stream's ciphertext to a non-block size:
+    # stream decrypt must raise, not emit garbage
+    at = pdf.index(b"stream\n") + 7
+    cut = pdf[:at + 17] + pdf[pdf.index(b"\nendstream", at):]
+    with pytest.raises(ValueError):
+        pdftext.extract_pdf_text(cut)
