@@ -862,13 +862,47 @@ def test_decode_media_png_real():
     with pytest.raises(ValueError, match="filter"):
         M.decode_media(badfilter, "")
 
-    # Adam7 interlace: valid-but-unsupported, not corruption
+    # Adam7 interlace decodes for real (r6): a 2x2 gray image splits
+    # into passes 1 (pixel 0,0), 6 (pixel 1,0) and 7 (row 1); the
+    # scattered reconstruction must land each value on its grid cell
+    adam7_raw = (b"\x00\x0a"        # pass 1: value 10 at (0,0)
+                 + b"\x00\x14"      # pass 6: value 20 at (1,0)
+                 + b"\x00\x1e\x28")  # pass 7: 30, 40 across row 1
     adam7 = (M._PNG_SIG
              + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
-             + chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+             + chunk(b"IDAT", zlib.compress(adam7_raw))
              + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
-        M.decode_media(adam7, "")
+    meta = M.decode_media(adam7, "")
+    assert (meta["width"], meta["height"]) == (2, 2)
+    px = M.decode_pixels(adam7)
+    assert px[..., 0].tolist() == [[10, 20], [30, 40]]
+    # truncated Adam7 buffer (missing a pass) quarantines
+    short7 = (M._PNG_SIG
+              + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
+              + chunk(b"IDAT", zlib.compress(adam7_raw[:-2]))
+              + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        M.decode_media(short7, "")
+
+    # palette, sub-byte, and 16-bit variants all pixel-decode (r6)
+    pal = bytes([255, 0, 0, 0, 0, 255])  # index 0 red, 1 blue
+    p8 = (M._PNG_SIG
+          + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+          + chunk(b"PLTE", pal)
+          + chunk(b"IDAT", zlib.compress(b"\x00\x00\x01"))
+          + chunk(b"IEND", b""))
+    px = M.decode_pixels(p8)
+    assert px[0, 0].tolist() == [255, 0, 0] and px[0, 1].tolist() == [0, 0, 255]
+    g1 = (M._PNG_SIG
+          + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 1, 0, 0, 0, 0))
+          + chunk(b"IDAT", zlib.compress(b"\x00\xa0"))  # bits 1010
+          + chunk(b"IEND", b""))
+    assert M.decode_pixels(g1)[..., 0].tolist() == [[255, 0, 255, 0]]
+    g16 = (M._PNG_SIG
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00\x12\x34\xab\xcd"))
+           + chunk(b"IEND", b""))
+    assert M.decode_pixels(g16)[..., 0].tolist() == [[0x12, 0xAB]]
 
 
 def test_with_media_metadata_quarantines_per_row(spark):
