@@ -213,3 +213,101 @@ def test_info_dict_resolved_via_trailer_not_page_text():
         ["see /Title (Fake) in body"], title="Real Title", compress=False
     )
     assert pdftext.pdf_metadata(pdf)["title"] == "Real Title"
+
+
+def _encrypt_pdf_aes256(lines: list[str], password: bytes = b"") -> bytes:
+    """AES-256 (V5/R6) encrypt a build_pdf-style document: the
+    content stream becomes IV + AES-CBC ciphertext and the trailer
+    gains /Encrypt — the modern owner-locked invoice shape."""
+    import os
+    import zlib as _z
+
+    from pdf_etl_engine_spark.functions.cryptokit import aes_cbc_encrypt
+    from pdf_etl_engine_spark.functions.pdftext import _hash_2b
+
+    ops = ["BT", "/F1 12 Tf", "72 720 Td"]
+    for i, line in enumerate(lines):
+        esc = (
+            line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        )
+        if i:
+            ops.append("0 -14 Td")
+        ops.append(f"({esc}) Tj")
+    ops.append("ET")
+    plain = _z.compress("\n".join(ops).encode("latin-1"))
+
+    file_key = os.urandom(32)
+    vsalt, ksalt = os.urandom(8), os.urandom(8)
+    u = _hash_2b(password, vsalt, b"") + vsalt + ksalt
+    ue = aes_cbc_encrypt(_hash_2b(password, ksalt, b""), bytes(16), file_key)
+    iv = os.urandom(16)
+    pad = 16 - len(plain) % 16
+    enc = iv + aes_cbc_encrypt(file_key, iv, plain + bytes([pad]) * pad)
+
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        b"<< /Filter /FlateDecode /Length " + str(len(enc)).encode()
+        + b" >>\nstream\n" + enc + b"\nendstream",
+        (b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+         b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+         b" /StmF /StdCF /StrF /StdCF"
+         b" /O <" + bytes(48).hex().encode() + b">"
+         b" /U <" + u.hex().encode() + b">"
+         b" /OE <" + bytes(32).hex().encode() + b">"
+         b" /UE <" + ue.hex().encode() + b"> >>"),
+    ]
+    out = bytearray(b"%PDF-1.7\n")
+    offsets = []
+    for i, obj in enumerate(objects, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objects) + 1).encode()
+            + b" /Root 1 0 R /Encrypt 5 0 R /ID [<"
+            + bytes(16).hex().encode() + b"> <" + bytes(16).hex().encode()
+            + b">] >>\nstartxref\n" + str(xref_pos).encode() + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def test_encrypted_pdf_ingest_end_to_end(tmp_path, spark):
+    """An AES-256 owner-locked invoice ingests transparently through
+    the full Spark pipeline (decrypt → inflate → extract → coerce),
+    while a genuinely password-protected one quarantines with the
+    error recorded — never a silent all-N/A row."""
+    cat = pipeline.Catalog(spark, str(tmp_path / "catalog"))
+    cat.create_folder(
+        "user_abc", "invoices", "Invoices", "pdf docs", kpi_metadata=KPI_META
+    )
+    facts = str(tmp_path / "facts")
+    d = tmp_path / "incoming" / "user_abc" / "invoices" / "batch"
+    d.mkdir(parents=True)
+    (d / "locked.pdf").write_bytes(_encrypt_pdf_aes256(
+        ["Total Amount ($): $88.20", "Status: Approved"]
+    ))
+    (d / "protected.pdf").write_bytes(_encrypt_pdf_aes256(
+        ["Total Amount ($): $1.00"], password=b"hunter2"
+    ))
+
+    res = pipeline.ingest_batch(
+        spark,
+        f"{tmp_path}/incoming/*/*/*/*",
+        cat,
+        facts,
+        extractor=pipeline.pdf_extractor,
+        quarantine_path=str(tmp_path / "quarantine"),
+    )
+    assert res["rows_written"] == 1
+    assert res["files_failed"] == 1
+
+    out = pipeline.read_results(spark, facts, "user_abc", "invoices")
+    rows = {r["file_name"]: r for r in out.collect()}
+    assert rows["locked.pdf"]["kpi_total_amount____"] == pytest.approx(88.2)
+    assert rows["locked.pdf"]["kpi_status"] == "Approved"
+    q = spark.read.parquet(str(tmp_path / "quarantine")).collect()
+    assert len(q) == 1 and "password" in q[0]["error"]
