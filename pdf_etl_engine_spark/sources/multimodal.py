@@ -470,12 +470,33 @@ def encode_png(pixels) -> bytes:
     )
 
 
+def _guard_struct(fn):
+    """Decorator: truncated-buffer unpacks (struct.error) and short
+    indexing (IndexError) inside container parsers surface as the
+    quarantine ValueError, never as a task-failing exception class —
+    pinned by the hardening fuzz."""
+    import functools
+    import struct as _struct
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (_struct.error, IndexError) as e:
+            raise ValueError(
+                f"truncated container structure: {type(e).__name__}: {e}"
+            ) from None
+
+    return wrapped
+
+
+@_guard_struct
 def decode_pixels(content: bytes):
     """Decode a payload to an (H, W, C) uint8 pixel array, dispatched
     on magic bytes like :func:`decode_media`: PNG, JPEG (baseline +
-    progressive), 24-
-    bpp BMP, binary Netpbm. Audio/video and unrecognized payloads
-    raise NotImplementedError; corrupt payloads raise ValueError."""
+    progressive), 24-bpp BMP, binary Netpbm. Audio/video and
+    unrecognized payloads raise NotImplementedError; corrupt payloads
+    raise ValueError."""
     if content[: len(_PNG_SIG)] == _PNG_SIG:
         return _png_pixels(content)
     if content[:2] == b"\xff\xd8":
@@ -494,6 +515,7 @@ def decode_pixels(content: bytes):
     )
 
 
+@_guard_struct
 def decode_media(content: bytes, mime: str) -> dict:
     """Decode a media payload's metadata, dispatched on magic bytes —
     not caller-supplied mime (content wins over labels). REAL at two
@@ -698,6 +720,7 @@ FRAME_SCHEMA = (
 )
 
 
+@_guard_struct
 def resize_image(content: bytes, width: int, height: int) -> bytes:
     """REAL resize for every format the engine can pixel-decode
     (PNG / JPEG / 24-bpp BMP / binary Netpbm): decode →
@@ -879,6 +902,7 @@ def _mp4_video_samples(content: bytes) -> tuple[list[tuple[int, int]], list[int]
     raise ValueError("MP4 has no video track")
 
 
+@_guard_struct
 def sample_frames(content: bytes, every_n: int) -> list[bytes]:
     """REAL container-level frame sampling: demux the MP4 sample
     tables and return every Nth video sample's encoded bytes —

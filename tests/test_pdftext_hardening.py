@@ -255,14 +255,67 @@ def test_fuzz_only_valueerror_escapes():
         except ValueError:
             pass
         # media decoders: same contract (ValueError or
-        # NotImplementedError only)
+        # NotImplementedError only) — every container magic, including
+        # the r6 scan-decoding JPEG and MP4 demux paths
         media = rng.choice(
-            [b"BM", b"RIFF", b"P6 ", b"\x89PNG\r\n\x1a\n", b""]
+            [b"BM", b"RIFF", b"P6 ", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+             bytes(4) + b"ftyp", b""]
         ) + blob[:64]
         try:
             M.decode_media(media, "")
         except (ValueError, NotImplementedError):
             pass
+        try:
+            M.decode_pixels(media)
+        except (ValueError, NotImplementedError):
+            pass
+        try:
+            M.sample_frames(media, 2)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_fuzz_encrypted_and_lzw_documents():
+    """The r6 decode paths (RC4/AES encryption parse, LZW, predictors)
+    obey the same contract on mutated input: ValueError /
+    NotImplementedError / clean output only."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    bases = [
+        _build_encrypted_pdf(r=3, length=128),
+        _build_aesv2_pdf(),
+        _build_aes256_pdf(),
+        _pdf(_page_objs(_stream_obj(b"/Filter /LZWDecode ",
+                                    _lzw_encode(CONTENT)))),
+        _pdf(_page_objs(_stream_obj(
+            b"/Filter /FlateDecode /DecodeParms << /Predictor 12 "
+            b"/Columns 20 >> ", zlib.compress(b"\x02" + bytes(20))))),
+    ]
+    snippets = [b"/Encrypt 99 0 R", b"/V 5 /R 6", b"/U <00>", b"/O <>",
+                b"/CFM /AESV2", b"/Predictor 12", b"/Columns 0",
+                b"/ID [<41>", b"/UE <ffff>", b"/Length 256"]
+    for trial in range(200):
+        data = bytearray(rng.choice(bases))
+        for _ in range(rng.randint(1, 5)):
+            if not data:
+                break
+            op = rng.randrange(3)
+            pos = rng.randrange(len(data))
+            if op == 0:
+                data[pos:pos] = rng.choice(snippets)
+            elif op == 1:
+                data[pos] = rng.randrange(256)
+            else:
+                del data[pos:]
+        blob = bytes(data)
+        if not blob.startswith(b"%PDF-"):
+            blob = b"%PDF-1.7\n" + blob
+        for fn in (pdftext.extract_pdf_text, pdftext.pdf_metadata):
+            try:
+                fn(blob)
+            except (ValueError, NotImplementedError):
+                pass
 
 
 # ---------------------------------------------------------------------------
