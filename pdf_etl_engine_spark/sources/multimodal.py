@@ -175,6 +175,270 @@ def _decode_mp4(content: bytes) -> dict:
     raise ValueError("MP4 has no moov box")
 
 
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _tiff_entries(content: bytes) -> dict[int, list[int]]:
+    """First-IFD tag table of a TIFF (both byte orders): {tag:
+    [values...]} for the integer types. Out-of-file offsets raise."""
+    import struct
+
+    if content[:4] == b"II*\x00":
+        e = "<"
+    elif content[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order header)")
+    off = struct.unpack_from(e + "I", content, 4)[0]
+    if off + 2 > len(content):
+        raise ValueError("TIFF IFD offset beyond file")
+    n = struct.unpack_from(e + "H", content, off)[0]
+    if off + 2 + 12 * n > len(content):
+        raise ValueError("TIFF IFD entry table truncated")
+    entries: dict[int, list[int]] = {}
+    for i in range(n):
+        base = off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", content, base)
+        tsize = _TIFF_TYPE_SIZE.get(typ)
+        if tsize is None:
+            continue  # float/double/rational-signed etc: not needed
+        size = tsize * cnt
+        if size <= 4:
+            data = content[base + 8 : base + 8 + size]
+        else:
+            voff = struct.unpack_from(e + "I", content, base + 8)[0]
+            if voff + size > len(content):
+                raise ValueError(f"TIFF tag {tag} value beyond file")
+            data = content[voff : voff + size]
+        if typ == 3:
+            vals = [struct.unpack_from(e + "H", data, 2 * j)[0]
+                    for j in range(cnt)]
+        elif typ == 4:
+            vals = [struct.unpack_from(e + "I", data, 4 * j)[0]
+                    for j in range(cnt)]
+        elif typ in (1, 2):
+            vals = list(data[:cnt])
+        else:  # RATIONAL: numerator/denominator pairs -> numerators
+            vals = [struct.unpack_from(e + "II", data, 8 * j)[0]
+                    for j in range(cnt)]
+        entries[tag] = vals
+    return entries
+
+
+def _decode_tiff(content: bytes) -> dict:
+    """TIFF 6.0 first-IFD parse: ImageWidth/ImageLength/BitsPerSample/
+    SamplesPerPixel — the scanner-output container."""
+    t = _tiff_entries(content)
+    if 256 not in t or 257 not in t:
+        raise ValueError("TIFF missing ImageWidth/ImageLength tags")
+    bps = t.get(258, [1])
+    spp = t.get(277, [len(bps)])[0] or 1
+    return {
+        "kind": "image",
+        "format": "tiff",
+        "width": t[256][0],
+        "height": t[257][0],
+        "bits_per_pixel": sum(bps) if len(bps) > 1 else bps[0] * spp,
+    }
+
+
+def _packbits_decode(raw: bytes) -> bytes:
+    """TIFF PackBits RLE (spec §9)."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        n = raw[i]
+        i += 1
+        if n < 128:  # copy n+1 literals
+            chunk = raw[i : i + n + 1]
+            if len(chunk) != n + 1:
+                raise ValueError("PackBits literal run truncated")
+            out += chunk
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(raw):
+                raise ValueError("PackBits repeat run truncated")
+            out += raw[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _tiff_pixels(content: bytes):
+    """Decode 8-bit gray/RGB TIFF strips (uncompressed or PackBits) to
+    (H, W, C) uint8; other compressions (LZW/JPEG/G4) raise
+    NotImplementedError."""
+    import numpy as np
+
+    t = _tiff_entries(content)
+    meta = _decode_tiff(content)
+    w, h = meta["width"], meta["height"]
+    comp = t.get(259, [1])[0]
+    bps = t.get(258, [8])
+    spp = t.get(277, [len(bps)])[0] or 1
+    if any(b != 8 for b in bps) or spp not in (1, 3):
+        raise NotImplementedError(
+            f"TIFF pixel decode supports 8-bit gray/RGB only "
+            f"(bps={bps}, spp={spp})"
+        )
+    if comp not in (1, 32773):
+        raise NotImplementedError(f"TIFF compression {comp} unsupported")
+    offs = t.get(273)
+    cnts = t.get(279)
+    if not offs or not cnts or len(offs) != len(cnts):
+        raise ValueError("TIFF missing strip offset/count tags")
+    raw = bytearray()
+    for o, c in zip(offs, cnts):
+        if o + c > len(content):
+            raise ValueError("TIFF strip beyond file")
+        strip = content[o : o + c]
+        raw += _packbits_decode(strip) if comp == 32773 else strip
+    need = w * h * spp
+    if len(raw) < need:
+        raise ValueError(f"TIFF pixel data {len(raw)} < {need} bytes")
+    return np.frombuffer(bytes(raw[:need]), dtype=np.uint8).reshape(
+        h, w, spp
+    )
+
+
+def _decode_gif(content: bytes) -> dict:
+    """GIF87a/89a logical-screen parse."""
+    import struct
+
+    if len(content) < 13:
+        raise ValueError("GIF truncated before logical screen")
+    w, h, flags = struct.unpack_from("<HHB", content, 6)
+    if not w or not h:
+        raise ValueError("GIF has zero dimensions")
+    return {
+        "kind": "image",
+        "format": "gif",
+        "width": w,
+        "height": h,
+        "bits_per_pixel": ((flags >> 4) & 7) + 1,
+    }
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF-variant LZW: LSB-first packing, clear/EOI codes, code width
+    grows at table fill (no early change), 12-bit cap."""
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"GIF LZW min code size {min_code} invalid")
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset() -> None:
+        table.clear()
+        table.extend(bytes([i]) for i in range(1 << min_code))
+        table.extend((b"", b""))
+
+    reset()
+    width = min_code + 1
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("GIF LZW first code not a literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"GIF LZW code {code} beyond table")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= n_pixels:
+                return bytes(out[:n_pixels])
+    return bytes(out)
+
+
+def _gif_pixels(content: bytes):
+    """Decode the FIRST image frame of a GIF to (H, W, 3) RGB uint8:
+    full LZW decode, local/global color tables, interlace reorder."""
+    import struct
+
+    import numpy as np
+
+    meta = _decode_gif(content)
+    flags = content[10]
+    pos = 13
+    gct = b""
+    if flags & 0x80:
+        n = 3 * (1 << ((flags & 7) + 1))
+        gct = content[pos : pos + n]
+        pos += n
+    while pos < len(content):
+        b = content[pos]
+        pos += 1
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(content) and content[pos]:
+                pos += 1 + content[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 9 > len(content):
+                raise ValueError("GIF image descriptor truncated")
+            _lx, _ty, w, h, iflags = struct.unpack_from("<HHHHB", content, pos)
+            pos += 9
+            ct = gct
+            if iflags & 0x80:
+                n = 3 * (1 << ((iflags & 7) + 1))
+                ct = content[pos : pos + n]
+                pos += n
+            if not ct:
+                raise ValueError("GIF image has no color table")
+            if pos >= len(content):
+                raise ValueError("GIF truncated before LZW data")
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(content) and content[pos]:
+                ln = content[pos]
+                data += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _gif_lzw_decode(min_code, bytes(data), w * h)
+            if len(idx) < w * h:
+                raise ValueError(
+                    f"GIF pixel data short: {len(idx)} of {w * h}"
+                )
+            rows = np.frombuffer(idx, dtype=np.uint8).reshape(h, w)
+            if iflags & 0x40:  # interlace: 4-pass row order
+                order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                         + list(range(2, h, 4)) + list(range(1, h, 2)))
+                deinter = np.zeros_like(rows)
+                deinter[order] = rows
+                rows = deinter
+            pal = np.frombuffer(ct, dtype=np.uint8)
+            pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+            if int(rows.max(initial=0)) >= len(pal):
+                raise ValueError("GIF color index out of range")
+            del meta
+            return pal[rows]
+        elif b == 0x3B:  # trailer
+            break
+    raise ValueError("GIF has no image frame")
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # channels per color type (PNG spec §11.2.2)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -494,9 +758,10 @@ def _guard_struct(fn):
 def decode_pixels(content: bytes):
     """Decode a payload to an (H, W, C) uint8 pixel array, dispatched
     on magic bytes like :func:`decode_media`: PNG, JPEG (baseline +
-    progressive), 24-bpp BMP, binary Netpbm. Audio/video and
-    unrecognized payloads raise NotImplementedError; corrupt payloads
-    raise ValueError."""
+    progressive), 24-bpp BMP, TIFF (uncompressed/PackBits strips),
+    GIF (full LZW + interlace + color table), binary Netpbm.
+    Audio/video and unrecognized payloads raise NotImplementedError;
+    corrupt payloads raise ValueError."""
     if content[: len(_PNG_SIG)] == _PNG_SIG:
         return _png_pixels(content)
     if content[:2] == b"\xff\xd8":
@@ -505,6 +770,10 @@ def decode_pixels(content: bytes):
         return jpegcodec.decode_pixels(content)
     if content[:2] == b"BM":
         return _bmp_pixels(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return _tiff_pixels(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_pixels(content)
     if content[:2] in (b"P5", b"P6") and (
         len(content) > 2 and content[2:3].isspace()
     ):
@@ -522,9 +791,9 @@ def decode_media(content: bytes, mime: str) -> dict:
     honest levels: full pixel-path decodes for PNG (zlib inflate +
     defilter, VERDICT r5 #4) and JPEG, baseline + progressive (Huffman scan decode +
     dequant + batched IDCT, functions/jpegcodec — r6), plus
-    BMP/Netpbm/WAV header+chunk parses (VERDICT r4 #7) and the MP4
-    moov/mvhd box walk whose video samples need ffmpeg to decode
-    further. Unrecognized magic raises NotImplementedError; malformed
+    GIF LZW pixel decode, BMP/Netpbm/WAV/TIFF header+tag parses
+    (VERDICT r4 #7) and the MP4 moov/mvhd box walk whose video
+    samples need ffmpeg to decode further. Unrecognized magic raises NotImplementedError; malformed
     payloads of a recognized format raise ValueError (quarantine, like
     the PDF path)."""
     if content[:2] == b"BM":
@@ -539,6 +808,10 @@ def decode_media(content: bytes, mime: str) -> dict:
         return _decode_png(content)
     if content[:2] == b"\xff\xd8":
         return _decode_jpeg(content)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(content)
     if len(content) >= 12 and content[4:8] == b"ftyp":
         return _decode_mp4(content)
     raise NotImplementedError(

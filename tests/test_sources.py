@@ -967,3 +967,172 @@ def test_bloom_backfill_on_compaction(tmp_path, spark):
     assert got.count() == 1
     # absent key: every file pruned, provably-empty read, zero rows
     assert writers.pruned_files(path, [("row_id", "==", "row-9999")]) == []
+
+
+def _gif_lzw_encode(min_code: int, data: bytes) -> bytes:
+    """In-test GIF-variant LZW encoder (LSB-first, clear/EOI, decoder-
+    synchronized width growth) — independent of the src decoder."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    codes = []
+    width = min_code + 1
+    codes.append((clear, width))
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    sim_len = eoi + 1  # decoder's table length tracks one behind ours
+    first = True
+    w = b""
+
+    def bump():
+        nonlocal sim_len, width, first
+        if first:
+            first = False
+            return
+        sim_len += 1
+        if sim_len == (1 << width) and width < 12:
+            width += 1
+
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        codes.append((table[w], width))
+        bump()
+        table[w + c] = next_code
+        next_code += 1
+        w = c
+    if w:
+        codes.append((table[w], width))
+        bump()
+    codes.append((eoi, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif(w, h, indices, palette, interlace=False, min_code=None):
+    import struct
+
+    if min_code is None:
+        min_code = max(2, (len(palette) - 1).bit_length())
+    gct_bits = max(1, (len(palette) - 1).bit_length())
+    pal = b"".join(bytes(c) for c in palette)
+    pal += bytes(3 * ((1 << gct_bits) - len(palette)))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+    out += pal
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 0x40 if interlace else 0)
+    out += bytes([min_code])
+    if interlace:  # store rows in the 4-pass interlace order
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        rows = [indices[y * w : (y + 1) * w] for y in order]
+        indices = [v for r in rows for v in r]
+    lzw = _gif_lzw_encode(min_code, bytes(indices))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_tiff_and_gif():
+    """TIFF first-IFD parse + strip pixel decode (uncompressed and
+    PackBits) and full GIF decode (LZW, palette, interlace)."""
+    import struct
+
+    import numpy as np
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    # little-endian TIFF, 3x2 RGB, one uncompressed strip
+    px = bytes(range(18))
+    def tiff(comp, strip):
+        entries = [
+            (256, 3, 1, 3), (257, 3, 1, 2), (259, 3, 1, comp),
+            (277, 3, 1, 3),
+        ]
+        # BitsPerSample count 3 -> needs an offset (6 bytes)
+        hdr_end = 8
+        ifd_off = hdr_end
+        n = len(entries) + 3  # + bps + stripoffsets + stripcounts
+        data_off = ifd_off + 2 + 12 * n + 4
+        bps_off = data_off
+        strip_off = bps_off + 6
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+        out += struct.pack("<H", n)
+        def entry(tag, typ, cnt, val):
+            return struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
+        for tag, typ, cnt, val in entries:
+            out += entry(tag, typ, cnt, val)
+        out += entry(258, 3, 3, bps_off)
+        out += entry(273, 4, 1, strip_off)
+        out += entry(279, 4, 1, len(strip))
+        out += struct.pack("<I", 0)  # next IFD
+        out += struct.pack("<HHH", 8, 8, 8)
+        out += strip
+        return bytes(out)
+
+    t = tiff(1, px)
+    meta = M.decode_media(t, "")
+    assert (meta["format"], meta["width"], meta["height"],
+            meta["bits_per_pixel"]) == ("tiff", 3, 2, 24)
+    arr = M.decode_pixels(t)
+    assert arr.shape == (2, 3, 3) and arr.reshape(-1).tolist() == list(px)
+
+    # PackBits strip: literal run + repeat run
+    pb = bytes([5]) + px[:6] + bytes([256 - 11]) + b"\x07"  # 6 lit + 12 reps
+    t2 = tiff(32773, pb)
+    arr2 = M.decode_pixels(t2)
+    assert arr2.reshape(-1).tolist() == list(px[:6]) + [7] * 12
+    with pytest.raises(ValueError):
+        M.decode_pixels(tiff(1, px[:10]))  # short strip
+
+    # GIF: 4x4 two-color checkerboard, plain and interlaced
+    idx = [(x + y) % 2 for y in range(4) for x in range(4)]
+    palette = [(255, 0, 0), (0, 0, 255)]
+    g = _gif(4, 4, idx, palette)
+    meta = M.decode_media(g, "")
+    assert (meta["format"], meta["width"], meta["height"]) == ("gif", 4, 4)
+    arr = M.decode_pixels(g)
+    assert arr.shape == (4, 4, 3)
+    assert arr[0, 0].tolist() == [255, 0, 0] and arr[0, 1].tolist() == [0, 0, 255]
+
+    # interlaced rows land back in order (row y parity alternates)
+    gi = _gif(4, 4, idx, palette, interlace=True)
+    assert (M.decode_pixels(gi) == arr).all()
+
+    # a larger random image forces LZW width growth; roundtrip exact
+    import numpy.random as npr
+    rng = np.random.default_rng(2)
+    big_idx = rng.integers(0, 4, 40 * 30).tolist()
+    pal4 = [(10, 0, 0), (0, 20, 0), (0, 0, 30), (40, 40, 40)]
+    gb = _gif(40, 30, big_idx, pal4)
+    got = M.decode_pixels(gb)
+    want = np.array(pal4, dtype=np.uint8)[
+        np.array(big_idx).reshape(30, 40)]
+    assert (got == want).all()
+
+    # corrupt LZW data quarantines
+    bad = bytearray(gb)
+    bad[-20] ^= 0xFF
+    try:
+        M.decode_pixels(bytes(bad))
+    except ValueError:
+        pass
+
+    # resize goes through the new decoders too
+    out = M.resize_image(g, 2, 2)
+    assert M.decode_pixels(out).shape == (2, 2, 3)
+    out = M.resize_image(t, 6, 4)
+    assert M.decode_pixels(out).shape == (4, 6, 3)
