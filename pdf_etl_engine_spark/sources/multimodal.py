@@ -175,6 +175,87 @@ def _decode_mp4(content: bytes) -> dict:
     raise ValueError("MP4 has no moov box")
 
 
+def _decode_flac(content: bytes) -> dict:
+    """FLAC STREAMINFO parse (format spec): the mandatory first
+    metadata block carries sample rate / channels / bits / total
+    samples — exact duration, no estimation."""
+    pos = 4
+    while pos + 4 <= len(content):
+        hdr = content[pos]
+        length = int.from_bytes(content[pos + 1 : pos + 4], "big")
+        body = content[pos + 4 : pos + 4 + length]
+        if (hdr & 0x7F) == 0:  # STREAMINFO
+            if length < 34 or len(body) < 34:
+                raise ValueError("FLAC STREAMINFO block truncated")
+            sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            channels = ((body[12] >> 1) & 0x07) + 1
+            bps = (((body[12] & 1) << 4) | (body[13] >> 4)) + 1
+            total = ((body[13] & 0x0F) << 32) | int.from_bytes(
+                body[14:18], "big"
+            )
+            if not sr:
+                raise ValueError("FLAC has zero sample rate")
+            return {
+                "kind": "audio",
+                "format": "flac",
+                "channels": channels,
+                "sample_rate_hz": sr,
+                "bits_per_sample": bps,
+                "duration_s": total / sr if total else None,
+            }
+        if hdr & 0x80:  # last-metadata flag without STREAMINFO seen
+            break
+        pos += 4 + length
+    raise ValueError("FLAC missing STREAMINFO metadata block")
+
+
+# MPEG audio frame-header tables (public spec): Layer III bitrates
+# (kbps) and sample rates by version
+_MP3_BITRATES_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                    224, 256, 320)
+_MP3_BITRATES_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                    144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def _decode_mp3(content: bytes) -> dict:
+    """MPEG audio (MP3) parse: skip any ID3v2 tag, read the first
+    frame header for version/layer/bitrate/rate/mode; duration is the
+    CBR estimate audio_bytes / byte_rate (documented approximation —
+    VBR needs a full frame walk)."""
+    pos = 0
+    if content[:3] == b"ID3" and len(content) >= 10:
+        size = 0
+        for b in content[6:10]:  # syncsafe 7-bit bytes
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    while pos + 4 <= len(content):
+        if content[pos] == 0xFF and (content[pos + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = content[pos + 1], content[pos + 2], content[pos + 3]
+            version = (b1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+            layer = (b1 >> 1) & 0x03    # 1 = Layer III
+            br_idx = (b2 >> 4) & 0x0F
+            sr_idx = (b2 >> 2) & 0x03
+            if version == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+                pos += 1
+                continue  # not a valid frame header: keep scanning
+            table = _MP3_BITRATES_V1 if version == 3 else _MP3_BITRATES_V2
+            bitrate = table[br_idx] * 1000
+            rate = _MP3_RATES[version][sr_idx]
+            mode = (b3 >> 6) & 0x03
+            audio_bytes = len(content) - pos
+            return {
+                "kind": "audio",
+                "format": "mp3",
+                "channels": 1 if mode == 3 else 2,
+                "sample_rate_hz": rate,
+                "duration_s": audio_bytes / (bitrate / 8),
+            }
+        pos += 1
+    raise ValueError("MP3 has no valid MPEG audio frame header")
+
+
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
 
@@ -792,7 +873,8 @@ def decode_media(content: bytes, mime: str) -> dict:
     defilter, VERDICT r5 #4) and JPEG, baseline + progressive (Huffman scan decode +
     dequant + batched IDCT, functions/jpegcodec — r6), plus
     GIF LZW pixel decode, BMP/Netpbm/WAV/TIFF header+tag parses
-    (VERDICT r4 #7) and the MP4 moov/mvhd box walk whose video
+    (VERDICT r4 #7), FLAC STREAMINFO (exact duration) and MP3
+    frame-header parses, and the MP4 moov/mvhd box walk whose video
     samples need ffmpeg to decode further. Unrecognized magic raises NotImplementedError; malformed
     payloads of a recognized format raise ValueError (quarantine, like
     the PDF path)."""
@@ -812,6 +894,14 @@ def decode_media(content: bytes, mime: str) -> dict:
         return _decode_tiff(content)
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(content)
+    if content[:4] == b"fLaC":
+        return _decode_flac(content)
+    if content[:3] == b"ID3" or (
+        len(content) >= 2
+        and content[0] == 0xFF
+        and (content[1] & 0xE0) == 0xE0
+    ):
+        return _decode_mp3(content)
     if len(content) >= 12 and content[4:8] == b"ftyp":
         return _decode_mp4(content)
     raise NotImplementedError(

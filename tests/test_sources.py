@@ -1136,3 +1136,44 @@ def test_decode_tiff_and_gif():
     assert M.decode_pixels(out).shape == (2, 2, 3)
     out = M.resize_image(t, 6, 4)
     assert M.decode_pixels(out).shape == (4, 6, 3)
+
+
+def test_decode_flac_and_mp3():
+    """FLAC STREAMINFO gives exact duration; MP3 frame-header parse
+    gives rate/channels + the CBR duration estimate; both quarantine
+    on mangled structure."""
+    import struct
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    # FLAC: 44.1 kHz stereo 16-bit, 441000 samples = 10 s
+    sr, ch, bps, total = 44100, 2, 16, 441000
+    info = bytearray(34)
+    struct.pack_into(">HH", info, 0, 4096, 4096)
+    info[10] = (sr >> 12) & 0xFF
+    info[11] = (sr >> 4) & 0xFF
+    info[12] = ((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)
+    info[13] = (((bps - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    info[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    flac = b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+    meta = M.decode_media(flac, "audio/flac")
+    assert (meta["format"], meta["channels"], meta["sample_rate_hz"],
+            meta["bits_per_sample"]) == ("flac", 2, 44100, 16)
+    assert meta["duration_s"] == pytest.approx(10.0)
+    with pytest.raises(ValueError):
+        M.decode_media(b"fLaC" + bytes([0x80, 0, 0, 10]) + bytes(10), "")
+
+    # MP3: ID3v2 tag + MPEG1 Layer III 128 kbps 44.1 kHz stereo frames
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 20]) + bytes(20)
+    # header: FF FB 90 00 -> MPEG1(11) layer III(01) noprot(1),
+    # bitrate idx 9 (128k), rate idx 0 (44100), stereo mode 00
+    frame = b"\xff\xfb\x90\x00" + bytes(414)
+    mp3 = id3 + frame * 4
+    meta = M.decode_media(mp3, "audio/mpeg")
+    assert (meta["format"], meta["channels"], meta["sample_rate_hz"]) == (
+        "mp3", 2, 44100)
+    # 4 frames x 418 bytes at 16000 B/s
+    assert meta["duration_s"] == pytest.approx(4 * 418 / 16000.0)
+    with pytest.raises(ValueError):
+        M.decode_media(b"ID3\x04\x00\x00" + bytes([0, 0, 0, 4]) + bytes(8),
+                       "")
