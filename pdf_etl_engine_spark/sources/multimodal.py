@@ -716,18 +716,18 @@ def _png_pixels(content: bytes):
 
 
 def _bmp_pixels(content: bytes):
-    """Decode an uncompressed 24-bpp BITMAPINFOHEADER BMP to (H, W, 3)
-    RGB uint8 (the only variant our fixtures and most scanners emit;
-    others raise NotImplementedError)."""
+    """Decode an uncompressed BITMAPINFOHEADER BMP to (H, W, 3) RGB
+    uint8: 24-bpp BGR, 32-bpp BGRA (alpha dropped), and 8-bpp palette
+    variants; RLE/bitfield compressions raise NotImplementedError."""
     import struct
 
     import numpy as np
 
     meta = _decode_bmp(content)
-    if meta["bits_per_pixel"] != 24:
+    bpp = meta["bits_per_pixel"]
+    if bpp not in (8, 24, 32):
         raise NotImplementedError(
-            f"BMP pixel decode supports 24 bpp only, got "
-            f"{meta['bits_per_pixel']}"
+            f"BMP pixel decode supports 8/24/32 bpp, got {bpp}"
         )
     compression = struct.unpack_from("<I", content, 30)[0]
     if compression:
@@ -735,7 +735,7 @@ def _bmp_pixels(content: bytes):
     data_at = struct.unpack_from("<I", content, 10)[0]
     w, h = meta["width"], meta["height"]
     raw_h = struct.unpack_from("<i", content, 22)[0]
-    stride = (w * 3 + 3) & ~3
+    stride = (w * (bpp // 8) + 3) & ~3
     need = data_at + stride * h
     if len(content) < need:
         raise ValueError(
@@ -743,10 +743,29 @@ def _bmp_pixels(content: bytes):
         )
     rows = np.frombuffer(
         content[data_at : data_at + stride * h], dtype=np.uint8
-    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    ).reshape(h, stride)
+    if bpp == 8:
+        # palette sits between the DIB header and the pixel data:
+        # BGRX quads; ClrUsed (offset 46) 0 means the full 256
+        dib_size = struct.unpack_from("<I", content, 14)[0]
+        n_colors = struct.unpack_from("<I", content, 46)[0] or 256
+        pal_at = 14 + dib_size
+        pal = np.frombuffer(
+            content[pal_at : pal_at + 4 * n_colors], dtype=np.uint8
+        )
+        if len(pal) < 4 * n_colors:
+            raise ValueError("BMP palette truncated")
+        pal = pal.reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        px = pal[idx]
+    else:
+        ch = bpp // 8
+        px = rows[:, : w * ch].reshape(h, w, ch)[..., :3][..., ::-1]
     if raw_h > 0:  # positive height = bottom-up row order
-        rows = rows[::-1]
-    return rows[..., ::-1].copy()  # BGR -> RGB
+        px = px[::-1]
+    return np.ascontiguousarray(px)
 
 
 def _ppm_pixels(content: bytes):
@@ -1021,6 +1040,153 @@ def with_synth_media(docs: DataFrame) -> DataFrame:
                     )
                 else:
                     payload = b"\x1f\x8b\x08" + bytes(8)  # no codec: gzip
+                out.append({"doc_id": doc_id, "content": payload})
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        run, schema="doc_id bigint, content binary"
+    )
+
+
+def _synth_gif(w: int, h: int) -> bytes:
+    """Minimal REAL 2-color GIF: clear-code-before-every-pixel LZW
+    (valid, inefficient — the classic 'uncompressed GIF' trick) so the
+    full decode path runs without an encoder table."""
+    import struct
+
+    min_code = 2
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    acc = nbits = 0
+    out_bits = bytearray()
+    for code in [c for i in range(w * h) for c in (clear, (i + i // w) % 2)] \
+            + [eoi]:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out_bits.append(acc & 0xFF)
+    pal = bytes([255, 255, 255, 0, 0, 0]) + bytes(6)  # 4-entry table
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", w, h, 0x81, 0, 0) + pal
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    gif += bytes([min_code])
+    for i in range(0, len(out_bits), 255):
+        chunk = out_bits[i : i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3b"
+    return bytes(gif)
+
+
+def _synth_tiff_gray(w: int, h: int, value: int) -> bytes:
+    """Minimal REAL little-endian TIFF: one uncompressed 8-bit gray
+    strip of a constant value."""
+    import struct
+
+    entries = 7
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * entries + 4
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", entries)
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    out += entry(256, 3, 1, w)
+    out += entry(257, 3, 1, h)
+    out += entry(258, 3, 1, 8)
+    out += entry(259, 3, 1, 1)
+    out += entry(273, 4, 1, data_off)
+    out += entry(277, 3, 1, 1)
+    out += entry(279, 4, 1, w * h)
+    out += struct.pack("<I", 0)
+    out += bytes([value & 0xFF]) * (w * h)
+    return bytes(out)
+
+
+def _synth_flac(duration_s: int, sr: int = 8000) -> bytes:
+    import struct
+
+    total = duration_s * sr
+    info = bytearray(34)
+    struct.pack_into(">HH", info, 0, 4096, 4096)
+    info[10] = (sr >> 12) & 0xFF
+    info[11] = (sr >> 4) & 0xFF
+    info[12] = ((sr & 0xF) << 4) | ((1 - 1) << 1) | 0  # mono, 16-bit
+    info[13] = ((16 - 1) & 0xF) << 4 | ((total >> 32) & 0xF)
+    info[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + bytes(info)
+
+
+def _synth_mp3(duration_s: int) -> bytes:
+    # MPEG1 Layer III, 128 kbps (16000 B/s), 44.1 kHz, stereo: CBR
+    # duration = bytes / 16000 exactly
+    return (b"\xff\xfb\x90\x00" + bytes(duration_s * 16000 - 4))
+
+
+def with_synth_media_formats(docs: DataFrame) -> DataFrame:
+    """x5d synthesis: one REAL payload per document across the FULL
+    decoder surface, class = doc_id % 10 — 24-bpp BMP with pixel data,
+    WAV, PNG, baseline JPEG, progressive JPEG, GIF, TIFF, FLAC, MP3,
+    and an unsupported payload — dimensions/durations pure functions
+    of (doc_id, n_chars) so a SQL oracle recomputes what decode_media
+    must read back from the bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        from pdf_etl_engine_spark.functions import jpegcodec
+
+        for pdf in batches:
+            out = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                m = d % 10
+                if m == 0:  # full-pixel BMP, bottom-up BGR
+                    w, h = d % 64 + 1, n % 48 + 1
+                    stride = (w * 3 + 3) & ~3
+                    row = (bytes([d % 256, 0, 0]) * w
+                           + bytes(stride - 3 * w))
+                    dib = struct.pack("<IiiHH", 40, w, h, 1, 24) + bytes(24)
+                    payload = (b"BM" + struct.pack(
+                        "<IHHI", 54 + stride * h, 0, 0, 54
+                    ) + dib + row * h)
+                elif m == 1:
+                    secs = n % 60 + 1
+                    byte_rate = 8000 * 2
+                    payload = (
+                        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                        + b"fmt " + struct.pack("<I", 16)
+                        + struct.pack("<HHIIHH", 1, 1, 8000, byte_rate, 2, 16)
+                        + b"data" + struct.pack("<I", secs * byte_rate)
+                    )
+                elif m == 2:
+                    payload = _synth_png(d % 32 + 1, n % 32 + 1)
+                elif m == 3:
+                    payload = jpegcodec.encode_baseline(
+                        np.full((n % 96 + 1, d % 96 + 1), d % 256,
+                                dtype=np.uint8)
+                    )
+                elif m == 4:
+                    payload = jpegcodec.encode_progressive(
+                        np.full((n % 64 + 1, d % 64 + 1), d % 256,
+                                dtype=np.uint8)
+                    )
+                elif m == 5:
+                    payload = _synth_gif(d % 16 + 1, n % 16 + 1)
+                elif m == 6:
+                    payload = _synth_tiff_gray(d % 32 + 1, n % 24 + 1, d)
+                elif m == 7:
+                    payload = _synth_flac(n % 30 + 1)
+                elif m == 8:
+                    payload = _synth_mp3(d % 20 + 1)
+                else:
+                    payload = b"\x1f\x8b\x08" + bytes(8)
                 out.append({"doc_id": doc_id, "content": payload})
             yield pd.DataFrame(out, columns=["doc_id", "content"])
 

@@ -1177,3 +1177,30 @@ def test_decode_flac_and_mp3():
     with pytest.raises(ValueError):
         M.decode_media(b"ID3\x04\x00\x00" + bytes([0, 0, 0, 4]) + bytes(8),
                        "")
+
+
+def test_bmp_palette_and_32bpp_pixels():
+    import struct
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    def bmp(w, h, bpp, data, palette=b"", n_colors=0):
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0,
+                          len(data), 0, 0, n_colors, 0)
+        hdr_len = 14 + 40 + len(palette)
+        return (b"BM" + struct.pack("<IHHI", hdr_len + len(data), 0, 0,
+                                    hdr_len) + dib + palette + data)
+
+    # 8-bpp palette, 2x1 (stride pads to 4): idx 1 then 0
+    pal = bytes([0, 0, 255, 0]) + bytes([0, 255, 0, 0])  # BGRX: red, green
+    img = bmp(2, 1, 8, bytes([1, 0, 0, 0]), pal, n_colors=2)
+    px = M.decode_pixels(img)
+    assert px.shape == (1, 2, 3)
+    assert px[0, 0].tolist() == [0, 255, 0] and px[0, 1].tolist() == [255, 0, 0]
+
+    # 32-bpp BGRA, 1x1: alpha dropped
+    img32 = bmp(1, 1, 32, bytes([10, 20, 30, 99]))
+    assert M.decode_pixels(img32)[0, 0].tolist() == [30, 20, 10]
+
+    with pytest.raises(ValueError):  # index beyond the declared palette
+        M.decode_pixels(bmp(2, 1, 8, bytes([5, 0, 0, 0]), pal, n_colors=2))
