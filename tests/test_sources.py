@@ -1204,3 +1204,45 @@ def test_bmp_palette_and_32bpp_pixels():
 
     with pytest.raises(ValueError):  # index beyond the declared palette
         M.decode_pixels(bmp(2, 1, 8, bytes([5, 0, 0, 0]), pal, n_colors=2))
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(h=st.integers(1, 20), w=st.integers(1, 20),
+       ch=st.sampled_from([1, 3, 4]), seed=st.integers(0, 2**31))
+def test_property_png_roundtrip_lossless(h, w, ch, seed):
+    """encode_png → decode_pixels is bit-exact for every shape and
+    channel count (PNG is lossless)."""
+    import numpy as np
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    out = M.decode_pixels(M.encode_png(img))
+    assert out.shape == (h, w, ch)
+    assert (out == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 16), w=st.integers(1, 16),
+       ncolors=st.integers(2, 8), seed=st.integers(0, 2**31))
+def test_property_gif_roundtrip_exact(h, w, ncolors, seed):
+    """GIF LZW encode (in-test) → decode is index-exact through the
+    palette for arbitrary images and palette sizes."""
+    import numpy as np
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, ncolors, h * w).tolist()
+    palette = [(i * 30 % 256, i * 50 % 256, i * 70 % 256)
+               for i in range(ncolors)]
+    g = _gif(w, h, idx, palette)
+    got = M.decode_pixels(g)
+    want = np.array(palette, dtype=np.uint8)[
+        np.array(idx).reshape(h, w)]
+    assert (got == want).all()
