@@ -80,11 +80,12 @@ def test_relational_paths_have_no_python(spark):
     """Every oracle-graded query must stay JVM-side: no BatchEvalPython
     / ArrowEvalPython / mapInPandas in the plan (Python is allowed only
     in the explicitly-Python operators: extractor U1, multimodal X5 —
-    x5b/x5c are X5's oracle-graded decode/resize and are Python BY
-    DESIGN, the Arrow-batched codec path)."""
+    x5b/x5c/x5d are X5's oracle-graded decode/resize/format queries
+    and are Python BY DESIGN, the Arrow-batched codec path)."""
     offenders = []
     for name in sorted(
-        set(registry.ORACLES) - {"x5b_media_decode", "x5c_resize_pipeline"}
+        set(registry.ORACLES)
+        - {"x5b_media_decode", "x5c_resize_pipeline", "x5d_media_formats"}
     ):
         p = plan_of(registry.QUERIES[name](spark, SF_DIR))
         if any(
