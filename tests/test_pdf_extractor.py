@@ -183,7 +183,8 @@ def test_mixed_tj_and_array_preserve_document_order():
     before a Tj string must stay first."""
     raw = b"%PDF-1.4\n" + (
         b"1 0 obj\n<< /Length 99 >>\nstream\n"
-        b"BT [(Report Date: 2024-01-15)] TJ (Report Date: 1999-09-09) Tj ET\n"
+        b"BT [(Report Date: 2024-01-15)] TJ 0 -14 Td"
+        b" (Report Date: 1999-09-09) Tj ET\n"
         b"endstream\nendobj\n"
     )
     assert pdftext.extract_pdf_text(raw).splitlines() == [

@@ -81,9 +81,9 @@ def test_filter_chain_a85_then_flate():
 def test_hex_string_and_utf16be_shows():
     content = (
         b"BT"
-        b" <" + b"Total: 42".hex().encode() + b"> Tj"
+        b" <" + b"Total: 42".hex().encode() + b"> Tj 0 -14 Td"
         # UTF-16BE literal with BOM: 'Caf\xe9'
-        b" (\xfe\xff\x00C\x00a\x00f\x00\xe9) Tj"
+        b" (\xfe\xff\x00C\x00a\x00f\x00\xe9) Tj 0 -14 Td"
         # TJ array mixing literal, kerning number, hex string
         b" [(Sta) -20 <747573>] TJ"
         b" ET"
@@ -363,7 +363,7 @@ def test_tounicode_literal_and_tj_array():
     """Literal strings (with octal escapes) and TJ arrays route
     through the same CMap as hex strings."""
     content = (b"BT /F1 12 Tf"
-               b" (\x01\x02\\003) Tj"
+               b" (\x01\x02\\003) Tj 0 -14 Td"
                b" [<0102> -20 (\x03)] TJ"
                b" ET")
     pdf = _font_pdf(content, SUBSET_CMAP)
@@ -378,7 +378,7 @@ def test_tounicode_bfrange_scalar_and_array():
             b"<0041> <0043> <0061>\n"          # 0x41..0x43 -> a b c
             b"<0100> <0101> [<0058> <0059>]\n"  # 0x100,0x101 -> X Y
             b"endbfrange")
-    content = b"BT /F1 12 Tf <004100420043> Tj <01000101> Tj ET"
+    content = b"BT /F1 12 Tf <004100420043> Tj 0 -14 Td <01000101> Tj ET"
     pdf = _font_pdf(content, cmap)
     assert pdftext.extract_pdf_text(pdf).splitlines() == ["abc", "XY"]
 
@@ -407,7 +407,8 @@ def test_tf_switches_fonts_mid_stream():
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
         b" /Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> >>",
-        _stream_obj(b"", b"BT /F1 12 Tf <0102> Tj /F2 10 Tf (plain) Tj"
+        _stream_obj(b"", b"BT /F1 12 Tf <0102> Tj 0 -14 Td"
+                         b" /F2 10 Tf (plain) Tj 0 -14 Td"
                          b" /F1 8 Tf <03> Tj ET"),
         b"<< /Type /Font /Subtype /TrueType /ToUnicode 6 0 R >>",
         _cmap_stream(SUBSET_CMAP),
@@ -493,7 +494,7 @@ def test_encoding_differences_simple_font():
         b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
         b" /Resources << /Font << /F1 5 0 R >> >> >>",
         _stream_obj(b"", b"BT /F1 10 Tf (\x01\x02\x03\x04\x05) Tj"
-                         b" (\x10\x11) Tj ET"),
+                         b" 0 -14 Td (\x10\x11) Tj ET"),
         b"<< /Type /Font /Subtype /Type1 /BaseFont /ABCDEF+CMR10"
         b" /Encoding << /Type /Encoding /Differences"
         b" [ 1 /T /o /t /a /l 16 /uni00E9 /unknownglyph ] >> >>",
@@ -887,3 +888,28 @@ def test_encrypted_pdf_aes_corrupt_payload_quarantines():
     cut = pdf[:at + 17] + pdf[pdf.index(b"\nendstream", at):]
     with pytest.raises(ValueError):
         pdftext.extract_pdf_text(cut)
+
+
+def test_fragmented_line_assembly():
+    """r6: writers split one visual line across several show ops
+    (kerning/font changes with pure-horizontal Td moves); fragments
+    must reassemble into one line so `Key: Value` field extraction
+    still works, while vertical moves / Tm / T* start new lines."""
+    content = (
+        b"BT /F1 12 Tf"
+        b" (Tot) Tj 14 0 Td (al: ) Tj 18 0 Td (42) Tj"  # one visual line
+        b" 0 -14 Td (Status: ok) Tj"                     # vertical: new line
+        b" 1 0 0 1 72 600 Tm (Footer) Tj"                # Tm: new line
+        b" ET"
+    )
+    pdf = _pdf(_page_objs(_stream_obj(b"", content)))
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "Total: 42", "Status: ok", "Footer"
+    ]
+    got = pdftext.pdf_kpi_extractor(pdf, ["Total", "Status"], "")
+    assert got == {"Total": "42", "Status": "ok"}
+
+    # decimal/negative Td operands parse; ty=0.0 keeps the line
+    content2 = (b"BT (A) Tj -3.5 0.0 Td (B) Tj 2.5 -11.25 TD (C) Tj ET")
+    pdf2 = _pdf(_page_objs(_stream_obj(b"", content2)))
+    assert pdftext.extract_pdf_text(pdf2).splitlines() == ["AB", "C"]
