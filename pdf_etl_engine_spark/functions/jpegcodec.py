@@ -54,9 +54,25 @@ for _k in range(8):
         )
 
 
-def _build_huff(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
-    """Canonical Huffman code table from a DHT segment's BITS/HUFFVAL:
-    {(code_length, code): symbol}."""
+class _HuffTable:
+    """Canonical Huffman table with a flat 16-bit-peek LUT: one array
+    lookup per symbol instead of a bit-by-bit tree walk (the standard
+    fast-decoder structure, T.81 F.2.2.3 generalized). Entry =
+    (code_length << 8) | symbol; 0 marks an invalid prefix."""
+
+    __slots__ = ("map", "lut")
+
+    def __init__(self, table: dict[tuple[int, int], int]) -> None:
+        self.map = table
+        lut = np.zeros(1 << 16, dtype=np.uint32)
+        for (length, code), sym in table.items():
+            start = code << (16 - length)
+            lut[start : start + (1 << (16 - length))] = (length << 8) | sym
+        self.lut = lut
+
+
+def _build_huff(bits: bytes, vals: bytes) -> _HuffTable:
+    """Huffman table from a DHT segment's BITS/HUFFVAL counts."""
     table: dict[tuple[int, int], int] = {}
     code, k = 0, 0
     for length in range(1, 17):
@@ -67,43 +83,77 @@ def _build_huff(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
             code += 1
             k += 1
         code <<= 1
-    return table
+    return _HuffTable(table)
 
 
 class _Bits:
-    """MSB-first bit reader over entropy-coded scan bytes with 0xFF00
-    de-stuffing; encountering a real marker mid-read is an error
-    except at declared restart points."""
+    """MSB-first bit reader over entropy-coded scan bytes. The scan is
+    pre-segmented at construction: 0xFF00 stuffing is removed with ONE
+    C-level ``bytes.replace`` per restart interval (not a Python
+    per-byte loop) and RST markers become segment boundaries — the
+    structure that makes the LUT Huffman decoder's peek/skip cycle a
+    handful of int ops per symbol."""
 
-    __slots__ = ("d", "p", "acc", "n", "marker")
+    __slots__ = ("segs", "markers", "end", "si", "seg", "i", "acc", "n")
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.d = data
-        self.p = pos
+        segs: list[bytes] = []
+        markers: list[int] = []
+        n = len(data)
+        start = i = pos
+        end = n
+        while True:
+            j = data.find(b"\xff", i)
+            if j < 0 or j + 1 >= n:
+                segs.append(data[start:n].replace(b"\xff\x00", b"\xff"))
+                break
+            m = data[j + 1]
+            if m == 0x00:
+                i = j + 2
+                continue
+            segs.append(data[start:j].replace(b"\xff\x00", b"\xff"))
+            if 0xD0 <= m <= 0xD7:
+                markers.append(m)
+                start = i = j + 2
+                continue
+            end = j
+            break
+        self.segs = segs
+        self.markers = markers
+        self.end = end
+        self.si = 0
+        self.seg = segs[0]
+        self.i = 0
         self.acc = 0
         self.n = 0
-        self.marker: int | None = None
 
-    def _fill(self) -> None:
-        d = self.d
-        while self.n <= 24:
-            p = self.p
-            if self.marker is not None or p >= len(d):
-                raise ValueError("JPEG scan data ends before image is complete")
-            b = d[p]
-            self.p = p + 1
-            if b == 0xFF:
-                if self.p >= len(d):
-                    raise ValueError("JPEG scan truncated at 0xFF")
-                m = d[self.p]
-                if m == 0x00:
-                    self.p += 1  # stuffed byte
-                else:
-                    self.marker = m  # real marker: stop feeding bits
-                    self.p += 1
-                    return
-            self.acc = (self.acc << 8) | b
-            self.n += 8
+    def _fill(self) -> bool:
+        seg = self.seg
+        i = self.i
+        take = min(6, len(seg) - i)
+        if take <= 0:
+            return False
+        self.acc = (self.acc << (8 * take)) | int.from_bytes(
+            seg[i : i + take], "big"
+        )
+        self.n += 8 * take
+        self.i = i + take
+        return True
+
+    def peek16(self) -> int:
+        """Next 16 bits without consuming (zero-padded past the end of
+        the entropy data — over-reads fail at skip())."""
+        if self.n < 16:
+            self._fill()
+            if self.n < 16:
+                return (self.acc << (16 - self.n)) & 0xFFFF
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def skip(self, nbits: int) -> None:
+        if self.n < nbits:
+            raise ValueError("JPEG scan data exhausted mid-symbol")
+        self.n -= nbits
+        self.acc &= (1 << self.n) - 1
 
     def read(self, nbits: int) -> int:
         if nbits == 0:
@@ -113,53 +163,32 @@ class _Bits:
             if self.n < nbits:
                 raise ValueError("JPEG scan data exhausted mid-symbol")
         self.n -= nbits
-        v = (self.acc >> self.n) & ((1 << nbits) - 1)
+        v = self.acc >> self.n
+        self.acc &= (1 << self.n) - 1
         return v
-
-    def read1(self) -> int:
-        if self.n < 1:
-            self._fill()
-            if self.n < 1:
-                raise ValueError("JPEG scan data exhausted mid-symbol")
-        self.n -= 1
-        return (self.acc >> self.n) & 1
 
     def restart(self, idx: int) -> None:
         """Byte-align, consume the expected RSTn marker, resume."""
-        self.acc, self.n = 0, 0  # drop padding bits
-        if self.marker is None:
-            # marker not yet reached: it must be the next bytes
-            self._scan_to_marker()
-        m = self.marker
+        if self.si >= len(self.markers):
+            raise ValueError("JPEG missing restart marker")
+        m = self.markers[self.si]
         if m != 0xD0 + (idx % 8):
             raise ValueError(
-                f"JPEG expected RST{idx % 8} restart marker, got "
-                f"{m:#x}" if m is not None else "JPEG missing restart marker"
+                f"JPEG expected RST{idx % 8} restart marker, got {m:#x}"
             )
-        self.marker = None
-
-    def _scan_to_marker(self) -> None:
-        d = self.d
-        while self.p < len(d):
-            b = d[self.p]
-            self.p += 1
-            if b == 0xFF and self.p < len(d):
-                m = d[self.p]
-                self.p += 1
-                if m != 0x00:
-                    self.marker = m
-                    return
-        raise ValueError("JPEG scan ended while seeking restart marker")
+        self.si += 1
+        self.seg = self.segs[self.si]
+        self.i = 0
+        self.acc = 0
+        self.n = 0
 
 
-def _decode_huff(bits: _Bits, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | bits.read1()
-        v = table.get((length, code))
-        if v is not None:
-            return v
-    raise ValueError("invalid JPEG Huffman code in scan")
+def _decode_huff(bits: _Bits, table: _HuffTable) -> int:
+    e = int(table.lut[bits.peek16()])
+    if e == 0:
+        raise ValueError("invalid JPEG Huffman code in scan")
+    bits.skip(e >> 8)
+    return e & 0xFF
 
 
 def _extend(v: int, size: int) -> int:
@@ -207,17 +236,9 @@ def _parse_sof(fr: _Frame, body: bytes) -> None:
 
 
 def _scan_end(bits: _Bits) -> int:
-    """Byte position of the next marker after an entropy-coded scan
-    (the reader may already have consumed it during its last fill)."""
-    if bits.marker is not None:
-        return bits.p - 2
-    d = bits.d
-    p = bits.p
-    while p + 1 < len(d):
-        if d[p] == 0xFF and d[p + 1] != 0x00:
-            return p
-        p += 1
-    return len(d)
+    """Byte position of the marker ending the entropy-coded scan
+    (located during the reader's segmentation pass)."""
+    return bits.end
 
 
 class _ScanState:
@@ -235,8 +256,8 @@ class _ScanState:
 
 
 def _decode_block_baseline(
-    bits: _Bits, coef: np.ndarray, st: _ScanState, ci: int, dct: dict,
-    act: dict,
+    bits: _Bits, coef: list, st: _ScanState, ci: int, dct: _HuffTable,
+    act: _HuffTable,
 ) -> None:
     t = _decode_huff(bits, dct)
     if t > 11:
@@ -388,11 +409,12 @@ def _decode_scan(
                     for bx in range(h):
                         blk = stores[ci][my * v + by, mx * h + bx]
                         if not fr.progressive:
-                            blk[:] = 0
+                            tmp = [0] * 64
                             _decode_block_baseline(
-                                bits, blk, st, ci, fr.hdc[dc_id],
+                                bits, tmp, st, ci, fr.hdc[dc_id],
                                 fr.hac[ac_id],
                             )
+                            blk[:] = tmp
                         elif ah == 0:  # DC initial
                             t = _decode_huff(bits, fr.hdc[dc_id])
                             if t > 11:
@@ -633,7 +655,7 @@ _ENC_AC_VALS = bytes(_AC_SYMS)
 
 def _enc_codes(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
     inv = {}
-    for (length, code), sym in _build_huff(bits, vals).items():
+    for (length, code), sym in _build_huff(bits, vals).map.items():
         inv[sym] = (code, length)
     return inv
 
