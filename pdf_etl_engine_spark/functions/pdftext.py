@@ -995,6 +995,43 @@ _TF_SHOW_RE = re.compile(
 )
 
 
+# Inline images (§8.9.7): BI <dict> ID <raw sample bytes> EI embed
+# arbitrary binary in the middle of a content stream. Those bytes can
+# accidentally spell "BT" or "(x) Tj", which would fabricate text
+# blocks / shows or trip the no-recoverable-text quarantine on a valid
+# document — so they're blanked before the operator scan.
+_BI_RE = re.compile(rb"(?<![A-Za-z0-9])BI(?![A-Za-z0-9])")
+_ID_RE = re.compile(rb"(?<![A-Za-z0-9])ID[\x00\t\n\f\r ]")
+_EI_RE = re.compile(rb"[\x00\t\n\f\r ]EI(?![A-Za-z0-9])")
+
+
+def _strip_inline_images(decoded: bytes) -> bytes:
+    """Overwrite every BI..ID..EI segment with spaces. Equal-length
+    replacement keeps all other operators' byte offsets unchanged (the
+    BT-span bookkeeping in ``extract_pdf_text`` works on offsets).
+    The sample data ends at the first whitespace-delimited EI — the
+    spec's own recovery rule, since /Length is optional for inline
+    images; a missing EI blanks through end-of-stream (truncated
+    image, nothing after it could be trusted anyway)."""
+    bm = _BI_RE.search(decoded)
+    if not bm:
+        return decoded
+    out = bytearray(decoded)
+    pos = 0
+    while True:
+        bm = _BI_RE.search(decoded, pos)
+        if not bm:
+            break
+        im = _ID_RE.search(decoded, bm.end())
+        if not im:
+            break  # no ID: not an inline image after all
+        em = _EI_RE.search(decoded, im.end())
+        end = em.end() if em else len(decoded)
+        out[bm.start():end] = b" " * (end - bm.start())
+        pos = end
+    return bytes(out)
+
+
 def _show_to_text(m: re.Match, cmap: tuple | None) -> str:
     """One text-show match → text, through the active font's ToUnicode
     CMap when there is one, else the direct byte/UTF-16BE path."""
@@ -1070,6 +1107,7 @@ def extract_pdf_text(data: bytes) -> str:
         if decoded is None:
             suspicious = "stream behind unsupported filter"
             continue
+        decoded = _strip_inline_images(decoded)
         fonts = per_stream.get(snum, global_fonts)
         # BT..ET spans: shows only count inside them (existing
         # contract); Tf updates track across the whole stream because

@@ -228,7 +228,10 @@ def test_fuzz_only_valueerror_escapes():
     snippets = [b"stream\n", b"endstream", b"BT", b"ET", b"(", b")",
                 b"<<", b">>", b"/Filter /FlateDecode", b"/ObjStm",
                 b"/N 5 /First 9999", b"obj", b"endobj", b"\xfe\xff",
-                b"<41", b"[(a) 5 ", b"\\", b"/Info 99 0 R"]
+                b"<41", b"[(a) 5 ", b"\\", b"/Info 99 0 R",
+                # inline-image operators (r6 stripper): unbalanced
+                # BI/ID/EI splices must never escape the contract
+                b"BI /W 2 /H 2 ID ", b" EI", b"ID \x00\xffBT"]
     for trial in range(300):
         data = bytearray(base)
         for _ in range(rng.randint(1, 6)):
@@ -913,3 +916,51 @@ def test_fragmented_line_assembly():
     content2 = (b"BT (A) Tj -3.5 0.0 Td (B) Tj 2.5 -11.25 TD (C) Tj ET")
     pdf2 = _pdf(_page_objs(_stream_obj(b"", content2)))
     assert pdftext.extract_pdf_text(pdf2).splitlines() == ["AB", "C"]
+
+
+def test_inline_image_binary_is_ignored():
+    """§8.9.7: BI..ID..EI sample bytes are arbitrary binary — here they
+    spell a fake text block and a fake show. They must not leak into
+    the extracted text, and the real shows around them must survive."""
+    fake = b"BT (FAKE SECRET) Tj ET"  # bytes inside the image data
+    content = (
+        b"BT /F1 12 Tf (Before: 1) Tj ET\n"
+        b"BI /W 4 /H 2 /BPC 8 /CS /G ID " + fake + b"\x00\xff\x01 EI\n"
+        b"BT (After: 2) Tj ET"
+    )
+    pdf = _pdf(_page_objs(_stream_obj(b"", content)))
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "Before: 1", "After: 2"
+    ]
+
+
+def test_inline_image_only_page_not_quarantined():
+    """A page whose only content is an inline image whose binary
+    happens to contain 'BT' is a legitimately text-free scan — it must
+    return "" (metadata KPIs still answer), not raise the
+    no-recoverable-text quarantine."""
+    content = b"q BI /W 2 /H 2 /BPC 8 /CS /RGB ID \x42\x54 BT \xff\x00 EI Q"
+    pdf = _pdf(_page_objs(_stream_obj(b"", content)))
+    assert pdftext.extract_pdf_text(pdf) == ""
+
+
+def test_inline_image_truncated_tail_blanked():
+    """ID with no closing EI: everything after it is untrusted image
+    bytes; real shows before the image still extract."""
+    content = (
+        b"BT (Total: 7) Tj ET "
+        b"BI /W 1 /H 1 /BPC 8 /CS /G ID \x00(garbage) Tj"
+    )
+    pdf = _pdf(_page_objs(_stream_obj(b"", content)))
+    assert pdftext.extract_pdf_text(pdf).splitlines() == ["Total: 7"]
+
+
+def test_id_inside_string_not_treated_as_image():
+    """The letters 'ID' inside a shown string must not start an image
+    segment — the _ID_RE word-boundary + the BI prefix requirement
+    guard that: no BI, no stripping at all."""
+    content = b"BT (ID 123) Tj 0 -14 Td (BI plan) Tj ET"
+    pdf = _pdf(_page_objs(_stream_obj(b"", content)))
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "ID 123", "BI plan"
+    ]
