@@ -852,11 +852,80 @@ def _stage_files(df: DataFrame, path: str) -> list[str]:
     return moved
 
 
+_ZORDER_BITS = 6  # 64 rank buckets per dimension
+
+
+def _zorder_key(df: DataFrame, cols: list[str], bits: int = _ZORDER_BITS):
+    """Morton (Z-order) key over ``cols``: per-column QUANTILE bucket
+    ids (skew-proof, unlike equal-width) bit-interleaved into one
+    integer. Range-partitioning on this key makes every output file a
+    compact hypercube in the multi-column space, so per-file min/max
+    are narrow on EVERY clustered column at once — lexicographic
+    ``cluster_by`` only narrows the leading column, leaving a
+    predicate on the second column unable to skip anything.
+
+    Scale shape: one ``approxQuantile`` pass (all columns together,
+    driver holds k×(2^bits−1) cut points — constant), then the bucket
+    map + interleave are pure codegen expressions (a ≤63-element
+    literal-array filter per column; no UDF, no extra shuffle beyond
+    the range partitioner's sample). Same mechanism as Delta's
+    OPTIMIZE ZORDER range_partition_id interleave."""
+    nb = 1 << bits
+
+    def proxy(c: str):
+        dt = df.schema[c].dataType.simpleString()
+        if dt in ("date", "timestamp", "timestamp_ntz"):
+            return F.col(c).cast("timestamp").cast("double")
+        if dt == "string":
+            # order-preserving numeric proxy: first 7 bytes, base-256
+            ch = [
+                F.coalesce(F.ascii(F.substring(F.col(c), i + 1, 1)), F.lit(0))
+                for i in range(7)
+            ]
+            out = F.lit(0).cast("double")
+            for e in ch:
+                out = out * 256 + e
+            return out
+        return F.col(c).cast("double")
+
+    proxied = [proxy(c).alias(f"_zp_{i}") for i, c in enumerate(cols)]
+    sample = df.select(*proxied)
+    probs = [i / nb for i in range(1, nb)]
+    cuts = {
+        f"_zp_{i}": sorted(set(q))
+        for i, q in enumerate(
+            sample.stat.approxQuantile(
+                [f"_zp_{i}" for i in range(len(cols))], probs, 1.0 / (4 * nb)
+            )
+        )
+    }
+
+    def bucket(pc: str):
+        cp = cuts[pc]
+        if not cp:
+            return F.lit(0)
+        arr = F.array(*[F.lit(float(x)) for x in cp])
+        return F.coalesce(
+            F.size(F.filter(arr, lambda x: x <= F.col(pc))), F.lit(0)
+        )
+
+    key = F.lit(0).cast("long")
+    k = len(cols)
+    for j in range(bits):
+        for i in range(k):
+            bit = F.shiftright(bucket(f"_zp_{i}").cast("long"), j).bitwiseAND(
+                F.lit(1)
+            )
+            key = key.bitwiseOR(F.shiftleft(bit, j * k + i))
+    return proxied, key
+
+
 def compact_fact_table(
     spark: SparkSession,
     path: str,
     cluster_by: list[str] | None = None,
     target_files: int | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction: rewrite the CURRENT snapshot with one
     file per (tenant_id, folder_id) partition and publish it as a
@@ -864,8 +933,14 @@ def compact_fact_table(
     layout; older versions stay readable (time travel) until
     ``vacuum_fact_table`` reclaims their files.
 
-    ``cluster_by`` turns this into CLUSTERED compaction (the OPTIMIZE
-    ... ZORDER BY shape): rows are range-repartitioned into
+    ``zorder_by`` is true multi-column OPTIMIZE ... ZORDER BY: rows
+    are range-partitioned on a Morton-interleaved quantile-bucket key
+    (see ``_zorder_key``), so file min/max stay narrow on every listed
+    column simultaneously and ``pruned_files`` skips on a predicate
+    over ANY of them — the right layout when queries filter sometimes
+    by one column, sometimes by another.
+
+    ``cluster_by`` is LEXICOGRAPHIC clustering: rows are range-repartitioned into
     ``target_files`` tasks on the cluster keys and sorted within each,
     so every output file covers a disjoint narrow key range and the
     commit's per-file min/max stats let ``pruned_files`` skip most
@@ -880,7 +955,17 @@ def compact_fact_table(
     one per partition. Returns the new table version.
     """
     current = read_fact_table(spark, path)
-    if cluster_by:
+    if zorder_by:
+        n = target_files or current.sparkSession.sparkContext.defaultParallelism
+        proxied, key = _zorder_key(current, zorder_by)
+        current = (
+            current.select("*", *proxied)
+            .withColumn("_zkey", key)
+            .repartitionByRange(n, F.col("_zkey"))
+            .sortWithinPartitions("_zkey")
+            .drop("_zkey", *[f"_zp_{i}" for i in range(len(zorder_by))])
+        )
+    elif cluster_by:
         n = target_files or current.sparkSession.sparkContext.defaultParallelism
         current = current.repartitionByRange(
             n, *[F.col(c) for c in cluster_by]

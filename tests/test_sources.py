@@ -675,6 +675,73 @@ def test_clustered_append_enables_range_pruning(spark, tmp_path):
     )
 
 
+def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
+    """OPTIMIZE ZORDER: after z-order compaction on (x, y), a
+    predicate on EITHER column alone must skip most files. The
+    contrast case — lexicographic cluster_by=["x","y"] — leaves every
+    file spanning the full y range, so y predicates can't skip; the
+    Morton layout gives every file a narrow range on both."""
+    import random
+
+    path = str(tmp_path / "facts")
+    rng = random.Random(3)
+    cells = [(x, y) for x in range(64) for y in range(64)]
+    rng.shuffle(cells)
+    batch = spark.createDataFrame(
+        [("u1", "grid", f"r{x}_{y}", float(x), float(y)) for x, y in cells],
+        "tenant_id string, folder_id string, row_id string, x double, y double",
+    )
+    writers.append_rows(batch.coalesce(1), path)
+    writers.compact_fact_table(spark, path, zorder_by=["x", "y"],
+                               target_files=16)
+    files = writers.committed_files(path)
+    assert len(files) >= 8
+    for col in ("x", "y"):
+        kept = writers.pruned_files(path, [(col, "==", 5.0)])
+        # a perfect 16-file Morton layout touches 4 of 16 files per
+        # 1-D slice (sqrt pruning); allow quantile-sampling slop
+        assert len(kept) <= len(files) // 2, (col, len(kept), len(files))
+    # advisory-safe: no row lost, values intact
+    tbl = writers.read_fact_table(spark, path)
+    assert tbl.count() == 64 * 64
+    assert tbl.filter("x = 5.0").count() == 64
+    assert tbl.filter("y = 5.0").count() == 64
+
+
+def test_zorder_string_and_timestamp_dimensions(spark, tmp_path):
+    """Z-order must handle non-numeric dimensions via order-preserving
+    proxies: strings (first-7-byte base-256) and timestamps (epoch).
+    Pruning on the string column uses the recorded min/max strings."""
+    import datetime
+    import random
+
+    path = str(tmp_path / "facts")
+    rng = random.Random(5)
+    rows = []
+    for i in range(1024):
+        cat = f"cat_{i % 32:02d}"
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+            hours=i // 32
+        )
+        rows.append(("u1", "grid", f"r{i}", cat, ts))
+    rng.shuffle(rows)
+    batch = spark.createDataFrame(
+        rows,
+        "tenant_id string, folder_id string, row_id string,"
+        " category string, event_ts timestamp",
+    )
+    writers.append_rows(batch.coalesce(1), path)
+    writers.compact_fact_table(
+        spark, path, zorder_by=["category", "event_ts"], target_files=16
+    )
+    files = writers.committed_files(path)
+    kept = writers.pruned_files(path, [("category", "==", "cat_05")])
+    assert len(kept) <= len(files) // 2, (len(kept), len(files))
+    tbl = writers.read_fact_table(spark, path)
+    assert tbl.count() == 1024
+    assert tbl.filter("category = 'cat_05'").count() == 32
+
+
 def _bmp(width=640, height=480, bpp=24):
     import struct
 
