@@ -616,3 +616,83 @@ def x24_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.count("is_shared").alias("n_shared_chunks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X25 — sequence packing (training-batch assembly accounting)
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 256  # tokens per packed training sequence (toy-scale)
+
+
+@query(
+    "x25_sequence_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_toks
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_toks,
+             sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_toks) AS n_tokens,
+           CAST(ceil(CAST(max(cum) AS DOUBLE) / {_PACK_CAP}) AS BIGINT)
+             AS n_sequences,
+           count(*) FILTER (WHERE n_toks > 0
+             AND floor((cum - 1) / {_PACK_CAP})
+                 > floor((cum - n_toks) / {_PACK_CAP})) AS n_split_docs,
+           round(CAST(sum(n_toks) AS DOUBLE)
+                 / (ceil(CAST(max(cum) AS DOUBLE) / {_PACK_CAP})
+                    * {_PACK_CAP}) + 5e-10, 6) AS avg_fill
+    FROM c GROUP BY source
+    """,
+)
+def x25_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25: sequence-packing accounting — the concat-and-chop packing
+    every GPT-style pretraining run performs: per source, documents
+    are concatenated in a deterministic order (doc_id) and sliced into
+    fixed-capacity token sequences. Reports, per source, the number of
+    packed sequences the corpus yields, how many documents straddle a
+    sequence boundary (those get split attention masks / need special
+    handling), and the fill ratio (1.0 − padding waste). This is the
+    planning signal for choosing capacity vs. padding-loss tradeoffs
+    before launching a tokenization job over 100 TB.
+
+    Scale shape: token counting is map-only; the only shuffle is the
+    window's hash partition on ``source``. A single giant source would
+    make one pack stream per source a straggler — at scale you shard
+    each source into K independent pack streams (partitionBy(source,
+    pmod(xxhash64(doc_id), K))), which changes nothing semantically
+    (each stream is packed independently; counts add). The graded form
+    keeps one stream per source so the DuckDB twin reproduces the
+    identical cumulative sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(_words())
+    d = docs.select("source", "doc_id", n_toks.alias("n_toks"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("cum", F.sum("n_toks").over(w))
+    cap = F.lit(_PACK_CAP)
+    is_split = (F.col("n_toks") > 0) & (
+        F.floor((F.col("cum") - 1) / cap)
+        > F.floor((F.col("cum") - F.col("n_toks")) / cap)
+    )
+    n_seq = F.ceil(F.max("cum") / cap)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        n_seq.alias("n_sequences"),
+        F.sum(is_split.cast("bigint")).alias("n_split_docs"),
+        stable_round(
+            F.sum("n_toks") / (n_seq * cap).cast("double"), 6
+        ).alias("avg_fill"),
+    )
