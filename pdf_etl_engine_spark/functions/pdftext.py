@@ -895,8 +895,62 @@ def _font_value(body: bytes, objects: dict[int, bytes]) -> bytes | None:
     return None
 
 
+def _page_content_order(data: bytes, objects: dict[int, bytes]) -> list[int]:
+    """Content-stream object numbers in PAGE-TREE order (§7.7.3):
+    trailer /Root → /Pages → depth-first /Kids walk, each page's
+    /Contents refs in array order. Physical object order is just how
+    the writer happened to serialize — linearized and
+    incrementally-updated files routinely store page 2's stream before
+    page 1's. Returns [] when no navigable tree exists (caller falls
+    back to object order). A cycle in a damaged tree is guarded, not
+    followed."""
+    root = None
+    m = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", data)
+    if m:
+        root = objects.get(int(m.group(1)))
+    if root is None:
+        for body in objects.values():
+            if re.search(rb"/Type\s*/Catalog\b", body):
+                root = body
+                break
+    if root is None:
+        return []
+    pm = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", root)
+    if not pm:
+        return []
+    order: list[int] = []
+    content_seen: set[int] = set()
+    node_seen: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in node_seen:
+            return
+        node_seen.add(num)
+        body = objects.get(num)
+        if body is None:
+            return
+        if re.search(rb"/Type\s*/Pages\b", body):
+            km = re.search(rb"/Kids\s*\[([^\]]*)\]", body)
+            if km:
+                for ref in _REF_RE.findall(km.group(1)):
+                    walk(int(ref))
+        elif re.search(rb"/Type\s*/Page(?![a-zA-Z])", body):
+            cm = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", body)
+            if cm:
+                for ref in _REF_RE.findall(cm.group(1)):
+                    n = int(ref)
+                    if n not in content_seen:
+                        content_seen.add(n)
+                        order.append(n)
+
+    walk(int(pm.group(1)))
+    return order
+
+
 def _build_font_tables(
-    data: bytes, dec: _Rc4Decryptor | None = None,
+    data: bytes,
+    dec: _Rc4Decryptor | None = None,
+    objects: dict[int, bytes] | None = None,
 ) -> tuple[dict[int, dict[bytes, int]], dict[bytes, int], dict[int, tuple]]:
     """Resolve the font plumbing once per document:
     ``(per_stream, global_fonts, cmaps)`` where ``per_stream`` maps a
@@ -910,7 +964,8 @@ def _build_font_tables(
     /Differences is the fallback for simple re-encoded fonts."""
     if b"/ToUnicode" not in data and b"/Differences" not in data:
         return {}, {}, {}
-    objects = _object_index(data, dec)
+    if objects is None:
+        objects = _object_index(data, dec)
     # font object → parsed ToUnicode CMap (CMap streams are always
     # direct stream objects; §7.5.7 forbids streams inside ObjStm)
     tounicode_of: dict[int, int] = {}
@@ -1097,10 +1152,20 @@ def extract_pdf_text(data: bytes) -> str:
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF: missing %PDF- header")
     dec = _parse_encryption(data)
-    per_stream, global_fonts, cmaps = _build_font_tables(data, dec)
+    objects = _object_index(data, dec)
+    per_stream, global_fonts, cmaps = _build_font_tables(
+        data, dec, objects
+    )
+    streams = list(_iter_streams(data, dec))
+    page_order = _page_content_order(data, objects)
+    if page_order:
+        # reading order = page-tree order; streams the tree doesn't
+        # claim (form XObjects, orphans) keep object order at the end
+        pos = {n: i for i, n in enumerate(page_order)}
+        streams.sort(key=lambda t: pos.get(t[0], len(pos)))
     lines: list[str] = []
     suspicious: str | None = None
-    for snum, dict_bytes, raw in _iter_streams(data, dec):
+    for snum, dict_bytes, raw in streams:
         if _SKIP_TYPE_RE.search(dict_bytes):
             continue  # xref stream / XMP / image / ObjStm: not page text
         decoded = _decode_stream(dict_bytes, raw)

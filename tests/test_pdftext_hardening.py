@@ -262,7 +262,7 @@ def test_fuzz_only_valueerror_escapes():
         # the r6 scan-decoding JPEG and MP4 demux paths
         media = rng.choice(
             [b"BM", b"RIFF", b"P6 ", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
-             bytes(4) + b"ftyp", b""]
+             bytes(4) + b"ftyp", b"RIFF\x00\x01\x00\x00AVI ", b""]
         ) + blob[:64]
         try:
             M.decode_media(media, "")
@@ -274,6 +274,10 @@ def test_fuzz_only_valueerror_escapes():
             pass
         try:
             M.sample_frames(media, 2)
+        except (ValueError, NotImplementedError):
+            pass
+        try:
+            M.decode_video_frames(media, 2)
         except (ValueError, NotImplementedError):
             pass
 
@@ -964,3 +968,55 @@ def test_id_inside_string_not_treated_as_image():
     assert pdftext.extract_pdf_text(pdf).splitlines() == [
         "ID 123", "BI plan"
     ]
+
+
+def _pdf_two_pages_out_of_order() -> bytes:
+    """Page 2's content stream is serialized BEFORE page 1's — the
+    shape linearized / incrementally-updated writers produce."""
+    c1 = b"BT (Page one) Tj ET"
+    c2 = b"BT (Page two) Tj ET"
+    return _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R 5 0 R] /Count 2 >>",
+        _stream_obj(b"", c2),                      # obj 3: page 2 content
+        b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",  # page 1
+        b"<< /Type /Page /Parent 2 0 R /Contents 3 0 R >>",  # page 2
+        _stream_obj(b"", c1),                      # obj 6: page 1 content
+    ])
+
+
+def test_page_tree_order_beats_object_order():
+    """Text must come out in PAGE order even when the writer stored
+    the streams in the opposite physical order."""
+    pdf = _pdf_two_pages_out_of_order()
+    assert pdftext.extract_pdf_text(pdf).splitlines() == [
+        "Page one", "Page two"
+    ]
+
+
+def test_nested_kids_tree_walk():
+    """Intermediate /Pages nodes (balanced page trees): depth-first
+    Kids order is the reading order."""
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>",
+        b"<< /Type /Pages /Parent 2 0 R /Kids [6 0 R] /Count 1 >>",
+        b"<< /Type /Pages /Parent 2 0 R /Kids [7 0 R] /Count 1 >>",
+        _stream_obj(b"", b"BT (Second) Tj ET"),    # obj 5
+        b"<< /Type /Page /Parent 3 0 R /Contents 8 0 R >>",
+        b"<< /Type /Page /Parent 4 0 R /Contents 5 0 R >>",
+        _stream_obj(b"", b"BT (First) Tj ET"),     # obj 8
+    ])
+    assert pdftext.extract_pdf_text(pdf).splitlines() == ["First", "Second"]
+
+
+def test_cyclic_page_tree_does_not_hang():
+    """A damaged tree whose /Kids points back at an ancestor must
+    terminate (cycle guard) and still extract the reachable page."""
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [2 0 R 3 0 R] /Count 1 >>",  # self-cycle
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        _stream_obj(b"", b"BT (Alive) Tj ET"),
+    ])
+    assert pdftext.extract_pdf_text(pdf).splitlines() == ["Alive"]
