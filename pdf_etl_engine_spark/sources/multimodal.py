@@ -175,6 +175,114 @@ def _decode_mp4(content: bytes) -> dict:
     raise ValueError("MP4 has no moov box")
 
 
+def _avi_parse(content: bytes) -> tuple[dict, list[bytes]]:
+    """RIFF/AVI walk (AVI 1.0): the ``avih`` main header gives frame
+    timing and dims; the ``movi`` LIST's ``##dc``/``##db`` chunks are
+    the encoded video frames in presentation order. Returns
+    ``(header fields, frame payloads)``. Chunk sizes that overrun the
+    payload raise ValueError (quarantine contract)."""
+    import struct
+
+    if content[8:12] != b"AVI ":
+        raise ValueError("RIFF without AVI form type")
+    hdr: dict = {}
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid, size = content[pos : pos + 4], struct.unpack_from(
+                "<I", content, pos + 4
+            )[0]
+            dpos = pos + 8
+            if dpos + size > len(content):
+                raise ValueError(
+                    f"AVI chunk {cid!r} at {pos} overruns payload"
+                )
+            if cid == b"LIST":
+                walk(dpos + 4, dpos + size)  # skip the 4-byte list type
+            elif cid == b"avih":
+                if size < 40:
+                    raise ValueError("AVI avih header truncated")
+                (hdr["usec_per_frame"],) = struct.unpack_from(
+                    "<I", content, dpos
+                )
+                (hdr["total_frames"],) = struct.unpack_from(
+                    "<I", content, dpos + 16
+                )
+                hdr["width"], hdr["height"] = struct.unpack_from(
+                    "<II", content, dpos + 32
+                )
+            elif (
+                len(cid) == 4
+                and cid[:2].isdigit()
+                and cid[2:4] in (b"dc", b"db")
+            ):
+                frames.append(content[dpos : dpos + size])
+            pos = dpos + size + (size & 1)  # word-aligned
+
+    walk(12, min(len(content), 8 + struct.unpack_from("<I", content, 4)[0]))
+    if not hdr:
+        raise ValueError("AVI has no avih main header")
+    return hdr, frames
+
+
+def _decode_avi(content: bytes) -> dict:
+    """AVI container metadata + a real in-sample decode check: when
+    the video chunks are MJPEG (each frame a complete JPEG — the one
+    video codec a pure-Python path can honestly decode), the first
+    frame is decoded through :mod:`..functions.jpegcodec` and its
+    dims must agree with the header. Other codecs report
+    container-level metadata only (the ffmpeg slot)."""
+    hdr, frames = _avi_parse(content)
+    upf = hdr.get("usec_per_frame") or 0
+    out = {
+        "kind": "video",
+        "format": "avi",
+        "width": hdr.get("width"),
+        "height": hdr.get("height"),
+        "n_frames": len(frames) or hdr.get("total_frames"),
+        "duration_s": (len(frames) * upf / 1e6) if upf else None,
+    }
+    if frames and frames[0][:2] == b"\xff\xd8":
+        from pdf_etl_engine_spark.functions import jpegcodec
+
+        meta = jpegcodec.decode_meta(frames[0])
+        if (meta["width"], meta["height"]) != (out["width"], out["height"]):
+            raise ValueError(
+                "AVI MJPEG frame dims "
+                f"{meta['width']}x{meta['height']} disagree with header "
+                f"{out['width']}x{out['height']}"
+            )
+        out["codec"] = "mjpeg"
+    return out
+
+
+def decode_video_frames(content: bytes, every_n: int = 1):
+    """REAL in-sample video decode for the one codec pure Python can
+    carry: MJPEG-in-AVI. Every Nth ``movi`` frame chunk is decoded to
+    an (H, W, C) uint8 array via the full JPEG path. H.264/H.265 in
+    MP4 still needs ffmpeg — ``sample_frames`` extracts those bytes,
+    this function raises NotImplementedError for them."""
+    if every_n <= 0:
+        raise ValueError(f"invalid sampling interval {every_n}")
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise NotImplementedError(
+            "in-sample video decode is MJPEG/AVI only; other codecs "
+            "need ffmpeg in production"
+        )
+    _hdr, frames = _avi_parse(content)
+    from pdf_etl_engine_spark.functions import jpegcodec
+
+    out = []
+    for fb in frames[::every_n]:
+        if fb[:2] != b"\xff\xd8":
+            raise NotImplementedError(
+                "AVI video chunk is not MJPEG; needs ffmpeg"
+            )
+        out.append(jpegcodec.decode_pixels(fb))
+    return out
+
+
 def _decode_flac(content: bytes) -> dict:
     """FLAC STREAMINFO parse (format spec): the mandatory first
     metadata block carries sample rate / channels / bits / total
@@ -904,6 +1012,8 @@ def decode_media(content: bytes, mime: str) -> dict:
     ):
         return _decode_ppm(content)
     if content[:4] == b"RIFF":
+        if content[8:12] == b"AVI ":
+            return _decode_avi(content)
         return _decode_wav(content)
     if content[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(content)
@@ -1442,10 +1552,17 @@ def sample_frames(content: bytes, every_n: int) -> list[bytes]:
     ValueError."""
     if every_n <= 0:
         raise ValueError(f"invalid sampling interval {every_n}")
+    if (
+        len(content) >= 12
+        and content[:4] == b"RIFF"
+        and content[8:12] == b"AVI "
+    ):
+        _hdr, frames = _avi_parse(content)
+        return frames[::every_n]
     if len(content) < 12 or content[4:8] != b"ftyp":
         raise NotImplementedError(
-            "frame sampling needs an ISO BMFF (ftyp) payload; other "
-            "containers need ffmpeg in production"
+            "frame sampling needs an ISO BMFF (ftyp) or RIFF/AVI "
+            "payload; other containers need ffmpeg in production"
         )
     samples, sync = _mp4_video_samples(content)
     if sync:

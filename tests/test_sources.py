@@ -1313,3 +1313,97 @@ def test_property_gif_roundtrip_exact(h, w, ncolors, seed):
     want = np.array(palette, dtype=np.uint8)[
         np.array(idx).reshape(h, w)]
     assert (got == want).all()
+
+
+def _synth_avi_mjpeg(w=16, h=8, n_frames=5, upf=33333):
+    import struct
+
+    import numpy as np
+
+    from pdf_etl_engine_spark.functions import jpegcodec
+
+    def chunk(cid, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    enc = [
+        jpegcodec.encode_baseline(
+            np.full((h, w, 3), (40 * i) % 256, np.uint8)
+        )
+        for i in range(n_frames)
+    ]
+    avih = struct.pack(
+        "<14I", upf, 0, 0, 0, n_frames, 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", e) for e in enc))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_mjpeg_metadata_and_frame_decode():
+    """RIFF/AVI with MJPEG frames: container metadata (dims, frame
+    count, duration from avih timing) plus REAL in-sample decode —
+    every frame comes back as an (H, W, 3) pixel array whose values
+    match what was encoded (near-lossless quant=1)."""
+    import numpy as np  # noqa: F401
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    avi = _synth_avi_mjpeg(w=16, h=8, n_frames=5)
+    meta = M.decode_media(avi, "")
+    assert meta["kind"] == "video" and meta["format"] == "avi"
+    assert (meta["width"], meta["height"]) == (16, 8)
+    assert meta["n_frames"] == 5
+    assert abs(meta["duration_s"] - 5 * 33333 / 1e6) < 1e-9
+    assert meta["codec"] == "mjpeg"
+
+    frames = M.decode_video_frames(avi, every_n=2)
+    assert len(frames) == 3  # frames 0, 2, 4
+    for k, px in zip((0, 2, 4), frames):
+        assert px.shape == (8, 16, 3)
+        assert abs(int(px.mean()) - (40 * k) % 256) <= 2
+
+    # sample_frames returns the encoded chunk bytes (JPEG magic)
+    sampled = M.sample_frames(avi, 2)
+    assert len(sampled) == 3
+    assert all(s[:2] == b"\xff\xd8" for s in sampled)
+
+
+def test_avi_corrupt_and_non_mjpeg_contract():
+    """Quarantine contract: overrunning chunk sizes are ValueError;
+    a non-MJPEG AVI reports metadata but in-sample decode raises
+    NotImplementedError (the ffmpeg slot); WAV stays on the WAV path."""
+    import struct
+
+    import pytest
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    avi = _synth_avi_mjpeg(n_frames=2)
+    # corrupt: blow up the first LIST size so it overruns the payload
+    pos = avi.index(b"LIST")
+    bad = avi[: pos + 4] + struct.pack("<I", 1 << 30) + avi[pos + 8 :]
+    with pytest.raises(ValueError):
+        M.decode_media(bad, "")
+
+    # header dims disagreeing with the MJPEG frame: corruption evidence
+    lied = avi.replace(struct.pack("<II", 16, 8), struct.pack("<II", 99, 7))
+    with pytest.raises(ValueError, match="disagree"):
+        M.decode_media(lied, "")
+
+    # a fake non-MJPEG codec chunk: metadata fine, decode raises NIE
+    def chunk(cid, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack("<14I", 40000, 0, 0, 0, 1, 0, 1, 0, 4, 4,
+                       0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", b"\x00\x01h264ish"))
+    body = b"AVI " + hdrl + movi
+    h264 = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta = M.decode_media(h264, "")
+    assert meta["n_frames"] == 1 and "codec" not in meta
+    with pytest.raises(NotImplementedError):
+        M.decode_video_frames(h264)
