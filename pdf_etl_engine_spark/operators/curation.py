@@ -696,3 +696,94 @@ def x25_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks") / (n_seq * cap).cast("double"), 6
         ).alias("avg_fill"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X26 — URL normalization + domain-blocklist filtering
+# ---------------------------------------------------------------------------
+
+_URL_HOSTS = [
+    "Example.COM", "www.example.com", "news.site.org", "ads.tracker.net",
+    "tracker.net", "blog.example.com", "cdn.spam.biz", "docs.site.org:443",
+]
+_URL_BLOCKLIST = ["tracker.net", "spam.biz"]
+
+
+@query(
+    "x26_url_blocklist",
+    oracle=f"""
+    WITH u AS (
+      SELECT source,
+             list_extract({_URL_HOSTS!r}, CAST(doc_id % 8 AS INTEGER) + 1)
+               AS raw_host
+      FROM documents
+    ), n AS (
+      SELECT source,
+             regexp_replace(regexp_replace(lower(raw_host),
+               ':[0-9]+$', ''), '^www\\.', '') AS host
+      FROM u
+    ), f AS (
+      SELECT source, host,
+             list_has_any(
+               list_transform(
+                 range(1, len(string_split(host, '.')) + 1),
+                 i -> array_to_string(
+                        list_slice(string_split(host, '.'), i,
+                                   len(string_split(host, '.'))), '.')),
+               {_URL_BLOCKLIST!r}) AS blocked
+      FROM n
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE blocked) AS n_blocked,
+           count(*) FILTER (WHERE NOT blocked) AS n_kept,
+           count(DISTINCT CASE WHEN blocked THEN host END)
+             AS n_blocked_hosts
+    FROM f GROUP BY source
+    """,
+)
+def x26_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26: crawl-curation URL hygiene — normalize each document's
+    source URL (lowercase host, strip default-ish port, strip a
+    leading ``www.``) and drop documents whose host falls under a
+    blocked registered domain INCLUDING subdomains
+    (``ads.tracker.net`` is blocked by ``tracker.net``). URLs are
+    synthesized deterministically from ``doc_id`` (both engines build
+    the identical value — corpus has no URL column; same fixture
+    pattern as x15/x16).
+
+    Scale design — the subdomain match is NOT a LIKE-join: each host
+    explodes into its domain-suffix chain (``a.b.c → [a.b.c, b.c,
+    c]``, bounded by label count) and membership is an
+    ``arrays_overlap`` against the constant blocklist — pure map-side
+    codegen, zero shuffle before the final aggregate. A million-entry
+    blocklist swaps the literal for a broadcast equi-join on the
+    exploded suffix; either way no nested-loop LIKE scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw_host = F.element_at(
+        F.array(*[F.lit(h) for h in _URL_HOSTS]),
+        (F.col("doc_id") % 8).cast("int") + 1,
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(raw_host), ":[0-9]+$", ""),
+        r"^www\.", "",
+    )
+    ws = F.split(host, r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(ws)),
+        lambda i: F.array_join(F.slice(ws, i, F.size(ws) - i + 1), "."),
+    )
+    blocked = F.arrays_overlap(
+        suffixes, F.array(*[F.lit(b) for b in _URL_BLOCKLIST])
+    )
+    d = docs.select(
+        "source", host.alias("host"), blocked.alias("blocked")
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("blocked").cast("bigint")).alias("n_blocked"),
+        F.sum((~F.col("blocked")).cast("bigint")).alias("n_kept"),
+        F.countDistinct(
+            F.when(F.col("blocked"), F.col("host"))
+        ).alias("n_blocked_hosts"),
+    )
