@@ -664,34 +664,38 @@ def x5b_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x5d_media_formats",
     oracle="""
-    SELECT CASE doc_id % 10
+    SELECT CASE doc_id % 11
              WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' WHEN 2 THEN 'png'
              WHEN 3 THEN 'jpeg' WHEN 4 THEN 'jpeg' WHEN 5 THEN 'gif'
              WHEN 6 THEN 'tiff' WHEN 7 THEN 'flac' WHEN 8 THEN 'mp3'
+             WHEN 9 THEN 'avi'
            END AS format,
            count(*) AS n_docs,
-           sum(CASE doc_id % 10
+           sum(CASE doc_id % 11
                  WHEN 0 THEN (doc_id % 64) + 1
                  WHEN 2 THEN (doc_id % 32) + 1
                  WHEN 3 THEN (doc_id % 96) + 1
                  WHEN 4 THEN (doc_id % 64) + 1
                  WHEN 5 THEN (doc_id % 16) + 1
                  WHEN 6 THEN (doc_id % 32) + 1
+                 WHEN 9 THEN (doc_id % 24) + 1
                END) AS sum_width,
-           sum(CASE doc_id % 10
+           sum(CASE doc_id % 11
                  WHEN 1 THEN CAST((n_chars % 60) + 1 AS DOUBLE)
                  WHEN 7 THEN CAST((n_chars % 30) + 1 AS DOUBLE)
                  WHEN 8 THEN CAST((doc_id % 20) + 1 AS DOUBLE)
+                 WHEN 9 THEN CAST((n_chars % 4) + 1 AS DOUBLE)
                END) AS sum_duration
     FROM documents GROUP BY 1
     """,
 )
 def x5d_media_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5d (r6): the FULL decoder surface graded end-to-end — every
-    document synthesizes a REAL payload in one of ten classes
+    document synthesizes a REAL payload in one of eleven classes
     (pixel-bearing BMP, WAV, PNG, baseline JPEG, progressive JPEG
     with successive approximation, GIF with LZW data, TIFF strip,
-    FLAC STREAMINFO, MP3 frames, or an unsupported codec), and
+    FLAC STREAMINFO, MP3 frames, MJPEG-in-AVI whose first frame is
+    Huffman-decoded in-sample, or an unsupported codec), and
     ``decode_media`` must Huffman-decode / inflate / demux each one
     to report back dimensions and durations the SQL oracle recomputes
     from the (doc_id, n_chars) formulas. The unsupported class

@@ -1237,11 +1237,41 @@ def _synth_mp3(duration_s: int) -> bytes:
     return (b"\xff\xfb\x90\x00" + bytes(duration_s * 16000 - 4))
 
 
+def _synth_avi(w: int, h: int, n_frames: int) -> bytes:
+    """Minimal REAL AVI with MJPEG frames (1 fps so durations sum
+    exactly as doubles): avih main header + movi LIST of 00dc chunks,
+    each a complete baseline JPEG of the declared dims."""
+    import struct
+
+    import numpy as np
+
+    from pdf_etl_engine_spark.functions import jpegcodec
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    enc = [
+        jpegcodec.encode_baseline(
+            np.full((h, w), (37 * i) % 256, dtype=np.uint8)
+        )
+        for i in range(n_frames)
+    ]
+    avih = struct.pack(
+        "<14I", 1_000_000, 0, 0, 0, n_frames, 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", e) for e in enc))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def with_synth_media_formats(docs: DataFrame) -> DataFrame:
     """x5d synthesis: one REAL payload per document across the FULL
-    decoder surface, class = doc_id % 10 — 24-bpp BMP with pixel data,
+    decoder surface, class = doc_id % 11 — 24-bpp BMP with pixel data,
     WAV, PNG, baseline JPEG, progressive JPEG, GIF, TIFF, FLAC, MP3,
-    and an unsupported payload — dimensions/durations pure functions
+    MJPEG AVI (in-sample video decode), and an unsupported payload —
+    dimensions/durations pure functions
     of (doc_id, n_chars) so a SQL oracle recomputes what decode_media
     must read back from the bytes."""
 
@@ -1256,7 +1286,7 @@ def with_synth_media_formats(docs: DataFrame) -> DataFrame:
             out = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 d, n = int(doc_id), int(n_chars)
-                m = d % 10
+                m = d % 11
                 if m == 0:  # full-pixel BMP, bottom-up BGR
                     w, h = d % 64 + 1, n % 48 + 1
                     stride = (w * 3 + 3) & ~3
@@ -1295,6 +1325,8 @@ def with_synth_media_formats(docs: DataFrame) -> DataFrame:
                     payload = _synth_flac(n % 30 + 1)
                 elif m == 8:
                     payload = _synth_mp3(d % 20 + 1)
+                elif m == 9:
+                    payload = _synth_avi(d % 24 + 1, n % 20 + 1, n % 4 + 1)
                 else:
                     payload = b"\x1f\x8b\x08" + bytes(8)
                 out.append({"doc_id": doc_id, "content": payload})
