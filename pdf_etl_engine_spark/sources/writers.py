@@ -672,7 +672,31 @@ def _cow_survivors(cur: DataFrame, hit_files: DataFrame) -> DataFrame:
     return cur.join(F.broadcast(hit_files), "_src_file", "left_semi")
 
 
-def delete_rows(spark: SparkSession, path: str, condition: str) -> int:
+def _key_bounds(source: DataFrame, keys: list[str]) -> list[tuple]:
+    """Sound skipping bounds derived from the source batch itself:
+    per-key min/max (one tiny agg over the batch). A table file whose
+    stats don't overlap the source's key range provably contains no
+    matching key, so pruning with these bounds can never miss a hit —
+    no caller contract needed. Keys whose values can't bound (all
+    NULL / unorderable) contribute nothing."""
+    row = source.agg(
+        *[F.min(k).alias(f"_lo_{i}") for i, k in enumerate(keys)],
+        *[F.max(k).alias(f"_hi_{i}") for i, k in enumerate(keys)],
+    ).collect()[0]
+    bounds: list[tuple] = []
+    for i, k in enumerate(keys):
+        lo, hi = row[f"_lo_{i}"], row[f"_hi_{i}"]
+        if lo is not None and hi is not None:
+            bounds += [(k, ">=", lo), (k, "<=", hi)]
+    return bounds
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    prune: list[tuple[str, str, object]] | None = None,
+) -> int:
     """Copy-on-write DELETE (Delta/Iceberg `DELETE FROM ... WHERE`):
     rewrite ONLY the files holding matching rows — with those rows
     filtered out — and publish one commit that atomically swaps the
@@ -690,10 +714,16 @@ def delete_rows(spark: SparkSession, path: str, condition: str) -> int:
     reuses it), and the only driver materialization is the remove
     list the commit RECORD itself must carry, O(affected files) —
     the same order as the log entry being written.
+
+    ``prune`` lets the caller bound the identification scan with
+    ``(column, op, value)`` stats-skipping hints — sound ONLY when
+    implied by ``condition`` (e.g. condition ``tenant_id = 'u1' AND
+    day >= '2026-01-01'`` → prune on those same bounds). A tenant
+    -scoped GDPR delete then scans the tenant's files, not 100 TB.
     """
     _bootstrap_log(path)
     cond = F.expr(condition)
-    cur = read_fact_table(spark, path).withColumn(
+    cur = read_fact_table(spark, path, prune=prune).withColumn(
         "_src_file", F.input_file_name()
     )
     per_file = (
@@ -752,9 +782,13 @@ def merge_rows(
             stats=_stats_for(path, staged),
             bloom=_blooms_for(path, staged),
         )
-    cur = read_fact_table(spark, path).withColumn(
-        "_src_file", F.input_file_name()
-    )
+    # identification scan pruned by the source's own key range —
+    # derived bounds, so it can never miss a matching file (see
+    # _key_bounds); an incremental upsert whose keys land in one
+    # partition's range reads those files, not the whole table
+    cur = read_fact_table(
+        spark, path, prune=_key_bounds(source, keys) or None
+    ).withColumn("_src_file", F.input_file_name())
     kd = source.select(*keys).distinct()
     hit_files = (
         cur.join(kd, keys, "left_semi").select("_src_file").distinct().cache()

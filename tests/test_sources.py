@@ -1407,3 +1407,67 @@ def test_avi_corrupt_and_non_mjpeg_contract():
     assert meta["n_frames"] == 1 and "codec" not in meta
     with pytest.raises(NotImplementedError):
         M.decode_video_frames(h264)
+
+
+def test_merge_identification_scan_prunes_by_source_key_range(
+    spark, tmp_path
+):
+    """The merge identification scan derives per-key min/max bounds
+    from the source batch and stats-prunes the table read: an upsert
+    whose keys land in one narrow range must plan over the few files
+    covering that range, never the whole table — and the merge result
+    is identical to the unpruned semantics."""
+    path = str(tmp_path / "facts")
+    batch = spark.createDataFrame(
+        [("u1", "reports", f"row_{v:04d}", float(v)) for v in range(400)],
+        "tenant_id string, folder_id string, row_id string, amount double",
+    ).repartition(8)
+    writers.append_rows(batch, path, cluster_by=["row_id"])
+    files_before = set(writers.committed_files(path))
+    assert len(files_before) == 8
+
+    src = spark.createDataFrame(
+        [("u1", "reports", "row_0005", 99.0),
+         ("u1", "reports", "row_0007", 88.0)],
+        "tenant_id string, folder_id string, row_id string, amount double",
+    )
+    # the derived bounds really prune: the source's row_id range maps
+    # to one clustered file
+    bounds = writers._key_bounds(src, ["tenant_id", "folder_id", "row_id"])
+    pruned = writers.read_fact_table(spark, path, prune=bounds)
+    assert len(pruned.inputFiles()) < len(files_before), bounds
+
+    writers.merge_rows(spark, path, src,
+                       ["tenant_id", "folder_id", "row_id"])
+    got = {
+        r["row_id"]: r["amount"]
+        for r in writers.read_fact_table(spark, path).collect()
+    }
+    assert len(got) == 400
+    assert got["row_0005"] == 99.0 and got["row_0007"] == 88.0
+    assert got["row_0399"] == 399.0
+    # only the one hit file was rewritten; the other clustered files
+    # survive the commit untouched
+    files_after = set(writers.committed_files(path))
+    assert len(files_before & files_after) >= 7
+
+
+def test_delete_rows_with_prune_hint(spark, tmp_path):
+    """delete_rows(prune=…): a condition-implied stats bound narrows
+    the identification scan without changing what gets deleted."""
+    path = str(tmp_path / "facts")
+    batch = spark.createDataFrame(
+        [("u1", "reports", f"row_{v:04d}", float(v)) for v in range(400)],
+        "tenant_id string, folder_id string, row_id string, amount double",
+    ).repartition(8)
+    writers.append_rows(batch, path, cluster_by=["amount"])
+    n = writers.delete_rows(
+        spark, path, "amount >= 390.0",
+        prune=[("amount", ">=", 390.0)],
+    )
+    assert n == 10
+    assert writers.read_fact_table(spark, path).count() == 390
+    assert (
+        writers.read_fact_table(spark, path)
+        .filter("amount >= 390.0").count() == 0
+    )
