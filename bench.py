@@ -54,6 +54,8 @@ X_SURFACE = {
     "x_incremental_dedup": "x22_incremental_dedup_exact",
     "x_repetition": "x21_repetition",
     "x_embedding_near_dup": "x4c_embedding_near_dup",
+    "x_sequence_pack": "x25_sequence_pack",
+    "x_url_blocklist": "x26_url_blocklist",
 }
 
 
