@@ -1,0 +1,115 @@
+"""Incrementally-maintained materialized rollups (sources/rollup.py):
+append-only commit ranges fold the change feed into the stored
+aggregate; delete/merge ranges force (and report) a full recompute;
+either way the result always equals a from-scratch groupBy of the
+fact snapshot."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_etl_engine_spark.sources import rollup, writers
+
+
+def _batch(spark, lo, hi, folder="reports"):
+    return spark.createDataFrame(
+        [("u1", folder, f"row_{v}", float(v), v % 3) for v in range(lo, hi)],
+        "tenant_id string, folder_id string, row_id string,"
+        " amount double, bucket int",
+    )
+
+
+def _expected(spark, path):
+    df = writers.read_fact_table(spark, path)
+    return {
+        (r["bucket"],): (r["revenue"], r["n"], r["lo"], r["hi"])
+        for r in df.groupBy("bucket")
+        .agg(
+            writers.F.sum("amount").alias("revenue"),
+            writers.F.count("row_id").alias("n"),
+            writers.F.min("amount").alias("lo"),
+            writers.F.max("amount").alias("hi"),
+        )
+        .collect()
+    }
+
+
+def _got(spark, rp):
+    return {
+        (r["bucket"],): (r["revenue"], r["n"], r["lo"], r["hi"])
+        for r in writers.read_fact_table(spark, rp).collect()
+    }
+
+
+MEASURES = {
+    "revenue": ("sum", "amount"),
+    "n": ("count", "row_id"),
+    "lo": ("min", "amount"),
+    "hi": ("max", "amount"),
+}
+
+
+def test_initial_refresh_is_full_and_correct(spark, tmp_path):
+    fact, rp = str(tmp_path / "fact"), str(tmp_path / "rollup")
+    writers.append_rows(_batch(spark, 0, 100), fact)
+    rollup.define_rollup(rp, fact, ["bucket"], MEASURES)
+    out = rollup.refresh_rollup(spark, rp)
+    assert out["mode"] == "full"
+    assert _got(spark, rp) == _expected(spark, fact)
+    # nothing new: refresh is a no-op, version pointer unchanged
+    assert rollup.refresh_rollup(spark, rp)["mode"] == "noop"
+
+
+def test_append_only_range_folds_incrementally(spark, tmp_path):
+    fact, rp = str(tmp_path / "fact"), str(tmp_path / "rollup")
+    writers.append_rows(_batch(spark, 0, 100), fact)
+    rollup.define_rollup(rp, fact, ["bucket"], MEASURES)
+    rollup.refresh_rollup(spark, rp)
+
+    writers.append_rows(_batch(spark, 100, 150), fact)
+    writers.append_rows(_batch(spark, 150, 180), fact)
+    out = rollup.refresh_rollup(spark, rp)
+    assert out["mode"] == "incremental"
+    assert _got(spark, rp) == _expected(spark, fact)
+
+
+def test_delete_in_range_forces_full_recompute(spark, tmp_path):
+    fact, rp = str(tmp_path / "fact"), str(tmp_path / "rollup")
+    writers.append_rows(_batch(spark, 0, 100), fact)
+    rollup.define_rollup(rp, fact, ["bucket"], MEASURES)
+    rollup.refresh_rollup(spark, rp)
+
+    writers.append_rows(_batch(spark, 100, 120), fact)
+    assert writers.delete_rows(spark, fact, "amount >= 110.0") == 10
+    out = rollup.refresh_rollup(spark, rp)
+    assert out["mode"] == "full"
+    assert _got(spark, rp) == _expected(spark, fact)
+    # back to append-only after the delete: incremental again
+    writers.append_rows(_batch(spark, 200, 220), fact)
+    out = rollup.refresh_rollup(spark, rp)
+    assert out["mode"] == "incremental"
+    assert _got(spark, rp) == _expected(spark, fact)
+
+
+def test_compaction_in_range_stays_incremental(spark, tmp_path):
+    """A base (compaction) commit adds no rows — the change feed skips
+    it and the fold stays incremental and correct."""
+    fact, rp = str(tmp_path / "fact"), str(tmp_path / "rollup")
+    writers.append_rows(_batch(spark, 0, 60), fact)
+    rollup.define_rollup(rp, fact, ["bucket"], MEASURES)
+    rollup.refresh_rollup(spark, rp)
+
+    writers.append_rows(_batch(spark, 60, 90), fact)
+    writers.compact_fact_table(spark, fact)
+    writers.append_rows(_batch(spark, 90, 120), fact)
+    out = rollup.refresh_rollup(spark, rp)
+    assert out["mode"] == "incremental"
+    assert _got(spark, rp) == _expected(spark, fact)
+
+
+def test_non_decomposable_measure_rejected(tmp_path):
+    with pytest.raises(ValueError, match="non-decomposable"):
+        rollup.define_rollup(
+            str(tmp_path / "r"), str(tmp_path / "f"), ["bucket"],
+            {"med": ("median", "amount")},
+        )
