@@ -1290,6 +1290,115 @@ def pdf_metadata(data: bytes) -> dict:
     return meta
 
 
+# ---------------------------------------------------------------------------
+# AcroForm interactive form fields (§12.7): /T names and /V values
+# ---------------------------------------------------------------------------
+
+
+def _string_value(rest: bytes) -> str | None:
+    """A PDF string/name value at the head of ``rest``: balanced
+    literal ``(...)`` (escape-aware), hex ``<...>``, or a name token
+    (checkbox states like ``/Yes``). None when ``rest`` starts with
+    something else (dict, array, number — not a form value we
+    extract)."""
+    rest = rest.lstrip()
+    if rest.startswith(b"("):
+        depth = i = 0
+        while i < len(rest):
+            c = rest[i : i + 1]
+            if c == b"\\":
+                i += 2
+                continue
+            if c == b"(":
+                depth += 1
+            elif c == b")":
+                depth -= 1
+                if depth == 0:
+                    return _decode_string_tok(rest[: i + 1])
+            i += 1
+        return None
+    if rest.startswith(b"<") and not rest.startswith(b"<<"):
+        m = re.match(rb"<[0-9A-Fa-f\s]*>", rest)
+        return _decode_hex(m.group(0)) if m else None
+    m = re.match(rb"/([A-Za-z0-9.#_+-]+)", rest)
+    if m:
+        return m.group(1).decode("latin-1")
+    return None
+
+
+def pdf_form_fields(data: bytes) -> dict[str, str]:
+    """AcroForm field values (§12.7): ``{fully.qualified.name: value}``
+    from the catalog's /AcroForm /Fields tree — the machine-readable
+    layer fillable invoices carry alongside (often instead of) printed
+    text. Terminal fields inherit their ancestors' partial /T names
+    joined with '.', per the spec's fully-qualified-name rule; /V may
+    be a literal (UTF-16BE aware), hex string, or a name (checkbox
+    /Yes). Encrypted documents return {} here — field strings would
+    need per-object string decryption, and the text path already
+    quarantines docs we can't decrypt. Reference behavior to match:
+    Gemini reads the rendered form (main.py:694-707); this reads the
+    same values from the structure."""
+    if _parse_encryption(data) is not None:
+        return {}
+    objects = _object_index(data)
+    root = None
+    m = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", data)
+    if m:
+        root = objects.get(int(m.group(1)))
+    if root is None:
+        for body in objects.values():
+            if re.search(rb"/Type\s*/Catalog\b", body):
+                root = body
+                break
+    if root is None:
+        return {}
+    am = re.search(rb"/AcroForm\s*", root)
+    if not am:
+        return {}
+    rest = root[am.end() :]
+    acro = (
+        _balanced_dict(root, am.end())
+        if rest.startswith(b"<<")
+        else objects.get(int(_REF_RE.match(rest).group(1)))
+        if _REF_RE.match(rest)
+        else None
+    )
+    if not acro:
+        return {}
+    fm = re.search(rb"/Fields\s*\[([^\]]*)\]", acro)
+    if not fm:
+        return {}
+    out: dict[str, str] = {}
+    seen: set[int] = set()
+
+    def walk(num: int, prefix: str) -> None:
+        if num in seen:
+            return
+        seen.add(num)
+        body = objects.get(num)
+        if body is None:
+            return
+        name = None
+        tm = re.search(rb"/T\s*(?=[(<])", body)
+        if tm:
+            name = _string_value(body[tm.end() :])
+        full = f"{prefix}.{name}" if prefix and name else (name or prefix)
+        km = re.search(rb"/Kids\s*\[([^\]]*)\]", body)
+        if km:
+            for ref in _REF_RE.findall(km.group(1)):
+                walk(int(ref), full)
+            return
+        vm = re.search(rb"/V\s*", body)
+        if vm and full:
+            v = _string_value(body[vm.end() :])
+            if v is not None:
+                out.setdefault(full, v)
+
+    for ref in _REF_RE.findall(fm.group(1)):
+        walk(int(ref), "")
+    return out
+
+
 def _norm_field(s: str) -> str:
     """F1 sanitize (main.py:281): non-alnum → ``_``, lowercased — the
     same normalization the row build applies to KPI column names, so
@@ -1318,12 +1427,16 @@ def pdf_discover_fields(content: bytes) -> dict[str, str]:
     deterministic stand-in for the reference's "extract all data labels
     and headers" LLM pass (main.py:435-452): every ``Key: Value`` line
     becomes a candidate field keyed by its PRINTED label, so the user
-    curates names as the document shows them. Raises on unparseable
-    bytes like the extractor does."""
-    return {
+    curates names as the document shows them; AcroForm field values
+    (fillable invoices) join under their form names. Raises on
+    unparseable bytes like the extractor does."""
+    out = {
         label: value
         for label, _norm, value in _field_lines(extract_pdf_text(content))
     }
+    for name, value in pdf_form_fields(content).items():
+        out.setdefault(name, value)
+    return out
 
 
 def pdf_kpi_extractor(
@@ -1339,6 +1452,11 @@ def pdf_kpi_extractor(
     fields: dict[str, str] = {
         norm: value for _label, norm, value in _field_lines(text)
     }
+    # AcroForm values fill what the printed text doesn't show (a
+    # fillable invoice often renders its values only via field
+    # appearance streams, not page text)
+    for name, value in pdf_form_fields(content).items():
+        fields.setdefault(_norm_field(name), value)
     meta = pdf_metadata(content)
     for mk in ("title", "author", "creation_date"):
         if mk in meta:

@@ -1020,3 +1020,67 @@ def test_cyclic_page_tree_does_not_hang():
         _stream_obj(b"", b"BT (Alive) Tj ET"),
     ])
     assert pdftext.extract_pdf_text(pdf).splitlines() == ["Alive"]
+
+
+def test_acroform_field_values():
+    """§12.7 AcroForm: a fillable invoice's values live in /V entries,
+    not page text — the KPI extractor must answer from them. Names
+    qualify through /Kids; hex and UTF-16BE values decode; checkbox
+    states come back as the name token."""
+    utf16 = "Café".encode("utf-16-be").hex().encode()
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R"
+        b" /AcroForm << /Fields [4 0 R 5 0 R 8 0 R] >> >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R >>",
+        b"<< /FT /Tx /T (Invoice Number) /V (INV-0042) >>",
+        b"<< /T (Totals) /Kids [6 0 R 7 0 R] >>",
+        b"<< /FT /Tx /T (Net) /V <FEFF" + utf16 + b"> >>",
+        b"<< /FT /Btn /T (Paid) /V /Yes >>",
+        b"<< /FT /Tx /T (Notes) /V (a \\(nested\\) note) >>",
+    ])
+    assert pdftext.pdf_form_fields(pdf) == {
+        "Invoice Number": "INV-0042",
+        "Totals.Net": "Café",
+        "Totals.Paid": "Yes",
+        "Notes": "a (nested) note",
+    }
+    got = pdftext.pdf_kpi_extractor(
+        pdf, ["Invoice Number", "Totals.Net", "Missing"], ""
+    )
+    assert got == {
+        "Invoice Number": "INV-0042",
+        "Totals.Net": "Café",
+        "Missing": "N/A",
+    }
+    assert pdftext.pdf_discover_fields(pdf)["Invoice Number"] == "INV-0042"
+
+
+def test_acroform_printed_text_wins_on_collision():
+    """When the same normalized key appears in page text AND a form
+    field, the printed value keeps precedence (no behavior change for
+    text-bearing documents)."""
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R"
+        b" /AcroForm << /Fields [5 0 R] >> >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        _stream_obj(b"", b"BT (Total: 42) Tj ET"),
+        b"<< /FT /Tx /T (Total) /V (99) >>",
+    ])
+    assert pdftext.pdf_kpi_extractor(pdf, ["Total"], "") == {"Total": "42"}
+
+
+def test_acroform_cycle_and_absent_form():
+    """A /Kids cycle terminates; a document with no AcroForm returns
+    {} without touching extraction."""
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R"
+        b" /AcroForm << /Fields [4 0 R] >> >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R >>",
+        b"<< /T (Loop) /Kids [4 0 R] >>",
+    ])
+    assert pdftext.pdf_form_fields(pdf) == {}
+    plain = _pdf(_page_objs(_stream_obj(b"", CONTENT)))
+    assert pdftext.pdf_form_fields(plain) == {}
