@@ -787,3 +787,76 @@ def x26_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("blocked"), F.col("host"))
         ).alias("n_blocked_hosts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X27 — corpus-model surprisal (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x27_ngram_surprisal",
+    oracle="""
+    WITH tris AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tri
+      FROM documents, UNNEST(range(1, len(text) - 1)) AS t(i)
+      WHERE len(text) >= 3
+    ), freq AS (
+      SELECT tri, count(*) AS c FROM tris GROUP BY tri
+    ), tot AS (SELECT sum(c) AS n FROM freq)
+    SELECT doc_id,
+           count(*) AS n_tris,
+           round(CAST(sum(CAST(round(
+                   (-log2(CAST(c AS DOUBLE) / n)) * 1000000) AS BIGINT))
+                 AS DOUBLE) / 1000000 / count(*) + 5e-10, 4)
+             AS avg_surprisal
+    FROM tris JOIN freq USING (tri), tot
+    GROUP BY doc_id
+    """,
+)
+def x27_ngram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27: perplexity-style quality scoring — the CCNet/KenLM filter
+    in its deterministic, self-trained form. The corpus's own char
+    -trigram distribution is the language model (no external model in
+    this container); each document's score is its mean trigram
+    surprisal, −log2 p(tri), under that model. Low = typical fluent
+    text, high = gibberish/encoding junk — the standard pretraining
+    quality signal after the rule-based x7 pass.
+
+    Determinism across engines: per-trigram surprisals are rounded to
+    1e-6 BEFORE the per-doc sum (fixed-point long accumulation —
+    order-free), so libm last-ulp differences can't surface; the
+    final 4-decimal round then sits ~1e-9 away from any boundary.
+
+    Scale shape: two shuffles — trigram explode → count (map-side
+    partial), then the score join back on the trigram key. The model
+    table is corpus-bounded (distinct trigrams), NOT doc-bounded; at
+    100 TB you'd min-count-cutoff the tail before the join (same
+    lever as x20's min-df) and let AQE pick broadcast vs shuffle. The
+    total-mass scalar rides a single-row window over the aggregated
+    model, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    tri_arr = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.substring(F.col("text"), i, 3),
+    )
+    tris = docs.filter(n >= 3).select(
+        "doc_id", F.explode(tri_arr).alias("tri")
+    )
+    w = Window.partitionBy()
+    freq = (
+        tris.groupBy("tri")
+        .agg(F.count("*").alias("c"))
+        .withColumn("n", F.sum("c").over(w))
+    )
+    lp_fixed = F.round(
+        -F.log2(F.col("c").cast("double") / F.col("n")) * 1_000_000
+    ).cast("bigint")
+    scored = tris.join(freq, "tri").select("doc_id", lp_fixed.alias("lp"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tris"),
+        stable_round(
+            F.sum("lp").cast("double") / 1_000_000 / F.count("*"), 4
+        ).alias("avg_surprisal"),
+    )
