@@ -429,3 +429,33 @@ def test_cow_file_pruning_is_semi_join(spark, tmp_path):
     assert n == 10
     left = writers.read_fact_table(spark, path)
     assert left.count() == 10 and left.agg(F.max("amount")).first()[0] == 9.0
+
+
+def test_x25_pack_single_hash_shuffle(spark):
+    """x25: the pack-stream window's hashpartitioning(source) is the
+    ONLY row shuffle — the per-source aggregate reuses the window's
+    partitioning (no second full shuffle), and there is no join."""
+    p = plan_of(registry.QUERIES["x25_sequence_pack"](spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning") == 1, p[:400]
+    assert "Join" not in p
+
+
+def test_x26_blocklist_has_no_join(spark):
+    """x26: the subdomain match is a map-side suffix-chain
+    arrays_overlap against the constant blocklist — NO join (a
+    LIKE-join would be a nested loop at corpus scale); the only
+    shuffles are the two-phase countDistinct aggregate."""
+    p = plan_of(registry.QUERIES["x26_url_blocklist"](spark, SF_DIR))
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") <= 2, p[:400]
+
+
+def test_x27_surprisal_join_is_hash_not_loop(spark):
+    """x27: the score join back on the trigram key must be a hash
+    join (broadcast or shuffled — AQE's call by model size), never a
+    nested loop; model building adds exactly one row-shuffle."""
+    p = plan_of(registry.QUERIES["x27_ngram_surprisal"](spark, SF_DIR))
+    assert "NestedLoop" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
+        "ShuffledHashJoin" in p
+    )
