@@ -56,6 +56,7 @@ X_SURFACE = {
     "x_embedding_near_dup": "x4c_embedding_near_dup",
     "x_sequence_pack": "x25_sequence_pack",
     "x_url_blocklist": "x26_url_blocklist",
+    "x_ngram_surprisal": "x27_ngram_surprisal",
 }
 
 
