@@ -811,25 +811,43 @@ def _parse_differences(arr: bytes) -> dict[int, str]:
     return mapping
 
 
+# WinAnsiEncoding (Annex D.2) = CP1252: codes 0x80-0x9F are the
+# typographic set (smart quotes, en/em dash, euro, ellipsis, ™) that
+# latin-1 treats as control bytes — the one block where the byte
+# -value fallback misreads common Word/LibreOffice output. All other
+# codes match the fallback, so the map carries only the 27 deltas.
+_WINANSI = {
+    c: bytes([c]).decode("cp1252")
+    for c in range(0x80, 0xA0)
+    if c not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)  # undefined in CP1252
+}
+
+
 def _font_differences(body: bytes, objects: dict[int, bytes]) -> dict | None:
-    """The font's /Encoding /Differences map, whether the encoding
-    dict is inline or an indirect object."""
+    """The font's simple-encoding map: a /WinAnsiEncoding base (named
+    directly or as /BaseEncoding in the encoding dict) overlaid with
+    /Differences, whether the encoding dict is inline or an indirect
+    object."""
     m = re.search(rb"/Encoding\s*", body)
     if not m:
         return None
     rest = body[m.end() :]
     if rest.startswith(b"<<"):
         enc = _balanced_dict(body, m.end())
+    elif re.match(rb"/WinAnsiEncoding\b", rest):
+        return dict(_WINANSI)
+    elif rest.startswith(b"/"):
+        return None  # other named base encodings: byte-value fallback
     else:
         ref = _REF_RE.match(rest)
         enc = objects.get(int(ref.group(1))) if ref else None
     if not enc:
         return None
+    base = dict(_WINANSI) if b"/WinAnsiEncoding" in enc else {}
     d = re.search(rb"/Differences\s*\[([^\]]*)\]", enc)
-    if not d:
-        return None
-    mapping = _parse_differences(d.group(1))
-    return mapping or None
+    if d:
+        base.update(_parse_differences(d.group(1)))
+    return base or None
 
 
 def _decode_with_cmap(raw: bytes, cmap: tuple[int, dict[int, str]]) -> str:
@@ -962,7 +980,11 @@ def _build_font_tables(
     empty tables — the pre-CMap fast path. A font carrying both maps
     uses /ToUnicode (the authoritative text-extraction table, §9.10.2);
     /Differences is the fallback for simple re-encoded fonts."""
-    if b"/ToUnicode" not in data and b"/Differences" not in data:
+    if (
+        b"/ToUnicode" not in data
+        and b"/Differences" not in data
+        and b"/WinAnsiEncoding" not in data
+    ):
         return {}, {}, {}
     if objects is None:
         objects = _object_index(data, dec)

@@ -1084,3 +1084,42 @@ def test_acroform_cycle_and_absent_form():
     assert pdftext.pdf_form_fields(pdf) == {}
     plain = _pdf(_page_objs(_stream_obj(b"", CONTENT)))
     assert pdftext.pdf_form_fields(plain) == {}
+
+
+def test_winansi_encoding_typographic_block():
+    """Annex D.2: a /WinAnsiEncoding font's 0x80-0x9F codes are the
+    CP1252 typographic set, not latin-1 control bytes — smart quotes,
+    en dash, euro, ellipsis must extract as the real characters."""
+    content = (
+        b"BT /F1 12 Tf"
+        b" (\x93Total\x94: \x80 42 \x96 ok\x85) Tj"
+        b" ET"
+    )
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        _stream_obj(b"", content),
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /Arial"
+        b" /Encoding /WinAnsiEncoding >>",
+    ])
+    assert pdftext.extract_pdf_text(pdf) == "“Total”: € 42 – ok…"
+
+
+def test_winansi_base_with_differences_overlay():
+    """/BaseEncoding /WinAnsiEncoding + /Differences: the named base
+    fills 0x80-0x9F, the Differences entries win where both map."""
+    content = b"BT /F1 9 Tf (\x93\x41\x96) Tj ET"
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        _stream_obj(b"", content),
+        b"<< /Type /Font /Subtype /TrueType"
+        b" /Encoding << /BaseEncoding /WinAnsiEncoding"
+        b" /Differences [ 65 /eacute ] >> >>",
+    ])
+    # 0x93 from WinAnsi, 0x41 ('A') remapped by Differences, 0x96 base
+    assert pdftext.extract_pdf_text(pdf) == "“é–"
