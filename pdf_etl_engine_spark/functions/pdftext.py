@@ -821,6 +821,9 @@ _WINANSI = {
     for c in range(0x80, 0xA0)
     if c not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)  # undefined in CP1252
 }
+# MacRomanEncoding (Annex D.2): the entire high block differs from
+# latin-1 (e.g. 0x8E é, 0xD5 '), so the map carries all of 0x80-0xFF
+_MACROMAN = {c: bytes([c]).decode("mac_roman") for c in range(0x80, 0x100)}
 
 
 def _font_differences(body: bytes, objects: dict[int, bytes]) -> dict | None:
@@ -836,6 +839,8 @@ def _font_differences(body: bytes, objects: dict[int, bytes]) -> dict | None:
         enc = _balanced_dict(body, m.end())
     elif re.match(rb"/WinAnsiEncoding\b", rest):
         return dict(_WINANSI)
+    elif re.match(rb"/MacRomanEncoding\b", rest):
+        return dict(_MACROMAN)
     elif rest.startswith(b"/"):
         return None  # other named base encodings: byte-value fallback
     else:
@@ -843,7 +848,13 @@ def _font_differences(body: bytes, objects: dict[int, bytes]) -> dict | None:
         enc = objects.get(int(ref.group(1))) if ref else None
     if not enc:
         return None
-    base = dict(_WINANSI) if b"/WinAnsiEncoding" in enc else {}
+    base = (
+        dict(_WINANSI)
+        if b"/WinAnsiEncoding" in enc
+        else dict(_MACROMAN)
+        if b"/MacRomanEncoding" in enc
+        else {}
+    )
     d = re.search(rb"/Differences\s*\[([^\]]*)\]", enc)
     if d:
         base.update(_parse_differences(d.group(1)))
@@ -984,6 +995,7 @@ def _build_font_tables(
         b"/ToUnicode" not in data
         and b"/Differences" not in data
         and b"/WinAnsiEncoding" not in data
+        and b"/MacRomanEncoding" not in data
     ):
         return {}, {}, {}
     if objects is None:

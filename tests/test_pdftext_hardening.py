@@ -1123,3 +1123,19 @@ def test_winansi_base_with_differences_overlay():
     ])
     # 0x93 from WinAnsi, 0x41 ('A') remapped by Differences, 0x96 base
     assert pdftext.extract_pdf_text(pdf) == "“é–"
+
+
+def test_macroman_encoding_high_block():
+    """/MacRomanEncoding: the whole 0x80-0xFF block is Mac OS Roman —
+    0x8E is é, 0xD5 is a right single quote, 0xA5 is a bullet."""
+    content = b"BT /F1 12 Tf (Caf\x8e \xd5ok\xd5 \xa5) Tj ET"
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        _stream_obj(b"", content),
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /Times"
+        b" /Encoding /MacRomanEncoding >>",
+    ])
+    assert pdftext.extract_pdf_text(pdf) == "Café ’ok’ •"
