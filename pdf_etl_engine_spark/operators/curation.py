@@ -860,3 +860,132 @@ def x27_ngram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lp").cast("double") / 1_000_000 / F.count("*"), 4
         ).alias("avg_surprisal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X28 — containment near-dup (doc-inside-doc detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x28_containment_dedup",
+    oracle="""
+    WITH ws0 AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents
+    ), snip AS (
+      SELECT doc_id + 1000000 AS doc_id, lang,
+             ws[1:greatest(CAST(floor(len(ws) * 0.4) AS BIGINT), 5)] AS ws
+      FROM ws0 WHERE doc_id % 7 = 0
+    ), corpus AS (
+      SELECT doc_id, lang, ws FROM ws0
+      UNION ALL SELECT doc_id, lang, ws FROM snip
+    ), grams AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 4, 0) + 1),
+               i -> array_to_string(list_slice(ws, i, i + 4), ' ')))) AS sh
+      FROM corpus
+    ), rare AS (
+      SELECT sh FROM grams GROUP BY sh HAVING count(*) <= 10
+    ), g2 AS (
+      SELECT g.doc_id, g.lang, g.sh FROM grams g JOIN rare USING (sh)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.lang AS lang,
+             count(*) AS inter
+      FROM g2 a JOIN g2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT p.lang,
+             CAST(p.inter AS DOUBLE) / least(sa.n, sb.n) AS containment
+      FROM pairs p
+      JOIN sizes sa ON p.da = sa.doc_id
+      JOIN sizes sb ON p.db = sb.doc_id
+      WHERE CAST(p.inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+    )
+    SELECT lang, count(*) AS n_pairs,
+           round(CAST(sum(CAST(round(containment * 1000000) AS BIGINT))
+                 AS DOUBLE) / 1000000 / count(*) + 5e-10, 4)
+             AS avg_containment
+    FROM scored GROUP BY lang
+    """,
+)
+def x28_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28: CONTAINMENT near-dup — detects a document living inside
+    another (quotes, repost chains, page-with-boilerplate absorbing an
+    article), which symmetric Jaccard (x3c) misses because the union
+    penalizes the size gap. Fixture: every 7th document spawns a
+    40%-prefix snippet (both engines synthesize it identically —
+    x16's pattern); detection must recover those pairs via 5-gram
+    shingle intersection over min-size: |A∩B| / min(|A|,|B|) ≥ 0.8.
+
+    Scale design: candidate pairs come ONLY from docs sharing a RARE
+    shingle (document frequency ≤ 10 — the df cutoff that kills the
+    boilerplate-shingle quadratic blowup, standard in suffix-array
+    dedup pipelines); the pair aggregation shuffles on the shingle
+    key with map-side partials. Per-pair ratios accumulate fixed-point
+    (order-free) before the 4-decimal round, like x27."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    base = docs.select("doc_id", "lang", ws.alias("ws"))
+    snip = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        F.slice(
+            F.col("ws"),
+            1,
+            F.greatest(
+                F.floor(F.size("ws") * 0.4).cast("int"), F.lit(5)
+            ),
+        ).alias("ws"),
+    )
+    corpus = base.unionByName(snip)
+    size = F.size("ws")
+    idx = F.when(
+        size >= 5, F.sequence(F.lit(1), size - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    sh_arr = F.array_distinct(
+        F.transform(
+            idx, lambda i: F.array_join(F.slice(F.col("ws"), i, 5), " ")
+        )
+    )
+    grams = corpus.select(
+        "doc_id", "lang", F.explode(sh_arr).alias("sh")
+    )
+    rare = grams.groupBy("sh").count().filter(F.col("count") <= 10).select("sh")
+    g2 = grams.join(rare, "sh")
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = g2.alias("a"), g2.alias("b")
+    pairs = (
+        a.join(b, "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.lang").alias("lang"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    containment = F.col("inter").cast("double") / F.least("na", "nb")
+    scored = (
+        pairs.join(sa, "da")
+        .join(sb, "db")
+        .filter(containment >= 0.8)
+        .select("lang", containment.alias("containment"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count("*").alias("n_pairs"),
+        stable_round(
+            F.sum(
+                F.round(F.col("containment") * 1_000_000).cast("bigint")
+            ).cast("double")
+            / 1_000_000
+            / F.count("*"),
+            4,
+        ).alias("avg_containment"),
+    )
