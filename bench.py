@@ -57,6 +57,7 @@ X_SURFACE = {
     "x_sequence_pack": "x25_sequence_pack",
     "x_url_blocklist": "x26_url_blocklist",
     "x_ngram_surprisal": "x27_ngram_surprisal",
+    "x_containment_dedup": "x28_containment_dedup",
 }
 
 
