@@ -1021,6 +1021,39 @@ def compact_fact_table(
     )
 
 
+def auto_compact(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 64,
+    target_files: int | None = None,
+    cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+) -> int | None:
+    """Compaction POLICY (Delta's auto-compact): rewrite only when the
+    snapshot's file count exceeds ``max_files``, else do nothing and
+    return None. Streaming ingest appends a file per micro-batch per
+    partition, so scan cost (task count, footer reads, commit-stats
+    folds) degrades linearly in file count; calling this after every
+    ingest batch keeps the table bounded at amortized O(1) rewrites —
+    each compaction folds up to ``max_files`` small files, triggered
+    once per ``max_files`` appends. Layout args pass through to
+    ``compact_fact_table`` so the policy preserves clustering/Z-order.
+    The check reads only the commit log (no data I/O)."""
+    files = committed_files(path)
+    if files is None:
+        _bootstrap_log(path)
+        files = committed_files(path)
+    if files is None or len(files) <= max_files:
+        return None
+    return compact_fact_table(
+        spark,
+        path,
+        cluster_by=cluster_by,
+        target_files=target_files,
+        zorder_by=zorder_by,
+    )
+
+
 def vacuum_fact_table(path: str, min_age_s: float = 3600.0) -> list[str]:
     """Delete data files not referenced by the CURRENT snapshot
     (orphans from crashed appends + pre-compaction generations).

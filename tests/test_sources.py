@@ -1471,3 +1471,39 @@ def test_delete_rows_with_prune_hint(spark, tmp_path):
         writers.read_fact_table(spark, path)
         .filter("amount >= 390.0").count() == 0
     )
+
+
+def test_auto_compact_policy_bounds_file_count(spark, tmp_path):
+    """auto_compact: a no-op below the threshold (returns None, no new
+    commit), a real compaction above it — so N tiny appends keep the
+    snapshot bounded instead of growing one file per batch."""
+    path = str(tmp_path / "facts")
+    for v in range(6):
+        batch = spark.createDataFrame(
+            [("u1", "reports", f"row_{v}_{i}", float(i)) for i in range(10)],
+            "tenant_id string, folder_id string, row_id string,"
+            " amount double",
+        )
+        writers.append_rows(batch.coalesce(1), path)
+    assert len(writers.committed_files(path)) == 6
+    v_before = writers.table_version(path)
+    assert writers.auto_compact(spark, path, max_files=8) is None
+    assert writers.table_version(path) == v_before  # no-op published nothing
+
+    assert writers.auto_compact(spark, path, max_files=4) is not None
+    files = writers.committed_files(path)
+    assert len(files) < 6
+    assert writers.read_fact_table(spark, path).count() == 60
+    # clustered variant keeps the layout promise through the policy
+    for v in range(6, 12):
+        batch = spark.createDataFrame(
+            [("u1", "reports", f"row_{v}_{i}", float(v * 10 + i))
+             for i in range(10)],
+            "tenant_id string, folder_id string, row_id string,"
+            " amount double",
+        )
+        writers.append_rows(batch.coalesce(1), path)
+    writers.auto_compact(spark, path, max_files=4, cluster_by=["amount"],
+                         target_files=4)
+    kept = writers.pruned_files(path, [("amount", ">=", 100.0)])
+    assert len(kept) <= len(writers.committed_files(path)) // 2
