@@ -44,6 +44,7 @@ def stream_ingest(
     extractor: P.Extractor = P.json_bytes_extractor,
     archive: bool = True,
     max_files_per_trigger: int | None = None,
+    auto_compact_max_files: int | None = None,
 ) -> StreamingQuery:
     """Start the continuous ingest query over `{bucket_root}/incoming`.
 
@@ -57,6 +58,16 @@ def stream_ingest(
     extractor concurrency (the production LLM quota) and batch retry
     cost. availableNow still drains the WHOLE backlog, just in capped
     batches; exactly-once pickup is unaffected (checkpointed offsets).
+
+    ``auto_compact_max_files`` keeps the fact table's file count
+    bounded UNDER the stream: each micro-batch appends ~one file per
+    touched partition, and after its sink commits (and before archive
+    moves) the auto-compact policy folds the snapshot whenever it
+    exceeds the threshold — amortized O(1) rewrites, so a
+    week-running ingest never degrades scans. The compaction is its
+    own base commit AFTER the txn-stamped append, so exactly-once
+    replay semantics are untouched (a replayed batch still finds its
+    txn and skips; compaction is idempotent-by-content).
     """
     binary_schema = (
         "path string, modificationTime timestamp, length long, content binary"
@@ -90,6 +101,10 @@ def stream_ingest(
             archive,
             txn=(app_id, int(batch_id)),
         )
+        if auto_compact_max_files is not None:
+            from pdf_etl_engine_spark.sources.writers import auto_compact
+
+            auto_compact(spark, fact_path, max_files=auto_compact_max_files)
 
     return (
         files.writeStream.foreachBatch(process_batch)

@@ -491,3 +491,23 @@ def test_archive_from_manifest_idempotent(workspace, spark):
         assert not (root / r).exists()
     # replay with the manifest gone: clean no-op
     assert S.archive_from_manifest(spark, str(manifest), str(root)) == 0
+
+
+def test_stream_ingest_auto_compacts_under_threshold(workspace, spark):
+    """auto_compact_max_files: repeated micro-batches must not grow the
+    fact table one file per batch forever — once the snapshot crosses
+    the threshold the post-commit policy folds it, and replay
+    semantics stay intact (row count exact, no duplicates)."""
+    root, cat = workspace
+    facts = str(root / "facts")
+    for i in range(6):
+        _write_doc(root, "u1", "reports", f"d{i}.pdf",
+                   {"Total Amount ($)": f"${i}.00"})
+        q = S.stream_ingest(
+            spark, str(root), cat, facts, str(root / f"ckpt{i}"),
+            quarantine_path=str(root / "quarantine"),
+            auto_compact_max_files=3,
+        )
+        q.awaitTermination()
+    assert writers.read_fact_table(spark, facts).count() == 6
+    assert len(writers.committed_files(facts)) <= 4
