@@ -164,3 +164,93 @@ def a8_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupingSets(
         [["event_type"], ["cohort"], []], "event_type", "cohort"
     ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "x29_resample_ffill",
+    oracle="""
+    WITH ev AS (
+      SELECT * FROM events WHERE event_id % 97 = 0
+    ), per AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             count(*) AS n_events,
+             arg_max(value, CAST(epoch(ts) AS BIGINT) * 1000000000
+                            + event_id) AS last_value
+      FROM ev GROUP BY 1, 2
+    ), bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM ev
+    ), spine AS (
+      SELECT t.event_type, s.h
+      FROM (SELECT DISTINCT event_type FROM ev) t,
+           bounds, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS s(h)
+    )
+    SELECT sp.event_type, sp.h,
+           coalesce(p.n_events, 0) AS n_events,
+           round(last_value(p.last_value IGNORE NULLS)
+                   OVER (PARTITION BY sp.event_type ORDER BY sp.h
+                         ROWS UNBOUNDED PRECEDING) + 5e-10, 4)
+             AS value_ffill
+    FROM spine sp
+    LEFT JOIN per p ON sp.event_type = p.event_type AND sp.h = p.h
+    """,
+)
+def x29_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29: time-series resample + gap fill — the hypertable/
+    `time_bucket_gapfill` shape every monitoring query needs: a dense
+    hourly spine per series (event_type), observed buckets carry their
+    count and LAST observation (deterministic tiebreak on
+    (epoch-second, event_id)), empty buckets read 0 events and the forward-filled
+    previous value (`last_value IGNORE NULLS`). Events are thinned to
+    every-97th id so the fixture actually HAS gaps to fill at test SF.
+
+    Scale shape: per-bucket aggregation is one shuffle with map-side
+    partials; the spine is #series × #buckets rows built from a
+    broadcast 1-row bounds aggregate (never the raw events), the fill
+    window partitions by series (parallel across series, O(buckets)
+    per partition). At 100 TB you'd bound the spine by the query's
+    time range — exactly what this plan does with min/max."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 97 == 0
+    )
+    hr = F.date_trunc("hour", F.col("ts"))
+    # deterministic "last observation" tiebreak: a single scalar key
+    # (epoch second * 1e9 + event_id) both engines compute identically
+    # — DuckDB's arg_max can't order by a composite
+    per = ev.groupBy(F.col("event_type"), hr.alias("h")).agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "max_by(value, unix_seconds(cast(ts as timestamp))"
+            " * 1000000000L + event_id)"
+        ).alias("last_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(per, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "h",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        stable_round(
+            F.last("last_value", ignorenulls=True).over(w), 4
+        ).alias("value_ffill"),
+    )
