@@ -254,3 +254,118 @@ def x29_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("last_value", ignorenulls=True).over(w), 4
         ).alias("value_ffill"),
     )
+
+
+@query(
+    "x30_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 1 HOUR
+      GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 1 HOUR
+      GROUP BY 1
+    )
+    SELECT 'step1_view' AS step, count(*) AS n_users FROM v
+    UNION ALL SELECT 'step2_click', count(*) FROM c
+    UNION ALL SELECT 'step3_purchase', count(*) FROM p
+    """,
+)
+def x30_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30: ordered funnel — users who viewed, then clicked within an
+    hour of their first view, then purchased within an hour of that
+    click. Each stage is a per-user min-timestamp aggregate joined
+    forward with the event-time ordering constraint — the canonical
+    product-analytics query (Amplitude/Mixpanel funnels).
+
+    Scale shape: each stage scans only its event_type (predicate
+    pushed to the parquet scan), aggregates per user map-side, and the
+    stage joins are hash joins on user_id — per-stage cost shrinks
+    monotonically down the funnel. No window over the raw event
+    stream, so nothing resorts 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr("interval 1 hour")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + hour))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("step"), F.count("*").alias("n_users")
+        )
+
+    return (
+        stage(v, "step1_view")
+        .unionByName(stage(c, "step2_click"))
+        .unionByName(stage(p, "step3_purchase"))
+    )
+
+
+@query(
+    "x31_retention_cohorts",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.w) / 7 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN firstw f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def x31_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31: weekly retention cohorts — users grouped by the week of
+    their first event, counted in every later week they were active:
+    the triangle matrix behind every retention dashboard.
+
+    Scale shape: two per-user aggregates (first week, distinct active
+    weeks — both map-side-combined on the user_id shuffle), a hash
+    join on user_id, and a small final aggregate over cohort×offset
+    cells. Week truncation keeps both engines Monday-aligned, so the
+    day-difference is an exact multiple of 7 (integer offset, no
+    float)."""
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    return (
+        act.join(firstw, "user_id")
+        .groupBy("cohort", (
+            F.datediff(F.col("w"), F.col("cohort")) / 7
+        ).cast("bigint").alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
