@@ -1507,3 +1507,38 @@ def test_auto_compact_policy_bounds_file_count(spark, tmp_path):
                          target_files=4)
     kept = writers.pruned_files(path, [("amount", ">=", 100.0)])
     assert len(kept) <= len(writers.committed_files(path)) // 2
+
+
+def test_zorder_quantile_buckets_survive_skew(spark, tmp_path):
+    """The Z-order bucketing is QUANTILE-based, so a heavily skewed
+    dimension (here x ~ i², most mass near 0) still yields balanced
+    buckets and real pruning on both columns — equal-width bucketing
+    would collapse the dense region into one bucket and prune
+    nothing there."""
+    import random
+
+    path = str(tmp_path / "facts")
+    rng = random.Random(13)
+    rows = []
+    for i in range(4096):
+        x = float((i % 64) ** 2)      # skewed: quadratic spacing
+        y = float(i // 64)            # uniform
+        rows.append(("u1", "grid", f"r{i}", x, y))
+    rng.shuffle(rows)
+    batch = spark.createDataFrame(
+        rows,
+        "tenant_id string, folder_id string, row_id string,"
+        " x double, y double",
+    )
+    writers.append_rows(batch.coalesce(1), path)
+    writers.compact_fact_table(spark, path, zorder_by=["x", "y"],
+                               target_files=16)
+    files = writers.committed_files(path)
+    # a predicate INSIDE the dense region must still prune most files
+    kept_dense = writers.pruned_files(path, [("x", "==", 25.0)])  # x=5²
+    kept_y = writers.pruned_files(path, [("y", "==", 5.0)])
+    assert len(kept_dense) <= len(files) // 2, (len(kept_dense), len(files))
+    assert len(kept_y) <= len(files) // 2, (len(kept_y), len(files))
+    tbl = writers.read_fact_table(spark, path)
+    assert tbl.count() == 4096
+    assert tbl.filter("x = 25.0").count() == 64
