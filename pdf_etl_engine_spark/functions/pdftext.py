@@ -972,7 +972,12 @@ def _page_content_order(data: bytes, objects: dict[int, bytes]) -> list[int]:
                         content_seen.add(n)
                         order.append(n)
 
-    walk(int(pm.group(1)))
+    try:
+        walk(int(pm.group(1)))
+    except RecursionError:
+        # a thousands-deep Kids CHAIN (cycles are guarded separately)
+        # is damage, not a real layout — fall back to object order
+        return []
     return order
 
 
@@ -1428,8 +1433,11 @@ def pdf_form_fields(data: bytes) -> dict[str, str]:
             if v is not None:
                 out.setdefault(full, v)
 
-    for ref in _REF_RE.findall(fm.group(1)):
-        walk(int(ref), "")
+    try:
+        for ref in _REF_RE.findall(fm.group(1)):
+            walk(int(ref), "")
+    except RecursionError:
+        pass  # damaged field tree: keep whatever resolved above it
     return out
 
 

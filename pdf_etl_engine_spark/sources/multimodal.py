@@ -958,8 +958,20 @@ def _guard_struct(fn):
             raise ValueError(
                 f"truncated container structure: {type(e).__name__}: {e}"
             ) from None
+        except RecursionError:
+            # crafted pathological nesting (e.g. thousands of nested
+            # AVI LIST chunks in a few KB) must quarantine, not crash
+            # the task with a non-ValueError
+            raise ValueError(
+                "container nesting exceeds sane depth (corrupt or "
+                "adversarial payload)"
+            ) from None
 
     return wrapped
+
+
+# defined above the decorator in file order, so guarded here
+decode_video_frames = _guard_struct(decode_video_frames)
 
 
 @_guard_struct

@@ -1139,3 +1139,57 @@ def test_macroman_encoding_high_block():
         b" /Encoding /MacRomanEncoding >>",
     ])
     assert pdftext.extract_pdf_text(pdf) == "Café ’ok’ •"
+
+
+def test_deep_nesting_never_escapes_the_contract():
+    """Adversarial depth: thousands of nested AVI LISTs, a
+    thousands-deep page-tree Kids chain, and a deep AcroForm field
+    chain must all resolve to the contract outcomes (ValueError /
+    clean output), never RecursionError."""
+    import struct
+    import sys
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    # nested AVI LISTs: ~36 KB payload, 3000 deep
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(100000)
+    payload = b"JUNK"
+    for _ in range(3000):
+        data = b"movi" + payload
+        payload = b"LIST" + struct.pack("<I", len(data)) + data
+    avi = (b"RIFF" + struct.pack("<I", len(b"AVI " + payload))
+           + b"AVI " + payload)
+    sys.setrecursionlimit(old)
+    with pytest.raises((ValueError, NotImplementedError)):
+        M.decode_media(avi, "")
+    with pytest.raises((ValueError, NotImplementedError)):
+        M.sample_frames(avi, 2)
+    with pytest.raises((ValueError, NotImplementedError)):
+        M.decode_video_frames(avi, 2)
+
+    # page tree: a 5000-deep Pages->Kids chain before the real page
+    n = 5000
+    objs = [b"<< /Type /Catalog /Pages 2 0 R >>"]
+    for i in range(2, n):
+        objs.append(
+            b"<< /Type /Pages /Kids [" + str(i + 1).encode()
+            + b" 0 R] /Count 1 >>"
+        )
+    objs.append(b"<< /Type /Page /Parent 2 0 R /Contents "
+                + str(n + 1).encode() + b" 0 R >>")
+    objs.append(_stream_obj(b"", b"BT (Deep: ok) Tj ET"))
+    deep = _pdf(objs)
+    # object-order fallback still extracts the text
+    assert pdftext.extract_pdf_text(deep).splitlines() == ["Deep: ok"]
+
+    # AcroForm: 5000-deep Kids chain terminating in a valued field
+    objs = [b"<< /Type /Catalog /Pages 2 0 R"
+            b" /AcroForm << /Fields [3 0 R] >> >>",
+            b"<< /Type /Pages /Kids [] /Count 0 >>"]
+    for i in range(3, n):
+        objs.append(b"<< /T (L" + str(i).encode() + b") /Kids ["
+                    + str(i + 1).encode() + b" 0 R] >>")
+    objs.append(b"<< /FT /Tx /T (Leaf) /V (x) >>")
+    deepform = _pdf(objs)
+    assert isinstance(pdftext.pdf_form_fields(deepform), dict)
