@@ -45,6 +45,7 @@ def stream_ingest(
     archive: bool = True,
     max_files_per_trigger: int | None = None,
     auto_compact_max_files: int | None = None,
+    rollup_paths: list[str] | None = None,
 ) -> StreamingQuery:
     """Start the continuous ingest query over `{bucket_root}/incoming`.
 
@@ -105,6 +106,11 @@ def stream_ingest(
             from pdf_etl_engine_spark.sources.writers import auto_compact
 
             auto_compact(spark, fact_path, max_files=auto_compact_max_files)
+        if rollup_paths:
+            from pdf_etl_engine_spark.sources.rollup import refresh_rollup
+
+            for rp in rollup_paths:
+                refresh_rollup(spark, rp)
 
     return (
         files.writeStream.foreachBatch(process_batch)

@@ -511,3 +511,31 @@ def test_stream_ingest_auto_compacts_under_threshold(workspace, spark):
         q.awaitTermination()
     assert writers.read_fact_table(spark, facts).count() == 6
     assert len(writers.committed_files(facts)) <= 4
+
+
+def test_stream_ingest_keeps_rollup_live(workspace, spark):
+    """rollup_paths: a declared materialized rollup refreshes after
+    every micro-batch, staying equal to a from-scratch aggregate of
+    the fact table as batches land."""
+    from pdf_etl_engine_spark.sources import rollup as R
+
+    root, cat = workspace
+    facts = str(root / "facts")
+    rp = str(root / "rollup")
+    R.define_rollup(rp, facts, ["folder_id"], {
+        "revenue": ("sum", "kpi_total_amount____"),
+        "n": ("count", "row_id"),
+    })
+    for i in range(3):
+        _write_doc(root, "u1", "reports", f"m{i}.pdf",
+                   {"Total Amount ($)": f"${i + 1}.00"})
+        q = S.stream_ingest(
+            spark, str(root), cat, facts, str(root / f"rck{i}"),
+            quarantine_path=str(root / "quarantine"),
+            rollup_paths=[rp],
+        )
+        q.awaitTermination()
+        got = writers.read_fact_table(spark, rp).collect()
+        assert len(got) == 1
+        assert got[0]["n"] == i + 1
+        assert abs(got[0]["revenue"] - sum(range(1, i + 2))) < 1e-9
