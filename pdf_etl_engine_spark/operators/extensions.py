@@ -1478,3 +1478,83 @@ def x14c_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
     )
     return connected_components(emb.select("vec_id"), edges)
+
+
+@query(
+    "x9b_fingerprint_arith",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), wh AS (
+      SELECT doc_id,
+             list_transform(ws, x -> list_reduce(
+               [CAST(7 AS BIGINT)] || list_transform(
+                 range(1, len(x) + 1),
+                 i -> CAST(ascii(substr(x, CAST(i AS INTEGER), 1))
+                           AS BIGINT)),
+               (a, b) -> (a * 131 + b) % 2147483647)) AS hs
+      FROM w
+    )
+    SELECT doc_id,
+           list_reduce([CAST(7 AS BIGINT)] || hs,
+                       (a, b) -> (a * 131 + b) % 2147483647)
+             AS content_hash,
+           CASE WHEN len(hs) >= 5 THEN
+             list_min(list_transform(range(1, len(hs) - 3), i ->
+               list_reduce([CAST(7 AS BIGINT)] || list_slice(hs, i, i + 4),
+                           (a, b) -> (a * 131 + b) % 2147483647)))
+           END AS winnow_fp
+    FROM wh
+    """,
+)
+def x9b_fingerprint_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9b: the rolling-hash fingerprint GRADED cross-engine — x9's
+    shape re-expressed in pure integer arithmetic (Karp-Rabin
+    polynomial, base 131, mod 2³¹−1, seed 7) instead of engine-native
+    xxhash64, so DuckDB recomputes bit-identical values: per-word char
+    rolls feed per-5-gram word-hash rolls; content hash rolls over all
+    word hashes; the winnowing fingerprint is the min gram hash. This
+    is the content-defined fingerprint an incremental dedup store
+    (x22) keys on — engine-portable, so a store written by this
+    engine validates against any other implementation.
+
+    Scale shape: entirely per-row array expressions inside codegen —
+    no UDF, no shuffle, no join; cost is O(total chars) map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    M = F.lit(2147483647).cast("long")
+    B = F.lit(131).cast("long")
+    seed = F.lit(7).cast("long")
+
+    def roll(arr):
+        return F.aggregate(
+            arr, seed, lambda a, b: (a * B + b.cast("long")) % M
+        )
+
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    wordhash = F.transform(
+        words,
+        lambda x: roll(
+            F.transform(
+                F.sequence(F.lit(1), F.length(x)),
+                lambda i: F.ascii(x.substr(i, F.lit(1))),
+            )
+        ),
+    )
+    d = docs.select("doc_id", wordhash.alias("hs"))
+    nh = F.size("hs")
+    winnow = F.when(
+        nh >= 5,
+        F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), nh - 4),
+                lambda i: roll(F.slice(F.col("hs"), i, 5)),
+            )
+        ),
+    )
+    return d.select(
+        "doc_id",
+        roll(F.col("hs")).alias("content_hash"),
+        winnow.alias("winnow_fp"),
+    )
