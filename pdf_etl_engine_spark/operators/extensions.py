@@ -1558,3 +1558,119 @@ def x9b_fingerprint_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         roll(F.col("hs")).alias("content_hash"),
         winnow.alias("winnow_fp"),
     )
+
+
+_MH_P = 2147483647
+_MH_K = 16  # signature length; 4 bands x 4 rows
+
+
+@query(
+    "x3d_minhash_lsh_arith",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), wh AS (
+      SELECT doc_id,
+             list_transform(ws, x -> list_reduce(
+               [CAST(7 AS BIGINT)] || list_transform(
+                 range(1, len(x) + 1),
+                 i -> CAST(ascii(substr(x, CAST(i AS INTEGER), 1))
+                           AS BIGINT)),
+               (a, b) -> (a * 131 + b) % {_MH_P})) AS hs
+      FROM w
+    ), gh AS (
+      SELECT doc_id,
+             list_transform(range(1, len(hs) - 3), i ->
+               list_reduce([CAST(7 AS BIGINT)] || list_slice(hs, i, i + 4),
+                           (a, b) -> (a * 131 + b) % {_MH_P})) AS gs
+      FROM wh WHERE len(hs) >= 5
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(range(0, {_MH_K}), k ->
+               list_min(list_transform(gs,
+                 g -> ((2 * k + 3) * g + 5 * k + 7) % {_MH_P}))) AS s
+      FROM gh
+    ), bands AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS band_idx,
+             list_reduce([CAST(7 AS BIGINT)]
+                         || list_slice(s, j * 4 + 1, j * 4 + 4),
+                         (a, b) -> (a * 131 + b) % {_MH_P}) AS band_hash
+      FROM sig, UNNEST(range(0, 4)) AS t(j)
+    )
+    SELECT band_idx, band_hash, count(*) AS n_docs
+    FROM bands GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def x3d_minhash_lsh_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3d: MinHash-LSH GRADED end-to-end, bit-exact across engines —
+    x3's candidate-generation machinery with every hash replaced by
+    portable integer arithmetic: word-level Karp-Rabin rolls feed
+    5-gram hashes, 16 universal-hash permutations ((2k+3)·g + 5k+7
+    mod 2³¹−1) take the per-doc minima, and 4 bands of 4 rows roll
+    into bucket keys. The graded result is the collision table itself
+    — every (band, bucket) holding ≥2 documents, i.e. exactly the
+    candidate set the near-dup join would probe. Documents with
+    identical text land in identical buckets in both engines by
+    construction.
+
+    Scale shape: signatures are per-row array expressions (map-only,
+    codegen); the only shuffle is the band-bucket groupBy whose key
+    count is bounded by 4×docs — the same plan x3 runs, now provably
+    identical to an independent implementation."""
+    docs = load_table(spark, sf_dir, "documents")
+    M = F.lit(_MH_P).cast("long")
+    B = F.lit(131).cast("long")
+    seed = F.lit(7).cast("long")
+
+    def roll(arr):
+        return F.aggregate(
+            arr, seed, lambda a, b: (a * B + b.cast("long")) % M
+        )
+
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    wordhash = F.transform(
+        words,
+        lambda x: roll(
+            F.transform(
+                F.sequence(F.lit(1), F.length(x)),
+                lambda i: F.ascii(x.substr(i, F.lit(1))),
+            )
+        ),
+    )
+    d = docs.select("doc_id", wordhash.alias("hs")).filter(
+        F.size("hs") >= 5
+    )
+    gs = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - 4),
+        lambda i: roll(F.slice(F.col("hs"), i, 5)),
+    )
+    d = d.select("doc_id", gs.alias("gs"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_MH_K - 1)),
+        lambda k: F.array_min(
+            F.transform(
+                F.col("gs"),
+                lambda g: ((2 * k + 3).cast("long") * g
+                           + (5 * k + 7).cast("long")) % M,
+            )
+        ),
+    )
+    d = d.select("doc_id", sig.alias("s"))
+    bands = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda j: F.struct(
+                j.cast("long").alias("band_idx"),
+                roll(F.slice(F.col("s"), j * 4 + 1, 4)).alias("band_hash"),
+            ),
+        )
+    )
+    return (
+        d.select("doc_id", bands.alias("b"))
+        .select("doc_id", "b.band_idx", "b.band_hash")
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
