@@ -1334,10 +1334,12 @@ def pdf_metadata(data: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _string_value(rest: bytes) -> str | None:
-    """A PDF string/name value at the head of ``rest``: balanced
-    literal ``(...)`` (escape-aware), hex ``<...>``, or a name token
-    (checkbox states like ``/Yes``). None when ``rest`` starts with
+def _string_token(rest: bytes) -> tuple[str, bytes] | None:
+    """Parse the PDF string/name token at the head of ``rest`` into
+    ``(kind, payload)``: kind 'str' carries the RAW string bytes
+    (escapes resolved, hex decoded — i.e. ciphertext in an encrypted
+    document), kind 'name' the name token (checkbox states like
+    ``/Yes``, never encrypted). None when ``rest`` starts with
     something else (dict, array, number — not a form value we
     extract)."""
     rest = rest.lstrip()
@@ -1353,16 +1355,42 @@ def _string_value(rest: bytes) -> str | None:
             elif c == b")":
                 depth -= 1
                 if depth == 0:
-                    return _decode_string_tok(rest[: i + 1])
+                    return ("str", _string_tok_bytes(rest[: i + 1]))
             i += 1
         return None
     if rest.startswith(b"<") and not rest.startswith(b"<<"):
-        m = re.match(rb"<[0-9A-Fa-f\s]*>", rest)
-        return _decode_hex(m.group(0)) if m else None
+        m = re.match(rb"<([0-9A-Fa-f\s]*)>", rest)
+        if not m:
+            return None
+        digits = re.sub(rb"\s+", b"", m.group(1))
+        if len(digits) % 2:
+            digits += b"0"
+        return ("str", bytes.fromhex(digits.decode("ascii")))
     m = re.match(rb"/([A-Za-z0-9.#_+-]+)", rest)
     if m:
-        return m.group(1).decode("latin-1")
+        return ("name", m.group(1))
     return None
+
+
+def _string_value(
+    rest: bytes,
+    dec: "_Rc4Decryptor | None" = None,
+    objnum: int = 0,
+) -> str | None:
+    """Decoded text of the string/name token at the head of ``rest``.
+    With a decryptor, string payloads are per-object decrypted first
+    (strings share the stream algorithm, §7.6.2; generation 0 — the
+    object index carries no generations, and post-save files use 0);
+    name tokens pass through (never encrypted)."""
+    tok = _string_token(rest)
+    if tok is None:
+        return None
+    kind, payload = tok
+    if kind == "name":
+        return payload.decode("latin-1")
+    if dec is not None:
+        payload = dec.decrypt(objnum, 0, payload)
+    return _bytes_to_text(payload)
 
 
 def pdf_form_fields(data: bytes) -> dict[str, str]:
@@ -1372,14 +1400,15 @@ def pdf_form_fields(data: bytes) -> dict[str, str]:
     text. Terminal fields inherit their ancestors' partial /T names
     joined with '.', per the spec's fully-qualified-name rule; /V may
     be a literal (UTF-16BE aware), hex string, or a name (checkbox
-    /Yes). Encrypted documents return {} here — field strings would
-    need per-object string decryption, and the text path already
-    quarantines docs we can't decrypt. Reference behavior to match:
-    Gemini reads the rendered form (main.py:694-707); this reads the
-    same values from the structure."""
-    if _parse_encryption(data) is not None:
-        return {}
-    objects = _object_index(data)
+    /Yes). Encrypted documents decrypt field strings per object with
+    the same RC4/AES machinery as streams (§7.6.2 — strings share the
+    crypt filter); a field whose string fails to decrypt is skipped
+    rather than failing the whole form (the text path already
+    quarantines documents whose key is wrong). Reference behavior to
+    match: Gemini reads the rendered form (main.py:694-707); this
+    reads the same values from the structure."""
+    dec = _parse_encryption(data)
+    objects = _object_index(data, dec)
     root = None
     m = re.search(rb"/Root\s+(\d+)\s+\d+\s+R", data)
     if m:
@@ -1420,7 +1449,10 @@ def pdf_form_fields(data: bytes) -> dict[str, str]:
         name = None
         tm = re.search(rb"/T\s*(?=[(<])", body)
         if tm:
-            name = _string_value(body[tm.end() :])
+            try:
+                name = _string_value(body[tm.end() :], dec, num)
+            except ValueError:
+                name = None  # undecryptable name: field unreachable
         full = f"{prefix}.{name}" if prefix and name else (name or prefix)
         km = re.search(rb"/Kids\s*\[([^\]]*)\]", body)
         if km:
@@ -1429,7 +1461,10 @@ def pdf_form_fields(data: bytes) -> dict[str, str]:
             return
         vm = re.search(rb"/V\s*", body)
         if vm and full:
-            v = _string_value(body[vm.end() :])
+            try:
+                v = _string_value(body[vm.end() :], dec, num)
+            except ValueError:
+                v = None  # skip the field, keep the rest of the form
             if v is not None:
                 out.setdefault(full, v)
 

@@ -667,7 +667,8 @@ def test_flate_tiff_predictor():
     ]
 
 
-def _build_encrypted_pdf(r=3, length=128, user_pwd=b"", title=b"Secret Report"):
+def _build_encrypted_pdf(r=3, length=128, user_pwd=b"", title=b"Secret Report",
+                         form_value=None):
     """Standard-security-handler encrypted PDF built per the spec
     algorithms (§7.6.3) — RC4 V1/V2, R2/R3 — so the decoder's key
     derivation and /U verification are exercised end-to-end."""
@@ -724,6 +725,15 @@ def _build_encrypted_pdf(r=3, length=128, user_pwd=b"", title=b"Secret Report"):
          + b" /O <" + o_entry.hex().encode() + b">"
          + b" /U <" + u_entry.hex().encode() + b"> >>"),
     ]
+    if form_value is not None:
+        # RC4-encrypted AcroForm text field (obj 7): /T and /V strings
+        # use the same per-object key derivation as streams
+        enc_t = _rc4(objkey(7), b"Invoice Number")
+        enc_v = _rc4(objkey(7), form_value)
+        objects[0] = (b"<< /Type /Catalog /Pages 2 0 R"
+                      b" /AcroForm << /Fields [7 0 R] >> >>")
+        objects.append(b"<< /FT /Tx /T <" + enc_t.hex().encode()
+                       + b"> /V <" + enc_v.hex().encode() + b"> >>")
     out = bytearray(b"%PDF-1.5\n")
     offsets = []
     for i, obj in enumerate(objects, 1):
@@ -1193,3 +1203,13 @@ def test_deep_nesting_never_escapes_the_contract():
     objs.append(b"<< /FT /Tx /T (Leaf) /V (x) >>")
     deepform = _pdf(objs)
     assert isinstance(pdftext.pdf_form_fields(deepform), dict)
+
+
+def test_encrypted_acroform_field_values():
+    """Encrypted fillable invoice: AcroForm /T and /V strings are
+    RC4-encrypted with the per-object key like every other string —
+    they must decrypt and answer KPIs alongside the page text."""
+    pdf = _build_encrypted_pdf(form_value=b"INV-E-77")
+    assert pdftext.pdf_form_fields(pdf) == {"Invoice Number": "INV-E-77"}
+    got = pdftext.pdf_kpi_extractor(pdf, ["Invoice Number", "Total"], "")
+    assert got == {"Invoice Number": "INV-E-77", "Total": "42"}
