@@ -1620,56 +1620,8 @@ def x3d_minhash_lsh_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is bounded by 4×docs — the same plan x3 runs, now provably
     identical to an independent implementation."""
     docs = load_table(spark, sf_dir, "documents")
-    M = F.lit(_MH_P).cast("long")
-    B = F.lit(131).cast("long")
-    seed = F.lit(7).cast("long")
-
-    def roll(arr):
-        return F.aggregate(
-            arr, seed, lambda a, b: (a * B + b.cast("long")) % M
-        )
-
-    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    wordhash = F.transform(
-        words,
-        lambda x: roll(
-            F.transform(
-                F.sequence(F.lit(1), F.length(x)),
-                lambda i: F.ascii(x.substr(i, F.lit(1))),
-            )
-        ),
-    )
-    d = docs.select("doc_id", wordhash.alias("hs")).filter(
-        F.size("hs") >= 5
-    )
-    gs = F.transform(
-        F.sequence(F.lit(1), F.size("hs") - 4),
-        lambda i: roll(F.slice(F.col("hs"), i, 5)),
-    )
-    d = d.select("doc_id", gs.alias("gs"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_MH_K - 1)),
-        lambda k: F.array_min(
-            F.transform(
-                F.col("gs"),
-                lambda g: ((2 * k + 3).cast("long") * g
-                           + (5 * k + 7).cast("long")) % M,
-            )
-        ),
-    )
-    d = d.select("doc_id", sig.alias("s"))
-    bands = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(3)),
-            lambda j: F.struct(
-                j.cast("long").alias("band_idx"),
-                roll(F.slice(F.col("s"), j * 4 + 1, 4)).alias("band_hash"),
-            ),
-        )
-    )
     return (
-        d.select("doc_id", bands.alias("b"))
-        .select("doc_id", "b.band_idx", "b.band_hash")
+        _arith_band_frame(docs)
         .groupBy("band_idx", "band_hash")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
@@ -1756,4 +1708,158 @@ def x3e_simhash_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "simhash")
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _arith_band_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, band_idx, band_hash) rows of the portable
+    MinHash-LSH banding (x3d's machinery, shared with x22c): word
+    Karp-Rabin rolls → 5-gram hashes → 16 universal-hash minima →
+    4 rolled band keys. Docs under 5 words produce no bands (nothing
+    to block on)."""
+    M = F.lit(_MH_P).cast("long")
+    B = F.lit(131).cast("long")
+    seed = F.lit(7).cast("long")
+
+    def roll(arr):
+        return F.aggregate(
+            arr, seed, lambda a, b: (a * B + b.cast("long")) % M
+        )
+
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    wordhash = F.transform(
+        words,
+        lambda x: roll(
+            F.transform(
+                F.sequence(F.lit(1), F.length(x)),
+                lambda i: F.ascii(x.substr(i, F.lit(1))),
+            )
+        ),
+    )
+    d = docs.select("doc_id", "lang", wordhash.alias("hs")).filter(
+        F.size("hs") >= 5
+    )
+    gs = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - 4),
+        lambda i: roll(F.slice(F.col("hs"), i, 5)),
+    )
+    d = d.select("doc_id", "lang", gs.alias("gs"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(_MH_K - 1)),
+        lambda k: F.array_min(
+            F.transform(
+                F.col("gs"),
+                lambda g: ((2 * k + 3).cast("long") * g
+                           + (5 * k + 7).cast("long")) % M,
+            )
+        ),
+    )
+    d = d.select("doc_id", "lang", sig.alias("s"))
+    bands = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda j: F.struct(
+                j.cast("long").alias("band_idx"),
+                roll(F.slice(F.col("s"), j * 4 + 1, 4)).alias("band_hash"),
+            ),
+        )
+    )
+    return d.select("doc_id", "lang", bands.alias("b")).select(
+        "doc_id", "lang", "b.band_idx", "b.band_hash"
+    )
+
+
+_X22C_BANDS_SQL = f"""
+    w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ), wh AS (
+      SELECT doc_id, lang,
+             list_transform(ws, x -> list_reduce(
+               [CAST(7 AS BIGINT)] || list_transform(
+                 range(1, len(x) + 1),
+                 i -> CAST(ascii(substr(x, CAST(i AS INTEGER), 1))
+                           AS BIGINT)),
+               (a, b) -> (a * 131 + b) % {_MH_P})) AS hs
+      FROM w
+    ), gh AS (
+      SELECT doc_id, lang,
+             list_transform(range(1, len(hs) - 3), i ->
+               list_reduce([CAST(7 AS BIGINT)] || list_slice(hs, i, i + 4),
+                           (a, b) -> (a * 131 + b) % {_MH_P})) AS gs
+      FROM wh WHERE len(hs) >= 5
+    ), sig AS (
+      SELECT doc_id, lang,
+             list_transform(range(0, {_MH_K}), k ->
+               list_min(list_transform(gs,
+                 g -> ((2 * k + 3) * g + 5 * k + 7) % {_MH_P}))) AS s
+      FROM gh
+    ), bands AS (
+      SELECT doc_id, lang, CAST(j AS BIGINT) AS band_idx,
+             list_reduce([CAST(7 AS BIGINT)]
+                         || list_slice(s, j * 4 + 1, j * 4 + 4),
+                         (a, b) -> (a * 131 + b) % {_MH_P}) AS band_hash
+      FROM sig, UNNEST(range(0, 4)) AS t(j)
+    )
+"""
+
+
+@query(
+    "x22c_incremental_near_dup_arith",
+    oracle=f"""
+    WITH {_X22C_BANDS_SQL}
+    , store AS (
+      SELECT DISTINCT band_idx, band_hash FROM bands WHERE doc_id % 2 = 0
+    ), probe AS (
+      SELECT b.doc_id, b.lang,
+             max(CASE WHEN s.band_hash IS NOT NULL THEN 1 ELSE 0 END)
+               AS hit
+      FROM bands b
+      LEFT JOIN store s
+        ON b.band_idx = s.band_idx AND b.band_hash = s.band_hash
+      WHERE b.doc_id % 2 = 1
+      GROUP BY 1, 2
+    )
+    SELECT lang,
+           count(*) AS n_batch,
+           sum(hit) AS n_near_dup,
+           count(*) - sum(hit) AS n_new
+    FROM probe GROUP BY lang
+    """,
+)
+def x22c_incremental_near_dup_arith(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X22c: the incremental near-dup DECISION graded bit-exact —
+    x22b's accept/reject flow on portable hashes: even doc_ids play
+    the accepted-corpus fingerprint store (distinct band keys — the
+    bytes-per-doc state x22's store persists), odd doc_ids are the
+    incoming batch, and a batch document is a near-dup iff ANY of its
+    4 band keys collides with the store. Per lang: batch size, dups
+    caught, new accepted.
+
+    Scale shape: the store side is the DISTINCT band-key set (tiny
+    relative to text); the probe is one equi-join on (band_idx,
+    band_hash) + per-doc max — exactly the bucketed probe
+    operators/incremental.py runs against its parquet store, now
+    independently verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = _arith_band_frame(docs)
+    store = (
+        bands.filter(F.col("doc_id") % 2 == 0)
+        .select("band_idx", "band_hash")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probe = (
+        bands.filter(F.col("doc_id") % 2 == 1)
+        .join(store, ["band_idx", "band_hash"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.max(F.coalesce("_hit", F.lit(0))).alias("hit"))
+    )
+    return probe.groupBy("lang").agg(
+        F.count("*").alias("n_batch"),
+        F.sum("hit").alias("n_near_dup"),
+        (F.count("*") - F.sum("hit")).alias("n_new"),
     )
