@@ -1863,3 +1863,67 @@ def x22c_incremental_near_dup_arith(
         F.sum("hit").alias("n_near_dup"),
         (F.count("*") - F.sum("hit")).alias("n_new"),
     )
+
+
+_HP_PLANES = 8  # random-hyperplane count; bucket space = 2^8
+
+
+@query(
+    "x4g_ann_hyperplane_arith",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label,
+             {" + ".join(
+                 f"(CASE WHEN list_reduce([CAST(0.0 AS DOUBLE)] || "
+                 f"list_transform(range(0, 64), j -> "
+                 f"CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) * "
+                 f"((31 * {p} + 17 * j) % 13 - 6)), "
+                 f"(a, x) -> a + x) > 0 THEN {1 << p} ELSE 0 END)"
+                 for p in range(_HP_PLANES)
+             )} AS bucket
+      FROM embeddings
+    )
+    SELECT bucket,
+           count(*) AS n_vecs,
+           count(DISTINCT label) AS n_labels
+    FROM b GROUP BY bucket
+    """,
+)
+def x4g_ann_hyperplane_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4g: random-hyperplane LSH bucketing GRADED bit-exact — x4b's
+    ANN blocking step with the hyperplanes replaced by deterministic
+    integer-component planes ((31p + 17j) mod 13 − 6) and the dot
+    products computed as LEFT-FOLDS over the per-dimension products,
+    so both engines run the identical IEEE addition sequence and
+    every sign (hence every bucket bit) agrees exactly. The graded
+    result is the bucket histogram with per-bucket label diversity —
+    the partition layout an ANN probe would search.
+
+    Scale shape: bucket assignment is a per-row array fold inside
+    codegen (no UDF); the only shuffle is the 2⁸-key histogram
+    groupBy. The real ANN path (x4b/x4f) keeps engine-native hashing
+    for speed; this twin proves the blocking math is portable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    def plane_dot(p: int):
+        # NB: a two-arg transform lambda would receive the array INDEX
+        # as its second argument — capture the plane via closure only
+        def prod(j):
+            return F.element_at(vd, j + 1) * (
+                (31 * p + 17 * j) % 13 - 6
+            ).cast("double")
+
+        prods = F.transform(F.sequence(F.lit(0), F.lit(63)), prod)
+        return F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+
+    bucket = F.lit(0).cast("int")
+    for p in range(_HP_PLANES):
+        bucket = bucket + F.when(plane_dot(p) > 0, F.lit(1 << p)).otherwise(0)
+    return (
+        emb.select(bucket.alias("bucket"), "label")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
