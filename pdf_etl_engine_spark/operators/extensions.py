@@ -1927,3 +1927,83 @@ def x4g_ann_hyperplane_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("label").alias("n_labels"),
         )
     )
+
+
+@query(
+    "x4h_ivf_assign_arith",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS c
+      FROM embeddings WHERE vec_id < 8
+    ), a AS (
+      SELECT e.vec_id, e.label, cent.centroid_id,
+             list_reduce([CAST(0.0 AS DOUBLE)] ||
+               list_transform(range(0, 64), j ->
+                 (CAST(e.embedding[CAST(j AS INTEGER) + 1] AS DOUBLE)
+                  - CAST(cent.c[CAST(j AS INTEGER) + 1] AS DOUBLE))
+                 * (CAST(e.embedding[CAST(j AS INTEGER) + 1] AS DOUBLE)
+                    - CAST(cent.c[CAST(j AS INTEGER) + 1] AS DOUBLE))),
+               (acc, x) -> acc + x) AS dist
+      FROM embeddings e, cent
+    ), m AS (
+      SELECT vec_id, min(dist) AS md FROM a GROUP BY 1
+    ), assigned AS (
+      SELECT a.vec_id, min(a.centroid_id) AS centroid_id,
+             min(a.label) AS label
+      FROM a JOIN m ON a.vec_id = m.vec_id AND a.dist = m.md
+      GROUP BY a.vec_id
+    )
+    SELECT centroid_id,
+           count(*) AS n_assigned,
+           count(DISTINCT label) AS n_labels
+    FROM assigned GROUP BY centroid_id
+    """,
+)
+def x4h_ivf_assign_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4h: the IVF coarse-quantizer ASSIGNMENT graded bit-exact —
+    x4e's partition step with the trained centroids replaced by a
+    deterministic codebook (the first 8 vectors) and every L2
+    distance computed as a left-fold over per-dimension squared
+    differences, so both engines run identical IEEE sequences and
+    every argmin (ties → lowest centroid id) agrees exactly. The
+    graded result is the inverted-list layout: per centroid, how many
+    vectors land there and their label diversity.
+
+    Scale shape: the codebook broadcasts (8 rows — real IVF codebooks
+    are ~√N, still broadcast-size); assignment is map-side over the
+    vectors; the only row shuffle is the per-vector argmin groupBy.
+    x4e keeps the trained-k-means path (iterative float — honestly
+    ungradable bit-exact); this twin proves the probe math."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c"),
+        )
+    )
+    diff = lambda j: (  # noqa: E731
+        F.element_at(F.col("embedding"), j + 1).cast("double")
+        - F.element_at(F.col("c"), j + 1).cast("double")
+    )
+    prods = F.transform(
+        F.sequence(F.lit(0), F.lit(63)), lambda j: diff(j) * diff(j)
+    )
+    dist = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+    a = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "centroid_id", dist.alias("dist")
+    )
+    m = a.groupBy("vec_id").agg(F.min("dist").alias("md"))
+    assigned = (
+        a.join(m, "vec_id")
+        .filter(F.col("dist") == F.col("md"))
+        .groupBy("vec_id")
+        .agg(
+            F.min("centroid_id").alias("centroid_id"),
+            F.min("label").alias("label"),
+        )
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_assigned"),
+        F.countDistinct("label").alias("n_labels"),
+    )
