@@ -599,6 +599,18 @@ def _iter_streams(data: bytes, dec: _Rc4Decryptor | None = None):
         dict_start, num, gen = hdrs[i - 1] if i else (0, 0, 0)
         dict_bytes = data[dict_start : sm.start()]
         raw = sm.group(1)
+        # the regex's optional pre-endstream EOL can eat a payload
+        # byte when the (binary) data itself ends in \r or \n — a
+        # 1-in-128 document. The declared /Length is authoritative
+        # (§7.3.8 requires it); use it when the byte after those N
+        # bytes really is the endstream keyword, else keep the regex
+        # span (damaged files lie about /Length).
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", dict_bytes)
+        if lm:
+            n = int(lm.group(1))
+            s0 = sm.start(1)
+            if re.match(rb"(?:\r\n|\r|\n)?endstream", data[s0 + n : s0 + n + 11]):
+                raw = data[s0 : s0 + n]
         if dec is not None and not re.search(
             rb"/Type\s*/XRef\b", dict_bytes
         ):

@@ -1213,3 +1213,31 @@ def test_encrypted_acroform_field_values():
     assert pdftext.pdf_form_fields(pdf) == {"Invoice Number": "INV-E-77"}
     got = pdftext.pdf_kpi_extractor(pdf, ["Invoice Number", "Total"], "")
     assert got == {"Invoice Number": "INV-E-77", "Total": "42"}
+
+
+def test_stream_payload_ending_in_cr_or_lf_not_truncated():
+    """§7.3.8: binary stream data may END in \\r or \\n; the
+    pre-endstream EOL must not eat that payload byte (the declared
+    /Length is authoritative). Regression: a 1-in-128 zlib payload
+    whose last byte is 0x0D inflated short and falsely quarantined."""
+    # the zlib tail is the plaintext's Adler-32 low byte — vary the
+    # byte SUM widely (3 chars over a 91-char alphabet) to hit any
+    # residue, keeping the chars literal-safe (no parens/backslash)
+    alpha = bytes(c for c in range(33, 127) if c not in (40, 41, 92))
+    for tail_byte in (b"\r", b"\n"):
+        for i in range(91 ** 3):
+            tag = bytes(
+                alpha[(i // 91 ** j) % 91] for j in range(3)
+            ).decode("latin-1")
+            payload = zlib.compress(
+                b"BT /F1 12 Tf (Total: " + tag.encode("latin-1")
+                + b") Tj ET"
+            )
+            if payload.endswith(tail_byte):
+                break
+        else:
+            raise AssertionError("no payload with desired tail byte")
+        pdf = _pdf(_page_objs(
+            _stream_obj(b"/Filter /FlateDecode ", payload)
+        ))
+        assert pdftext.extract_pdf_text(pdf) == f"Total: {tag}"
