@@ -844,20 +844,29 @@ def x27_ngram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     tris = docs.filter(n >= 3).select(
         "doc_id", F.explode(tri_arr).alias("tri")
     )
+    # single-pass shape: the corpus explodes ONCE into per-doc trigram
+    # COUNTS (map-side partials compress hard — within-doc repetition
+    # is ~2x and the char-trigram vocabulary is charset-bounded), the
+    # model re-aggregates those counts, and scoring weights each
+    # rounded surprisal by its count (k·round(lp) ≡ summing round(lp)
+    # k times — bit-identical to the per-occurrence oracle)
+    dt = tris.groupBy("doc_id", "tri").agg(F.count("*").alias("k"))
     w = Window.partitionBy()
     freq = (
-        tris.groupBy("tri")
-        .agg(F.count("*").alias("c"))
+        dt.groupBy("tri")
+        .agg(F.sum("k").alias("c"))
         .withColumn("n", F.sum("c").over(w))
     )
     lp_fixed = F.round(
         -F.log2(F.col("c").cast("double") / F.col("n")) * 1_000_000
     ).cast("bigint")
-    scored = tris.join(freq, "tri").select("doc_id", lp_fixed.alias("lp"))
+    scored = dt.join(freq, "tri").select(
+        "doc_id", "k", (F.col("k") * lp_fixed).alias("klp")
+    )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_tris"),
+        F.sum("k").alias("n_tris"),
         stable_round(
-            F.sum("lp").cast("double") / 1_000_000 / F.count("*"), 4
+            F.sum("klp").cast("double") / 1_000_000 / F.sum("k"), 4
         ).alias("avg_surprisal"),
     )
 
