@@ -60,10 +60,19 @@ every text-show through the active font's CMap — 1-byte simple-font
 and 2-byte CID/Type0 codes both. Codes absent from the CMap fall back
 to their code-point value (deterministic, never an exception).
 
+Identity-H/V Type0 fonts with NO /ToUnicode (r6): the embedded
+TrueType program's ``cmap`` table (formats 4/12/6/0, best Unicode
+subtable) is inverted glyph-id→Unicode and — CIDs being glyph ids
+under Identity encoding (§9.7.4.2), composed through a stream-form
+/CIDToGIDMap when present — recovers the text the way desktop
+extractors do. A damaged or absent font program degrades to 2-byte
+code grouping with code-point fallback, never an exception.
+
 Not handled (documented limits): CID fonts whose ONLY mapping is a
-/CIDSystemInfo-registered external CMap (no embedded /ToUnicode —
-rare outside CJK print workflows), and password-protected documents
-(correctly quarantined, not decoded).
+/CIDSystemInfo-registered external CMap with a CFF-only program
+(/FontFile3, no TrueType ``cmap`` — rare outside CJK print
+workflows), and password-protected documents (correctly quarantined,
+not decoded).
 """
 
 from __future__ import annotations
@@ -873,6 +882,134 @@ def _font_differences(body: bytes, objects: dict[int, bytes]) -> dict | None:
     return base or None
 
 
+# ---------------------------------------------------------------------------
+# Embedded TrueType ``cmap`` fallback (r6): an Identity-H Type0 font
+# with NO /ToUnicode still carries the glyph↔Unicode relation inside
+# its /FontFile2 program — the TrueType ``cmap`` table maps Unicode →
+# glyph id, and under /Identity-H the CIDs in the content stream ARE
+# glyph ids (§9.7.4.2), so inverting the table recovers text. This is
+# what desktop extractors (pdfminer, MuPDF) do for the same case.
+# ---------------------------------------------------------------------------
+
+_TTF_SUBTABLE_RANK = {
+    (3, 10): 4,  # Windows UCS-4 (format 12)
+    (0, 4): 4,   # Unicode full
+    (0, 6): 4,
+    (3, 1): 3,   # Windows BMP (format 4) — the common subset-font table
+    (0, 3): 3,
+}
+
+
+def _u16(b: bytes, o: int) -> int:
+    return int.from_bytes(b[o : o + 2], "big")
+
+
+def _u32(b: bytes, o: int) -> int:
+    return int.from_bytes(b[o : o + 4], "big")
+
+
+def _parse_ttf_cmap(ttf: bytes) -> dict[int, str] | None:
+    """``{glyph_id: char}`` from the best Unicode ``cmap`` subtable of
+    a TrueType program (formats 4, 12, 6, 0). When several code points
+    share a glyph (subset fonts reuse e.g. U+0020/U+00A0), the LOWEST
+    code point wins — deterministic and almost always the intended
+    character. None when no usable table exists; malformed tables
+    degrade to None, never raise (the caller falls back to code-point
+    decode, matching the damaged-CMap policy)."""
+    try:
+        if len(ttf) < 12:
+            return None
+        cmap_off = None
+        for i in range(_u16(ttf, 4)):
+            rec = 12 + 16 * i
+            if rec + 16 > len(ttf):
+                break
+            if ttf[rec : rec + 4] == b"cmap":
+                cmap_off = _u32(ttf, rec + 8)
+        if cmap_off is None or cmap_off + 4 > len(ttf):
+            return None
+        best, best_rank = None, -1
+        for i in range(_u16(ttf, cmap_off + 2)):
+            rec = cmap_off + 4 + 8 * i
+            if rec + 8 > len(ttf):
+                break
+            pid, eid = _u16(ttf, rec), _u16(ttf, rec + 2)
+            rank = _TTF_SUBTABLE_RANK.get(
+                (pid, eid), 1 if pid == 0 else 0
+            )
+            if rank > best_rank:
+                best_rank, best = rank, cmap_off + _u32(ttf, rec + 4)
+        if best is None or best + 2 > len(ttf):
+            return None
+        uni_to_gid: dict[int, int] = {}
+        fmt = _u16(ttf, best)
+        if fmt == 4:
+            seg_x2 = _u16(ttf, best + 6)
+            segs = seg_x2 // 2
+            ends = best + 14
+            starts = ends + seg_x2 + 2  # +2: reservedPad
+            deltas = starts + seg_x2
+            ranges = deltas + seg_x2
+            for si in range(segs):
+                start = _u16(ttf, starts + 2 * si)
+                end = _u16(ttf, ends + 2 * si)
+                if start > end or start == 0xFFFF:
+                    continue
+                delta = _u16(ttf, deltas + 2 * si)
+                roff = _u16(ttf, ranges + 2 * si)
+                for c in range(start, min(end, 0xFFFE) + 1):
+                    if roff == 0:
+                        gid = (c + delta) & 0xFFFF
+                    else:
+                        addr = ranges + 2 * si + roff + 2 * (c - start)
+                        if addr + 2 > len(ttf):
+                            continue
+                        gid = _u16(ttf, addr)
+                        if gid:
+                            gid = (gid + delta) & 0xFFFF
+                    if gid:
+                        uni_to_gid.setdefault(c, gid)
+        elif fmt == 12:
+            n_groups = min(_u32(ttf, best + 12), 1 << 16)
+            for g in range(n_groups):
+                rec = best + 16 + 12 * g
+                if rec + 12 > len(ttf):
+                    break
+                s, e, gid0 = _u32(ttf, rec), _u32(ttf, rec + 4), _u32(ttf, rec + 8)
+                if s > e or e - s >= _RANGE_CLAMP:
+                    continue
+                for off in range(e - s + 1):
+                    if s + off < 0x110000:
+                        uni_to_gid.setdefault(s + off, gid0 + off)
+        elif fmt == 6:
+            first, count = _u16(ttf, best + 6), _u16(ttf, best + 8)
+            for i in range(count):
+                if best + 10 + 2 * i + 2 > len(ttf):
+                    break
+                gid = _u16(ttf, best + 10 + 2 * i)
+                if gid:
+                    uni_to_gid.setdefault(first + i, gid)
+        elif fmt == 0:
+            for c in range(256):
+                if best + 6 + c >= len(ttf):
+                    break
+                gid = ttf[best + 6 + c]
+                if gid:
+                    uni_to_gid.setdefault(c, gid)
+        else:
+            return None
+        if not uni_to_gid:
+            return None
+        gid_to_char: dict[int, str] = {}
+        for uni in sorted(uni_to_gid):  # lowest code point wins
+            if 0xD800 <= uni <= 0xDFFF:
+                continue
+            gid_to_char.setdefault(uni_to_gid[uni], chr(uni))
+        return gid_to_char
+    except (IndexError, OverflowError):
+        return None
+
+
 def _decode_with_cmap(raw: bytes, cmap: tuple[int, dict[int, str]]) -> str:
     """Glyph-code bytes → text through a ToUnicode map. Unmapped codes
     fall back to their code-point value (for 1-byte codes that is the
@@ -1013,6 +1150,8 @@ def _build_font_tables(
         and b"/Differences" not in data
         and b"/WinAnsiEncoding" not in data
         and b"/MacRomanEncoding" not in data
+        and b"/Identity-H" not in data
+        and b"/Identity-V" not in data
     ):
         return {}, {}, {}
     if objects is None:
@@ -1021,6 +1160,10 @@ def _build_font_tables(
     # direct stream objects; §7.5.7 forbids streams inside ObjStm)
     tounicode_of: dict[int, int] = {}
     diff_maps: dict[int, tuple] = {}
+    # Identity-H/V Type0 fonts with no /ToUnicode: font num →
+    # (FontFile2 stream num, CIDToGIDMap stream num) — the embedded
+    # TrueType cmap is the remaining glyph→Unicode source (r6)
+    ident_fonts: dict[int, tuple[int | None, int | None]] = {}
     for num, body in objects.items():
         if not re.search(rb"/Type\s*/Font\b", body):
             continue
@@ -1028,12 +1171,51 @@ def _build_font_tables(
         if m:
             tounicode_of[num] = int(m.group(1))
             continue
+        if re.search(rb"/Subtype\s*/Type0\b", body) and re.search(
+            rb"/Encoding\s*/Identity-[HV]\b", body
+        ):
+            ff2num = c2gnum = None
+            dm = re.search(
+                rb"/DescendantFonts\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", body
+            )
+            desc = None
+            if dm:
+                refs = _REF_RE.findall(dm.group(1))
+                if refs:
+                    desc = objects.get(int(refs[0]))
+                    if desc is not None and not re.search(
+                        rb"/Type\s*/Font\b", desc
+                    ):
+                        # indirect ref TO the array: resolve one level
+                        inner = _REF_RE.findall(desc)
+                        desc = (
+                            objects.get(int(inner[0])) if inner else None
+                        )
+            if desc is not None:
+                fd = re.search(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R", desc)
+                if fd:
+                    fdbody = objects.get(int(fd.group(1)))
+                    if fdbody is not None:
+                        fm2 = re.search(
+                            rb"/FontFile2\s+(\d+)\s+\d+\s+R", fdbody
+                        )
+                        if fm2:
+                            ff2num = int(fm2.group(1))
+                cg = re.search(rb"/CIDToGIDMap\s+(\d+)\s+\d+\s+R", desc)
+                if cg:
+                    c2gnum = int(cg.group(1))
+            ident_fonts[num] = (ff2num, c2gnum)
+            continue
         diff = _font_differences(body, objects)
         if diff:
             diff_maps[num] = (1, diff)
     wanted = set(tounicode_of.values())
+    blob_wanted = {
+        n for pair in ident_fonts.values() for n in pair if n is not None
+    }
     cmap_streams: dict[int, tuple] = {}
-    if wanted:
+    blobs: dict[int, bytes] = {}
+    if wanted or blob_wanted:
         for snum, dict_bytes, raw in _iter_streams(data, dec):
             if snum in wanted:
                 payload = _decode_stream(dict_bytes, raw)
@@ -1041,6 +1223,15 @@ def _build_font_tables(
                     parsed = _parse_tounicode(payload)
                     if parsed:
                         cmap_streams[snum] = parsed
+            elif snum in blob_wanted:
+                # a damaged font program degrades to code-point
+                # fallback — it must not quarantine the document
+                try:
+                    payload = _decode_stream(dict_bytes, raw)
+                except ValueError:
+                    payload = None
+                if payload is not None:
+                    blobs[snum] = payload
     cmaps = dict(diff_maps)
     cmaps.update(
         {
@@ -1049,6 +1240,24 @@ def _build_font_tables(
             if tnum in cmap_streams
         }
     )
+    for fnum, (ff2, c2g) in ident_fonts.items():
+        mapping: dict[int, str] = {}
+        gidmap = _parse_ttf_cmap(blobs[ff2]) if ff2 in blobs else None
+        if gidmap:
+            if c2g in blobs:
+                # non-Identity CIDToGIDMap: 2-byte big-endian glyph id
+                # per CID (§9.7.4.2) — compose cid→gid→char
+                c2g_raw = blobs[c2g]
+                for cid in range(len(c2g_raw) // 2):
+                    gid = _u16(c2g_raw, 2 * cid)
+                    ch = gidmap.get(gid)
+                    if gid and ch is not None:
+                        mapping[cid] = ch
+            else:
+                mapping = gidmap
+        # even with no usable font program, register width 2 so
+        # Identity-H codes group per CID instead of per byte
+        cmaps.setdefault(fnum, (2, mapping))
     # page → content streams + font resource names
     per_stream: dict[int, dict[bytes, int]] = {}
     global_fonts: dict[bytes, int] = {}

@@ -1241,3 +1241,190 @@ def test_stream_payload_ending_in_cr_or_lf_not_truncated():
             _stream_obj(b"/Filter /FlateDecode ", payload)
         ))
         assert pdftext.extract_pdf_text(pdf) == f"Total: {tag}"
+
+
+# ---------------------------------------------------------------------------
+# Embedded-TrueType cmap fallback (r6): Identity-H Type0 fonts with
+# no /ToUnicode decode via the font program's own cmap table
+# ---------------------------------------------------------------------------
+
+
+def _ttf_fmt4(uni_to_gid: dict[int, int]) -> bytes:
+    """Minimal TrueType program: one (3,1) format-4 cmap subtable, one
+    single-code segment per mapping (idRangeOffset 0, delta = gid-code
+    mod 2^16) plus the mandatory 0xFFFF terminator segment."""
+    segs = [(c, c, (g - c) & 0xFFFF) for c, g in sorted(uni_to_gid.items())]
+    segs.append((0xFFFF, 0xFFFF, 1))
+    n = len(segs)
+    sub = bytearray()
+    sub += (4).to_bytes(2, "big")                      # format
+    sub += (16 + 8 * n).to_bytes(2, "big")             # length
+    sub += (0).to_bytes(2, "big")                      # language
+    sub += (2 * n).to_bytes(2, "big")                  # segCountX2
+    sub += b"\x00\x00\x00\x00\x00\x00"                 # search fields (unused)
+    for _s, e, _d in segs:
+        sub += e.to_bytes(2, "big")
+    sub += b"\x00\x00"                                 # reservedPad
+    for s, _e, _d in segs:
+        sub += s.to_bytes(2, "big")
+    for _s, _e, d in segs:
+        sub += d.to_bytes(2, "big")
+    sub += b"\x00\x00" * n                             # idRangeOffsets
+    cmap = bytearray()
+    cmap += (0).to_bytes(2, "big") + (1).to_bytes(2, "big")
+    cmap += (3).to_bytes(2, "big") + (1).to_bytes(2, "big")
+    cmap += (12).to_bytes(4, "big")                    # subtable offset
+    cmap += sub
+    out = bytearray()
+    out += (0x00010000).to_bytes(4, "big") + (1).to_bytes(2, "big")
+    out += b"\x00\x00\x00\x00\x00\x00"                 # search fields
+    out += b"cmap" + b"\x00" * 4 + (28).to_bytes(4, "big")
+    out += len(cmap).to_bytes(4, "big")
+    out += cmap
+    return bytes(out)
+
+
+def _ttf_fmt12(uni_to_gid: dict[int, int]) -> bytes:
+    """Same shape with a (3,10) format-12 subtable (one group per
+    mapping)."""
+    groups = sorted(uni_to_gid.items())
+    sub = bytearray()
+    sub += (12).to_bytes(2, "big") + b"\x00\x00"       # format, reserved
+    sub += (16 + 12 * len(groups)).to_bytes(4, "big")  # length
+    sub += (0).to_bytes(4, "big")                      # language
+    sub += len(groups).to_bytes(4, "big")
+    for c, g in groups:
+        sub += c.to_bytes(4, "big") + c.to_bytes(4, "big")
+        sub += g.to_bytes(4, "big")
+    cmap = bytearray()
+    cmap += (0).to_bytes(2, "big") + (1).to_bytes(2, "big")
+    cmap += (3).to_bytes(2, "big") + (10).to_bytes(2, "big")
+    cmap += (12).to_bytes(4, "big")
+    cmap += sub
+    out = bytearray()
+    out += (0x00010000).to_bytes(4, "big") + (1).to_bytes(2, "big")
+    out += b"\x00\x00\x00\x00\x00\x00"
+    out += b"cmap" + b"\x00" * 4 + (28).to_bytes(4, "big")
+    out += len(cmap).to_bytes(4, "big")
+    out += cmap
+    return bytes(out)
+
+
+def _identity_h_pdf(content: bytes, ttf: bytes | None,
+                    desc_extra: bytes = b"") -> bytes:
+    """Page with /F1 → Identity-H Type0 font, descendant
+    CIDFontType2 whose FontFile2 is ``ttf`` (descriptor omits the
+    stream when ttf is None)."""
+    fd = b"<< /Type /FontDescriptor /FontName /AAAAAA+T /Flags 4"
+    if ttf is not None:
+        fd += b" /FontFile2 8 0 R"
+    fd += b" >>"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        _stream_obj(b"", content),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+T"
+        b" /Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /AAAAAA+T"
+        b" /FontDescriptor 7 0 R " + desc_extra + b">>",
+        fd,
+    ]
+    if ttf is not None:
+        objs.append(_stream_obj(b"", ttf))
+    return _pdf(objs)
+
+
+# glyph ids 1..9 spell "Total: 42" via the font's unicode→gid table
+_GID_OF = {ord(ch): i + 1 for i, ch in enumerate("Total: 42")}
+_SHOW_GIDS = b"".join(
+    (_GID_OF[ord(c)]).to_bytes(2, "big") for c in "Total: 42"
+)
+
+
+def test_identity_h_fontfile2_cmap_fmt4():
+    """No /ToUnicode anywhere: text recovers through the embedded
+    TrueType format-4 cmap inverted gid→Unicode."""
+    content = b"BT /F1 12 Tf <" + _SHOW_GIDS.hex().encode() + b"> Tj ET"
+    pdf = _identity_h_pdf(content, _ttf_fmt4(_GID_OF))
+    assert pdftext.extract_pdf_text(pdf) == "Total: 42"
+
+
+def test_identity_h_fontfile2_cmap_fmt12():
+    content = b"BT /F1 12 Tf <" + _SHOW_GIDS.hex().encode() + b"> Tj ET"
+    pdf = _identity_h_pdf(content, _ttf_fmt12(_GID_OF))
+    assert pdftext.extract_pdf_text(pdf) == "Total: 42"
+
+
+def test_identity_h_cid_to_gid_stream():
+    """A stream-form /CIDToGIDMap composes cid→gid→Unicode: CIDs
+    100.. map to gids 1.. via the remap table."""
+    n = len("Total: 42")
+    c2g = bytearray(2 * 200)
+    for i in range(n):
+        c2g[2 * (100 + i): 2 * (100 + i) + 2] = (i + 1).to_bytes(2, "big")
+    cids = b"".join((100 + i).to_bytes(2, "big") for i in range(n))
+    content = b"BT /F1 12 Tf <" + cids.hex().encode() + b"> Tj ET"
+    ttf = _ttf_fmt4(_GID_OF)
+    fd = b"<< /Type /FontDescriptor /FontName /AAAAAA+T /Flags 4"
+    fd += b" /FontFile2 8 0 R >>"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        _stream_obj(b"", content),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+T"
+        b" /Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /AAAAAA+T"
+        b" /FontDescriptor 7 0 R /CIDToGIDMap 9 0 R >>",
+        fd,
+        _stream_obj(b"", ttf),
+        _stream_obj(b"", bytes(c2g)),
+    ]
+    assert pdftext.extract_pdf_text(_pdf(objs)) == "Total: 42"
+
+
+def test_identity_h_no_fontfile_groups_two_bytes():
+    """Without a font program the CIDs still group as 2-byte codes —
+    code-point fallback, not per-byte garbage."""
+    codes = b"".join(ord(c).to_bytes(2, "big") for c in "Total: 42")
+    content = b"BT /F1 12 Tf <" + codes.hex().encode() + b"> Tj ET"
+    pdf = _identity_h_pdf(content, None)
+    assert pdftext.extract_pdf_text(pdf) == "Total: 42"
+
+
+def test_identity_h_corrupt_fontfile_degrades():
+    """A truncated/garbage font program degrades to the 2-byte
+    code-point fallback instead of raising."""
+    codes = b"".join(ord(c).to_bytes(2, "big") for c in "Hi")
+    content = b"BT /F1 12 Tf <" + codes.hex().encode() + b"> Tj ET"
+    for junk in (b"", b"\x00\x01\x00\x00", b"not a font at all"):
+        pdf = _identity_h_pdf(content, junk)
+        assert pdftext.extract_pdf_text(pdf) == "Hi"
+
+
+def test_identity_h_tounicode_still_wins():
+    """A font carrying BOTH /ToUnicode and an embedded program uses
+    /ToUnicode (the authoritative extraction table, §9.10.2)."""
+    cmap = (b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            b"beginbfchar <0001> <0058> endbfchar")  # gid 1 -> 'X'
+    content = b"BT /F1 12 Tf <0001> Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        _stream_obj(b"", content),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+T"
+        b" /Encoding /Identity-H /DescendantFonts [6 0 R]"
+        b" /ToUnicode 9 0 R >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /AAAAAA+T"
+        b" /FontDescriptor 7 0 R >>",
+        b"<< /Type /FontDescriptor /FontName /AAAAAA+T /Flags 4"
+        b" /FontFile2 8 0 R >>",
+        _stream_obj(b"", _ttf_fmt4({ord("Z"): 1})),  # program says 'Z'
+        _stream_obj(b"", cmap),
+    ]
+    assert pdftext.extract_pdf_text(_pdf(objs)) == "X"
