@@ -58,6 +58,7 @@ X_SURFACE = {
     "x_url_blocklist": "x26_url_blocklist",
     "x_ngram_surprisal": "x27_ngram_surprisal",
     "x_containment_dedup": "x28_containment_dedup",
+    "x_bpe_pair_counts": "x32_bpe_pair_counts",
 }
 
 

@@ -1,0 +1,327 @@
+"""X32 — distributed BPE tokenizer training (SURVEY.md §2.11 third
+wave): the subword-vocabulary step every LLM pretraining pipeline runs
+between curation and packing. The reference has no tokenizer (its only
+text processing is the fenced-JSON cleanup, main.py:563-571); this is
+pure value-add for the 100 TB training-data story.
+
+Scale design — the classic fast-BPE factorization: training NEVER
+iterates over the corpus. One pass builds the word-frequency table
+(`groupBy word`, one shuffle, output ~|vocab| rows — millions at
+100 TB, trivially distributed); every merge iteration then runs on
+that table only:
+
+* pair counts: `explode` adjacent symbol pairs weighted by word
+  frequency → partial-agg shuffle of at most |vocab| × avg_word_len
+  small rows;
+* argmax: a 1-row `collect()` (bounded by construction);
+* merge application: a JVM-side `F.aggregate` fold over each word's
+  symbol array — map-only, no Python, no shuffle.
+
+So K merges cost K small shuffles over a shrinking symbol table, not
+K corpus scans. The driver loop is the textbook iterative-algorithm
+pattern (like MLlib's k-means); `localCheckpoint` every few rounds
+keeps the lineage flat.
+
+Cross-engine determinism: ties in pair counts break on the pair's
+(left, right) lexicographic order in BOTH the Spark path and the
+pure-Python reference trainer in tests/test_tokenizer.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_engine_spark.catalog import load_table
+from pdf_etl_engine_spark.registry import query
+
+_EOW = "_"  # end-of-word marker appended to each word's symbol list
+
+
+def _words(col: str = "text") -> Column:
+    return F.filter(F.split(F.col(col), " "), lambda w: w != "")
+
+
+def word_freq(docs: DataFrame) -> DataFrame:
+    """`(word, freq)` over the corpus — the ONLY corpus-wide pass BPE
+    training makes. One explode + one hash-agg shuffle."""
+    return (
+        docs.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """`array<struct<left,right>>` of adjacent symbol pairs; empty for
+    single-symbol words. Codegen only — no UDF."""
+    idx = F.when(
+        F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("left"),
+            F.element_at(syms, i + 1).alias("right"),
+        ),
+    )
+
+
+def pair_counts(symtab: DataFrame) -> DataFrame:
+    """`(left, right, pair_count)` weighted by word frequency over a
+    `(freq, syms)` symbol table. Partial aggregation runs map-side, so
+    the exchange carries one row per (partition, pair)."""
+    return (
+        symtab.select(
+            "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+        )
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping merge of (left, right) → left+right
+    inside a symbol array — a JVM `aggregate` fold, the standard BPE
+    application order."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int, checkpoint_every: int = 8
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges over the corpus: returns
+    ``[(left, right, pair_count), ...]`` in learned order. Ties break
+    on (count desc, left asc, right asc) — deterministic across
+    partitionings because the count is exact, not sampled."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, F.lit(1)),
+    )
+    symtab = word_freq(docs).select(
+        "freq", F.concat(chars, F.array(F.lit(_EOW))).alias("syms")
+    )
+    symtab = symtab.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for k in range(n_merges):
+        top = (
+            pair_counts(symtab)
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < 2:
+            break  # vocabulary exhausted: nothing worth merging
+        left, right = top[0]["left"], top[0]["right"]
+        merges.append((left, right, top[0]["pair_count"]))
+        symtab = symtab.select(
+            "freq", _apply_merge(F.col("syms"), left, right).alias("syms")
+        )
+        if (k + 1) % checkpoint_every == 0:
+            symtab = symtab.localCheckpoint(eager=True)
+    return merges
+
+
+def segment_word(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
+    """Driver-side tokenize of one word with a learned merge list —
+    the inference path (vocabularies are small; per-row tokenization
+    at scale would ship the merge list into `_apply_merge` column
+    expressions exactly like training does)."""
+    syms = list(word) + [_EOW]
+    for left, right, _cnt in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def tokenize_corpus(
+    docs: DataFrame, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """`(doc_id, tokens, n_tokens)` — the corpus tokenized with a
+    learned merge list, entirely JVM-side: per word, chars+EOW then
+    one `aggregate` fold per merge (nested column expressions — no
+    UDF, no shuffle, map-only). Right for the K≲64 merge lists these
+    fixtures train; a production-size vocab (10k+ merges) would
+    instead broadcast the merge list into a vectorized Pandas UDF,
+    because K nested folds compile K codegen layers."""
+    chars_of = lambda w: F.concat(  # noqa: E731
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.substring(w, i, F.lit(1)),
+        ),
+        F.array(F.lit(_EOW)),
+    )
+
+    def fold_word(syms: Column) -> Column:
+        for left, right, _cnt in merges:
+            syms = _apply_merge(syms, left, right)
+        return syms
+
+    tokens = F.flatten(
+        F.transform(_words(), lambda w: fold_word(chars_of(w)))
+    )
+    return docs.select(
+        "doc_id",
+        tokens.alias("tokens"),
+        F.size(tokens).alias("n_tokens"),
+    )
+
+
+@query(
+    "x32_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT w AS word, count(*) AS freq
+        FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      w -> w <> '')) AS w
+            FROM documents
+        ) GROUP BY w
+    ),
+    pairs AS (
+        SELECT freq,
+               unnest(list_transform(
+                   range(1, greatest(length(word) + 1, 2)),
+                   i -> CASE WHEN i < length(word) + 1
+                             THEN substr(word || '_', i, 1)
+                                  || ' ' || substr(word || '_', i + 1, 1)
+                        END)) AS pair
+        FROM words
+    )
+    SELECT str_split_regex(pair, ' ')[1] AS left_sym,
+           str_split_regex(pair, ' ')[2] AS right_sym,
+           sum(freq)::BIGINT AS pair_count
+    FROM pairs WHERE pair IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT 20
+    """,
+)
+def x32_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32: the first BPE training iteration — top-20 adjacent
+    character pairs (with the end-of-word marker) weighted by word
+    frequency. This is the exact shuffle shape every subsequent merge
+    iteration repeats, so grading it hash-exact pins the whole loop's
+    arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, F.lit(1)),
+    )
+    symtab = word_freq(docs).select(
+        "freq", F.concat(chars, F.array(F.lit(_EOW))).alias("syms")
+    )
+    return (
+        pair_counts(symtab)
+        .select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            "pair_count",
+        )
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(20)
+    )
+
+
+@query("x32b_bpe_train")  # rows-only: iterative training is not one SQL
+def x32b_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32b: full distributed BPE training (12 merges) — returns the
+    learned merge table `(rank, left_sym, right_sym, merged, pair_count)`
+    in learned order. Graded rows-only here; the merge-for-merge parity
+    against a pure-Python reference trainer (including tie-breaks) is
+    pinned in tests/test_tokenizer.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=12)
+    rows = [
+        (i + 1, left, right, left + right, cnt)
+        for i, (left, right, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, left_sym STRING, right_sym STRING, "
+        "merged STRING, pair_count BIGINT"
+    )
+
+
+# ---------------------------------------------------------------------------
+# X33 — deterministic training-order shuffle + sharding
+# ---------------------------------------------------------------------------
+
+_KNUTH_A = 2654435761  # Knuth multiplicative hash (public constant)
+_EPOCH_B = 40503       # Fibonacci-hash-derived odd stride for epochs
+_MOD = 1 << 32
+
+
+def training_shuffle(
+    docs: DataFrame, n_shards: int, epoch: int = 1
+) -> DataFrame:
+    """`(doc_id, shuffle_key, shard, pos)` — a reproducible global
+    permutation of the corpus for training-order randomization, plus
+    balanced shard files. Scale design: there is NO global sort and NO
+    single-partition window — the shard is a pure projection
+    (`key % n_shards`, uniform by construction), and position is a
+    per-shard window, so the one exchange partitions by shard and
+    every shard orders independently in parallel. Changing ``epoch``
+    re-permutes without rewriting anything upstream."""
+    key = (
+        (F.col("doc_id") * _KNUTH_A + F.lit(epoch) * _EPOCH_B) % _MOD
+    ).alias("shuffle_key")
+    from pyspark.sql.window import Window
+
+    tagged = docs.select("doc_id", key).select(
+        "doc_id",
+        "shuffle_key",
+        (F.col("shuffle_key") % n_shards).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return tagged.select(
+        "doc_id", "shuffle_key", "shard",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+@query(
+    "x33_training_shuffle",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id,
+               (doc_id * 2654435761 + 40503) % 4294967296 AS shuffle_key,
+               CAST((doc_id * 2654435761 + 40503) % 4294967296 % 8 AS INTEGER)
+                 AS shard
+        FROM documents
+    )
+    SELECT doc_id, shuffle_key, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS pos
+    FROM tagged
+    ORDER BY shard, pos LIMIT 500
+    """,
+)
+def x33_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33: epoch-1 training shuffle into 8 shards, first 500
+    (shard, pos) assignments. The permutation is hash-derived, so
+    reruns, repartitionings, and both engines agree bit-for-bit —
+    `df.sample`/`rand()` could never grade."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        training_shuffle(docs, n_shards=8, epoch=1)
+        .orderBy("shard", "pos")
+        .limit(500)
+    )

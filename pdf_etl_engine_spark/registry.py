@@ -133,6 +133,7 @@ def load_all() -> None:
         scans,
         sets,
         sorts,
+        tokenizer,
         windows,
     )
     from pdf_etl_engine_spark.streaming import windowq  # noqa: F401

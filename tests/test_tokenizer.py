@@ -1,0 +1,208 @@
+"""X32 distributed BPE training: merge-for-merge parity against a
+pure-Python reference trainer (same word-frequency factorization, same
+tie-break), segmentation behavior, and the no-corpus-rescans scale
+contract."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from pdf_etl_engine_spark.catalog import load_table
+from pdf_etl_engine_spark.operators import tokenizer
+
+
+def _reference_bpe(word_freq: dict[str, int], n_merges: int):
+    """Textbook BPE over a word-frequency table (Sennrich et al. 2016,
+    public algorithm): count adjacent symbol pairs weighted by word
+    freq, merge the argmax, ties broken (count desc, left, right)."""
+    symtab = {
+        tuple(list(w) + [tokenizer._EOW]): f for w, f in word_freq.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for syms, f in symtab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((left, right, cnt))
+        new_tab: dict[tuple, int] = {}
+        for syms, f in symtab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            new_tab[tuple(out)] = new_tab.get(tuple(out), 0) + f
+        symtab = new_tab
+    return merges
+
+
+def test_train_matches_reference_trainer(spark, sf_dir):
+    """20 merges over the sf0.001 corpus: the distributed trainer and
+    the in-memory reference produce the IDENTICAL merge sequence with
+    identical counts (exact counting — no sampling drift)."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = tokenizer.train_bpe(docs, n_merges=20)
+    freq = {
+        r["word"]: r["freq"]
+        for r in tokenizer.word_freq(docs).collect()
+    }
+    want = _reference_bpe(freq, 20)
+    assert got == want
+
+
+def test_segment_word_applies_merges_in_order():
+    merges = [("e", "r", 9), ("er", "_", 7), ("l", "o", 5)]
+    assert tokenizer.segment_word("lower", merges) == [
+        "lo", "w", "er_"
+    ]
+    # merge application is left-to-right non-overlapping
+    assert tokenizer.segment_word("eee", [("e", "e", 2)]) == [
+        "ee", "e", "_"
+    ]
+
+
+def test_single_char_and_empty_pairs(spark):
+    """Single-symbol words produce no pairs; training on a degenerate
+    corpus stops early instead of erroring."""
+    docs = spark.createDataFrame(
+        [("a b c",)], "text STRING"
+    )
+    merges = tokenizer.train_bpe(docs, n_merges=5)
+    # every word is one char + EOW: the only pairs are (c, _) each
+    # with count 1 < 2 — nothing merges
+    assert merges == []
+
+
+def test_merge_loop_shrinks_symbols(spark):
+    """After merging the top pair, its count leaves the pair table —
+    the symbol table genuinely rewrites (not a recount artifact)."""
+    docs = spark.createDataFrame(
+        [("abab abab abab",)], "text STRING"
+    )
+    merges = tokenizer.train_bpe(docs, n_merges=3)
+    # after (a,b): each word is [ab, ab, _]; the (ab,_) pair ties with
+    # (ab,ab) at 3 and wins on right-symbol order ('_' < 'ab')
+    assert [(m[0], m[1]) for m in merges] == [
+        ("a", "b"), ("ab", "_"), ("ab", "ab_")
+    ]
+
+
+def test_pair_counts_plan_is_single_exchange(spark, sf_dir):
+    """The per-iteration pair count is one partial+final hash agg —
+    the fold-based merge application adds NO shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    symtab = tokenizer.word_freq(docs).select(
+        "freq",
+        tokenizer.F.concat(
+            tokenizer.F.transform(
+                tokenizer.F.sequence(
+                    tokenizer.F.lit(1), tokenizer.F.length("word")
+                ),
+                lambda i: tokenizer.F.substring(
+                    tokenizer.F.col("word"), i, tokenizer.F.lit(1)
+                ),
+            ),
+            tokenizer.F.array(tokenizer.F.lit(tokenizer._EOW)),
+        ).alias("syms"),
+    )
+    merged = symtab.select(
+        "freq",
+        tokenizer._apply_merge(tokenizer.F.col("syms"), "e", "r").alias(
+            "syms"
+        ),
+    )
+    plan = (
+        tokenizer.pair_counts(merged)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one hash exchange for word_freq, one for the pair groupBy — and
+    # none between them introduced by the merge fold (load_table's
+    # round-robin split of the single test file is not a hash shuffle)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tokenize_corpus_matches_segment_word(spark, sf_dir):
+    """The distributed apply path (nested JVM folds) tokenizes exactly
+    like the driver-side segmenter, word for word."""
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    merges = tokenizer.train_bpe(docs, n_merges=8)
+    out = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in tokenizer.tokenize_corpus(docs, merges).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        want: list[str] = []
+        for w in row["text"].split(" "):
+            if w:
+                want.extend(tokenizer.segment_word(w, merges))
+        got_tokens, got_n = out[row["doc_id"]]
+        assert got_tokens == want
+        assert got_n == len(want)
+
+
+def test_tokenize_corpus_plan_is_map_only(spark, sf_dir):
+    """Tokenization adds no exchange and no Python stage on top of
+    the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        tokenizer.tokenize_corpus(docs, [("e", "r", 9), ("t", "h", 5)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_training_shuffle_balanced_and_epoch_varies(spark, sf_dir):
+    """Shards are near-balanced (uniform hash), positions are dense
+    1..n per shard, and a different epoch yields a different
+    permutation while keeping the same doc set."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    e1 = tokenizer.training_shuffle(docs, n_shards=8, epoch=1).collect()
+    sizes: dict[int, int] = {}
+    for r in e1:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert sum(sizes.values()) == n
+    assert max(sizes.values()) < 2 * (n / 8)  # no collapsed shard
+    by_shard: dict[int, list[int]] = {}
+    for r in e1:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    e2 = tokenizer.training_shuffle(docs, n_shards=8, epoch=2).collect()
+    assert {r["doc_id"] for r in e2} == {r["doc_id"] for r in e1}
+    order1 = [r["doc_id"] for r in sorted(e1, key=lambda r: (r["shard"], r["pos"]))]
+    order2 = [r["doc_id"] for r in sorted(e2, key=lambda r: (r["shard"], r["pos"]))]
+    assert order1 != order2
+
+
+def test_training_shuffle_plan_partitions_by_shard(spark, sf_dir):
+    """One exchange, partitioned by shard — never a global sort or a
+    single-partition window."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        tokenizer.training_shuffle(docs, n_shards=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "shard" in plan.split("Exchange hashpartitioning", 1)[1][:80]
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange rangepartitioning" not in plan
