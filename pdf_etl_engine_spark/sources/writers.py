@@ -630,6 +630,7 @@ def append_rows(
     if txn is not None and txn_seen(path, txn[0], txn[1]):
         return False
     _bootstrap_log(path)
+    _enforce_constraints(df, path)
     if cluster_by:
         n = max(df.rdd.getNumPartitions(), 1)
         df = df.repartitionByRange(
@@ -771,6 +772,7 @@ def merge_rows(
     because a violating merge would corrupt the table nondeterministically).
     Returns the published table version."""
     _bootstrap_log(path)
+    _enforce_constraints(source, path)
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
     if dup.limit(1).count():
         raise ValueError(f"merge source has duplicate keys on {keys}")
@@ -1180,3 +1182,113 @@ def align_to_schema(df: DataFrame, schema: StructType) -> DataFrame:
             out.append(F.lit(None).cast(field.dataType).alias(field.name))
     extra = [c for c in df.columns if c not in {f.name for f in schema.fields}]
     return df.select(*out, *extra)
+
+
+# ---------------------------------------------------------------------------
+# Table constraints (Delta `ALTER TABLE ADD CONSTRAINT` / NOT NULL):
+# declared once as table properties, enforced on every write path
+# ---------------------------------------------------------------------------
+
+
+def add_check_constraint(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    expression: str,
+    validate: bool = True,
+) -> None:
+    """Register a CHECK constraint (SQL boolean expression over table
+    columns). Semantics follow the SQL standard / Delta: a row
+    violates only when the expression evaluates to FALSE — UNKNOWN
+    (NULL) satisfies. With ``validate`` (default), existing rows are
+    scanned first and a violating table refuses the constraint — so a
+    registered constraint is a real invariant, not an aspiration.
+    The scan is one filtered pass with stats/partition pruning live;
+    enforcement on appends/merges is a map-only predicate over each
+    incoming batch (cost ∝ batch, never table)."""
+    props = table_properties(path)
+    checks = dict(props.get("check_constraints") or {})
+    if validate and (committed_files(path) or _list_parquet_files(path)):
+        cur = read_fact_table(spark, path)
+        _raise_on_violations(
+            cur, {name: expression}, [], where="existing rows"
+        )
+    checks[name] = expression
+    set_table_property(path, "check_constraints", checks)
+
+
+def drop_check_constraint(path: str, name: str) -> None:
+    props = table_properties(path)
+    checks = dict(props.get("check_constraints") or {})
+    checks.pop(name, None)
+    set_table_property(path, "check_constraints", checks)
+
+
+def set_not_null(
+    spark: SparkSession, path: str, cols: list[str], validate: bool = True
+) -> None:
+    """Declare NOT NULL columns (enforced on every future write; a
+    batch simply missing the column counts as all-NULL and is
+    refused). Existing rows are validated first like
+    ``add_check_constraint``."""
+    if validate and (committed_files(path) or _list_parquet_files(path)):
+        cur = read_fact_table(spark, path)
+        _raise_on_violations(cur, {}, cols, where="existing rows")
+    set_table_property(path, "not_null_cols", sorted(set(cols)))
+
+
+def _raise_on_violations(
+    df: DataFrame,
+    checks: dict[str, str],
+    not_null: list[str],
+    where: str = "incoming batch",
+) -> None:
+    """One map-only detection pass over ``df`` for ALL declared
+    constraints: each row carries the array of constraint names it
+    violates; the first few violating rows are sampled (bounded
+    collect) for the error. Raises ValueError — the same quarantine
+    -able contract the extractor uses."""
+    conds: list[tuple[str, Column]] = []
+    for name in sorted(checks):
+        expr = checks[name]
+        conds.append(
+            (
+                f"CHECK {name} ({expr})",
+                ~F.coalesce(F.expr(expr), F.lit(True)),
+            )
+        )
+    for c in not_null:
+        if c in df.columns:
+            conds.append((f"NOT NULL {c}", F.col(c).isNull()))
+        else:
+            conds.append((f"NOT NULL {c} (column absent)", F.lit(True)))
+    if not conds:
+        return
+    tags = F.array_compact(
+        F.array(*[F.when(cond, F.lit(label)) for label, cond in conds])
+    )
+    try:
+        sample = (
+            df.select(tags.alias("_violated"))
+            .filter(F.size("_violated") > 0)
+            .limit(3)
+            .collect()
+        )
+    except Exception as e:  # noqa: BLE001 — analysis error, not data
+        raise ValueError(
+            f"constraint not evaluable against {where}: {e}"
+        ) from None
+    if sample:
+        names = sorted({n for r in sample for n in r["_violated"]})
+        raise ValueError(
+            f"constraint violation in {where}: {'; '.join(names)}"
+        )
+
+
+def _enforce_constraints(df: DataFrame, path: str) -> None:
+    props = table_properties(path)
+    _raise_on_violations(
+        df,
+        props.get("check_constraints") or {},
+        props.get("not_null_cols") or [],
+    )

@@ -1542,3 +1542,105 @@ def test_zorder_quantile_buckets_survive_skew(spark, tmp_path):
     tbl = writers.read_fact_table(spark, path)
     assert tbl.count() == 4096
     assert tbl.filter("x = 25.0").count() == 64
+
+
+# ---------------------------------------------------------------------------
+# Table constraints (r6): CHECK / NOT NULL enforced on the write path
+# ---------------------------------------------------------------------------
+
+
+def test_check_constraint_blocks_violating_append(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path)
+    writers.add_check_constraint(spark, path, "amount_nonneg", "amount >= 0")
+    v0 = writers.table_version(path)
+    bad = spark.createDataFrame(
+        [("u1", "reports", "neg", -1.0)],
+        "tenant_id string, folder_id string, row_id string, amount double",
+    )
+    with pytest.raises(ValueError, match="amount_nonneg"):
+        writers.append_rows(bad, path)
+    # nothing published: version unchanged, rows unchanged
+    assert writers.table_version(path) == v0
+    assert writers.read_fact_table(spark, path).count() == 3
+    # a clean batch still appends
+    assert writers.append_rows(_fact_rows(spark, 2, folder="other"), path)
+    assert writers.read_fact_table(spark, path).count() == 5
+
+
+def test_check_constraint_null_satisfies(spark, tmp_path):
+    """SQL-standard CHECK: UNKNOWN (NULL) satisfies — only FALSE
+    violates."""
+    path = str(tmp_path / "facts")
+    writers.add_check_constraint(spark, path, "amount_pos", "amount > 0")
+    withnull = spark.createDataFrame(
+        [("u1", "reports", "r1", None), ("u1", "reports", "r2", 2.0)],
+        "tenant_id string, folder_id string, row_id string, amount double",
+    )
+    assert writers.append_rows(withnull, path)
+    assert writers.read_fact_table(spark, path).count() == 2
+
+
+def test_not_null_blocks_null_and_absent_column(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 2), path)
+    writers.set_not_null(spark, path, ["row_id"])
+    nullrow = spark.createDataFrame(
+        [("u1", "reports", None, 1.0)],
+        "tenant_id string, folder_id string, row_id string, amount double",
+    )
+    with pytest.raises(ValueError, match="NOT NULL row_id"):
+        writers.append_rows(nullrow, path)
+    missing = spark.createDataFrame(
+        [("u1", "reports", 1.0)],
+        "tenant_id string, folder_id string, amount double",
+    )
+    with pytest.raises(ValueError, match="column absent"):
+        writers.append_rows(missing, path)
+
+
+def test_add_constraint_validates_existing_rows(spark, tmp_path):
+    """A constraint the current table already violates is refused —
+    registered constraints are real invariants."""
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path)  # amounts 0,1,2
+    with pytest.raises(ValueError, match="amount_pos"):
+        writers.add_check_constraint(spark, path, "amount_pos", "amount > 0")
+    # not registered: a zero-amount append still passes
+    assert writers.append_rows(_fact_rows(spark, 1, folder="z"), path)
+    # validate=False registers anyway (migration escape hatch)
+    writers.add_check_constraint(
+        spark, path, "amount_pos", "amount > 0", validate=False
+    )
+    with pytest.raises(ValueError, match="amount_pos"):
+        writers.append_rows(_fact_rows(spark, 1, folder="y"), path)
+
+
+def test_merge_enforces_constraints_and_drop_lifts(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 2), path)
+    writers.add_check_constraint(spark, path, "amount_cap", "amount < 100")
+    src = spark.createDataFrame(
+        [("u1", "reports", "row_1", 500.0)],
+        "tenant_id string, folder_id string, row_id string, amount double",
+    )
+    with pytest.raises(ValueError, match="amount_cap"):
+        writers.merge_rows(spark, path, src, ["tenant_id", "folder_id", "row_id"])
+    writers.drop_check_constraint(path, "amount_cap")
+    writers.merge_rows(spark, path, src, ["tenant_id", "folder_id", "row_id"])
+    got = {
+        r["row_id"]: r["amount"]
+        for r in writers.read_fact_table(spark, path).collect()
+    }
+    assert got["row_1"] == 500.0
+
+
+def test_unparsable_constraint_raises_value_error(spark, tmp_path):
+    """A CHECK referencing a column the batch lacks surfaces as
+    ValueError (quarantineable), not a raw AnalysisException."""
+    path = str(tmp_path / "facts")
+    writers.add_check_constraint(
+        spark, path, "ghost", "no_such_col > 0", validate=False
+    )
+    with pytest.raises(ValueError, match="ghost|not evaluable"):
+        writers.append_rows(_fact_rows(spark, 1), path)
