@@ -134,9 +134,10 @@ def _fold_state(path: str, version: int | None = None) -> dict | None:
         stats = dict(cp.get("stats", {}))
         bloom = dict(cp.get("bloom", {}))
         txn_high = dict(cp.get("txn_high", {}))
+        dv = dict(cp.get("dv", {}))
         floor = int(cp["version"])
     else:
-        files, stats, bloom, txn_high = [], {}, {}, {}
+        files, stats, bloom, txn_high, dv = [], {}, {}, {}, {}
         floor = -1
     cdir = _os.path.join(path, _COMMITS_DIR)
     last = floor
@@ -148,9 +149,11 @@ def _fold_state(path: str, version: int | None = None) -> dict | None:
         with open(_os.path.join(cdir, fn)) as fh:
             rec = _json.load(fh)
         if rec.get("base"):
+            # compaction snapshot: rewritten files carry no masked rows
             files = list(rec.get("files", []))
             stats = {}
             bloom = {}
+            dv = {}
         else:
             dropped = set(rec.get("remove", ()))
             if dropped:
@@ -158,9 +161,12 @@ def _fold_state(path: str, version: int | None = None) -> dict | None:
                 for f in dropped:
                     stats.pop(f, None)
                     bloom.pop(f, None)
+                    dv.pop(f, None)
             files.extend(rec.get("files", []))
         stats.update(rec.get("stats", {}))
         bloom.update(rec.get("bloom", {}))
+        # newest deletion vector per file wins (each is cumulative)
+        dv.update(rec.get("dv", {}))
         t = rec.get("txn")
         if t:
             app, b = t[0], int(t[1])
@@ -173,6 +179,7 @@ def _fold_state(path: str, version: int | None = None) -> dict | None:
         "stats": stats,
         "bloom": bloom,
         "txn_high": txn_high,
+        "dv": dv,
     }
 
 
@@ -214,6 +221,7 @@ def _publish_commit(
     remove: list[str] | None = None,
     stats: dict[str, dict] | None = None,
     bloom: dict[str, dict] | None = None,
+    dv: dict[str, str] | None = None,
 ) -> int:
     """Atomically add the NEXT commit record and return its version.
 
@@ -228,6 +236,11 @@ def _publish_commit(
     time travel until vacuum). ``stats`` maps each added file to its
     column min/max (see ``_file_stats``) and ``bloom`` to per-column
     Bloom filters (see ``_file_blooms``) for data-skipping reads.
+    ``dv`` maps a LIVE data file to its deletion-vector sidecar (a
+    parquet dir under ``_dv/`` of masked ``(_dv_file, _dv_idx)`` row
+    positions — merge-on-read DELETE, see ``delete_rows(mode="mor")``).
+    Each DV is cumulative for its file, so the newest entry per file
+    supersedes earlier ones when the log folds.
     """
     cdir = _os.path.join(path, _COMMITS_DIR)
     _os.makedirs(cdir, exist_ok=True)
@@ -241,6 +254,8 @@ def _publish_commit(
         rec["stats"] = stats
     if bloom:
         rec["bloom"] = bloom
+    if dv:
+        rec["dv"] = dv
     with open(tmp, "w") as fh:
         _json.dump(rec, fh)
     try:
@@ -326,6 +341,14 @@ def committed_file_blooms(
     ``version`` — the point-lookup skipping index (see
     ``set_bloom_columns``)."""
     return _committed_index(path, "bloom", version=version)
+
+
+def committed_dv(path: str, version: int | None = None) -> dict[str, str]:
+    """Live-file → deletion-vector sidecar map for the snapshot at
+    ``version`` (merge-on-read deletes; see ``delete_rows``). Empty
+    for tables with no masked rows — the common case, in which reads
+    take the plain scan path with zero DV overhead."""
+    return _committed_index(path, "dv", version=version)
 
 
 def _norm_stat(v):
@@ -655,13 +678,6 @@ def _bootstrap_log(path: str) -> None:
         _publish_commit(path, existing, stats=_stats_for(path, existing))
 
 
-def _rel_of_uri(path: str, uri: str) -> str:
-    """`input_file_name()` URI → commit-log-relative path."""
-    from urllib.parse import unquote, urlparse
-
-    return _os.path.relpath(unquote(urlparse(uri).path), _os.path.abspath(path))
-
-
 def _cow_survivors(cur: DataFrame, hit_files: DataFrame) -> DataFrame:
     """Rows of the files being rewritten, selected by a broadcast
     LEFT SEMI join on ``_src_file`` — never by an ``isin`` literal.
@@ -692,29 +708,129 @@ def _key_bounds(source: DataFrame, keys: list[str]) -> list[tuple]:
     return bounds
 
 
+def _file_row_counts(
+    spark: SparkSession, path: str, files: list[str]
+) -> dict[str, int]:
+    """Physical row count per data file, from parquet FOOTERS only
+    (no data scan). Small lists read on the driver; large lists fan
+    out as one footer-read task per executor slot — O(affected files)
+    either way, the same order as the commit record being written."""
+    root = _os.path.abspath(path)
+
+    def _counts(rels):
+        import pyarrow.parquet as _pq
+
+        for rel in rels:
+            yield rel, _pq.ParquetFile(
+                _os.path.join(root, rel)
+            ).metadata.num_rows
+
+    if len(files) <= 256:
+        return dict(_counts(files))
+    rdd = spark.sparkContext.parallelize(
+        list(files), max(1, min(len(files) // 64, 1024))
+    )
+    return dict(rdd.mapPartitions(lambda it: list(_counts(it))).collect())
+
+
+def _retire_or_write_dv(
+    spark: SparkSession,
+    path: str,
+    hits: DataFrame,
+    affected: list[str],
+) -> tuple[dict[str, str], list[str]]:
+    """Deletion-vector bookkeeping for one MOR commit. Builds each
+    affected file's CUMULATIVE mask (new hits ∪ its existing DV —
+    the newest sidecar per file supersedes), then splits the
+    affected set:
+
+    * files whose every physical row is now masked are RETIRED from
+      the snapshot outright (returned as the commit's remove list) —
+      no rewrite, no sidecar entry, and no zombie metadata: without
+      this, a file fully emptied by MOR deletes would carry a
+      100%-masked DV forever and never be vacuumable;
+    * the rest get one shared sidecar written under ``_dv/``.
+
+    Returns ``(dv_entries, retired_files)``. Distributed throughout —
+    the driver holds only O(affected-files) name lists, which the
+    commit record carries anyway."""
+    dvmap = committed_dv(path)
+    carry = sorted({dvmap[f] for f in affected if f in dvmap})
+    aff = spark.createDataFrame([(f,) for f in affected], "_dv_file string")
+    new_dv = hits
+    if carry:
+        old = (
+            spark.read.parquet(*[_os.path.join(path, d) for d in carry])
+            .select("_dv_file", "_dv_idx")
+            .join(F.broadcast(aff), "_dv_file", "left_semi")
+        )
+        new_dv = new_dv.unionByName(old)
+    new_dv = new_dv.cache()
+    try:
+        masked = {
+            r["_dv_file"]: r["_m"]
+            for r in new_dv.groupBy("_dv_file")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .collect()
+        }
+        totals = _file_row_counts(spark, path, affected)
+        retired = sorted(
+            f for f in affected if masked.get(f, 0) >= totals.get(f, 1 << 62)
+        )
+        live_aff = [f for f in affected if f not in set(retired)]
+        dv_entries: dict[str, str] = {}
+        if live_aff:
+            keep = new_dv
+            if retired:
+                ret = spark.createDataFrame(
+                    [(f,) for f in retired], "_dv_file string"
+                )
+                keep = new_dv.join(F.broadcast(ret), "_dv_file", "left_anti")
+            dv_rel = _os.path.join(_DV_DIR, f"dv-{_uuid.uuid4().hex}")
+            keep.write.parquet(_os.path.join(path, dv_rel))
+            dv_entries = {f: dv_rel for f in live_aff}
+        return dv_entries, retired
+    finally:
+        new_dv.unpersist()
+
+
 def delete_rows(
     spark: SparkSession,
     path: str,
     condition: str,
     prune: list[tuple[str, str, object]] | None = None,
+    mode: str = "cow",
 ) -> int:
-    """Copy-on-write DELETE (Delta/Iceberg `DELETE FROM ... WHERE`):
-    rewrite ONLY the files holding matching rows — with those rows
-    filtered out — and publish one commit that atomically swaps the
-    old files for the new (add + remove). Untouched files aren't
-    rewritten; readers never see a half-deleted state; earlier
-    versions stay time-travel-readable until vacuum. This is the
-    GDPR / right-to-be-forgotten primitive a 100 TB corpus table
-    needs: cost scales with the files CONTAINING the rows (further
-    narrowed by partition + stats pruning at the identification
-    scan), not with table size. Rows where ``condition`` is NULL are
-    kept (SQL DELETE semantics). Returns the number of rows deleted.
+    """DELETE FROM ... WHERE, in either physical strategy a real
+    table format offers (Delta: COW vs deletion vectors; Iceberg:
+    COW vs positional MOR deletes). Rows where ``condition`` is NULL
+    are kept (SQL DELETE semantics); readers never see a
+    half-deleted state; earlier versions stay time-travel-readable
+    until vacuum. Returns the number of rows deleted.
+
+    ``mode="cow"`` (copy-on-write): rewrite ONLY the files holding
+    matching rows — with those rows filtered out — and publish one
+    commit that atomically swaps old files for new. Cost scales with
+    the DATA VOLUME of affected files. Right when deletes are dense
+    or reads vastly outnumber deletes.
+
+    ``mode="mor"`` (merge-on-read deletion vectors): rewrite NOTHING
+    — record the matching rows' physical positions in a ``_dv/``
+    sidecar and publish a commit mapping each affected file to it.
+    Cost scales with the MATCHED ROW COUNT, so a 3-row GDPR delete
+    against a 100 TB table touching 10⁵ wide files writes a few KB
+    instead of re-writing terabytes. Readers anti-join the positions
+    out (broadcast when small); ``compact_fact_table`` later applies
+    the masks physically and resets the DV map (its base commit).
+    Per-file stats/blooms are left as-written — they stay sound for
+    skipping (a masked row can only make pruning conservative, never
+    wrong).
 
     The hit set stays a DataFrame end-to-end: one aggregation yields
-    per-file match counts (cached — the rewrite's semi-join build side
-    reuses it), and the only driver materialization is the remove
-    list the commit RECORD itself must carry, O(affected files) —
-    the same order as the log entry being written.
+    per-file match counts (cached — reused as the rewrite semi-join
+    build side / the DV sink), and the only driver materialization is
+    the file-name list the commit RECORD itself must carry,
+    O(affected files).
 
     ``prune`` lets the caller bound the identification scan with
     ``(column, op, value)`` stats-skipping hints — sound ONLY when
@@ -722,55 +838,84 @@ def delete_rows(
     day >= '2026-01-01'`` → prune on those same bounds). A tenant
     -scoped GDPR delete then scans the tenant's files, not 100 TB.
     """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown delete mode {mode!r}")
     _bootstrap_log(path)
     cond = F.expr(condition)
-    cur = read_fact_table(spark, path, prune=prune).withColumn(
-        "_src_file", F.input_file_name()
-    )
-    per_file = (
+    cur = _read_snapshot(spark, path, prune=prune, with_pos=True)
+    hits = (
         cur.filter(cond)
-        .groupBy("_src_file")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .cache()
+        .select(
+            F.col("_src_file").alias("_dv_file"),
+            F.col("_row_idx").alias("_dv_idx"),
+        )
+        .cache()  # identification scan runs once: reused by the count
+        # aggregation AND the DV sink / rewrite build side
     )
+    per_file = hits.groupBy("_dv_file").agg(F.count(F.lit(1)).alias("_n"))
     try:
-        hit_rows = per_file.collect()  # == the commit's remove list
+        hit_rows = per_file.collect()  # == the commit's file list
         if not hit_rows:
             return 0
         n_deleted = int(sum(r["_n"] for r in hit_rows))
+        affected = [r["_dv_file"] for r in hit_rows]
+        if mode == "mor":
+            dv_entries, retired = _retire_or_write_dv(
+                spark, path, hits, affected
+            )
+            _publish_commit(
+                path, [], dv=dv_entries or None, remove=retired or None
+            )
+            return n_deleted
         survivors = (
-            _cow_survivors(cur, per_file.select("_src_file"))
+            _cow_survivors(
+                cur,
+                per_file.select(F.col("_dv_file").alias("_src_file")),
+            )
             .filter(~F.coalesce(cond, F.lit(False)))
-            .drop("_src_file")
+            .drop("_src_file", "_row_idx")
         )
         staged = _stage_files(survivors, path)
         _publish_commit(
             path,
             staged,
-            remove=[_rel_of_uri(path, r["_src_file"]) for r in hit_rows],
+            remove=affected,
             stats=_stats_for(path, staged),
             bloom=_blooms_for(path, staged),
         )
         return n_deleted
     finally:
-        per_file.unpersist()
+        hits.unpersist()
 
 
 def merge_rows(
-    spark: SparkSession, path: str, source: DataFrame, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    mode: str = "cow",
 ) -> int:
-    """Copy-on-write MERGE (upsert): every table row whose ``keys``
-    match a source row is replaced by that source row; source rows
-    with unseen keys are inserted. Only files containing matched keys
-    are rewritten; the swap is one atomic commit (add + remove). New
-    source columns evolve the schema add-only (older rows read NULL),
-    matching the table's append evolution. The reference's re-train →
-    re-extract flow (main.py:497-503 + re-ingest) silently double
-    -inserts on BigQuery; an upsert keyed on (tenant_id, folder_id,
-    rel_path) is the correct replay semantics at scale. ``source``
-    must be key-unique (standard MERGE precondition — enforced here
-    because a violating merge would corrupt the table nondeterministically).
-    Returns the published table version."""
+    """MERGE (upsert): every table row whose ``keys`` match a source
+    row is replaced by that source row; source rows with unseen keys
+    are inserted. The swap is one atomic commit. New source columns
+    evolve the schema add-only (older rows read NULL), matching the
+    table's append evolution. The reference's re-train → re-extract
+    flow (main.py:497-503 + re-ingest) silently double-inserts on
+    BigQuery; an upsert keyed on (tenant_id, folder_id, rel_path) is
+    the correct replay semantics at scale. ``source`` must be
+    key-unique (standard MERGE precondition — enforced here because a
+    violating merge would corrupt the table nondeterministically).
+    Returns the published table version.
+
+    ``mode="cow"`` rewrites only the files containing matched keys
+    (add + remove in one commit). ``mode="mor"`` rewrites nothing:
+    matched rows are masked via a deletion-vector sidecar and the
+    source lands as new files in the SAME commit — cost scales with
+    matched-row count + source size, the right strategy when a small
+    re-extract batch touches keys scattered across many large files.
+    """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown merge mode {mode!r}")
     _bootstrap_log(path)
     _enforce_constraints(source, path)
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
@@ -788,10 +933,40 @@ def merge_rows(
     # derived bounds, so it can never miss a matching file (see
     # _key_bounds); an incremental upsert whose keys land in one
     # partition's range reads those files, not the whole table
-    cur = read_fact_table(
-        spark, path, prune=_key_bounds(source, keys) or None
-    ).withColumn("_src_file", F.input_file_name())
+    cur = _read_snapshot(
+        spark, path, prune=_key_bounds(source, keys) or None, with_pos=True
+    )
     kd = source.select(*keys).distinct()
+    if mode == "mor":
+        matched = (
+            cur.join(kd, keys, "left_semi")
+            .select(
+                F.col("_src_file").alias("_dv_file"),
+                F.col("_row_idx").alias("_dv_idx"),
+            )
+            .cache()
+        )
+        try:
+            affected = [
+                r["_dv_file"]
+                for r in matched.select("_dv_file").distinct().collect()
+            ]
+            dv_entries, retired = (
+                _retire_or_write_dv(spark, path, matched, affected)
+                if affected
+                else ({}, [])
+            )
+            staged = _stage_files(source, path)
+            return _publish_commit(
+                path,
+                staged,
+                dv=dv_entries or None,
+                remove=retired or None,
+                stats=_stats_for(path, staged),
+                bloom=_blooms_for(path, staged),
+            )
+        finally:
+            matched.unpersist()
     hit_files = (
         cur.join(kd, keys, "left_semi").select("_src_file").distinct().cache()
     )
@@ -803,7 +978,7 @@ def merge_rows(
             survivors = (
                 _cow_survivors(cur, hit_files)
                 .join(kd, keys, "left_anti")
-                .drop("_src_file")
+                .drop("_src_file", "_row_idx")
             )
         out = (
             source
@@ -814,7 +989,7 @@ def merge_rows(
         return _publish_commit(
             path,
             staged,
-            remove=[_rel_of_uri(path, u) for u in hits],
+            remove=hits,
             stats=_stats_for(path, staged),
             bloom=_blooms_for(path, staged),
         )
@@ -1068,7 +1243,15 @@ def vacuum_fact_table(path: str, min_age_s: float = 3600.0) -> list[str]:
     publishing their commit, so an unreferenced file younger than the
     grace window may belong to an append between its move and its
     publish — deleting it would make that commit reference missing
-    files. Only pass 0 when no writer can be active."""
+    files. Only pass 0 when no writer can be active.
+
+    Deletion-vector sidecars under ``_dv/`` are reclaimed by the same
+    rule: a DV dir the CURRENT snapshot no longer references
+    (superseded by a newer cumulative DV, applied by compaction, or
+    orphaned by a crashed delete) is removed once past the grace
+    window — in-flight MOR deletes write their sidecar BEFORE
+    publishing, exactly like appends."""
+    import shutil as _shutil
     import time as _time
 
     live = set(committed_files(path) or [])
@@ -1085,37 +1268,94 @@ def vacuum_fact_table(path: str, min_age_s: float = 3600.0) -> list[str]:
         except FileNotFoundError:
             continue
         removed.append(rel)
+    state = _fold_state(path)
+    live_dv = set((state or {}).get("dv", {}).values())
+    dv_root = _os.path.join(path, _DV_DIR)
+    if _os.path.isdir(dv_root):
+        for name in sorted(_os.listdir(dv_root)):
+            rel = _os.path.join(_DV_DIR, name)
+            if rel in live_dv:
+                continue
+            full = _os.path.join(dv_root, name)
+            try:
+                if _os.path.getmtime(full) > cutoff:
+                    continue  # possibly an in-flight MOR delete
+            except FileNotFoundError:
+                continue
+            _shutil.rmtree(full, ignore_errors=True)
+            removed.append(rel)
     return removed
 
 
-def read_fact_table(
+_DV_DIR = "_dv"
+_DV_BROADCAST_MAX = 2_000_000  # DV rows; beyond this the anti-join
+# shuffles instead of broadcasting (a tenant-wide MOR delete can mask
+# ~1e9 rows — broadcasting that would OOM every executor)
+
+
+def _pos_cols(path: str):
+    """(rel-file, row-position) expressions from the scan's
+    ``_metadata`` struct. ``row_index`` is the row's stable PHYSICAL
+    position in its parquet file (Spark keeps it correct under
+    predicate pushdown/page skipping — it's the same primitive Delta's
+    deletion vectors build on), so positions recorded at delete time
+    match positions observed at read time. The file path is normalized
+    URI → table-relative so DV sidecars stay valid if the table
+    directory is relocated (the commit log is all-relative)."""
+    root = _os.path.abspath(path)
+    rel = F.expr(
+        "substring(regexp_replace(_metadata.file_path,"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*:/+', '/'), {len(root) + 2})"
+    )
+    return rel, F.col("_metadata.row_index").cast("long")
+
+
+def _with_pos(df: DataFrame, path: str) -> DataFrame:
+    rel, idx = _pos_cols(path)
+    return df.select(
+        "*", rel.alias("_src_file"), idx.alias("_row_idx")
+    )
+
+
+def _apply_dv(
+    spark: SparkSession, df: DataFrame, path: str, dvmap: dict[str, str]
+) -> DataFrame:
+    """Anti-join masked row positions out of a position-tagged scan.
+    The DV table is tiny relative to data (only deleted positions);
+    it broadcasts when small and falls back to a shuffled anti-join
+    past ``_DV_BROADCAST_MAX`` rows. The row-count probe is a
+    parquet-footer metadata count, not a data scan."""
+    dirs = sorted(set(dvmap.values()))
+    dv = spark.read.parquet(
+        *[_os.path.join(path, d) for d in dirs]
+    ).select("_dv_file", "_dv_idx")
+    if dv.count() <= _DV_BROADCAST_MAX:
+        dv = F.broadcast(dv)
+    return df.join(
+        dv,
+        (df["_src_file"] == dv["_dv_file"])
+        & (df["_row_idx"] == dv["_dv_idx"]),
+        "left_anti",
+    )
+
+
+def _read_snapshot(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     prune: list[tuple[str, str, object]] | None = None,
+    with_pos: bool = False,
 ) -> DataFrame:
-    """Read with schema union across file generations (S5 read side):
-    rows written before a column existed read NULL for it.
-
-    File resolution honors the commit log when one exists — data
-    files a crashed append moved into place but never published are
-    NOT read — and ``version`` reads the snapshot as of that commit
-    (time travel; versions are returned by ``table_version``). Tables
-    without a log (or written by other tools) fall back to directory
-    listing; `_schema.json`, `_commits/` and `_staging-*/` (underscore
-    prefixes) are invisible to the parquet reader by Hadoop's
-    hidden-path convention.
-
-    ``prune`` is a conjunction of ``(column, op, value)`` bounds the
-    CALLER also applies as a real filter; here it only drops files
-    whose footer stats prove emptiness (data skipping). At 100 TB this
-    is the scan lever after partition pruning — a time-range query
-    over an append-ordered table touches the few files whose min/max
-    overlap it, regardless of partitioning."""
+    """`read_fact_table` body, plus ``with_pos=True`` for the write
+    paths (DELETE/MERGE identification scans) which need each row's
+    ``_src_file``/``_row_idx`` — already filtered through any live
+    deletion vectors, so a second delete never re-deletes a masked
+    row."""
     state = _fold_state(path, version=version)
     files = None if state is None else state["files"]
     if files is None:
-        return spark.read.option("mergeSchema", "true").parquet(path)
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+        return _with_pos(df, path) if with_pos else df
     if prune and files:
         stats, blooms = state["stats"], state["bloom"]
         kept = [
@@ -1134,17 +1374,61 @@ def read_fact_table(
                 .option("basePath", path)
                 .parquet(*[_os.path.join(path, f) for f in files])
             )
+            if with_pos:
+                one = _with_pos(one, path)
             return one.limit(0)
     if not files:
         schema = _read_sidecar_schema(path)
         if schema is not None:
-            return spark.createDataFrame([], schema)
+            df = spark.createDataFrame([], schema)
+            if with_pos:
+                df = df.withColumn(
+                    "_src_file", F.lit(None).cast("string")
+                ).withColumn("_row_idx", F.lit(None).cast("long"))
+            return df
         raise FileNotFoundError(f"empty committed table at {path}")
-    return (
+    df = (
         spark.read.option("mergeSchema", "true")
         .option("basePath", path)
         .parquet(*[_os.path.join(path, f) for f in files])
     )
+    live = set(files)
+    dvmap = {f: d for f, d in state["dv"].items() if f in live}
+    if not dvmap:
+        return _with_pos(df, path) if with_pos else df
+    out = _apply_dv(spark, _with_pos(df, path), path, dvmap)
+    return out if with_pos else out.drop("_src_file", "_row_idx")
+
+
+def read_fact_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: list[tuple[str, str, object]] | None = None,
+) -> DataFrame:
+    """Read with schema union across file generations (S5 read side):
+    rows written before a column existed read NULL for it.
+
+    File resolution honors the commit log when one exists — data
+    files a crashed append moved into place but never published are
+    NOT read — and ``version`` reads the snapshot as of that commit
+    (time travel; versions are returned by ``table_version``). Tables
+    without a log (or written by other tools) fall back to directory
+    listing; `_schema.json`, `_commits/`, `_dv/` and `_staging-*/`
+    (underscore prefixes) are invisible to the parquet reader by
+    Hadoop's hidden-path convention.
+
+    ``prune`` is a conjunction of ``(column, op, value)`` bounds the
+    CALLER also applies as a real filter; here it only drops files
+    whose footer stats prove emptiness (data skipping). At 100 TB this
+    is the scan lever after partition pruning — a time-range query
+    over an append-ordered table touches the few files whose min/max
+    overlap it, regardless of partitioning.
+
+    Rows masked by a deletion vector (merge-on-read DELETE/MERGE —
+    ``delete_rows(mode="mor")``) are anti-joined out here; snapshots
+    with no DVs take the plain scan path unchanged."""
+    return _read_snapshot(spark, path, version=version, prune=prune)
 
 
 def _read_sidecar_schema(path: str) -> StructType | None:
