@@ -130,6 +130,7 @@ def load_all() -> None:
         joins,
         kernels,
         pipelineq,
+        profiling,
         scans,
         sets,
         sorts,

@@ -1,0 +1,84 @@
+"""Profiling wave (x33-x35): plan shapes and the sketch error bound.
+Value parity for the oracle-graded entries is covered by
+tests/test_oracle_parity.py like every other registry entry."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_etl_engine_spark import registry
+
+registry.load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_linkage_blocking_join_not_cartesian(spark, sf_dir):
+    # the quadratic part must ride the blocking equi-join: a plain
+    # hash/sort-merge join on the block key, never an all-pairs plan
+    df = registry.QUERIES["x34_record_linkage"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_linkage_every_dirty_record_resolves(spark, sf_dir):
+    rows = registry.QUERIES["x34_record_linkage"](spark, sf_dir).collect()
+    by_id = {r["d_id"]: r for r in rows}
+    for d, r in by_id.items():
+        assert r["dist"] == (0 if d % 3 == 0 else 1)
+        if d % 3 == 1:
+            # last digit replaced by 'X': every same-decade customer
+            # ties at distance 1, so the deterministic tie-break
+            # resolves to the LOWEST key in the decade — genuine
+            # linkage ambiguity surfaced, not hidden
+            assert r["matched_key"] == (d // 10) * 10
+        else:
+            # clean (dist 0) and appended-char (dist 1) names match
+            # only their own record
+            assert r["matched_key"] == d
+
+
+def test_profile_single_pass_one_scan(spark, sf_dir):
+    # ONE scan of the source feeds every column's metrics
+    df = registry.QUERIES["x33_profile_stats"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+
+
+def test_percentile_sketch_within_rank_error(spark, sf_dir):
+    # GK sketch with accuracy 10000 ⇒ rank error ≤ n/10000 (< 1 row at
+    # test scale): each approx percentile must sit within one rank of
+    # the exact order statistics around the target rank
+    from pdf_etl_engine_spark.catalog import load_table
+    from pdf_etl_engine_spark.operators.profiling import _PCTS
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = {}
+    for r in docs.select("lang", "n_chars").collect():
+        vals.setdefault(r["lang"], []).append(r["n_chars"])
+    approx = {
+        r["lang"]: r["pcts"]
+        for r in registry.QUERIES["x35b_percentile_sketch"](
+            spark, sf_dir
+        ).collect()
+    }
+    for lang, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        for p, got in zip(_PCTS, approx[lang]):
+            rank = p * (n - 1)
+            lo = xs[max(0, int(rank) - 1)]
+            hi = xs[min(n - 1, int(rank) + 2)]
+            assert lo <= got <= hi, (lang, p, got, lo, hi)
+
+
+def test_registry_grades_new_entries():
+    for name in ("x33_profile_stats", "x34_record_linkage",
+                 "x35_percentiles"):
+        assert name in registry.ORACLES
+    assert "x35b_percentile_sketch" in registry.QUERIES
+    assert "x35b_percentile_sketch" not in registry.ORACLES
