@@ -42,11 +42,32 @@ def test_linkage_every_dirty_record_resolves(spark, sf_dir):
             assert r["matched_key"] == d
 
 
+def _leaf_scans(plan: str) -> int:
+    """Source scans the query actually executes: InMemoryTableScan
+    nodes plus FileScans NOT nested inside an InMemoryRelation. A
+    MATERIALIZED InMemoryRelation prints its cache-build plan too, so
+    a raw substring count over-counts by one after any earlier test
+    has populated the shared table cache (order-dependent flake)."""
+    n = 0
+    mem_indent = None
+    for line in plan.splitlines():
+        indent = len(line) - len(line.lstrip())
+        if mem_indent is not None and indent > mem_indent:
+            continue  # cache-definition subtree, not query work
+        mem_indent = None
+        if "InMemoryTableScan" in line:
+            n += 1
+        elif "InMemoryRelation" in line:
+            mem_indent = indent
+        elif "Scan parquet" in line:
+            n += 1
+    return n
+
+
 def test_profile_single_pass_one_scan(spark, sf_dir):
     # ONE scan of the source feeds every column's metrics
     df = registry.QUERIES["x33_profile_stats"](spark, sf_dir)
-    plan = _plan(df)
-    assert plan.count("Scan parquet") == 1
+    assert _leaf_scans(_plan(df)) == 1
 
 
 def test_percentile_sketch_within_rank_error(spark, sf_dir):
