@@ -998,3 +998,141 @@ def x28_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_containment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X36 — Gopher-style composite quality rule battery
+# ---------------------------------------------------------------------------
+
+# Rule thresholds, centered on the measured sf0.01 corpus quantiles so
+# every rule actually fires on part of the data (10%/90% quantiles:
+# n_words 21/88, mean_wlen 4.26/4.77, frac_unique 0.32/0.75,
+# top_bigram_frac 0.022/0.071).
+_G_MIN_WORDS = 25
+_G_WLEN_LO, _G_WLEN_HI = 4.0, 5.0
+_G_MIN_UNIQUE = 0.35
+_G_MAX_TOP_BIGRAM = 0.06
+_G_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+@query(
+    "x36_gopher_rules",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS INTEGER) AS n_words,
+             list_reduce([CAST(0 AS BIGINT)] ||
+                         list_transform(toks, w -> CAST(len(w) AS BIGINT)),
+                         (a, x) -> a + x) AS char_sum,
+             CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
+             list_has_any(toks, {list(_G_STOPWORDS)}) AS has_stopword,
+             list_transform(range(1, greatest(len(toks), 1)),
+                            i -> array_to_string(list_slice(toks, i, i + 1),
+                                                 ' ')) AS grams
+      FROM ws
+    ), t AS (
+      SELECT doc_id, lang, n_words, n_unique, has_stopword,
+             CAST(char_sum AS DOUBLE) / n_words AS mwl,
+             CAST(n_unique AS DOUBLE) / n_words AS fu,
+             CAST(coalesce(list_max(list_transform(list_distinct(grams),
+                    g -> len(list_filter(grams, x -> x = g)))), 0) AS DOUBLE)
+               / greatest(len(grams), 1) AS tbf
+      FROM s
+    )
+    SELECT doc_id, lang, n_words,
+           round(mwl + 5e-10, 4) AS mean_word_len,
+           round(fu + 5e-10, 4) AS frac_unique,
+           round(tbf + 5e-10, 4) AS top_bigram_frac,
+           has_stopword,
+           n_words >= {_G_MIN_WORDS} AS r_len,
+           mwl BETWEEN {_G_WLEN_LO} AND {_G_WLEN_HI} AS r_wlen,
+           fu >= {_G_MIN_UNIQUE} AS r_unique,
+           has_stopword AS r_stop,
+           tbf <= {_G_MAX_TOP_BIGRAM} AS r_rep,
+           (n_words >= {_G_MIN_WORDS}
+            AND mwl BETWEEN {_G_WLEN_LO} AND {_G_WLEN_HI}
+            AND fu >= {_G_MIN_UNIQUE} AND has_stopword
+            AND tbf <= {_G_MAX_TOP_BIGRAM}) AS keep
+    FROM t
+    """,
+)
+def x36_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36: the Gopher/MassiveText composite quality-rule battery as a
+    SINGLE map-only pass — word-count bounds, mean-word-length band,
+    unique-word fraction, stopword requirement, and top-bigram
+    dominance, each emitted as its own flag plus the conjunctive
+    ``keep`` decision (so a pipeline can audit WHICH rule dropped a
+    document, not just that it was dropped). Extends x21's single
+    repetition rule to the full filter set the Gopher paper applies
+    before training.
+
+    Determinism: every ratio is a double quotient of EXACT integers
+    (token counts, char sums, bigram mode counts), so the rule
+    comparisons agree across engines bit-for-bit; displayed ratios go
+    through ``stable_round``.
+
+    Scale shape: zero shuffles — everything, including the per-doc
+    top-bigram mode, is array arithmetic inside whole-stage codegen
+    (the mode is an O(distinct x grams) fold, bounded by doc length;
+    for book-length docs switch that one metric to the x21-style
+    explode + per-doc groupBy, which stays doc-local). At 100 TB this
+    operator is scan-rate-bound, exactly what a quality filter must
+    be."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    n = F.size(ws)
+    char_sum = F.aggregate(
+        F.transform(ws, F.length),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    n_unique = F.size(F.array_distinct(ws))
+    has_stop = F.arrays_overlap(
+        ws, F.array(*[F.lit(s) for s in _G_STOPWORDS])
+    )
+    grams = _ngrams(ws, 2)
+    top_cnt = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(grams),
+                lambda g: F.size(F.filter(grams, lambda x: x == g)),
+            )
+        ),
+        F.lit(0),
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n_words"),
+        (char_sum.cast("double") / n).alias("mwl"),
+        (n_unique.cast("double") / n).alias("fu"),
+        (top_cnt.cast("double") / F.greatest(F.size(grams), F.lit(1))).alias(
+            "tbf"
+        ),
+        has_stop.alias("has_stopword"),
+    )
+    r_len = F.col("n_words") >= _G_MIN_WORDS
+    r_wlen = F.col("mwl").between(_G_WLEN_LO, _G_WLEN_HI)
+    r_unique = F.col("fu") >= _G_MIN_UNIQUE
+    r_rep = F.col("tbf") <= _G_MAX_TOP_BIGRAM
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        stable_round(F.col("mwl"), 4).alias("mean_word_len"),
+        stable_round(F.col("fu"), 4).alias("frac_unique"),
+        stable_round(F.col("tbf"), 4).alias("top_bigram_frac"),
+        "has_stopword",
+        r_len.alias("r_len"),
+        r_wlen.alias("r_wlen"),
+        r_unique.alias("r_unique"),
+        F.col("has_stopword").alias("r_stop"),
+        r_rep.alias("r_rep"),
+        (r_len & r_wlen & r_unique & F.col("has_stopword") & r_rep).alias(
+            "keep"
+        ),
+    )

@@ -2007,3 +2007,119 @@ def x4h_ivf_assign_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_assigned"),
         F.countDistinct("label").alias("n_labels"),
     )
+
+
+_OUT_FP = 10_000  # fixed-point scale: embedding values → exact ints
+_OUT_SIGMA_NUM = 2  # outlier threshold: dist² > 2 × label mean dist²
+
+
+@query(
+    "x37_embedding_outliers",
+    oracle=f"""
+    WITH fp AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(round(CAST(v AS DOUBLE) * {_OUT_FP}) AS BIGINT))
+               AS q
+      FROM embeddings
+    ), comp AS (
+      SELECT label, j, sum(q[CAST(j AS INTEGER) + 1]) AS s, count(*) AS n
+      FROM fp, range(0, 64) t(j)
+      GROUP BY label, j
+    ), cent AS (
+      SELECT label, list(CAST(s AS DOUBLE) / n ORDER BY j) AS c
+      FROM comp GROUP BY label
+    ), d AS (
+      SELECT fp.vec_id, fp.label,
+             list_reduce([CAST(0.0 AS DOUBLE)] ||
+               list_transform(range(0, 64), j ->
+                 (CAST(fp.q[CAST(j AS INTEGER) + 1] AS DOUBLE)
+                  - cent.c[CAST(j AS INTEGER) + 1])
+                 * (CAST(fp.q[CAST(j AS INTEGER) + 1] AS DOUBLE)
+                    - cent.c[CAST(j AS INTEGER) + 1])),
+               (a, x) -> a + x) AS dist
+      FROM fp JOIN cent USING (label)
+    ), dq AS (
+      SELECT vec_id, label, dist,
+             CAST(round(dist) AS BIGINT) AS dfp
+      FROM d
+    ), stats AS (
+      SELECT label, count(*) AS nl, sum(dfp) AS sd FROM dq GROUP BY label
+    )
+    SELECT dq.vec_id, dq.label,
+           round(dist / {_OUT_FP * _OUT_FP} + 5e-10, 6) AS l2sq,
+           dq.dfp * stats.nl > {_OUT_SIGMA_NUM} * stats.sd AS is_outlier
+    FROM dq JOIN stats USING (label)
+    """,
+)
+def x37_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37: semantic outlier detection — flag embeddings whose squared
+    L2 distance to their label's centroid exceeds twice the label's
+    mean squared distance. This is the embedding-space curation
+    primitive (SemDeDup/D4-style) that drops mislabeled or off-
+    distribution examples before training.
+
+    Determinism (cross-engine bit-exact, same discipline as x4g/x4h):
+    embeddings are quantized to fixed-point BIGINTs, so the per-
+    (label, dim) centroid sums are exact integer arithmetic in any
+    aggregation order; centroid components are a single exact-int /
+    exact-int double division; the distance is a sequential left-fold
+    over dimensions (identical IEEE addition order in both engines);
+    and the outlier comparison re-quantizes dist² to integers so the
+    mean-threshold test is pure integer math — no float aggregation
+    across rows anywhere.
+
+    Scale shape: stage 1 (centroids) is posexplode + partial-
+    aggregated groupBy(label, dim) — the wire carries labels × dims
+    rows, independent of corpus size. Stage 2 broadcasts the tiny
+    centroid table and computes distances map-only; stage 3's
+    per-label stats are one more labels-sized aggregate joined back
+    by broadcast. Total: two tiny shuffles + one corpus scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * _OUT_FP).cast("bigint"),
+    )
+    fp = emb.select("vec_id", "label", q.alias("q"))
+    comp = (
+        fp.select("label", F.posexplode("q").alias("j", "qj"))
+        .groupBy("label", "j")
+        .agg(F.sum("qj").alias("s"), F.count("*").alias("n"))
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("j", (F.col("s").cast("double") / F.col("n")).alias("cj"))
+                )
+            ),
+            lambda st: st.getField("cj"),
+        ).alias("c")
+    )
+    qd = F.col("q")
+    cd = F.col("c")
+    diffsq = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (
+            (F.element_at(qd, j + 1).cast("double") - F.element_at(cd, j + 1))
+            * (F.element_at(qd, j + 1).cast("double") - F.element_at(cd, j + 1))
+        ),
+    )
+    dist = F.aggregate(diffsq, F.lit(0.0), lambda a, x: a + x)
+    d = fp.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        dist.alias("dist"),
+        F.round(dist).cast("bigint").alias("dfp"),
+    )
+    stats = d.groupBy("label").agg(
+        F.count("*").alias("nl"), F.sum("dfp").alias("sd")
+    )
+    return d.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        stable_round(F.col("dist") / (_OUT_FP * _OUT_FP), 6).alias("l2sq"),
+        (F.col("dfp") * F.col("nl") > _OUT_SIGMA_NUM * F.col("sd")).alias(
+            "is_outlier"
+        ),
+    )
