@@ -302,6 +302,94 @@ def table_version(path: str) -> int | None:
     return entries[-1][0]
 
 
+def _commit_timestamps(path: str) -> list[tuple[int, float]] | None:
+    """(version, timestamp) pairs in version order, monotonically
+    adjusted. The timestamp is the commit file's mtime (the hard-link
+    publish shares the tmp file's inode, so mtime is the moment the
+    record was written — Delta resolves TIMESTAMP AS OF from commit
+    file modification times the same way). Racing writers can publish
+    versions whose raw mtimes are microseconds out of order; like
+    Delta, each timestamp is clamped to be >= its predecessor so the
+    version→time mapping is a total order."""
+    entries = _commit_entries(path)
+    if entries is None:
+        return None
+    cdir = _os.path.join(path, _COMMITS_DIR)
+    out: list[tuple[int, float]] = []
+    prev = float("-inf")
+    for v, fn in entries:
+        try:
+            ts = _os.path.getmtime(_os.path.join(cdir, fn))
+        except OSError:
+            ts = prev  # racing vacuum of the dir entry: inherit
+        prev = max(prev, ts)
+        out.append((v, prev))
+    return out
+
+
+def version_at(path: str, ts: float) -> int:
+    """Resolve TIMESTAMP AS OF: the newest version whose commit
+    timestamp is <= ``ts`` (unix seconds). Raises ValueError when
+    ``ts`` predates the first commit (the table did not exist yet) or
+    the table has no log — same contract as Delta's timestamp travel.
+    A ``ts`` past the newest commit resolves to the latest version."""
+    stamps = _commit_timestamps(path)
+    if not stamps:
+        raise ValueError(f"no commit log at {path}")
+    if ts < stamps[0][1]:
+        raise ValueError(
+            f"timestamp {ts} predates the first commit ({stamps[0][1]})"
+        )
+    out = stamps[0][0]
+    for v, t in stamps:
+        if t <= ts:
+            out = v
+        else:
+            break
+    return out
+
+
+def table_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one record per commit, newest first —
+    version, (monotonic) timestamp, operation kind, files added and
+    removed, deletion-vector count, and the streaming txn stamp when
+    present. Reads each commit JSON once; commit records are never
+    deleted (vacuum removes only data files), so history is complete
+    even past compaction."""
+    stamps = _commit_timestamps(path)
+    if stamps is None:
+        return []
+    entries = dict(_commit_entries(path) or [])
+    cdir = _os.path.join(path, _COMMITS_DIR)
+    out = []
+    for v, ts in stamps:
+        with open(_os.path.join(cdir, entries[v])) as fh:
+            rec = _json.load(fh)
+        n_add = len(rec.get("files", []))
+        n_remove = len(rec.get("remove", []))
+        if rec.get("base"):
+            op = "COMPACT" if v else "CREATE"
+        elif rec.get("dv"):
+            op = "DELETE_MOR"
+        elif n_remove:
+            op = "DELETE_COW" if n_add == 0 else "MERGE"
+        else:
+            op = "APPEND"
+        out.append(
+            {
+                "version": v,
+                "timestamp": ts,
+                "operation": op,
+                "n_added": n_add,
+                "n_removed": n_remove,
+                "n_dv": len(rec.get("dv", {})),
+                "txn": tuple(rec["txn"]) if rec.get("txn") else None,
+            }
+        )
+    out.reverse()
+    return out
+
+
 def committed_files(path: str, version: int | None = None) -> list[str] | None:
     """Relative data-file paths named by the commit log — the table
     snapshot as of ``version`` (default: latest) — or None when the
@@ -1405,6 +1493,7 @@ def read_fact_table(
     path: str,
     version: int | None = None,
     prune: list[tuple[str, str, object]] | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """Read with schema union across file generations (S5 read side):
     rows written before a column existed read NULL for it.
@@ -1427,7 +1516,16 @@ def read_fact_table(
 
     Rows masked by a deletion vector (merge-on-read DELETE/MERGE —
     ``delete_rows(mode="mor")``) are anti-joined out here; snapshots
-    with no DVs take the plain scan path unchanged."""
+    with no DVs take the plain scan path unchanged.
+
+    ``as_of_ts`` is TIMESTAMP AS OF travel (unix seconds): the
+    snapshot at the newest commit whose timestamp is <= the given
+    instant (see ``version_at``); mutually exclusive with
+    ``version``."""
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of_ts, not both")
+        version = version_at(path, as_of_ts)
     return _read_snapshot(spark, path, version=version, prune=prune)
 
 

@@ -319,6 +319,41 @@ def test_time_travel_and_versions(spark, tmp_path):
     assert writers.read_fact_table(spark, path, version=v0).count() == 3
 
 
+def test_timestamp_time_travel_and_history(spark, tmp_path):
+    import time
+
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path)  # v0
+    t0 = time.time()
+    time.sleep(0.05)
+    writers.append_rows(_fact_rows(spark, 2, folder="other"), path)  # v1
+    t1 = time.time()
+
+    # AS OF between the commits resolves to v0; after the last → v1
+    assert writers.version_at(path, t0) == 0
+    assert writers.version_at(path, t1) == 1
+    assert writers.version_at(path, t1 + 3600) == 1
+    assert writers.read_fact_table(spark, path, as_of_ts=t0).count() == 3
+    assert writers.read_fact_table(spark, path, as_of_ts=t1).count() == 5
+
+    # before the table existed → error, like Delta
+    with pytest.raises(ValueError):
+        writers.version_at(path, t0 - 3600)
+    with pytest.raises(ValueError):
+        writers.read_fact_table(spark, path, version=0, as_of_ts=t0)
+
+    # DESCRIBE HISTORY: newest first, monotonic timestamps, op kinds
+    writers.delete_rows(spark, path, "folder_id = 'other'")  # v2
+    hist = writers.table_history(path)
+    assert [h["version"] for h in hist] == [2, 1, 0]
+    assert all(
+        a["timestamp"] >= b["timestamp"] for a, b in zip(hist, hist[1:])
+    )
+    assert hist[-1]["operation"] == "APPEND" and hist[-1]["n_added"] >= 1
+    assert hist[0]["operation"] in ("DELETE_COW", "DELETE_MOR")
+    assert hist[0]["n_removed"] >= 1 or hist[0]["n_dv"] >= 1
+
+
 def test_compaction_snapshot_and_vacuum(spark, tmp_path):
     path = str(tmp_path / "facts")
     for i in range(4):  # 4 appends → ≥4 files in the partition
