@@ -59,6 +59,8 @@ X_SURFACE = {
     "x_ngram_surprisal": "x27_ngram_surprisal",
     "x_containment_dedup": "x28_containment_dedup",
     "x_bpe_pair_counts": "x32_bpe_pair_counts",
+    "x_gopher_rules": "x36_gopher_rules",
+    "x_embedding_outliers": "x37_embedding_outliers",
 }
 
 

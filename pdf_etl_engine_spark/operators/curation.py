@@ -1075,13 +1075,17 @@ def x36_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons agree across engines bit-for-bit; displayed ratios go
     through ``stable_round``.
 
-    Scale shape: zero shuffles — everything, including the per-doc
-    top-bigram mode, is array arithmetic inside whole-stage codegen
-    (the mode is an O(distinct x grams) fold, bounded by doc length;
-    for book-length docs switch that one metric to the x21-style
-    explode + per-doc groupBy, which stays doc-local). At 100 TB this
-    operator is scan-rate-bound, exactly what a quality filter must
-    be."""
+    Scale shape: the scalar metrics (counts, char sums, unique
+    fraction, stopword test) are array folds inside whole-stage
+    codegen — map-only. The per-doc top-bigram mode is the one metric
+    that is genuinely quadratic as an array expression (O(distinct ×
+    grams) string compares per doc — measured 13× slower than the
+    explode at sf0.1), so it takes the x21 shape instead: explode →
+    partial-aggregated groupBy(doc_id, gram) → per-doc max, rejoined
+    to the map-only metrics (doc-keyed build side, broadcast at test
+    scale, plain hash join at corpus scale). Nothing corpus-wide
+    shuffles; the gram traffic is ∝ corpus tokens, the same wire cost
+    every dedup/LM operator in this module already pays."""
     docs = load_table(spark, sf_dir, "documents")
     ws = _words()
     n = F.size(ws)
@@ -1095,14 +1099,12 @@ def x36_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws, F.array(*[F.lit(s) for s in _G_STOPWORDS])
     )
     grams = _ngrams(ws, 2)
-    top_cnt = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(grams),
-                lambda g: F.size(F.filter(grams, lambda x: x == g)),
-            )
-        ),
-        F.lit(0),
+    top = (
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"), F.sum("c").alias("n_grams"))
     )
     base = docs.select(
         "doc_id",
@@ -1110,10 +1112,12 @@ def x36_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_words"),
         (char_sum.cast("double") / n).alias("mwl"),
         (n_unique.cast("double") / n).alias("fu"),
-        (top_cnt.cast("double") / F.greatest(F.size(grams), F.lit(1))).alias(
-            "tbf"
-        ),
         has_stop.alias("has_stopword"),
+    ).join(top, "doc_id", "left")
+    base = base.withColumn(
+        "tbf",
+        F.coalesce(F.col("top_cnt"), F.lit(0)).cast("double")
+        / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)),
     )
     r_len = F.col("n_words") >= _G_MIN_WORDS
     r_wlen = F.col("mwl").between(_G_WLEN_LO, _G_WLEN_HI)
@@ -1135,4 +1139,94 @@ def x36_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r_len & r_wlen & r_unique & F.col("has_stopword") & r_rep).alias(
             "keep"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X38 — dataset card (per-language release report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x38_dataset_card",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, lang, source, text,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','an','and','or','of','to',
+                                     'in','is','it'], w))) AS n_stop
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           sum(n_tokens) AS n_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*) + 5e-10, 4)
+             AS mean_tokens,
+           round(CAST(sum(CASE WHEN n_tokens >= 5
+                               AND n_stop <= 0.9 * n_tokens
+                          THEN 1 ELSE 0 END) AS DOUBLE) / count(*) + 5e-10, 4)
+             AS quality_pass_rate,
+           round(CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*)
+                 + 5e-10, 4) AS dup_rate
+    FROM m GROUP BY lang
+    """,
+)
+def x38_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38: the dataset card — the per-language release report every
+    corpus publication ships (The Pile / RedPajama / FineWeb dataset
+    cards): document and source counts, token mass, mean length, the
+    x7 quality-gate pass rate, and the exact-duplicate rate (x2's
+    definition: docs minus distinct texts). One query a release
+    pipeline runs LAST, after the filters in this module, to describe
+    what is actually being shipped.
+
+    Determinism: the gate test uses the integer form
+    ``n_stop <= 0.9 * n_tokens`` (no division), counts are exact
+    ints, and every emitted rate is an exact-int quotient through
+    ``stable_round``.
+
+    Scale shape: per-doc metrics are map-only array folds; the single
+    shuffle is the groupBy(lang) with partial aggregation — except
+    the two exact distincts (source, text), which expand the
+    aggregate; at 100 TB flip text-distinct to a sha2 key (identical
+    answer, 32-byte wire rows) and source-distinct to
+    approx_count_distinct if the source taxonomy is unbounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = _words()
+    stop_arr = F.array(
+        *[
+            F.lit(s)
+            for s in (
+                "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+            )
+        ]
+    )
+    n_tokens = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop_arr, w)))
+    m = docs.select(
+        "lang",
+        "source",
+        "text",
+        n_tokens.alias("n_tokens"),
+        ((n_tokens >= 5) & (n_stop <= 0.9 * n_tokens))
+        .cast("int")
+        .alias("passes"),
+    )
+    n = F.count(F.lit(1))
+    return m.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tokens").alias("n_tokens"),
+        stable_round(F.sum("n_tokens").cast("double") / n, 4).alias(
+            "mean_tokens"
+        ),
+        stable_round(F.sum("passes").cast("double") / n, 4).alias(
+            "quality_pass_rate"
+        ),
+        stable_round(
+            (n - F.countDistinct("text")).cast("double") / n, 4
+        ).alias("dup_rate"),
     )

@@ -459,3 +459,36 @@ def test_x27_surprisal_join_is_hash_not_loop(spark):
     assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p) or (
         "ShuffledHashJoin" in p
     )
+
+
+def test_gopher_rules_no_quadratic_mode_and_doc_local_shuffles(spark):
+    """X36: the top-bigram mode must ride the explode + groupBy path
+    (the O(distinct × grams) array-fold variant measured 13× slower
+    than DuckDB at sf0.1) and the join back to the map-only metrics
+    must be an equi-join, never a cartesian."""
+    p = plan_of(registry.QUERIES["x36_gopher_rules"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate explode" in p  # the gram explode is present
+    # the per-doc mode is an aggregate, not a per-row array filter scan
+    assert "max(c" in p or "max(" in p
+
+
+def test_embedding_outliers_broadcasts_tiny_sides(spark):
+    """X37: centroids (labels rows) and label stats must broadcast —
+    the corpus-sized side never shuffles for either join."""
+    p = plan_of(registry.QUERIES["x37_embedding_outliers"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2, p[:1500]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_dataset_card_single_pass(spark):
+    """X38: one aggregation over one scan — the card must not re-scan
+    the corpus per metric."""
+    df = registry.QUERIES["x38_dataset_card"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "Join" not in p
+    from tests.test_profiling import _leaf_scans
+
+    assert _leaf_scans(p) == 1
