@@ -1125,15 +1125,65 @@ def read_changes(
     return out
 
 
+def set_partition_spec(
+    path: str, cols: list[str], generated: dict[str, str] | None = None
+) -> None:
+    """Declare the table's physical partition layout, replacing the
+    default ``(tenant_id, folder_id)`` — Delta's PARTITIONED BY with
+    generated columns. ``generated`` maps a partition column to a SQL
+    expression over the row (e.g. ``{"event_date": "to_date(ts)"}``):
+    the write path computes it when the batch doesn't carry it, and
+    REJECTS a batch that carries a contradicting value (a generated
+    column is a table invariant, same posture as CHECK constraints).
+
+    Must be declared before the first data commit — a partition
+    layout is immutable once files exist under it (re-laying out is
+    what ``compact_fact_table`` is for). At 100 TB this is THE scan
+    lever: date-partitioning an event table turns a time-range query
+    into a directory listing, before stats or blooms even run."""
+    for _v, fn in _commit_entries(path) or []:
+        with open(_os.path.join(path, _COMMITS_DIR, fn)) as fh:
+            if _json.load(fh).get("files"):
+                raise ValueError(
+                    "partition spec must be declared before data exists"
+                )
+    set_table_property(
+        path, "partition_spec", {"cols": list(cols), "generated": generated or {}}
+    )
+
+
+def _apply_partition_spec(df: DataFrame, path: str) -> tuple[DataFrame, list[str]]:
+    """Resolve the table's partition layout for a write: compute
+    missing generated columns, validate present ones (one map-only
+    detection job, short-circuited at the first violation), and
+    return the partition column list."""
+    spec = table_properties(path).get("partition_spec")
+    if not spec:
+        cols = [c for c in PARTITION_COLS if c in df.columns]
+        return df, (cols if len(cols) == len(PARTITION_COLS) else [])
+    for c, expr in (spec.get("generated") or {}).items():
+        if c in df.columns:
+            bad = df.filter(~F.col(c).eqNullSafe(F.expr(expr))).limit(1)
+            if bad.count():
+                raise ValueError(
+                    f"generated column {c} contradicts its expression "
+                    f"({expr}) in the incoming batch"
+                )
+        else:
+            df = df.withColumn(c, F.expr(expr))
+    return df, [c for c in spec.get("cols", []) if c in df.columns]
+
+
 def _stage_files(df: DataFrame, path: str) -> list[str]:
     """Write ``df`` into the table's partition layout via a hidden
     staging dir; returns the relative paths of the moved data files
     (NOT yet published — the caller decides the commit record)."""
     commit_tag = _uuid.uuid4().hex[:12]
     staging = _os.path.join(path, f"_staging-{commit_tag}")
+    df, part_cols = _apply_partition_spec(df, path)
     writer = df.write.mode("overwrite").format("parquet")
-    if all(c in df.columns for c in PARTITION_COLS):
-        writer = writer.partitionBy(*PARTITION_COLS)
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
     writer.save(staging)
     moved: list[str] = []
     for rel in _list_parquet_files(staging):
@@ -1219,12 +1269,24 @@ def _zorder_key(df: DataFrame, cols: list[str], bits: int = _ZORDER_BITS):
     return proxied, key
 
 
+def _snapshot_bytes(path: str) -> int:
+    """On-disk bytes of the CURRENT snapshot's data files."""
+    total = 0
+    for rel in committed_files(path) or []:
+        try:
+            total += _os.path.getsize(_os.path.join(path, rel))
+        except OSError:
+            pass
+    return total
+
+
 def compact_fact_table(
     spark: SparkSession,
     path: str,
     cluster_by: list[str] | None = None,
     target_files: int | None = None,
     zorder_by: list[str] | None = None,
+    target_file_bytes: int | None = None,
 ) -> int:
     """Small-file compaction: rewrite the CURRENT snapshot with one
     file per (tenant_id, folder_id) partition and publish it as a
@@ -1250,9 +1312,17 @@ def compact_fact_table(
 
     The at-scale need: streaming ingest appends a file per micro-batch
     per partition, and scan cost degrades with file count. On a
-    cluster you'd target ~1 GB files (repartition by size) instead of
-    one per partition. Returns the new table version.
+    cluster you'd target ~1 GB files; ``target_file_bytes`` does that
+    sizing from the snapshot's actual on-disk bytes (Delta's
+    ``maxFileSize``): output task count = ceil(snapshot / target),
+    overriding the defaultParallelism fallback wherever
+    ``target_files`` was not given explicitly. Returns the new table
+    version.
     """
+    if target_files is None and target_file_bytes:
+        target_files = max(
+            1, -(-_snapshot_bytes(path) // int(target_file_bytes))
+        )
     current = read_fact_table(spark, path)
     if zorder_by:
         n = target_files or current.sparkSession.sparkContext.defaultParallelism
@@ -1269,10 +1339,24 @@ def compact_fact_table(
         current = current.repartitionByRange(
             n, *[F.col(c) for c in cluster_by]
         ).sortWithinPartitions(*cluster_by)
-    elif all(c in current.columns for c in PARTITION_COLS):
-        current = current.repartition(*[F.col(c) for c in PARTITION_COLS])
     else:
-        current = current.coalesce(1)
+        spec = table_properties(path).get("partition_spec")
+        if spec:
+            pcols = [c for c in spec.get("cols", []) if c in current.columns]
+        elif all(c in current.columns for c in PARTITION_COLS):
+            pcols = list(PARTITION_COLS)
+        else:
+            pcols = []
+        if pcols and target_files:
+            current = current.repartition(
+                target_files, *[F.col(c) for c in pcols]
+            )
+        elif pcols:
+            current = current.repartition(*[F.col(c) for c in pcols])
+        elif target_files:
+            current = current.repartition(target_files)
+        else:
+            current = current.coalesce(1)
     files = _stage_files(current, path)
     # rewrite = the lazy bloom back-fill moment set_bloom_columns
     # promises: files appended before the property existed get their

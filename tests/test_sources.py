@@ -354,6 +354,74 @@ def test_timestamp_time_travel_and_history(spark, tmp_path):
     assert hist[0]["n_removed"] >= 1 or hist[0]["n_dv"] >= 1
 
 
+def test_generated_partition_spec(spark, tmp_path):
+    path = str(tmp_path / "events_t")
+    writers.set_partition_spec(
+        path, ["event_date"], generated={"event_date": "to_date(ts)"}
+    )
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 1), ("2024-01-02 11:00:00", 2)],
+        "ts string, v int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    writers.append_rows(df, path)
+
+    # physical layout: one directory per generated date
+    dirs = {d for d in os.listdir(path) if d.startswith("event_date=")}
+    assert dirs == {"event_date=2024-01-01", "event_date=2024-01-02"}
+
+    # read side: filter on the generated column prunes at the
+    # partition level, before stats or blooms even run
+    out = writers.read_fact_table(spark, path)
+    assert out.count() == 2
+    filtered = out.filter(F.col("event_date") == "2024-01-02")
+    assert filtered.count() == 1
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+    # a batch carrying a contradicting generated value is refused
+    bad = df.withColumn("event_date", F.lit("1999-12-31").cast("date"))
+    with pytest.raises(ValueError, match="generated column"):
+        writers.append_rows(bad, path)
+    # a batch carrying the CORRECT value is accepted as-is
+    good = df.withColumn("event_date", F.to_date("ts"))
+    assert writers.append_rows(good, path)
+    assert writers.read_fact_table(spark, path).count() == 4
+
+    # layout is immutable once data exists
+    with pytest.raises(ValueError, match="before data exists"):
+        writers.set_partition_spec(path, ["v"])
+
+    # compaction preserves the declared layout
+    v = writers.compact_fact_table(spark, path)
+    assert v is not None
+    assert writers.read_fact_table(spark, path).count() == 4
+    dirs = {d for d in os.listdir(path) if d.startswith("event_date=")}
+    assert dirs == {"event_date=2024-01-01", "event_date=2024-01-02"}
+
+
+def test_compaction_size_targeted(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    for _ in range(4):
+        writers.append_rows(_fact_rows(spark, 50), path)
+    total = writers._snapshot_bytes(path)
+    assert total > 0
+    # target ≈ a third of the snapshot → ceil gives 4 output tasks
+    writers.compact_fact_table(
+        spark, path, cluster_by=["row_id"], target_file_bytes=total // 3
+    )
+    files = writers.committed_files(path)
+    assert len(files) == 4
+    assert writers.read_fact_table(spark, path).count() == 200
+    # explicit target_files still wins over the size heuristic
+    writers.compact_fact_table(
+        spark, path, cluster_by=["row_id"], target_files=2,
+        target_file_bytes=1,
+    )
+    assert len(writers.committed_files(path)) == 2
+
+
 def test_compaction_snapshot_and_vacuum(spark, tmp_path):
     path = str(tmp_path / "facts")
     for i in range(4):  # 4 appends → ≥4 files in the partition
