@@ -137,7 +137,7 @@ def load_all() -> None:
         tokenizer,
         windows,
     )
-    from pdf_etl_engine_spark.streaming import windowq  # noqa: F401
+    from pdf_etl_engine_spark.streaming import cdc, windowq  # noqa: F401
 
     missing = [n for n in PRIORITY if n not in QUERIES]
     if missing:
