@@ -129,6 +129,7 @@ def load_all() -> None:
         incremental,
         joins,
         kernels,
+        linkgraph,
         pipelineq,
         profiling,
         scans,

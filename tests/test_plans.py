@@ -492,3 +492,12 @@ def test_dataset_card_single_pass(spark):
     from tests.test_profiling import _leaf_scans
 
     assert _leaf_scans(p) == 1
+
+
+def test_pagerank_iterations_are_equi_joins(spark):
+    """X39: every iteration must be an equi-join + partial aggregate —
+    no cartesian/nested-loop anywhere in the 3-iteration plan."""
+    p = plan_of(registry.QUERIES["x39_link_pagerank"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_sum" in p  # contributions combine map-side
