@@ -156,3 +156,46 @@ def refresh_rollup(spark: SparkSession, rollup_path: str) -> dict:
         "mode": "incremental" if incremental else "full",
         "fact_version": v1,
     }
+
+
+def stream_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    interval: str | None = None,
+):
+    """Keep the rollup live by driving :func:`refresh_rollup` from the
+    fact table's CDC stream (streaming/cdc.py): every micro-batch of
+    appended commits triggers one incremental fold — a true streaming
+    materialized view, without the ingest path having to know the
+    rollup exists (contrast streaming/ingest.py's foreachBatch hook,
+    which couples sink and rollup).
+
+    The stream is only the TRIGGER: refresh reads the change feed
+    itself from the rollup's recorded fact version, so a replayed
+    micro-batch (crash between refresh and checkpoint advance) re-runs
+    idempotently — the version pointer makes the second fold a no-op.
+    Returns the StreamingQuery; ``available_now`` drains what exists
+    and stops (batch-style catch-up), ``interval`` runs continuous
+    micro-batches (e.g. "5 seconds")."""
+    from pdf_etl_engine_spark.streaming import cdc as _cdc
+
+    spec = writers.table_properties(rollup_path).get("rollup_spec")
+    if not spec:
+        raise ValueError(f"no rollup defined at {rollup_path}")
+    _cdc.register(spark)
+    writer = (
+        spark.readStream.format("commitlog")
+        .option("path", spec["fact_path"])
+        .load()
+        .writeStream.foreachBatch(
+            lambda _df, _bid: refresh_rollup(spark, rollup_path)
+        )
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif interval:
+        writer = writer.trigger(processingTime=interval)
+    return writer.start()

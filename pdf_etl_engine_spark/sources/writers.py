@@ -1377,6 +1377,7 @@ def auto_compact(
     target_files: int | None = None,
     cluster_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    target_file_bytes: int | None = None,
 ) -> int | None:
     """Compaction POLICY (Delta's auto-compact): rewrite only when the
     snapshot's file count exceeds ``max_files``, else do nothing and
@@ -1400,6 +1401,7 @@ def auto_compact(
         cluster_by=cluster_by,
         target_files=target_files,
         zorder_by=zorder_by,
+        target_file_bytes=target_file_bytes,
     )
 
 

@@ -113,3 +113,33 @@ def test_non_decomposable_measure_rejected(tmp_path):
             str(tmp_path / "r"), str(tmp_path / "f"), ["bucket"],
             {"med": ("median", "amount")},
         )
+
+
+def test_stream_rollup_is_live_and_idempotent(spark, tmp_path):
+    """stream_rollup: the CDC stream triggers incremental refreshes;
+    a re-run with nothing new folds nothing; appends caught up on the
+    next drain."""
+    fact, rp = str(tmp_path / "fact"), str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    writers.append_rows(_batch(spark, 0, 100), fact)
+    rollup.define_rollup(rp, fact, ["bucket"], MEASURES)
+
+    q = rollup.stream_rollup(spark, rp, ckpt)
+    q.awaitTermination()
+    assert _got(spark, rp) == _expected(spark, fact)
+    v = writers.table_properties(rp)["rollup_spec"]["fact_version"]
+
+    # replayed drain with no new commits: version pointer unmoved
+    q = rollup.stream_rollup(spark, rp, ckpt)
+    q.awaitTermination()
+    assert writers.table_properties(rp)["rollup_spec"]["fact_version"] == v
+
+    # new appends fold incrementally on the next drain
+    writers.append_rows(_batch(spark, 100, 140), fact)
+    writers.append_rows(_batch(spark, 140, 160), fact)
+    q = rollup.stream_rollup(spark, rp, ckpt)
+    q.awaitTermination()
+    assert _got(spark, rp) == _expected(spark, fact)
+    assert (
+        writers.table_properties(rp)["rollup_spec"]["fact_version"] > v
+    )
