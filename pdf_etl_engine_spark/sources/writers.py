@@ -213,6 +213,15 @@ def _write_checkpoint(path: str, version: int) -> None:
             pass
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A racing commit invalidated this writer's read snapshot (Delta's
+    ConcurrentModificationException). Raised INSTEAD of publishing a
+    commit that would corrupt the table — e.g. a COW delete whose
+    survivor files, computed against the pre-compaction snapshot,
+    would duplicate rows the racing compaction already carries. The
+    caller's remedy is to re-run against the new snapshot."""
+
+
 def _publish_commit(
     path: str,
     files: list[str],
@@ -222,6 +231,8 @@ def _publish_commit(
     stats: dict[str, dict] | None = None,
     bloom: dict[str, dict] | None = None,
     dv: dict[str, str] | None = None,
+    read_version: int | None = None,
+    conflict_files: list[str] | None = None,
 ) -> int:
     """Atomically add the NEXT commit record and return its version.
 
@@ -258,10 +269,46 @@ def _publish_commit(
         rec["dv"] = dv
     with open(tmp, "w") as fh:
         _json.dump(rec, fh)
+    conflict_set = set(conflict_files or ())
     try:
         while True:
             entries = _commit_entries(path) or []
             version = (entries[-1][0] + 1) if entries else 0
+            # Optimistic-concurrency re-validation (Delta's commit
+            # protocol): before claiming a version, check the commits
+            # that landed AFTER this writer's read snapshot. A base
+            # (compaction) commit is a full snapshot rewrite — it
+            # invalidates any pending rewrite either direction; two
+            # rewrites touching the SAME files would double-apply.
+            # Plain appends touch disjoint files and pass (Delta's
+            # WriteSerializable level). Re-checked on every claim
+            # retry, so a conflict landing mid-race is still caught.
+            if read_version is not None:
+                for v, fn in entries:
+                    if v <= read_version:
+                        continue
+                    with open(_os.path.join(cdir, fn)) as fh:
+                        other = _json.load(fh)
+                    if base:
+                        raise ConcurrentWriteError(
+                            f"commit {v} landed after snapshot "
+                            f"{read_version} was read for this base "
+                            "rewrite"
+                        )
+                    if other.get("base"):
+                        raise ConcurrentWriteError(
+                            f"base commit {v} replaced the snapshot "
+                            f"this rewrite read at {read_version}"
+                        )
+                    touched = set(other.get("remove") or ()) | set(
+                        (other.get("dv") or {}).keys()
+                    )
+                    clash = touched & conflict_set
+                    if clash:
+                        raise ConcurrentWriteError(
+                            f"commit {v} already rewrote/masked "
+                            f"{sorted(clash)[:3]}…"
+                        )
             target = _os.path.join(cdir, f"{version:020d}.json")
             try:
                 _os.link(tmp, target)
@@ -929,6 +976,7 @@ def delete_rows(
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown delete mode {mode!r}")
     _bootstrap_log(path)
+    read_version = table_version(path)  # OCC read snapshot
     cond = F.expr(condition)
     cur = _read_snapshot(spark, path, prune=prune, with_pos=True)
     hits = (
@@ -952,7 +1000,8 @@ def delete_rows(
                 spark, path, hits, affected
             )
             _publish_commit(
-                path, [], dv=dv_entries or None, remove=retired or None
+                path, [], dv=dv_entries or None, remove=retired or None,
+                read_version=read_version, conflict_files=affected,
             )
             return n_deleted
         survivors = (
@@ -970,8 +1019,125 @@ def delete_rows(
             remove=affected,
             stats=_stats_for(path, staged),
             bloom=_blooms_for(path, staged),
+            read_version=read_version,
+            conflict_files=affected,
         )
         return n_deleted
+    finally:
+        hits.unpersist()
+
+
+def update_rows(
+    spark: SparkSession,
+    path: str,
+    condition: str,
+    set: dict[str, str],
+    prune: list[tuple[str, str, object]] | None = None,
+    mode: str = "cow",
+) -> int:
+    """UPDATE ... SET ... WHERE — the remaining DML verb next to
+    DELETE (``delete_rows``) and MERGE (``merge_rows``). ``set`` maps
+    existing columns to SQL expressions evaluated in row scope
+    (``{"amount": "amount * 2"}``); rows where ``condition`` is NULL
+    are untouched (SQL semantics); declared CHECK/NOT NULL constraints
+    are enforced on the rewritten rows BEFORE anything stages, so a
+    violating update publishes nothing. UPDATE cannot add columns
+    (Delta's contract — use ``evolve_columns`` + UPDATE). Returns the
+    number of rows updated.
+
+    ``mode="cow"``: rewrite only the files holding matching rows, with
+    the SET applied to matches and other rows copied through — one
+    add+remove commit, cost ∝ affected file bytes.
+
+    ``mode="mor"``: rewrite nothing — mask the matched positions via a
+    deletion-vector sidecar and stage ONLY the transformed matched
+    rows as new files in the same commit (Delta's DV-based UPDATE):
+    cost ∝ matched rows, the right strategy for sparse updates on a
+    100 TB table. Compaction later applies masks physically.
+
+    ``prune`` bounds the identification scan with stats-skipping
+    hints, sound only when implied by ``condition`` (same contract as
+    ``delete_rows``)."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown update mode {mode!r}")
+    _bootstrap_log(path)
+    read_version = table_version(path)  # OCC read snapshot
+    cond = F.expr(condition)
+    matched_pred = F.coalesce(cond, F.lit(False))
+    cur = _read_snapshot(spark, path, prune=prune, with_pos=True)
+    unknown = [c for c in set if c not in cur.columns]
+    if unknown:
+        raise ValueError(f"UPDATE SET on unknown columns: {unknown}")
+
+    def _apply_set(df: DataFrame, always: bool) -> DataFrame:
+        cols = []
+        for c in df.columns:
+            if c in ("_src_file", "_row_idx"):
+                continue
+            if c in set:
+                new = F.expr(set[c]).cast(df.schema[c].dataType)
+                cols.append(
+                    (new if always else F.when(matched_pred, new)
+                     .otherwise(F.col(c))).alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
+
+    hits = (
+        cur.filter(cond)
+        .select(
+            "*",
+            F.col("_src_file").alias("_dv_file"),
+            F.col("_row_idx").alias("_dv_idx"),
+        )
+        .cache()
+    )
+    per_file = hits.groupBy("_dv_file").agg(F.count(F.lit(1)).alias("_n"))
+    try:
+        hit_rows = per_file.collect()  # == the commit's file list
+        if not hit_rows:
+            return 0
+        n_updated = int(sum(r["_n"] for r in hit_rows))
+        affected = [r["_dv_file"] for r in hit_rows]
+        if mode == "mor":
+            updated = _apply_set(
+                hits.drop("_dv_file", "_dv_idx"), always=True
+            )
+            _enforce_constraints(updated, path)
+            dv_entries, retired = _retire_or_write_dv(
+                spark, path, hits.select("_dv_file", "_dv_idx"), affected
+            )
+            staged = _stage_files(updated, path)
+            _publish_commit(
+                path,
+                staged,
+                dv=dv_entries or None,
+                remove=retired or None,
+                stats=_stats_for(path, staged),
+                bloom=_blooms_for(path, staged),
+                read_version=read_version,
+                conflict_files=affected,
+            )
+            return n_updated
+        rewritten = _apply_set(
+            _cow_survivors(
+                cur, per_file.select(F.col("_dv_file").alias("_src_file"))
+            ),
+            always=False,
+        )
+        _enforce_constraints(rewritten, path)
+        staged = _stage_files(rewritten, path)
+        _publish_commit(
+            path,
+            staged,
+            remove=affected,
+            stats=_stats_for(path, staged),
+            bloom=_blooms_for(path, staged),
+            read_version=read_version,
+            conflict_files=affected,
+        )
+        return n_updated
     finally:
         hits.unpersist()
 
@@ -1005,6 +1171,7 @@ def merge_rows(
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown merge mode {mode!r}")
     _bootstrap_log(path)
+    read_version = table_version(path)  # OCC read snapshot
     _enforce_constraints(source, path)
     dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
     if dup.limit(1).count():
@@ -1052,6 +1219,8 @@ def merge_rows(
                 remove=retired or None,
                 stats=_stats_for(path, staged),
                 bloom=_blooms_for(path, staged),
+                read_version=read_version,
+                conflict_files=affected,
             )
         finally:
             matched.unpersist()
@@ -1080,6 +1249,8 @@ def merge_rows(
             remove=hits,
             stats=_stats_for(path, staged),
             bloom=_blooms_for(path, staged),
+            read_version=read_version,
+            conflict_files=hits,
         )
     finally:
         hit_files.unpersist()
@@ -1323,6 +1494,9 @@ def compact_fact_table(
         target_files = max(
             1, -(-_snapshot_bytes(path) // int(target_file_bytes))
         )
+    read_version = table_version(path)  # OCC: a base commit replaces
+    # the WHOLE snapshot, so ANY commit landing after this read (even
+    # an append) would be silently dropped by it — publish refuses
     current = read_fact_table(spark, path)
     if zorder_by:
         n = target_files or current.sparkSession.sparkContext.defaultParallelism
@@ -1367,6 +1541,7 @@ def compact_fact_table(
         base=True,
         stats=_stats_for(path, files),
         bloom=_blooms_for(path, files),
+        read_version=read_version,
     )
 
 
@@ -1395,25 +1570,41 @@ def auto_compact(
         files = committed_files(path)
     if files is None or len(files) <= max_files:
         return None
-    return compact_fact_table(
-        spark,
-        path,
-        cluster_by=cluster_by,
-        target_files=target_files,
-        zorder_by=zorder_by,
-        target_file_bytes=target_file_bytes,
-    )
+    try:
+        return compact_fact_table(
+            spark,
+            path,
+            cluster_by=cluster_by,
+            target_files=target_files,
+            zorder_by=zorder_by,
+            target_file_bytes=target_file_bytes,
+        )
+    except ConcurrentWriteError:
+        # a racing writer landed mid-rewrite: compaction is a pure
+        # optimization, so skip this round — the policy fires again
+        # on a later batch against the newer snapshot
+        return None
 
 
-def vacuum_fact_table(path: str, min_age_s: float = 3600.0) -> list[str]:
+def set_retention(path: str, seconds: float) -> None:
+    """Declare the table's vacuum grace window (Delta's
+    ``delta.deletedFileRetentionDuration`` as a TBLPROPERTY): the
+    default ``min_age_s`` every ``vacuum_fact_table`` call without an
+    explicit value uses. Longer retention keeps more time-travel
+    history readable; shorter reclaims space sooner."""
+    set_table_property(path, "retention_s", float(seconds))
+
+
+def vacuum_fact_table(path: str, min_age_s: float | None = None) -> list[str]:
     """Delete data files not referenced by the CURRENT snapshot
     (orphans from crashed appends + pre-compaction generations).
     Time-travel reads older than the last ``base`` commit stop working
     — run only once no reader needs them (the retention trade every
     log-structured table format has). Returns the deleted paths.
 
-    ``min_age_s`` is the in-flight-append guard (Delta's retention
-    check): ``append_rows`` moves data files into the layout BEFORE
+    ``min_age_s`` (default: the table's declared ``set_retention``
+    property, else 3600 s) is the in-flight-append guard (Delta's
+    retention check): ``append_rows`` moves data files into the layout BEFORE
     publishing their commit, so an unreferenced file younger than the
     grace window may belong to an append between its move and its
     publish — deleting it would make that commit reference missing
@@ -1428,6 +1619,10 @@ def vacuum_fact_table(path: str, min_age_s: float = 3600.0) -> list[str]:
     import shutil as _shutil
     import time as _time
 
+    if min_age_s is None:
+        min_age_s = float(
+            table_properties(path).get("retention_s", 3600.0)
+        )
     live = set(committed_files(path) or [])
     cutoff = _time.time() - min_age_s
     removed = []

@@ -9,9 +9,17 @@ import os
 import threading
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from pdf_etl_engine_spark.sources import writers
+
+
+def _rows(spark, vals, tenant="u1", folder="f1"):
+    return spark.createDataFrame(
+        [(tenant, folder, f"row_{v}", float(v)) for v in vals],
+        "tenant_id string, folder_id string, row_id string, amount double",
+    )
 
 
 def test_publish_commit_race_disjoint_versions(tmp_path):
@@ -299,3 +307,95 @@ def test_vacuum_interleaved_with_checkpoints(tmp_path, spark):
         path,
         txn=("loader", 3),
     )
+
+
+def test_cow_delete_conflicts_with_racing_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """OCC: a COW delete whose survivors were computed against the
+    pre-compaction snapshot must REFUSE to publish after a compaction
+    lands (publishing would duplicate the surviving rows). The table
+    stays intact."""
+    path = str(tmp_path / "facts")
+    for i in range(3):
+        writers.append_rows(_rows(spark, [10 * i, 10 * i + 1]), path)
+
+    orig = writers._stage_files
+    fired = {"done": False}
+
+    def hook(df, p):
+        if not fired["done"]:
+            fired["done"] = True
+            writers.compact_fact_table(spark, p)  # lands first
+        return orig(df, p)
+
+    monkeypatch.setattr(writers, "_stage_files", hook)
+    with pytest.raises(writers.ConcurrentWriteError):
+        writers.delete_rows(spark, path, "amount >= 10")
+    monkeypatch.setattr(writers, "_stage_files", orig)
+    # nothing was deleted, nothing duplicated
+    assert writers.read_fact_table(spark, path).count() == 6
+    # re-run against the new snapshot succeeds
+    assert writers.delete_rows(spark, path, "amount >= 10") == 4
+    assert writers.read_fact_table(spark, path).count() == 2
+
+
+def test_compaction_conflicts_with_racing_append(
+    spark, tmp_path, monkeypatch
+):
+    """OCC: a base commit replaces the WHOLE snapshot, so an append
+    landing mid-rewrite must abort the compaction (publishing would
+    silently drop the appended rows). auto_compact swallows the
+    conflict (optimization, retried later); compact_fact_table
+    raises."""
+    path = str(tmp_path / "facts")
+    for i in range(3):
+        writers.append_rows(_rows(spark, [i]), path)
+
+    orig = writers._stage_files
+    fired = {"done": False}
+
+    def hook(df, p):
+        if not fired["done"]:
+            fired["done"] = True
+            writers.append_rows(_rows(spark, [99]), p)  # lands first
+        return orig(df, p)
+
+    monkeypatch.setattr(writers, "_stage_files", hook)
+    with pytest.raises(writers.ConcurrentWriteError):
+        writers.compact_fact_table(spark, path)
+    monkeypatch.setattr(writers, "_stage_files", orig)
+    # the racing append is intact
+    assert writers.read_fact_table(spark, path).count() == 4
+    # policy wrapper: conflict → None, not an exception
+    fired["done"] = False
+    monkeypatch.setattr(writers, "_stage_files", hook)
+    assert writers.auto_compact(spark, path, max_files=1) is None
+    monkeypatch.setattr(writers, "_stage_files", orig)
+    assert writers.read_fact_table(spark, path).count() == 5
+
+
+def test_mor_deletes_on_same_file_conflict(spark, tmp_path, monkeypatch):
+    """OCC: two MOR deletes masking the same file race — the second
+    built its cumulative DV without the first's rows, so publishing
+    it would LOSE the first delete. The loser must raise."""
+    path = str(tmp_path / "facts")
+    writers.append_rows(_rows(spark, [1, 2, 3, 4]).coalesce(1), path)
+
+    orig = writers._stage_files
+    orig_dv = writers._retire_or_write_dv
+    fired = {"done": False}
+
+    def hook(spark_, p, hits, affected):
+        if not fired["done"]:
+            fired["done"] = True
+            writers.delete_rows(spark_, p, "amount = 2.0", mode="mor")
+        return orig_dv(spark_, p, hits, affected)
+
+    monkeypatch.setattr(writers, "_retire_or_write_dv", hook)
+    with pytest.raises(writers.ConcurrentWriteError):
+        writers.delete_rows(spark, path, "amount = 3.0", mode="mor")
+    monkeypatch.setattr(writers, "_retire_or_write_dv", orig_dv)
+    # first delete intact, second not applied
+    got = {r["amount"] for r in writers.read_fact_table(spark, path).collect()}
+    assert got == {1.0, 3.0, 4.0}

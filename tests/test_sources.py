@@ -1747,3 +1747,116 @@ def test_unparsable_constraint_raises_value_error(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="ghost|not evaluable"):
         writers.append_rows(_fact_rows(spark, 1), path)
+
+
+def test_update_rows_cow(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 5), path)
+    writers.append_rows(_fact_rows(spark, 3, folder="other"), path)
+    v_pre = writers.table_version(path)
+
+    n = writers.update_rows(
+        spark, path, "folder_id = 'other'", {"amount": "amount + 100"}
+    )
+    assert n == 3
+    cur = writers.read_fact_table(spark, path)
+    assert cur.count() == 8
+    others = {
+        r["amount"] for r in cur.filter("folder_id = 'other'").collect()
+    }
+    assert others == {100.0, 101.0, 102.0}
+    # untouched partition unchanged
+    assert {
+        r["amount"] for r in cur.filter("folder_id = 'reports'").collect()
+    } == {0.0, 1.0, 2.0, 3.0, 4.0}
+    # time travel still shows pre-update values
+    old = writers.read_fact_table(spark, path, version=v_pre)
+    assert {
+        r["amount"] for r in old.filter("folder_id = 'other'").collect()
+    } == {0.0, 1.0, 2.0}
+
+    # no match → no-op, no commit
+    v = writers.table_version(path)
+    assert writers.update_rows(spark, path, "amount > 1e9", {"amount": "0"}) == 0
+    assert writers.table_version(path) == v
+
+    # unknown SET column refused
+    with pytest.raises(ValueError, match="unknown columns"):
+        writers.update_rows(spark, path, "true", {"nope": "1"})
+
+
+def test_update_rows_mor_masks_and_appends(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 5).coalesce(1), path)
+    pre_files = set(writers.committed_files(path))
+    assert len(pre_files) == 1  # one file holds all 5 rows
+
+    n = writers.update_rows(
+        spark, path, "amount >= 3.0", {"amount": "amount * 10"},
+        mode="mor",
+    )
+    assert n == 2
+    cur = writers.read_fact_table(spark, path)
+    assert cur.count() == 5
+    assert {r["amount"] for r in cur.collect()} == {0.0, 1.0, 2.0, 30.0, 40.0}
+    # original data files were NOT rewritten (masked, not replaced),
+    # unless fully masked; here 3 of 5 rows survive in the old file
+    assert pre_files <= set(writers.committed_files(path))
+    # compaction applies the masks physically and answers unchanged
+    writers.compact_fact_table(spark, path)
+    cur = writers.read_fact_table(spark, path)
+    assert {r["amount"] for r in cur.collect()} == {0.0, 1.0, 2.0, 30.0, 40.0}
+
+
+def test_update_rows_null_condition_rows_kept(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    df = spark.createDataFrame(
+        [("u1", "f", "a", 1.0), ("u1", "f", "b", None)],
+        "tenant_id string, folder_id string, row_id string, amount double",
+    )
+    writers.append_rows(df, path)
+    # condition is NULL for the NULL-amount row → untouched
+    n = writers.update_rows(
+        spark, path, "amount < 10", {"amount": "amount + 1"}
+    )
+    assert n == 1
+    got = {
+        r["row_id"]: r["amount"]
+        for r in writers.read_fact_table(spark, path).collect()
+    }
+    assert got == {"a": 2.0, "b": None}
+
+
+def test_update_rows_respects_constraints(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path)
+    writers.add_check_constraint(spark, path, "amount_low", "amount < 100")
+    v = writers.table_version(path)
+    with pytest.raises(ValueError, match="amount_low"):
+        writers.update_rows(
+            spark, path, "amount >= 0", {"amount": "amount + 1000"}
+        )
+    # refused update published nothing
+    assert writers.table_version(path) == v
+    assert {
+        r["amount"] for r in writers.read_fact_table(spark, path).collect()
+    } == {0.0, 1.0, 2.0}
+
+
+def test_vacuum_honors_declared_retention(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_fact_rows(spark, 3), path)
+    writers.compact_fact_table(spark, path)
+    # declared retention far in the future: nothing reclaimable yet
+    writers.set_retention(path, 10_000.0)
+    assert writers.vacuum_fact_table(path) == []
+    # zero retention: the pre-compaction generation goes
+    writers.set_retention(path, 0.0)
+    removed = writers.vacuum_fact_table(path)
+    assert removed
+    assert writers.read_fact_table(spark, path).count() == 3
+    # explicit argument still overrides the property
+    writers.append_rows(_fact_rows(spark, 1), path)
+    writers.compact_fact_table(spark, path)
+    writers.set_retention(path, 10_000.0)
+    assert writers.vacuum_fact_table(path, min_age_s=0) != []
