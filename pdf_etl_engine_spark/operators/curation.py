@@ -1230,3 +1230,102 @@ def x38_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n - F.countDistinct("text")).cast("double") / n, 4
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X40 — mixture sampling (executing the x23 plan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x40_mixture_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS nt
+      FROM documents
+    ), per_src AS (
+      SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens
+      FROM d GROUP BY source
+    ), tot AS (
+      SELECT *, count(*) OVER () AS n_sources FROM per_src
+    ), plan AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(round(least(1.0, (10000.0 / n_sources) / n_tokens)
+                        * 1000000, 0) AS BIGINT) AS rate_ppm
+      FROM tot
+    ), kept AS (
+      SELECT d.source, d.nt
+      FROM d JOIN plan USING (source)
+      WHERE (d.doc_id * 2654435761 + 12345) % 4294967296 % 1000000
+            < plan.rate_ppm
+    ), ks AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(nt) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.n_tokens, p.rate_ppm,
+           coalesce(ks.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           coalesce(ks.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens
+    FROM plan p LEFT JOIN ks ON p.source = ks.source
+    """,
+)
+def x40_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40: EXECUTE the x23 mixture plan — per-source Bernoulli
+    sampling at the planned rate, selected by a deterministic hash of
+    doc_id against the rate in parts-per-million (never an RNG: the
+    same corpus and budget reproduce the same sample on any cluster,
+    and a re-run after adding sources keeps previously-kept docs
+    stable wherever their source's rate is unchanged). Closes the
+    plan → sample loop: x23 decides the rates, this applies them and
+    reports what was actually drawn per source.
+
+    Determinism: the keep test is pure integer arithmetic
+    (Knuth-hash ppm vs the plan's integer rate_ppm; the ppm threshold
+    itself is the only rounded float, computed identically in both
+    engines from exact counts).
+
+    Scale shape: the plan is sources-sized and broadcast; the keep
+    filter is map-only over the corpus scan; one groupBy(source)
+    carries partial counts. Nothing corpus-wide shuffles — a 100 TB
+    mixture draw is one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.size(_words()).alias("nt")
+    )
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    plan = per_src.withColumn(
+        "rate_ppm",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (10000.0 / F.count(F.lit(1)).over(w)) / F.col("n_tokens"),
+            )
+            * 1_000_000,
+            0,
+        ).cast("bigint"),
+    )
+    hash_ppm = (
+        (F.col("doc_id") * 2654435761 + 12345) % 4294967296 % 1_000_000
+    )
+    kept = (
+        d.join(F.broadcast(plan.select("source", "rate_ppm")), "source")
+        .filter(hash_ppm < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("nt").alias("kept_tokens"),
+        )
+    )
+    return plan.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "rate_ppm",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+    )
