@@ -42,8 +42,12 @@ def export_training_shards(
     n_shards: int = 8,
     min_tokens: int = 5,
     max_stop_ratio: float = 0.9,
+    merges: list | None = None,
 ) -> dict:
-    """Filter → dedup → shuffle → shard → write. Returns the manifest
+    """Filter → dedup → shuffle → shard → write. With ``merges`` (a
+    trained BPE merge list from ``tokenizer.train_bpe``), each row
+    also carries ``bpe_tokens``/``n_bpe_tokens`` — model-ready input
+    next to the raw text. Returns the manifest
     (also written to ``out_dir/_manifest.json``):
     ``{epoch, n_shards, n_docs_in, n_dropped_quality, n_dropped_dup,
     n_docs_out, n_tokens_out, shards: {id: {n_docs, n_tokens}}}``.
@@ -92,9 +96,25 @@ def export_training_shards(
         "shard", (F.col("shuffle_key") % n_shards).cast("int")
     )
     w_pos = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    cols = ["shard", "doc_id", "lang", "source", "text", "n_tokens", "pos"]
     final = sharded.withColumn(
         "pos", F.row_number().over(w_pos).cast("bigint")
-    ).select("shard", "doc_id", "lang", "source", "text", "n_tokens", "pos")
+    )
+    if merges is not None:
+        # ship model-ready BPE tokens next to the raw text (x32's
+        # map-only fold tokenizer — no extra shuffle on this path)
+        from pdf_etl_engine_spark.operators.tokenizer import (
+            tokenize_corpus,
+        )
+
+        tok = tokenize_corpus(final, merges).select(
+            "doc_id",
+            F.col("tokens").alias("bpe_tokens"),
+            F.col("n_tokens").alias("n_bpe_tokens"),
+        )
+        final = final.join(tok, "doc_id")
+        cols += ["bpe_tokens", "n_bpe_tokens"]
+    final = final.select(*cols)
 
     (
         final.repartition(n_shards, "shard")

@@ -99,3 +99,38 @@ def s2_scan_binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         name.alias("file_name"), F.col("length").alias("n_bytes")
     ).orderBy("file_name")
+
+
+_SQL_Q3 = """
+SELECT l_orderkey,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                AS BIGINT)) AS revenue_cents,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1997-01-01'
+  AND l_shipdate > DATE '1997-01-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("sql1_tpch_q3_text", oracle=_SQL_Q3)
+def sql1_tpch_q3_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-TEXT surface: the engine accepts ANSI SQL directly —
+    `register_views` + `spark.sql` run the IDENTICAL statement DuckDB
+    executes as the oracle (TPC-H Q3 shape over this schema; revenue
+    quantized to integer cents so the aggregate is exact in any
+    accumulation order). This is the surface the reference exposes
+    through BigQuery (main.py:804-811: SQL strings over named tables)
+    — here Catalyst plans the same text: broadcast the filtered
+    customer dim, partial-aggregate the join, TakeOrdered the top 10.
+    One statement, two engines, hash-identical answers."""
+    from pdf_etl_engine_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_Q3)

@@ -72,3 +72,24 @@ def test_export_is_deterministic_per_epoch_and_reshuffles_across(
     da = {r["doc_id"] for r in spark.read.parquet(a).select("doc_id").collect()}
     dc = {r["doc_id"] for r in spark.read.parquet(c).select("doc_id").collect()}
     assert da == dc
+
+
+def test_export_with_bpe_tokens(spark, tmp_path):
+    from pdf_etl_engine_spark.catalog import load_table
+    from pdf_etl_engine_spark.operators import tokenizer
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = tokenizer.train_bpe(docs, n_merges=8)
+    out = str(tmp_path / "shards")
+    m = export_training_shards(spark, SF_DIR, out, merges=merges)
+    df = spark.read.parquet(out)
+    assert "bpe_tokens" in df.columns and "n_bpe_tokens" in df.columns
+    row = df.orderBy("shard", "pos").first()
+    # tokens match the driver-side segmenter for the same text
+    words = [w for w in row["text"].split(" ") if w]
+    expect = [
+        t for w in words for t in tokenizer.segment_word(w, merges)
+    ]
+    assert list(row["bpe_tokens"]) == expect
+    assert row["n_bpe_tokens"] == len(expect)
+    assert m["n_docs_out"] == df.count()
