@@ -61,6 +61,9 @@ X_SURFACE = {
     "x_bpe_pair_counts": "x32_bpe_pair_counts",
     "x_gopher_rules": "x36_gopher_rules",
     "x_embedding_outliers": "x37_embedding_outliers",
+    "x_link_pagerank": "x39_link_pagerank",
+    "x_mixture_sample": "x40_mixture_sample",
+    "x_zscore_outliers": "x41_zscore_outliers",
 }
 
 

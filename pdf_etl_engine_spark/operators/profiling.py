@@ -245,3 +245,92 @@ def x35b_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars"), F.array(*[F.lit(p) for p in _PCTS]), F.lit(10000)
         ).alias("pcts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X41 — numeric anomaly flags (z-score outliers, exact moments)
+# ---------------------------------------------------------------------------
+
+_Z_THRESH_NUM = 9  # flag when (x-μ)² > 9·σ² i.e. |z| > 3
+
+
+@query(
+    "x41_zscore_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(cents) AS s1,
+             sum(cents * cents) AS s2
+      FROM q GROUP BY l_returnflag
+    ), w AS (
+      SELECT l_returnflag,
+             CAST(n AS HUGEINT) AS n,
+             CAST(s1 AS HUGEINT) AS s1,
+             CAST(s2 AS HUGEINT) AS s2
+      FROM s
+    ), flagged AS (
+      SELECT q.l_orderkey, q.l_linenumber, q.l_returnflag,
+             (CAST(q.cents AS HUGEINT) * w.n - w.s1)
+               * (CAST(q.cents AS HUGEINT) * w.n - w.s1)
+               > 9 * (w.n * w.s2 - w.s1 * w.s1) AS is_outlier
+      FROM q JOIN w ON q.l_returnflag = w.l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM flagged GROUP BY l_returnflag
+    """,
+)
+def x41_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41: per-group z-score anomaly detection — flag rows more than
+    3σ from their group's mean price, the numeric-column twin of
+    x37's embedding outliers and the standard data-quality sweep
+    before a table feeds a model.
+
+    Determinism: prices quantize to integer cents, the group moments
+    are exact integer sums, and the |z| > 3 test is rearranged to
+    avoid division entirely — ``(n·x − s1)² > 9·(n·s2 − s1²)`` scales
+    both sides of ``(x−μ)² > 9σ²`` by n², so the whole pipeline is
+    integer arithmetic and both engines agree bit-for-bit; the
+    quadratic intermediates run in exact 128-bit integer types
+    (DECIMAL(38,0) in Spark, HUGEINT in the oracle).
+
+    Scale shape: one partial-aggregated groupBy for the moments
+    (groups-sized result, broadcast back), one map-only flag pass,
+    one final groups-sized aggregate. Two scans of the fact column,
+    zero wide shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    s = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    d38 = "decimal(38,0)"
+    c38 = F.col("cents").cast(d38)
+    n38 = F.col("n").cast(d38)
+    s1_38 = F.col("s1").cast(d38)
+    s2_38 = F.col("s2").cast(d38)
+    dev = c38 * n38 - s1_38
+    var_n2 = n38 * s2_38 - s1_38 * s1_38
+    flagged = q.join(F.broadcast(s), "l_returnflag").select(
+        "l_returnflag",
+        (dev * dev > _Z_THRESH_NUM * var_n2).alias("is_outlier"),
+    )
+    return flagged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_outlier").cast("int")).cast("bigint").alias(
+            "n_outliers"
+        ),
+    )
