@@ -2123,3 +2123,138 @@ def x37_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@query(
+    "x42_image_ahash_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 7 AS seed FROM documents
+    ), p AS (
+      SELECT doc_id, seed,
+             list_transform(range(0, 64),
+                            i -> ((seed * 37 + 11) * i) % 256) AS px
+      FROM d
+    ), t AS (
+      SELECT doc_id, px,
+             list_reduce([CAST(0 AS BIGINT)] ||
+                         list_transform(px, v -> CAST(v AS BIGINT)),
+                         (a, b) -> a + b) AS s
+      FROM p
+    ), h AS (
+      SELECT doc_id,
+             list_reduce([CAST(0 AS BIGINT)] ||
+               list_transform(range(0, 32), i ->
+                 CASE WHEN px[CAST(i AS INTEGER) + 1] * 64 > s
+                      THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+                      ELSE CAST(0 AS BIGINT) END),
+               (a, b) -> a + b) AS hash_lo,
+             list_reduce([CAST(0 AS BIGINT)] ||
+               list_transform(range(32, 64), i ->
+                 CASE WHEN px[CAST(i AS INTEGER) + 1] * 64 > s
+                      THEN CAST(1 AS BIGINT) << (CAST(i AS INTEGER) - 32)
+                      ELSE CAST(0 AS BIGINT) END),
+               (a, b) -> a + b) AS hash_hi
+      FROM t
+    )
+    SELECT hash_hi, hash_lo,
+           CAST(count(*) AS BIGINT) AS n_images,
+           min(doc_id) AS canonical_doc
+    FROM h GROUP BY hash_hi, hash_lo
+    """,
+)
+def x42_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42: IMAGE near-dup dedup by perceptual average-hash — the
+    multimodal twin of x2's text dedup, graded end-to-end through the
+    REAL pixel path: every document synthesizes an 8×8 grayscale PNG
+    whose pixels are a pure function of doc_id (7 distinct images
+    corpus-wide), the Spark side must zlib-inflate + defilter the PNG
+    and compute the 64-bit aHash from the decoded bytes, and the
+    oracle recomputes the identical hash from the pixel formula —
+    same x5b discipline, extended from dimensions to CONTENT.
+
+    The hash test is division-free (pixel·64 > sum — exact integers),
+    so both engines agree bit-for-bit; the hash splits into two
+    32-bit halves to stay in signed-64 range.
+
+    Scale shape: synth + decode + hash are two Arrow-batched map
+    stages (the one legitimately-Python surface, like x5b); the dedup
+    itself is ONE shuffle on the hash key. Near-dup (hamming ≤ k)
+    extends by banding the hash into 16-bit keys and probing buckets
+    — the x3 MinHash pattern, no all-pairs anywhere."""
+    from pdf_etl_engine_spark.sources.multimodal import (
+        with_average_hash,
+        with_synth_patterned_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = with_average_hash(with_synth_patterned_images(docs))
+    return hashes.groupBy("hash_hi", "hash_lo").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+
+
+@query(
+    "x43_audio_fingerprint_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, doc_id % 5 AS seed FROM documents
+    ), p AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+                            i -> ((seed * 41 + 13) * i) % 4096) AS sm
+      FROM d
+    ), t AS (
+      SELECT doc_id, sm,
+             list_reduce([CAST(0 AS BIGINT)] ||
+                         list_transform(sm, v -> CAST(v AS BIGINT)),
+                         (a, b) -> a + b) AS s
+      FROM p
+    ), h AS (
+      SELECT doc_id,
+             list_reduce([CAST(0 AS BIGINT)] ||
+               list_transform(range(0, 32), i ->
+                 CASE WHEN sm[CAST(i AS INTEGER) + 1] * 64 > s
+                      THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+                      ELSE CAST(0 AS BIGINT) END),
+               (a, b) -> a + b) AS fp_lo,
+             list_reduce([CAST(0 AS BIGINT)] ||
+               list_transform(range(32, 64), i ->
+                 CASE WHEN sm[CAST(i AS INTEGER) + 1] * 64 > s
+                      THEN CAST(1 AS BIGINT) << (CAST(i AS INTEGER) - 32)
+                      ELSE CAST(0 AS BIGINT) END),
+               (a, b) -> a + b) AS fp_hi
+      FROM t
+    )
+    SELECT fp_hi, fp_lo,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           min(doc_id) AS canonical_doc
+    FROM h GROUP BY fp_hi, fp_lo
+    """,
+)
+def x43_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43: AUDIO near-dup dedup by energy fingerprint — completes the
+    multimodal dedup triple (x2 text, x42 image, x43 audio). Every
+    document synthesizes a 64-sample 16-bit mono WAV whose PCM content
+    is a pure function of doc_id (5 distinct clips corpus-wide); the
+    Spark side must walk the RIFF chunks and unpack the int16 samples
+    (`decode_wav_samples` — the sample-level decode the metadata walk
+    stops short of), compute the 64-bit louder-than-mean fingerprint
+    division-free, and the oracle recomputes the identical bits from
+    the sample formula.
+
+    Scale shape: synth + decode + fingerprint are Arrow-batched map
+    stages; dedup is ONE shuffle on the fingerprint key; near-dup
+    extends via 16-bit fingerprint bands exactly like x42."""
+    from pdf_etl_engine_spark.sources.multimodal import (
+        with_audio_fingerprint,
+        with_synth_patterned_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = with_audio_fingerprint(with_synth_patterned_audio(docs))
+    return fps.groupBy("fp_hi", "fp_lo").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.min("doc_id").alias("canonical_doc"),
+    )

@@ -1654,3 +1654,186 @@ def with_sampled_frames(binary_df: DataFrame, every_n: int = 10) -> DataFrame:
     return binary_df.select("doc_id", "content").mapInPandas(
         run, schema=FRAME_SCHEMA
     )
+
+
+def with_synth_patterned_images(docs: DataFrame) -> DataFrame:
+    """Deterministic 8×8 grayscale PNGs for the x42 perceptual-hash
+    query: pixel i (row-major) of doc_id's image is
+    ``((doc_id % 7) * 37 + 11) * i % 256`` (a per-seed stride, so the
+    ramp WRAPS at a different point per image — average-hash is
+    offset-invariant, so a shared ramp with different offsets would
+    collapse to one hash) — only 7 distinct images exist
+    across the corpus, so hash-identical groups are guaranteed and a
+    SQL oracle can recompute every hash from the formula while the
+    Spark side must earn it from the BYTES (PNG decode included)."""
+    import struct
+    import zlib as _z
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                seed = int(doc_id) % 7
+                px = bytes(
+                    ((seed * 37 + 11) * i) % 256 for i in range(64)
+                )
+                ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+                idat = _z.compress(
+                    b"".join(
+                        b"\x00" + px[r * 8 : (r + 1) * 8] for r in range(8)
+                    )
+                )
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "content": _PNG_SIG
+                        + chunk(b"IHDR", ihdr)
+                        + chunk(b"IDAT", idat)
+                        + chunk(b"IEND", b""),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, content binary"
+    )
+
+
+def with_average_hash(images: DataFrame) -> DataFrame:
+    """(doc_id, hash_hi, hash_lo): the 64-bit average perceptual hash
+    of each image — REAL pixel decode (PNG/JPEG/BMP/TIFF/GIF/Netpbm
+    via :func:`decode_pixels`), then bit i = pixel_i brighter than the
+    image mean, tested division-free (``p·64 > sum``) so the hash is
+    pure integer arithmetic. Split into two 32-bit halves to stay in
+    signed-64 range. At scale the hash is the DEDUP KEY: exact-match
+    groups collapse in one shuffle, and near-dup extends by probing
+    the hamming ball over banded substrings (the x3 MinHash pattern
+    with 16-bit bands of the hash)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                px = decode_pixels(bytes(content))
+                flat = [int(v) for v in px.reshape(-1)[: 64]]
+                total = sum(flat)
+                lo = sum(
+                    1 << i
+                    for i in range(32)
+                    if flat[i] * len(flat) > total
+                )
+                hi = sum(
+                    1 << (i - 32)
+                    for i in range(32, 64)
+                    if flat[i] * len(flat) > total
+                )
+                out.append(
+                    {"doc_id": doc_id, "hash_hi": hi, "hash_lo": lo}
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "hash_hi", "hash_lo"]
+            )
+
+    return images.mapInPandas(
+        run, schema="doc_id bigint, hash_hi bigint, hash_lo bigint"
+    )
+
+
+def decode_wav_samples(content: bytes) -> list[int]:
+    """The PCM samples of a 16-bit mono WAV as Python ints — the
+    sample-level decode the metadata walk (:func:`_decode_wav`) stops
+    short of. Raises ValueError for non-PCM/missing-data payloads."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = struct.unpack_from("<I", content, pos + 4)[0]
+        if cid == b"fmt " and pos + 24 <= len(content):
+            fmt = struct.unpack_from("<HHIIHH", content, pos + 8)
+        elif cid == b"data":
+            data = content[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, channels, _rate, _br, _align, bits = fmt
+    if audio_fmt != 1 or bits != 16 or channels != 1:
+        raise ValueError("only 16-bit mono PCM supported here")
+    n = len(data) // 2
+    return list(struct.unpack(f"<{n}h", data[: n * 2]))
+
+
+def with_synth_patterned_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic 64-sample 16-bit mono WAVs for the x43 audio
+    fingerprint: sample i of doc_id's clip is
+    ``((doc_id % 5) * 41 + 13) * i % 4096`` (per-seed stride, wraps at
+    a different phase per clip) — 5 distinct recordings corpus-wide,
+    recomputable by a SQL oracle while Spark must read them from the
+    PCM bytes."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                seed = int(doc_id) % 5
+                samples = [
+                    ((seed * 41 + 13) * i) % 4096 for i in range(64)
+                ]
+                data = struct.pack("<64h", *samples)
+                byte_rate = 8000 * 2
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", 16)
+                    + struct.pack("<HHIIHH", 1, 1, 8000, byte_rate, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                out.append({"doc_id": doc_id, "content": payload})
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, content binary"
+    )
+
+
+def with_audio_fingerprint(clips: DataFrame) -> DataFrame:
+    """(doc_id, fp_hi, fp_lo): a 64-bit energy fingerprint — REAL PCM
+    decode (:func:`decode_wav_samples`), then bit i = sample i louder
+    than the clip mean, division-free (``s·n > total``) so the
+    fingerprint is exact integer arithmetic. The audio twin of
+    :func:`with_average_hash`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                s = decode_wav_samples(bytes(content))[:64]
+                total = sum(s)
+                n = len(s)
+                lo = sum(
+                    1 << i for i in range(32) if s[i] * n > total
+                )
+                hi = sum(
+                    1 << (i - 32)
+                    for i in range(32, min(64, n))
+                    if s[i] * n > total
+                )
+                out.append({"doc_id": doc_id, "fp_hi": hi, "fp_lo": lo})
+            yield pd.DataFrame(out, columns=["doc_id", "fp_hi", "fp_lo"])
+
+    return clips.mapInPandas(
+        run, schema="doc_id bigint, fp_hi bigint, fp_lo bigint"
+    )

@@ -85,7 +85,9 @@ def test_relational_paths_have_no_python(spark):
     offenders = []
     for name in sorted(
         set(registry.ORACLES)
-        - {"x5b_media_decode", "x5c_resize_pipeline", "x5d_media_formats"}
+        - {"x5b_media_decode", "x5c_resize_pipeline", "x5d_media_formats",
+           "x42_image_ahash_dedup", "x43_audio_fingerprint_dedup"}
+        # x42/x43: real pixel/PCM decode, Python by design (x5 family)
     ):
         p = plan_of(registry.QUERIES[name](spark, SF_DIR))
         if any(
