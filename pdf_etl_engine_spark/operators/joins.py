@@ -275,3 +275,74 @@ def j8_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_fact.join(salted_dim, ["user_id", "salt"]).select(
         "user_id", "event_id", "n_user_events"
     )
+
+
+@query(
+    "j9_interval_bucket_join",
+    oracle="""
+    WITH v AS (
+      SELECT event_id AS v_id, user_id, ts AS v_ts
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.v_id, v.user_id,
+           CAST(count(p.p_ts) AS BIGINT) AS n_purchases
+    FROM v LEFT JOIN p
+      ON p.user_id = v.user_id
+     AND p.p_ts >= v.v_ts
+     AND p.p_ts < v.v_ts + INTERVAL 1 HOUR
+    GROUP BY v.v_id, v.user_id
+    """,
+)
+def j9_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: interval-overlap join — purchases falling inside each
+    click's 1-hour attribution window. The oracle's theta join is
+    exactly what Spark would plan as a broadcast nested loop
+    (O(clicks × purchases)); this is the scalable rewrite: BLOCK on
+    the hour bucket. A 1-hour window spans at most two hour buckets,
+    so each click explodes into ≤2 (user, bucket) probe keys, each
+    purchase maps to exactly one, the join is a plain HASH join on
+    (user_id, bucket), and the exact containment predicate filters
+    inside the matched bucket — a purchase pairs with a window in at
+    most one shared bucket, so no dedup is needed. Left-join back to
+    the click side keeps zero-purchase windows at count 0.
+
+    At 100 TB: work is ∝ matches + 2·|windows|, never |A|×|B|; skew
+    on a hot (user, hour) is the j8 salting problem, same fix. This
+    is the interval-join blocking every range-join engine (DuckDB's
+    IEJoin, Databricks' range join hints) automates — expressed here
+    with plain DataFrame ops so Catalyst plans it as equi-work."""
+    events = load_table(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    v = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("v_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.explode(
+            F.array_distinct(F.array(hour, hour + 1))
+        ).alias("bucket"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), hour.alias("bucket")
+    )
+    matched = (
+        v.join(p, ["user_id", "bucket"])
+        .filter(
+            (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") < F.col("v_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("v_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    windows = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("v_id"), "user_id"
+    )
+    return windows.join(matched, "v_id", "left").select(
+        "v_id",
+        "user_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias(
+            "n_purchases"
+        ),
+    )

@@ -503,3 +503,13 @@ def test_pagerank_iterations_are_equi_joins(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_sum" in p  # contributions combine map-side
+
+
+def test_interval_join_is_bucketed_equi_not_bnlj(spark):
+    """J9: the interval-overlap join must ride the hour-bucket
+    blocking — a plain hash equi-join, never the O(A×B) nested loop
+    the naive theta join plans as."""
+    p = plan_of(registry.QUERIES["j9_interval_bucket_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Join" in p
