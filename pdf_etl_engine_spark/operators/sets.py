@@ -186,3 +186,54 @@ def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return customer.subtract(orders)
+
+
+@query(
+    "u5_bag_set_ops",
+    oracle="""
+    SELECT 'intersect_all' AS op, custkey,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT o_custkey AS custkey FROM orders
+      INTERSECT ALL
+      SELECT c_custkey FROM customer
+    ) GROUP BY custkey
+    UNION ALL
+    SELECT 'except_all', custkey, CAST(count(*) AS BIGINT)
+    FROM (
+      SELECT o_custkey AS custkey FROM orders
+      EXCEPT ALL
+      SELECT c_custkey FROM customer
+    ) GROUP BY custkey
+    """,
+)
+def u5_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5 (late r6): BAG-semantics set operations — INTERSECT ALL
+    keeps min(multiplicity) per row across the inputs, EXCEPT ALL
+    subtracts multiplicities — the SQL-standard ALL variants the
+    distinct-only u2/u3 suite doesn't exercise (a customer with 9
+    orders survives EXCEPT ALL 8 times, not 0). Spark's native
+    ``intersectAll``/``exceptAll`` plan these as a single aggregate
+    computing per-key counts on both sides then replicating min/diff
+    — one shuffle, no join explosion; the output collapses the bags
+    to (key, multiplicity) so the graded result is bounded and
+    order-free."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    ia = (
+        orders.intersectAll(cust)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "custkey", "n")
+    )
+    ea = (
+        orders.exceptAll(cust)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "custkey", "n")
+    )
+    return ia.unionByName(ea)
