@@ -1258,7 +1258,7 @@ def x38_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), kept AS (
       SELECT d.source, d.nt
       FROM d JOIN plan USING (source)
-      WHERE (d.doc_id * 2654435761 + 12345) % 4294967296 % 1000000
+      WHERE ((d.doc_id % 1000003) * 2654435761 + 12345) % 4294967296 % 1000000
             < plan.rate_ppm
     ), ks AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
@@ -1309,8 +1309,13 @@ def x40_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             0,
         ).cast("bigint"),
     )
+    # doc_id reduced mod 1000003 BEFORE the Knuth multiply: the raw
+    # product wraps Spark's bigint for doc_id >= ~3.5e9 (and DuckDB
+    # raises on the overflow) — the reduction keeps the product inside
+    # 63 bits at any corpus size (ADVICE r6 #2; same discipline as x10).
     hash_ppm = (
-        (F.col("doc_id") * 2654435761 + 12345) % 4294967296 % 1_000_000
+        ((F.col("doc_id") % 1000003) * 2654435761 + 12345)
+        % 4294967296 % 1_000_000
     )
     kept = (
         d.join(F.broadcast(plan.select("source", "rate_ppm")), "source")

@@ -91,7 +91,11 @@ def export_training_shards(
 
     # epoch shuffle + balanced shard (x33): shard is a hash projection,
     # pos a per-shard window — no global sort anywhere
-    key = (F.col("doc_id") * _KNUTH + 40503 + F.lit(epoch) * 97) % _MOD
+    # doc_id reduced mod 1000003 before the multiply — the unreduced
+    # product wraps bigint for doc_id >= ~3.5e9 (ADVICE r6 #2)
+    key = (
+        (F.col("doc_id") % 1000003) * _KNUTH + 40503 + F.lit(epoch) * 97
+    ) % _MOD
     sharded = deduped.withColumn("shuffle_key", key).withColumn(
         "shard", (F.col("shuffle_key") % n_shards).cast("int")
     )

@@ -279,8 +279,12 @@ def training_shuffle(
     per-shard window, so the one exchange partitions by shard and
     every shard orders independently in parallel. Changing ``epoch``
     re-permutes without rewriting anything upstream."""
+    # doc_id reduced mod 1000003 before the multiply so the bigint
+    # product cannot wrap at any corpus size (ADVICE r6 #2); ties on
+    # the reduced key are broken by doc_id in the position window.
     key = (
-        (F.col("doc_id") * _KNUTH_A + F.lit(epoch) * _EPOCH_B) % _MOD
+        ((F.col("doc_id") % 1000003) * _KNUTH_A + F.lit(epoch) * _EPOCH_B)
+        % _MOD
     ).alias("shuffle_key")
     from pyspark.sql.window import Window
 
@@ -301,8 +305,10 @@ def training_shuffle(
     oracle="""
     WITH tagged AS (
         SELECT doc_id,
-               (doc_id * 2654435761 + 40503) % 4294967296 AS shuffle_key,
-               CAST((doc_id * 2654435761 + 40503) % 4294967296 % 8 AS INTEGER)
+               ((doc_id % 1000003) * 2654435761 + 40503) % 4294967296
+                 AS shuffle_key,
+               CAST(((doc_id % 1000003) * 2654435761 + 40503)
+                    % 4294967296 % 8 AS INTEGER)
                  AS shard
         FROM documents
     )

@@ -1823,8 +1823,11 @@ def with_audio_fingerprint(clips: DataFrame) -> DataFrame:
                 s = decode_wav_samples(bytes(content))[:64]
                 total = sum(s)
                 n = len(s)
+                # min(32, n) guard mirrors the hi-bit loop: a valid
+                # clip shorter than 32 samples fingerprints its prefix
+                # (unset bits beyond n) instead of raising IndexError
                 lo = sum(
-                    1 << i for i in range(32) if s[i] * n > total
+                    1 << i for i in range(min(32, n)) if s[i] * n > total
                 )
                 hi = sum(
                     1 << (i - 32)

@@ -233,8 +233,15 @@ def _publish_commit(
     dv: dict[str, str] | None = None,
     read_version: int | None = None,
     conflict_files: list[str] | None = None,
+    op: str | None = None,
 ) -> int:
     """Atomically add the NEXT commit record and return its version.
+
+    ``op`` stamps the operation name (APPEND/DELETE_COW/UPDATE_MOR/…)
+    into the record so DESCRIBE HISTORY reports the verb the writer
+    actually ran instead of inferring it from add/remove/dv shape
+    (ADVICE r6 #4: a MOR UPDATE is shaped like a MOR DELETE plus
+    adds, and a COW UPDATE like a MERGE — shape is ambiguous).
 
     Versions are a dense sequence claimed via hard-link (link fails
     with EEXIST if a concurrent writer took the number — optimistic
@@ -257,6 +264,8 @@ def _publish_commit(
     _os.makedirs(cdir, exist_ok=True)
     tmp = _os.path.join(cdir, f".tmp-{_uuid.uuid4().hex}")
     rec: dict = {"files": files, "base": base}
+    if op is not None:
+        rec["op"] = op
     if txn is not None:
         rec["txn"] = [txn[0], int(txn[1])]
     if remove:
@@ -414,7 +423,12 @@ def table_history(path: str) -> list[dict]:
             rec = _json.load(fh)
         n_add = len(rec.get("files", []))
         n_remove = len(rec.get("remove", []))
-        if rec.get("base"):
+        if rec.get("op"):
+            # explicit verb stamped at publish time (ADVICE r6 #4);
+            # the shape inference below remains only for commits
+            # written by older engine versions
+            op = rec["op"]
+        elif rec.get("base"):
             op = "COMPACT" if v else "CREATE"
         elif rec.get("dv"):
             op = "DELETE_MOR"
@@ -801,6 +815,7 @@ def append_rows(
         txn=txn,
         stats=_stats_for(path, moved),
         bloom=_blooms_for(path, moved),
+        op="APPEND",
     )
     return True
 
@@ -810,7 +825,9 @@ def _bootstrap_log(path: str) -> None:
     recorded first so they stay visible under log-based reads."""
     existing = _list_parquet_files(path)
     if existing and committed_files(path) is None:
-        _publish_commit(path, existing, stats=_stats_for(path, existing))
+        _publish_commit(
+            path, existing, stats=_stats_for(path, existing), op="CREATE"
+        )
 
 
 def _cow_survivors(cur: DataFrame, hit_files: DataFrame) -> DataFrame:
@@ -1002,6 +1019,7 @@ def delete_rows(
             _publish_commit(
                 path, [], dv=dv_entries or None, remove=retired or None,
                 read_version=read_version, conflict_files=affected,
+                op="DELETE_MOR",
             )
             return n_deleted
         survivors = (
@@ -1021,6 +1039,7 @@ def delete_rows(
             bloom=_blooms_for(path, staged),
             read_version=read_version,
             conflict_files=affected,
+            op="DELETE_COW",
         )
         return n_deleted
     finally:
@@ -1118,6 +1137,7 @@ def update_rows(
                 bloom=_blooms_for(path, staged),
                 read_version=read_version,
                 conflict_files=affected,
+                op="UPDATE_MOR",
             )
             return n_updated
         rewritten = _apply_set(
@@ -1136,6 +1156,7 @@ def update_rows(
             bloom=_blooms_for(path, staged),
             read_version=read_version,
             conflict_files=affected,
+            op="UPDATE_COW",
         )
         return n_updated
     finally:
@@ -1183,6 +1204,7 @@ def merge_rows(
             staged,
             stats=_stats_for(path, staged),
             bloom=_blooms_for(path, staged),
+            op="MERGE",
         )
     # identification scan pruned by the source's own key range —
     # derived bounds, so it can never miss a matching file (see
@@ -1221,6 +1243,7 @@ def merge_rows(
                 bloom=_blooms_for(path, staged),
                 read_version=read_version,
                 conflict_files=affected,
+                op="MERGE_MOR",
             )
         finally:
             matched.unpersist()
@@ -1251,6 +1274,7 @@ def merge_rows(
             bloom=_blooms_for(path, staged),
             read_version=read_version,
             conflict_files=hits,
+            op="MERGE_COW",
         )
     finally:
         hit_files.unpersist()
@@ -1542,6 +1566,7 @@ def compact_fact_table(
         stats=_stats_for(path, files),
         bloom=_blooms_for(path, files),
         read_version=read_version,
+        op="COMPACT",
     )
 
 

@@ -70,6 +70,38 @@ def _partition_values(rel_path: str) -> dict[str, str]:
     return vals
 
 
+def _cast_partition_value(raw: str, dt) -> object:
+    """Parse a Hive directory-name partition value into the declared
+    field type — mirroring Spark's own partition-value casting
+    (PartitioningUtils.inferPartitionColumnValue): the directory name
+    is always a string, but the column may be declared int/date/…
+    (e.g. via set_partition_spec generated columns), and emitting raw
+    strings against a typed StructField fails the Python data source's
+    row conversion. ``__HIVE_DEFAULT_PARTITION__`` is the null marker."""
+    import datetime as _dt
+    import decimal as _decimal
+    from urllib.parse import unquote as _unquote
+
+    from pyspark.sql import types as _T
+
+    raw = _unquote(raw)
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if isinstance(dt, (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)):
+        return int(raw)
+    if isinstance(dt, (_T.FloatType, _T.DoubleType)):
+        return float(raw)
+    if isinstance(dt, _T.DecimalType):
+        return _decimal.Decimal(raw)
+    if isinstance(dt, _T.BooleanType):
+        return raw.lower() == "true"
+    if isinstance(dt, _T.DateType):
+        return _dt.date.fromisoformat(raw)
+    if isinstance(dt, _T.TimestampType):
+        return _dt.datetime.fromisoformat(raw.replace(" ", "T"))
+    return raw
+
+
 def _stream_schema(path: str) -> StructType:
     """The change feed's row schema: the table schema (sidecar when
     declared, else reconstructed from the newest committed file plus
@@ -150,7 +182,10 @@ class CommitLogStreamReader(DataSourceStreamReader):
         out_cols = []
         for field in self._schema.fields[:-1]:
             if field.name in part_vals:
-                out_cols.append([part_vals[field.name]] * n)
+                val = _cast_partition_value(
+                    part_vals[field.name], field.dataType
+                )
+                out_cols.append([val] * n)
             elif field.name.lower() in cols:
                 out_cols.append(
                     table.column(cols[field.name.lower()]).to_pylist()

@@ -353,6 +353,19 @@ def test_timestamp_time_travel_and_history(spark, tmp_path):
     assert hist[0]["operation"] in ("DELETE_COW", "DELETE_MOR")
     assert hist[0]["n_removed"] >= 1 or hist[0]["n_dv"] >= 1
 
+    # explicit verb stamping (ADVICE r6 #4): a MOR UPDATE commit is
+    # shaped like DELETE_MOR + adds, and a COW UPDATE like MERGE —
+    # history must report the verb the writer ran, not the shape
+    writers.update_rows(
+        spark, path, "folder_id = 'reports'", {"amount": "amount + 1"}, mode="mor"
+    )  # v3
+    writers.update_rows(
+        spark, path, "folder_id = 'reports'", {"amount": "amount + 1"}, mode="cow"
+    )  # v4
+    hist = writers.table_history(path)
+    assert hist[1]["operation"] == "UPDATE_MOR"
+    assert hist[0]["operation"] == "UPDATE_COW"
+
 
 def test_generated_partition_spec(spark, tmp_path):
     path = str(tmp_path / "events_t")
@@ -864,6 +877,30 @@ def _wav(seconds=0.5, rate=44100, channels=2, bits=16):
                       channels * bits // 8, bits)
         + b"data" + struct.pack("<I", data) + b"\x00" * min(data, 64)
     )
+
+
+def test_audio_fingerprint_short_clip(spark):
+    """A valid PCM clip shorter than 32 samples fingerprints its
+    prefix instead of raising IndexError (ADVICE r6 #3)."""
+    import struct
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    samples = [100, -200, 300, -50, 0, 400, -400, 250, -10, 60]  # 10 < 32
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    clips = spark.createDataFrame(
+        [(1, bytearray(wav))], "doc_id long, content binary"
+    )
+    row = M.with_audio_fingerprint(clips).collect()[0]
+    n, total = len(samples), sum(samples)
+    want_lo = sum(1 << i for i in range(n) if samples[i] * n > total)
+    assert (row["fp_hi"], row["fp_lo"]) == (0, want_lo)
 
 
 def test_decode_media_real_formats():

@@ -88,6 +88,44 @@ def test_cdc_schema_requires_data_or_sidecar(spark, tmp_path):
         )
 
 
+def test_cdc_typed_partition_values(spark, tmp_path):
+    """Partition columns declared non-string (date/int via a sidecar
+    schema + set_partition_spec) stream as their DECLARED type, not as
+    the raw Hive directory string (ADVICE r6 #1)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "facts")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("event_date", T.DateType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("row_id", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    writers.create_fact_table(spark, path, schema)
+    writers.set_partition_spec(path, ["event_date", "bucket"])
+    df = spark.createDataFrame(
+        [
+            (datetime.date(2026, 1, 5), 7, "a", 1.5),
+            (datetime.date(2026, 1, 6), 9, "b", 2.5),
+        ],
+        schema,
+    )
+    writers.append_rows(df, path)
+
+    got = _drain(spark, path, ckpt)
+    by_row = {r["row_id"]: r for r in got}
+    assert by_row["a"]["event_date"] == datetime.date(2026, 1, 5)
+    assert by_row["a"]["bucket"] == 7
+    assert by_row["b"]["event_date"] == datetime.date(2026, 1, 6)
+    assert by_row["b"]["bucket"] == 9
+    assert by_row["b"]["amount"] == 2.5
+
+
 def test_cdc_sees_schema_evolution_nulls(spark, tmp_path):
     """Files written BEFORE a column existed stream NULL for it, same
     as the batch read side's schema-union contract."""
