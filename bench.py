@@ -53,7 +53,11 @@ X_SURFACE = {
     "x_contamination": "x16_contamination",
     "x_incremental_dedup": "x22_incremental_dedup_exact",
     "x_repetition": "x21_repetition",
-    "x_embedding_near_dup": "x4c_embedding_near_dup",
+    # r7 (VERDICT r6 #1): the benched near-dup is the oracle-graded
+    # LSH scale path; the exact all-pairs x4c baseline stays in the
+    # registry tail (recall anchor) but out of the bench — its O(n²)
+    # plan is the shape this engine exists to avoid at 100 TB
+    "x_embedding_near_dup": "x4i_lsh_near_dup_arith",
     "x_sequence_pack": "x25_sequence_pack",
     "x_url_blocklist": "x26_url_blocklist",
     "x_ngram_surprisal": "x27_ngram_surprisal",
@@ -118,7 +122,7 @@ def time_query_scan_path(spark, qname: str) -> float:
     return statistics.median(run_once() for _ in range(RUNS))
 
 
-def time_query(spark, qname: str) -> tuple[float, float]:
+def time_query(spark, qname: str, sf_dir: str | None = None) -> tuple[float, float]:
     """Returns (warm execution median, cold first-run time).
 
     The plan is built ONCE and re-executed; each timed run is a full
@@ -134,7 +138,7 @@ def time_query(spark, qname: str) -> tuple[float, float]:
     """
     fn = registry.QUERIES[qname]
     t0 = time.perf_counter()
-    df = fn(spark, SF_DIR)
+    df = fn(spark, sf_dir or SF_DIR)
     df.toPandas()  # cold: analysis + optimize + codegen + cache fill
     cold = time.perf_counter() - t0
     df.toPandas()  # settle JIT/code cache before timing
@@ -144,6 +148,86 @@ def time_query(spark, qname: str) -> tuple[float, float]:
         df.toPandas()
         samples.append(time.perf_counter() - t0)
     return statistics.median(samples), cold
+
+
+# Second scale point (VERDICT r6 #3): the floor-bound argument —
+# "Spark's fixed ~20 ms job floor dominates at sf0.1, crosses over at
+# scale" — measured instead of asserted. sf1 (10× sf0.1, 6M lineitem /
+# 1M events / 50k docs) is synthesized deterministically from sf0.1 by
+# tools/synth_sf1.py; BOTH engines run on the same files, DuckDB
+# executing each query's own oracle SQL (identical semantics by
+# construction). Headline 7 + the 5 X queries whose sf0.1 ratios were
+# floor-dominated or lineitem-scaled.
+SF1_X = (
+    "x_dedup_exact",
+    "x_incremental_dedup",
+    "x_mixture_sample",
+    "x_url_blocklist",
+    "x_zscore_outliers",
+)
+
+
+def bench_sf1(spark) -> dict:
+    import duckdb
+
+    from tools.synth_sf1 import synth
+
+    sf1_dir = synth()
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    # 16 shuffle partitions right-size sf1's ~6M-row exchanges
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    names = dict(HEADLINE)
+    names.update({k: X_SURFACE[k] for k in SF1_X})
+    spark_t: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    try:
+        for bench_name, qname in names.items():
+            try:
+                warm, _cold = time_query(spark, qname, sf_dir=sf1_dir)
+                spark_t[bench_name] = round(warm, 4)
+            except Exception as exc:  # one bad query ≠ no sf1 section
+                errors[bench_name] = f"{type(exc).__name__}: {exc}"[:200]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    con = duckdb.connect()
+    from pdf_etl_engine_spark.catalog import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf1_dir}/{t}.parquet'"
+        )
+    duck_t: dict[str, float] = {}
+    for bench_name, qname in names.items():
+        if bench_name not in spark_t:
+            continue
+        sql = registry.ORACLES[qname]
+        con.execute(sql).fetchall()  # warm the buffer pool
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            samples.append(time.perf_counter() - t0)
+        duck_t[bench_name] = round(statistics.median(samples), 4)
+    ratio = {
+        k: round(spark_t[k] / duck_t[k], 3)
+        for k in spark_t
+        if duck_t.get(k)
+    }
+    s_tot, d_tot = round(sum(spark_t.values()), 4), round(
+        sum(duck_t.values()), 4
+    )
+    out = {
+        "sf": 1.0,
+        "spark_sec": spark_t,
+        "duckdb_sec": duck_t,
+        "ratio": ratio,
+        "spark_total_sec": s_tot,
+        "duckdb_total_sec": d_tot,
+        "ratio_total": round(s_tot / d_tot, 3) if d_tot else None,
+    }
+    if errors:
+        out["errors"] = errors
+    return out
 
 
 def main() -> None:
@@ -199,6 +283,14 @@ def main() -> None:
         catalog.CACHE_MAX_BYTES = prior_gate
         catalog._DF_CACHE.clear()
     scan_total = round(sum(scan_timings.values()), 4)
+    # sf1 scale point: on by default; SPARK_GRAFT_BENCH_SF1=0 skips
+    # (e.g. when only iterating on the sf0.1 numbers)
+    sf1_section = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
+        try:
+            sf1_section = bench_sf1(spark)
+        except Exception as exc:  # sf1 is additive — never sink the gate
+            sf1_section = {"error": f"{type(exc).__name__}: {exc}"}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -219,6 +311,7 @@ def main() -> None:
                 "empty_job_floor_sec": round(floor_reused, 4),
                 "fresh_plan_job_floor_sec": round(floor_fresh, 4),
                 "sf": sf_val,
+                "sf1": sf1_section,
             }
         )
     )

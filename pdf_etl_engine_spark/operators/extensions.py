@@ -851,6 +851,129 @@ def x4d_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(emb, n_tables=12, n_bits=3, threshold=0.25)
 
 
+# --- x4i: the LSH near-dup path, ORACLE-GRADED (VERDICT r6 #1) --------------
+# Same (L=12, k=3) multi-table sign-LSH shape as x4d, with the
+# hyperplanes replaced by deterministic integer-component planes
+# (component_j of plane p = (31p + 17j) mod 61 − 30; 61 > 36 planes so
+# no two planes repeat, unlike a mod-13 scheme) and every dot product
+# computed as a LEFT-FOLD — the x4g discipline — so both engines run
+# identical IEEE sequences and every bucket bit agrees exactly.
+
+_X4I_L, _X4I_K = 12, 3
+
+
+def _x4i_bucket_sql(t: int) -> str:
+    bits = []
+    for i in range(_X4I_K):
+        p = t * _X4I_K + i
+        fold = (
+            "list_reduce([CAST(0.0 AS DOUBLE)] || "
+            "list_transform(range(0, 64), j -> "
+            "CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) * "
+            f"CAST((31 * {p} + 17 * j) % 61 - 30 AS DOUBLE)), "
+            "(a, x) -> a + x)"
+        )
+        bits.append(f"(CASE WHEN {fold} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_X4I_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), tb AS (
+      {" UNION ALL ".join(
+          f"SELECT vec_id, {t} AS t, {_x4i_bucket_sql(t)} AS b FROM embeddings"
+          for t in range(_X4I_L)
+      )}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS va, b2.vec_id AS vb
+      FROM tb a JOIN tb b2
+        ON a.t = b2.t AND a.b = b2.b AND a.vec_id < b2.vec_id
+    )
+    SELECT c.va AS vec_a, c.vb AS vec_b,
+           round(list_sum(list_transform(list_zip(x.e, y.e),
+                 s -> s[1] * s[2])) / (x.nrm * y.nrm) + 5e-10, 4) AS cos_sim
+    FROM cand c JOIN v x ON x.vec_id = c.va JOIN v y ON y.vec_id = c.vb
+    WHERE list_sum(list_transform(list_zip(x.e, y.e), s -> s[1] * s[2]))
+          / (x.nrm * y.nrm) >= 0.25
+"""
+
+
+def _x4i_buckets() -> Column:
+    """Array of (t, bucket) structs from the deterministic integer
+    planes — all arithmetic inside codegen, fold order = index order."""
+    vd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    tables = []
+    for t in range(_X4I_L):
+        b = F.lit(0)
+        for i in range(_X4I_K):
+            p = t * _X4I_K + i
+
+            # single-arg closure: a two-arg transform lambda would
+            # receive the array INDEX as its second argument
+            def prod(j):
+                return F.element_at(vd, j + 1) * (
+                    (F.lit(31 * p) + 17 * j) % 61 - 30
+                ).cast("double")
+
+            dot = F.aggregate(
+                F.transform(F.sequence(F.lit(0), F.lit(63)), prod),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            b = b + F.when(dot > 0, F.lit(1 << i)).otherwise(0)
+        tables.append(F.struct(F.lit(t).alias("t"), b.alias("b")))
+    return F.array(*tables)
+
+
+@query("x4i_lsh_near_dup_arith", oracle=_X4I_ORACLE)
+def x4i_lsh_near_dup_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 near-dup, LSH SCALE PATH, oracle-graded end to end: pair
+    candidates come from shared (table, bucket) keys — an equi-join
+    whose shuffle key carries the pair generation, never a cross join
+    — then exact cosine rescoring keeps only true near-dups
+    (cos ≥ 0.25). Deterministic integer hyperplanes + fold-ordered
+    dots make every bucket bit AND every rescored cosine bit-identical
+    across engines, so the whole pipeline (blocking + rescore) grades
+    hash-exact, not just the arithmetic twins. Recall vs the exact
+    x4c baseline is measured at ~0.90 on the graded corpus
+    (tests/test_extensions_recall.py); x4c remains registered in the
+    tail as the exactness anchor.
+
+    100 TB shape: bucket assignment is map-side codegen; the self-join
+    shuffles on (t, bucket) — candidate volume is bucket-bounded, and
+    a hot bucket splits under AQE skew handling. No O(n²) anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.explode(_x4i_buckets()).alias("tb"),
+        _as_double(F.col("embedding")).alias("e"),
+        F.sqrt(_dot(_as_double(F.col("embedding")),
+                    _as_double(F.col("embedding")))).alias("nrm"),
+    ).select("vec_id", "tb.t", "tb.b", "e", "nrm")
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.25)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            stable_round(cos, 4).alias("cos_sim"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 @query(
     "x2c_dedup_with_dups",
     oracle="""

@@ -74,7 +74,10 @@ PRIORITY: tuple[str, ...] = (
     "a1_count_exists",
     "a2_groupby_pricing_summary",
     "a3_count_distinct",
-    "a4_approx_count_distinct",
+    # r7: a4 (approximate HLL — inherently rows-only) moved to the
+    # tail; its slot now carries the SQL-text surface (VERDICT r6 #6),
+    # making the graded window 50/50 oracle-checkable
+    "sql1_tpch_q3_text",
     "a58_cube_grouping_sets",
     "a6_kv_pivot",
     "a7_percentiles",
@@ -104,7 +107,10 @@ PRIORITY: tuple[str, ...] = (
     "x2_dedup_exact",
     "x3c_ngram_jaccard",
     "x4_cosine_topk",
-    "x4c_embedding_near_dup",
+    # r7: the LSH scale path is the graded X4-dedup representative
+    # (VERDICT r6 #1); the exact all-pairs x4c baseline registers in
+    # the tail as the recall/exactness anchor
+    "x4i_lsh_near_dup_arith",
     # x5b is the ORACLE-graded X5 representative (real BMP/WAV decode
     # checked against recomputed formulas); the binary-plumbing
     # rows-only twin x5 registers in the tail

@@ -505,6 +505,18 @@ def test_pagerank_iterations_are_equi_joins(spark):
     assert "partial_sum" in p  # contributions combine map-side
 
 
+def test_graded_near_dup_is_lsh_equi_not_quadratic(spark):
+    """X4i (r7, the GRADED near-dup representative): pair generation
+    must ride the (table, bucket) equi-join shuffle key — never the
+    O(n²) BroadcastNestedLoop the exact x4c baseline deliberately
+    plans as, and no Python stage anywhere."""
+    p = plan_of(registry.QUERIES["x4i_lsh_near_dup_arith"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Join" in p
+    assert "Python" not in p  # planes + cosine all codegen-side
+
+
 def test_interval_join_is_bucketed_equi_not_bnlj(spark):
     """J9: the interval-overlap join must ride the hour-bucket
     blocking — a plain hash equi-join, never the O(A×B) nested loop
