@@ -88,17 +88,72 @@ def s7b_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("s2_scan_binary_docs")  # rows-only: DuckDB has no binary file scan
+def _s2_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize every 50th document's text as a real ``.bin`` file
+    (UTF-8 bytes) in a scratch dir keyed by the source parquet's
+    identity — idempotent (completion marker), executor-side writes.
+    This is fixture synthesis for the S2 scan, not part of the graded
+    relational path."""
+    import os
+
+    from pdf_etl_engine_spark.catalog import load_table as _lt
+    from pdf_etl_engine_spark.scratch import scratch_dir
+
+    out = scratch_dir("s2bin", f"{sf_dir}/documents.parquet")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def write_part(rows):
+        import os as _os
+
+        for row in rows:
+            p = _os.path.join(out, f"doc_{row['doc_id']}.bin")
+            tmp = f"{p}.tmp-{_os.getpid()}"
+            with open(tmp, "wb") as fh:
+                fh.write(row["text"].encode("utf-8"))
+            _os.replace(tmp, p)
+
+    (
+        _lt(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text")
+        .foreachPartition(write_part)
+    )
+    with open(marker, "w"):
+        pass
+    return out
+
+
+@query(
+    "s2_scan_binary_docs",
+    oracle="""
+    SELECT 'doc_' || doc_id || '.bin' AS file_name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha_hex
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+)
 def s2_scan_binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: read raw blobs as rows (`blob.download_as_bytes()`,
-    main.py:433, 692) via the binaryFile source. Reads the testdata
-    parquet files themselves as opaque blobs; `content` is projected
-    away so only (path, length) is materialized."""
-    df = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    main.py:433, 692) via the binaryFile source — ORACLE-GRADED
+    (VERDICT r6 #2): the scanned files are deterministic UTF-8
+    materializations of every 50th document, so the scan's
+    (file_name, byte length, sha256 of content) projection is
+    recomputable in SQL straight from the documents table. A length
+    or digest mismatch means the binary scan dropped or corrupted
+    bytes. ``content`` feeds the digest only — at 100 TB each file
+    splits lazily per binaryFile row and nothing but the 3 projected
+    columns leaves the scan stage."""
+    out = _s2_fixture_dir(spark, sf_dir)
+    df = spark.read.format("binaryFile").load(f"{out}/*.bin")
     name = F.element_at(F.split(F.col("path"), "/"), -1)
     return df.select(
-        name.alias("file_name"), F.col("length").alias("n_bytes")
-    ).orderBy("file_name")
+        name.alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha_hex"),
+    )
 
 
 _SQL_Q3 = """
