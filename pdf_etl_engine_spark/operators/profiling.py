@@ -312,10 +312,15 @@ def x41_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents"),
     )
+    # s2 accumulates in DECIMAL: cents² ~1e14 per row sums past 2⁶³ at
+    # ~10⁵ rows/group — bigint overflows right where the 100 TB story
+    # begins (DuckDB's sum(BIGINT) widens to HUGEINT automatically;
+    # decimal(19,0)² → decimal(38,0) is Spark's exact equivalent)
+    c19 = F.col("cents").cast("decimal(19,0)")
     s = q.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        F.sum(c19).alias("s1"),  # decimal for the same reason
+        F.sum(c19 * c19).alias("s2"),
     )
     d38 = "decimal(38,0)"
     c38 = F.col("cents").cast(d38)
