@@ -95,7 +95,8 @@ def _commit_range_is_append_only(
         if since < v <= upto:
             with open(_os.path.join(cdir, fn)) as fh:
                 rec = _json.load(fh)
-            if rec.get("remove"):
+            # lazy: a manifest-backed commit carries its counts inline
+            if rec.get("remove") or rec.get("n_remove"):
                 return False
     return True
 

@@ -46,12 +46,10 @@ def _changed_files(path: str, start_v: int, end_v: int) -> list[tuple[int, str]]
     non-base commit in ``(start_v, end_v]`` — the same commit-record
     walk ``read_changes`` does, without a SparkSession."""
     out: list[tuple[int, str]] = []
-    cdir = _os.path.join(path, _w._COMMITS_DIR)
     for v, fn in _w._commit_entries(path) or []:
         if v <= start_v or v > end_v:
             continue
-        with open(_os.path.join(cdir, fn)) as fh:
-            rec = _json.load(fh)
+        rec = _w._load_commit(path, fn)  # resolves manifest indirection
         if rec.get("base"):
             continue
         out.extend((v, f) for f in rec.get("files", []))
@@ -170,6 +168,36 @@ class CommitLogStreamReader(DataSourceStreamReader):
             for v, f in files
         ]
 
+    @staticmethod
+    def _norm_column(vals: list, dt) -> list:
+        """Normalize pyarrow ``to_pylist`` values for Spark's Python
+        data source row conversion. Spark 4 writes TimestampType as
+        naive nanosecond parquet (session tz pinned UTC by the engine,
+        session.py), which pyarrow surfaces as tz-naive pandas
+        Timestamps — Spark's converter then calls ``tz_convert`` on
+        them and fails. Localize naive instants to UTC (the session
+        tz they were written in) and hand over plain datetimes."""
+        import datetime as _dt
+
+        from pyspark.sql.types import TimestampNTZType, TimestampType
+
+        if isinstance(dt, TimestampType):
+            out = []
+            for v in vals:
+                if v is not None and isinstance(v, _dt.datetime):
+                    if v.tzinfo is None:
+                        v = v.replace(tzinfo=_dt.timezone.utc)
+                    if hasattr(v, "to_pydatetime"):
+                        v = v.to_pydatetime()
+                out.append(v)
+            return out
+        if isinstance(dt, TimestampNTZType):
+            return [
+                v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
+                for v in vals
+            ]
+        return vals
+
     def read(self, partition: _FilePartition):
         if not partition.abs_path:
             return
@@ -188,7 +216,10 @@ class CommitLogStreamReader(DataSourceStreamReader):
                 out_cols.append([val] * n)
             elif field.name.lower() in cols:
                 out_cols.append(
-                    table.column(cols[field.name.lower()]).to_pylist()
+                    self._norm_column(
+                        table.column(cols[field.name.lower()]).to_pylist(),
+                        field.dataType,
+                    )
                 )
             else:  # column added after this file was written
                 out_cols.append([None] * n)

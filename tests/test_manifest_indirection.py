@@ -1,0 +1,123 @@
+"""Manifest indirection for commit file lists (VERDICT r6 #4,
+sources/writers.py): a commit whose add/remove/DV entry count exceeds
+``_MANIFEST_INLINE_MAX`` spills the lists into a parquet manifest and
+keeps only a pointer + counts in the commit JSON — Iceberg's manifest
+design, bounding commit-record size by O(1) instead of O(files
+touched). Every log consumer resolves through ``_load_commit``."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pdf_etl_engine_spark.sources import writers
+
+
+def _rows(spark, n, folder="f1"):
+    return spark.createDataFrame(
+        [("u1", folder, f"row_{i}", float(i)) for i in range(n)],
+        "tenant_id string, folder_id string, row_id string, amount double",
+    )
+
+
+def _commit_json(path, version):
+    with open(
+        os.path.join(path, writers._COMMITS_DIR, f"{version:020d}.json")
+    ) as fh:
+        return json.load(fh)
+
+
+def test_wide_commit_spills_to_manifest(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(writers, "_MANIFEST_INLINE_MAX", 3)
+    path = str(tmp_path / "facts")
+    writers.append_rows(_rows(spark, 40).repartition(8), path)
+
+    rec = _commit_json(path, 0)
+    assert rec["manifest"].startswith(writers._MANIFESTS_DIR)
+    assert rec["files"] == [] and rec["n_add"] == 8
+    assert "stats" not in rec and "bloom" not in rec
+    # resolution inflates the manifest back to the inline shape
+    assert len(writers.committed_files(path)) == 8
+    assert writers.read_fact_table(spark, path).count() == 40
+    # stats survive the indirection (data-skipping intact)
+    state = writers._fold_state(path)
+    assert len(state["stats"]) == 8
+
+
+def test_manifest_backed_dml_and_history(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(writers, "_MANIFEST_INLINE_MAX", 3)
+    path = str(tmp_path / "facts")
+    writers.append_rows(_rows(spark, 40).repartition(8), path)
+    n = writers.delete_rows(spark, path, "amount < 20")
+    assert n == 20
+    assert writers.read_fact_table(spark, path).count() == 20
+    hist = writers.table_history(path)
+    assert hist[0]["operation"] == "DELETE_COW"
+    # counts ride the commit JSON (no manifest inflation): only the
+    # files that actually held matching rows are rewritten
+    assert 1 <= hist[0]["n_removed"] <= 8
+    assert hist[1]["operation"] == "APPEND" and hist[1]["n_added"] == 8
+    # time travel across the manifest-backed commits
+    assert writers.read_fact_table(spark, path, version=0).count() == 40
+
+
+def test_small_commits_stay_inline(spark, tmp_path):
+    path = str(tmp_path / "facts")
+    writers.append_rows(_rows(spark, 5), path)
+    rec = _commit_json(path, 0)
+    assert "manifest" not in rec
+    assert len(rec["files"]) >= 1
+
+
+def test_vacuum_reclaims_only_orphan_manifests(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(writers, "_MANIFEST_INLINE_MAX", 3)
+    path = str(tmp_path / "facts")
+    writers.append_rows(_rows(spark, 40).repartition(8), path)
+    live = _commit_json(path, 0)["manifest"]
+    orphan = os.path.join(
+        path, writers._MANIFESTS_DIR, "manifest-deadbeef.parquet"
+    )
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    removed = writers.vacuum_fact_table(path, min_age_s=3600)
+    assert os.path.join(writers._MANIFESTS_DIR, "manifest-deadbeef.parquet") in removed
+    assert not os.path.exists(orphan)
+    assert os.path.exists(os.path.join(path, live))
+    assert writers.read_fact_table(spark, path).count() == 40
+
+
+def test_100k_scale_commit_record_is_constant_size(tmp_path):
+    """The 100 TB shape: a synthetic commit naming 10⁴ files publishes
+    a tiny commit JSON (pointer + counts), and snapshot resolution
+    still returns every file. Commit-record size must not grow with
+    the number of files touched."""
+    path = str(tmp_path / "huge")
+    os.makedirs(path)
+    files = [f"part-{i:06d}.parquet" for i in range(10_000)]
+    t0 = time.perf_counter()
+    v = writers._publish_commit(path, files, op="APPEND")
+    publish_s = time.perf_counter() - t0
+    rec_size = os.path.getsize(
+        os.path.join(path, writers._COMMITS_DIR, f"{v:020d}.json")
+    )
+    assert rec_size < 2048, f"commit JSON grew with file count: {rec_size}B"
+    t0 = time.perf_counter()
+    state = writers._fold_state(path)
+    fold_s = time.perf_counter() - t0
+    assert len(state["files"]) == 10_000
+    # resolution is one parquet read — well under a second either way
+    assert publish_s < 5 and fold_s < 5
+    # a second wide commit REMOVING those files also stays tiny
+    v2 = writers._publish_commit(
+        path, [], remove=files[:5000], op="DELETE_COW"
+    )
+    assert (
+        os.path.getsize(
+            os.path.join(path, writers._COMMITS_DIR, f"{v2:020d}.json")
+        )
+        < 2048
+    )
+    assert len(writers._fold_state(path)["files"]) == 5_000

@@ -126,6 +126,26 @@ def test_cdc_typed_partition_values(spark, tmp_path):
     assert by_row["b"]["amount"] == 2.5
 
 
+def test_cdc_timestamp_columns_roundtrip(spark, tmp_path):
+    """TimestampType data columns stream back as the exact instant
+    written (Spark 4 stores them as naive ns parquet; the source must
+    localize to the engine's pinned UTC session tz, not crash in
+    pandas tz conversion — r7 regression found by the backlog test)."""
+    import datetime
+
+    path = str(tmp_path / "facts")
+    ckpt = str(tmp_path / "ckpt")
+    ts = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [("u1", "f1", "r1", ts)],
+        "tenant_id string, folder_id string, row_id string,"
+        " uploaded_at timestamp",
+    )
+    writers.append_rows(df, path)
+    got = _drain(spark, path, ckpt)
+    assert got[0]["uploaded_at"] == ts
+
+
 def test_cdc_sees_schema_evolution_nulls(spark, tmp_path):
     """Files written BEFORE a column existed stream NULL for it, same
     as the batch read side's schema-union contract."""
