@@ -28,6 +28,7 @@ registry.load_all()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+LOAD_START = 0.0
 
 # BASELINE.md headline name -> registry query with the SAME shape as
 # the measured DuckDB baseline: q_json_extract is extract+groupBy-avg
@@ -251,6 +252,8 @@ def main() -> None:
         extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
+    global LOAD_START
+    LOAD_START = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for bench_name, qname in HEADLINE.items():
@@ -312,6 +315,14 @@ def main() -> None:
                 "fresh_plan_job_floor_sec": round(floor_fresh, 4),
                 "sf": sf_val,
                 "sf1": sf1_section,
+                # measurement-noise context (VERDICT r6 #7: the r5→r6
+                # +18% headline drift was uniform across unchanged
+                # queries — host noise, not a query regression; r7
+                # re-measured identical code twice on an idle box and
+                # saw the empty-job floor itself swing 30→85 ms).
+                # load1 is sampled before the first timed query.
+                "load_avg_start": LOAD_START,
+                "load_avg_end": round(os.getloadavg()[0], 2),
             }
         )
     )
