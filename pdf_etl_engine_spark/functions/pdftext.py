@@ -68,11 +68,15 @@ under Identity encoding (§9.7.4.2), composed through a stream-form
 extractors do. A damaged or absent font program degrades to 2-byte
 code grouping with code-point fallback, never an exception.
 
-Not handled (documented limits): CID fonts whose ONLY mapping is a
-/CIDSystemInfo-registered external CMap with a CFF-only program
-(/FontFile3, no TrueType ``cmap`` — rare outside CJK print
-workflows), and password-protected documents (correctly quarantined,
-not decoded).
+Identity-H with a CFF-only program (r7): a name-keyed /FontFile3's
+charset maps GID→SID→glyph name, recovering Unicode through the AGL
+subset the way the TrueType path does (``_parse_cff_charset``).
+
+Not handled (documented limits): CID-KEYED CFF programs (top DICT
+carries ROS — the charset holds CIDs, not names; the one remaining
+mapping would be a /CIDSystemInfo-registered external CMap, rare
+outside CJK print workflows), and password-protected documents
+(correctly quarantined, not decoded).
 """
 
 from __future__ import annotations
@@ -1010,6 +1014,171 @@ def _parse_ttf_cmap(ttf: bytes) -> dict[int, str] | None:
         return None
 
 
+# ---------------------------------------------------------------------------
+# CFF (/FontFile3) charset decode (r7, VERDICT r6 #9): a name-keyed
+# CFF subset font carries a charset mapping glyph id → SID (string id);
+# standard SIDs name standard glyphs (Adobe CFF spec, TechNote #5176,
+# Appendix A), so GID→name→Unicode recovers Identity-H text the same
+# way the TrueType-cmap path does. CID-keyed CFFs (top DICT carries a
+# ROS operator) use charset entries as CIDs, not names — those degrade
+# to code-point fallback, documented limit.
+# ---------------------------------------------------------------------------
+
+# SIDs 0-95: ".notdef" + the StandardEncoding glyph order (ASCII)
+_CFF_STD = [".notdef", "space", "exclam", "quotedbl", "numbersign",
+            "dollar", "percent", "ampersand", "quoteright", "parenleft",
+            "parenright", "asterisk", "plus", "comma", "hyphen",
+            "period", "slash", "zero", "one", "two", "three", "four",
+            "five", "six", "seven", "eight", "nine", "colon",
+            "semicolon", "less", "equal", "greater", "question", "at"]
+_CFF_STD += list("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_CFF_STD += ["bracketleft", "backslash", "bracketright", "asciicircum",
+             "underscore", "quoteleft"]
+_CFF_STD += list("abcdefghijklmnopqrstuvwxyz")
+_CFF_STD += ["braceleft", "bar", "braceright", "asciitilde"]
+
+
+def _cff_index(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """One CFF INDEX at ``pos`` → (items, position after the INDEX)."""
+    count = _u16(data, pos)
+    if count == 0:
+        return [], pos + 2
+    off_size = data[pos + 2]
+    if not 1 <= off_size <= 4:
+        raise ValueError("bad CFF offSize")
+    p = pos + 3
+    offs = []
+    for _ in range(count + 1):
+        offs.append(int.from_bytes(data[p : p + off_size], "big"))
+        p += off_size
+    base = p - 1
+    items = [data[base + offs[i] : base + offs[i + 1]] for i in range(count)]
+    return items, base + offs[-1]
+
+
+def _cff_top_dict(d: bytes) -> dict[int, list[int]]:
+    """Integer-operand subset of a CFF DICT: {operator: operands}.
+    Two-byte operators key as 1200+op2; reals are skipped (none of the
+    offsets we need are reals)."""
+    out: dict[int, list[int]] = {}
+    operands: list[int] = []
+    i = 0
+    while i < len(d):
+        b0 = d[i]
+        if 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + d[i + 1] + 108)
+            i += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - d[i + 1] - 108)
+            i += 2
+        elif b0 == 28:
+            operands.append(
+                int.from_bytes(d[i + 1 : i + 3], "big", signed=True)
+            )
+            i += 3
+        elif b0 == 29:
+            operands.append(
+                int.from_bytes(d[i + 1 : i + 5], "big", signed=True)
+            )
+            i += 5
+        elif b0 == 30:  # real number: skip nibbles to the 0xF end
+            i += 1
+            while i < len(d) and d[i] & 0x0F != 0x0F and d[i] >> 4 != 0x0F:
+                i += 1
+            i += 1
+            operands.append(0)
+        elif b0 == 12:
+            out[1200 + d[i + 1]] = operands
+            operands = []
+            i += 2
+        else:  # 1-byte operator
+            out[b0] = operands
+            operands = []
+            i += 1
+    return out
+
+
+def _parse_cff_charset(cff: bytes) -> dict[int, str] | None:
+    """``{glyph_id: char}`` from a name-keyed CFF's charset: GID → SID
+    → glyph name (standard strings for SID < 391, the font's String
+    INDEX above) → Unicode via the AGL subset. None for CID-keyed
+    fonts (ROS present — charset entries are CIDs, not names),
+    predefined/absent charsets without recoverable names, or any
+    malformed structure (degrades to code-point fallback, never
+    raises)."""
+    try:
+        if len(cff) < 4:
+            return None
+        hdr_size = cff[2]
+        _names, p = _cff_index(cff, hdr_size)
+        tops, p = _cff_index(cff, p)
+        strings, _p = _cff_index(cff, p)
+        if not tops:
+            return None
+        top = _cff_top_dict(tops[0])
+        if 1230 in top:  # ROS → CID-keyed: charset is CIDs, not names
+            return None
+        charstrings_off = top.get(17, [None])[-1]
+        if not charstrings_off or charstrings_off >= len(cff):
+            return None
+        n_glyphs = _u16(cff, charstrings_off)
+        charset_off = top.get(15, [0])[-1]
+        if charset_off in (0, 1, 2):
+            # predefined charsets: 0 = ISOAdobe (SID == GID for the
+            # standard range) is recoverable; Expert variants are not
+            if charset_off != 0:
+                return None
+            sids = list(range(n_glyphs))
+        else:
+            if charset_off >= len(cff):
+                return None
+            fmt = cff[charset_off]
+            sids = [0]  # glyph 0 is always .notdef
+            q = charset_off + 1
+            if fmt == 0:
+                for _ in range(n_glyphs - 1):
+                    sids.append(_u16(cff, q))
+                    q += 2
+            elif fmt in (1, 2):
+                step = 3 if fmt == 1 else 4
+                while len(sids) < n_glyphs:
+                    first = _u16(cff, q)
+                    n_left = (
+                        cff[q + 2] if fmt == 1 else _u16(cff, q + 2)
+                    )
+                    for k in range(n_left + 1):
+                        if len(sids) >= n_glyphs:
+                            break
+                        sids.append(first + k)
+                    q += step
+            else:
+                return None
+        mapping: dict[int, str] = {}
+        for gid, sid in enumerate(sids):
+            if sid == 0:
+                continue
+            if sid < 391:
+                name = _CFF_STD[sid] if sid < len(_CFF_STD) else None
+            else:
+                idx = sid - 391
+                name = (
+                    strings[idx].decode("latin-1", errors="replace")
+                    if idx < len(strings)
+                    else None
+                )
+            if name is None:
+                continue
+            ch = _glyph_to_char(name.encode("latin-1", errors="replace"))
+            if ch is not None:
+                mapping.setdefault(gid, ch)
+        return mapping or None
+    except (IndexError, ValueError, OverflowError):
+        return None
+
+
 def _decode_with_cmap(raw: bytes, cmap: tuple[int, dict[int, str]]) -> str:
     """Glyph-code bytes → text through a ToUnicode map. Unmapped codes
     fall back to their code-point value (for 1-byte codes that is the
@@ -1161,9 +1330,10 @@ def _build_font_tables(
     tounicode_of: dict[int, int] = {}
     diff_maps: dict[int, tuple] = {}
     # Identity-H/V Type0 fonts with no /ToUnicode: font num →
-    # (FontFile2 stream num, CIDToGIDMap stream num) — the embedded
-    # TrueType cmap is the remaining glyph→Unicode source (r6)
-    ident_fonts: dict[int, tuple[int | None, int | None]] = {}
+    # (FontFile2 num, FontFile3 num, CIDToGIDMap num) — the embedded
+    # TrueType cmap (r6) or the CFF charset (r7) is the remaining
+    # glyph→Unicode source
+    ident_fonts: dict[int, tuple[int | None, int | None, int | None]] = {}
     for num, body in objects.items():
         if not re.search(rb"/Type\s*/Font\b", body):
             continue
@@ -1174,7 +1344,7 @@ def _build_font_tables(
         if re.search(rb"/Subtype\s*/Type0\b", body) and re.search(
             rb"/Encoding\s*/Identity-[HV]\b", body
         ):
-            ff2num = c2gnum = None
+            ff2num = ff3num = c2gnum = None
             dm = re.search(
                 rb"/DescendantFonts\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", body
             )
@@ -1201,10 +1371,15 @@ def _build_font_tables(
                         )
                         if fm2:
                             ff2num = int(fm2.group(1))
+                        fm3 = re.search(
+                            rb"/FontFile3\s+(\d+)\s+\d+\s+R", fdbody
+                        )
+                        if fm3:
+                            ff3num = int(fm3.group(1))
                 cg = re.search(rb"/CIDToGIDMap\s+(\d+)\s+\d+\s+R", desc)
                 if cg:
                     c2gnum = int(cg.group(1))
-            ident_fonts[num] = (ff2num, c2gnum)
+            ident_fonts[num] = (ff2num, ff3num, c2gnum)
             continue
         diff = _font_differences(body, objects)
         if diff:
@@ -1240,9 +1415,13 @@ def _build_font_tables(
             if tnum in cmap_streams
         }
     )
-    for fnum, (ff2, c2g) in ident_fonts.items():
+    for fnum, (ff2, ff3, c2g) in ident_fonts.items():
         mapping: dict[int, str] = {}
         gidmap = _parse_ttf_cmap(blobs[ff2]) if ff2 in blobs else None
+        if gidmap is None and ff3 in blobs:
+            # CFF program: the name-keyed charset is the GID→name
+            # source (r7); CID-keyed CFFs return None and degrade
+            gidmap = _parse_cff_charset(blobs[ff3])
         if gidmap:
             if c2g in blobs:
                 # non-Identity CIDToGIDMap: 2-byte big-endian glyph id

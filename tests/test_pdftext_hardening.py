@@ -1428,3 +1428,136 @@ def test_identity_h_tounicode_still_wins():
         _stream_obj(b"", cmap),
     ]
     assert pdftext.extract_pdf_text(_pdf(objs)) == "X"
+
+
+# ---------------------------------------------------------------------------
+# CFF (/FontFile3) charset decode (r7): Identity-H with a CFF-only
+# program recovers text through the name-keyed charset
+# ---------------------------------------------------------------------------
+
+
+def _cff_index_bytes(items: list[bytes]) -> bytes:
+    """Encode one CFF INDEX (offSize 1 — test data is tiny)."""
+    if not items:
+        return (0).to_bytes(2, "big")
+    out = bytearray(len(items).to_bytes(2, "big"))
+    out.append(1)  # offSize
+    off = 1
+    offs = [off]
+    for it in items:
+        off += len(it)
+        offs.append(off)
+    out += bytes(offs)
+    for it in items:
+        out += it
+    return bytes(out)
+
+
+def _cff_font(glyph_names: list[str], cid_keyed: bool = False) -> bytes:
+    """Minimal name-keyed CFF: header, Name INDEX, Top DICT INDEX
+    (charset + CharStrings offsets as fixed 5-byte ints), String INDEX
+    (custom names), empty Global Subr INDEX, format-0 charset, and a
+    CharStrings INDEX of endchar-only glyphs. ``glyph_names[i]`` is
+    glyph id i+1 (gid 0 is .notdef). ``cid_keyed`` stamps a ROS
+    operator so the parser must refuse (charset entries would be
+    CIDs)."""
+    from pdf_etl_engine_spark.functions import pdftext as P
+
+    std_sid = {n: i for i, n in enumerate(P._CFF_STD)}
+    strings: list[bytes] = []
+    sids = []
+    for n in glyph_names:
+        if n in std_sid:
+            sids.append(std_sid[n])
+        else:
+            sids.append(391 + len(strings))
+            strings.append(n.encode("latin-1"))
+
+    def int5(v: int) -> bytes:
+        return b"\x1d" + v.to_bytes(4, "big")
+
+    header = b"\x01\x00\x04\x04"
+    name_index = _cff_index_bytes([b"T"])
+    ros = (int5(391) + int5(392) + int5(0) + b"\x0c\x1e") if cid_keyed else b""
+    # top dict: [ROS?] charset <off> (15), CharStrings <off> (17)
+    top_len = len(ros) + 12
+    top_index_overhead = 2 + 1 + 2  # count, offSize, two offsets
+    string_index = _cff_index_bytes(strings)
+    gsubr_index = (0).to_bytes(2, "big")
+    charset_pos = (
+        len(header) + len(name_index) + top_index_overhead + top_len
+        + len(string_index) + len(gsubr_index)
+    )
+    charset = b"\x00" + b"".join(s.to_bytes(2, "big") for s in sids)
+    charstrings_pos = charset_pos + len(charset)
+    top = ros + int5(charset_pos) + b"\x0f" + int5(charstrings_pos) + b"\x11"
+    assert len(top) == top_len
+    top_index = _cff_index_bytes([top])
+    charstrings = _cff_index_bytes([b"\x0e"] * (len(glyph_names) + 1))
+    return (header + name_index + top_index + string_index
+            + gsubr_index + charset + charstrings)
+
+
+def _identity_h_cff_pdf(content: bytes, cff: bytes) -> bytes:
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        _stream_obj(b"", content),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /BBBBBB+S"
+        b" /Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /BBBBBB+S"
+        b" /FontDescriptor 7 0 R >>",
+        b"<< /Type /FontDescriptor /FontName /BBBBBB+S /Flags 4"
+        b" /FontFile3 8 0 R >>",
+        _stream_obj(b"/Subtype /Type1C", cff),
+    ]
+    return _pdf(objs)
+
+
+_CFF_NAMES = ["T", "o", "t", "a", "l", "colon", "space", "four", "two"]
+
+
+def test_identity_h_fontfile3_cff_charset():
+    """No /ToUnicode, CFF-only program: text recovers through the
+    name-keyed charset GID→SID→name→Unicode (VERDICT r6 #9)."""
+    # gids spell "Total: 42"
+    want = "Total: 42"
+    gid_of = {"T": 1, "o": 2, "t": 3, "a": 4, "l": 5, ":": 6,
+              " ": 7, "4": 8, "2": 9}
+    show = b"".join(gid_of[c].to_bytes(2, "big") for c in want)
+    content = b"BT /F1 12 Tf <" + show.hex().encode() + b"> Tj ET"
+    pdf = _identity_h_cff_pdf(content, _cff_font(_CFF_NAMES))
+    assert pdftext.extract_pdf_text(pdf) == want
+
+
+def test_identity_h_cff_custom_string_sid():
+    """A subset glyph named via the font's own String INDEX (uniXXXX
+    form) resolves through the AGL uni-name rule."""
+    cff = _cff_font(["uni20AC"])  # euro sign, gid 1
+    content = b"BT /F1 12 Tf <0001> Tj ET"
+    assert pdftext.extract_pdf_text(
+        _identity_h_cff_pdf(content, cff)
+    ) == "€"
+
+
+def test_identity_h_cff_cid_keyed_degrades():
+    """A CID-keyed CFF (ROS in the top DICT) must NOT be read as
+    names — charset entries are CIDs; decode degrades to the 2-byte
+    code-point fallback."""
+    codes = b"".join(ord(c).to_bytes(2, "big") for c in "Hi")
+    content = b"BT /F1 12 Tf <" + codes.hex().encode() + b"> Tj ET"
+    pdf = _identity_h_cff_pdf(
+        content, _cff_font(["T", "o"], cid_keyed=True)
+    )
+    assert pdftext.extract_pdf_text(pdf) == "Hi"
+
+
+def test_identity_h_cff_garbage_degrades():
+    """A malformed CFF program degrades to code-point fallback."""
+    codes = b"".join(ord(c).to_bytes(2, "big") for c in "Hi")
+    content = b"BT /F1 12 Tf <" + codes.hex().encode() + b"> Tj ET"
+    for junk in (b"", b"\x01\x00\x04", b"garbage not a font"):
+        pdf = _identity_h_cff_pdf(content, junk)
+        assert pdftext.extract_pdf_text(pdf) == "Hi"
