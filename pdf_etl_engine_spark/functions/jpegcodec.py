@@ -1,23 +1,30 @@
 """Pure-Python/numpy JPEG codec (ITU-T T.81, public spec) —
-sequential baseline AND progressive.
+sequential baseline, progressive, AND lossless.
 
 Decoder: full multi-scan decode — marker walk (DQT/DHT/SOF0/SOF1/
-SOF2/DRI/SOS), canonical Huffman scan decode with byte-stuffing and
-restart markers, progressive spectral-selection + successive-
-approximation scans (DC initial/refinement, AC initial/refinement
-with EOB runs and correction bits, T.81 Annex G), dequantization,
-batched 8x8 inverse DCT (one numpy einsum over all blocks, not
-per-block Python loops), chroma upsample, YCbCr->RGB. This covers
-the two frame types that make up essentially all real-world JPEG
-files. Corruption anywhere — bad marker structure, invalid Huffman
-code, truncated scan, band overrun — raises ValueError (the
-quarantine contract); the exotic frame types (lossless,
-hierarchical, arithmetic-coded) raise NotImplementedError
-(valid-but-unsupported, like PNG Adam7).
+SOF2/SOF3/DRI/APP14/SOS), canonical Huffman scan decode with
+byte-stuffing and restart markers, progressive spectral-selection +
+successive-approximation scans (DC initial/refinement, AC
+initial/refinement with EOB runs and correction bits, T.81 Annex G),
+lossless predictive scans (Annex H, predictors 1-7, point transform,
+2-16 bit precision), dequantization, batched 8x8 inverse DCT (one
+numpy einsum over all blocks, not per-block Python loops), chroma
+upsample, and color conversion: YCbCr->RGB, plus the Adobe APP14
+conventions (stored RGB, inverted CMYK, YCCK) used by print-workflow
+/ PDF DCTDecode files. This covers the frame types and color spaces
+that make up essentially all real-world JPEG files. Corruption
+anywhere — bad marker structure, invalid Huffman code, truncated
+scan, band overrun — raises ValueError (the quarantine contract);
+the remaining exotic frame types (hierarchical, arithmetic-coded)
+raise NotImplementedError (valid-but-unsupported, like PNG Adam7 —
+a faithful QM arithmetic coder needs T.81's 113-row probability
+table verbatim, which cannot be reproduced from first principles).
 
-Encoder: spec-conformant baseline and progressive encoders
-(grayscale or YCbCr, per-component sampling factors, restart
-intervals, progressive scan scripts with successive approximation).
+Encoder: spec-conformant baseline, progressive, and lossless
+encoders (grayscale, YCbCr, stored-RGB, CMYK/YCCK; per-component
+sampling factors, restart intervals, progressive scan scripts with
+successive approximation, lossless predictor/point-transform
+selection).
 They exist so tests and the x5b media-synthesis path can build REAL
 scan-bearing JPEGs deterministically without PIL — and so every
 decoder path is exercised by an independent implementation of the
@@ -201,7 +208,7 @@ def _extend(v: int, size: int) -> int:
 class _Frame:
     __slots__ = (
         "precision", "width", "height", "comps", "qtables", "hdc", "hac",
-        "dri", "progressive",
+        "dri", "progressive", "adobe_transform", "lossless",
     )
 
     def __init__(self) -> None:
@@ -215,6 +222,10 @@ class _Frame:
         self.hac: dict[int, dict] = {}
         self.dri = 0
         self.progressive = False
+        # APP14 "Adobe" ColorTransform byte: 0 = stored as-is
+        # (RGB / CMYK), 1 = YCbCr, 2 = YCCK. None = no APP14 seen.
+        self.adobe_transform: int | None = None
+        self.lossless = False
 
 
 def _parse_sof(fr: _Frame, body: bytes) -> None:
@@ -449,6 +460,70 @@ def _decode_scan(
     return _scan_end(bits)
 
 
+def _decode_lossless_scan(
+    content: bytes, fr: _Frame, stores: list[np.ndarray],
+    spec: list[tuple[int, int, int]], predictor: int, pt: int, start: int,
+) -> int:
+    """Decode one lossless (SOF3, T.81 Annex H) scan: per sample, a
+    DC-class Huffman SSSS category + extend bits gives the prediction
+    difference; reconstruction is (prediction + diff) mod 2^16.
+    Prediction rules per H.1.2.1: the first sample of the scan (and of
+    every restart interval) uses the default 2^(P-Pt-1); the rest of
+    the first line uses Ra; the first column uses Rb; everywhere else
+    the scan-selected predictor 1-7 over Ra/Rb/Rc. Only 1x1 sampling
+    is supported (the gate lives in decode_planes)."""
+    tables = []
+    for _ci, dc_id, _ac in spec:
+        if dc_id not in fr.hdc:
+            raise ValueError("JPEG lossless scan references undefined table")
+        tables.append(fr.hdc[dc_id])
+    bits = _Bits(content, start)
+    default = 1 << (fr.precision - pt - 1)
+    width = fr.width
+    fresh = [True] * len(spec)
+    n_rst = 0
+    for m in range(fr.height * width):
+        if fr.dri and m and m % fr.dri == 0:
+            bits.restart(n_rst)
+            n_rst += 1
+            fresh = [True] * len(spec)
+        y, x = divmod(m, width)
+        for k, (ci, _dc, _ac) in enumerate(spec):
+            t = _decode_huff(bits, tables[k])
+            if t > 16:
+                raise ValueError(f"JPEG lossless SSSS {t} out of range")
+            diff = 32768 if t == 16 else _extend(bits.read(t), t)
+            plane = stores[ci]
+            if fresh[k]:
+                px = default
+                fresh[k] = False
+            elif y == 0:
+                px = int(plane[0, x - 1])
+            elif x == 0:
+                px = int(plane[y - 1, 0])
+            else:
+                ra = int(plane[y, x - 1])
+                rb = int(plane[y - 1, x])
+                if predictor == 1:
+                    px = ra
+                elif predictor == 2:
+                    px = rb
+                elif predictor == 7:
+                    px = (ra + rb) >> 1
+                else:
+                    rc = int(plane[y - 1, x - 1])
+                    if predictor == 3:
+                        px = rc
+                    elif predictor == 4:
+                        px = ra + rb - rc
+                    elif predictor == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    else:  # 6
+                        px = rb + ((ra - rc) >> 1)
+            plane[y, x] = (px + diff) & 0xFFFF
+    return _scan_end(bits)
+
+
 def decode_planes(content: bytes) -> tuple[_Frame, list[np.ndarray]]:
     """Full decode (sequential baseline AND progressive) to
     per-component sample planes, each at its own sampling resolution,
@@ -480,16 +555,31 @@ def decode_planes(content: bytes) -> tuple[_Frame, list[np.ndarray]]:
         if seg_len < 2 or pos + 2 + seg_len > len(content):
             raise ValueError("JPEG segment length overruns payload")
         body = content[pos + 4 : pos + 2 + seg_len]
-        if marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
-            if fr.comps:
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # baseline / ext. seq.
+            if fr.comps:                        # / progressive / lossless
                 raise ValueError("JPEG has multiple SOF frame headers")
             fr.progressive = marker == 0xC2
+            fr.lossless = marker == 0xC3
             _parse_sof(fr, body)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if fr.lossless:
+                if any((h, v) != (1, 1) for _cid, h, v, _tq in fr.comps):
+                    raise NotImplementedError(
+                        "JPEG lossless with subsampled components "
+                        "not supported"
+                    )
+                if not 2 <= fr.precision <= 16:
+                    raise ValueError(
+                        f"JPEG lossless precision {fr.precision} invalid"
+                    )
+            elif fr.precision != 8:
+                raise NotImplementedError(
+                    f"JPEG {fr.precision}-bit DCT precision not supported"
+                )
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG frame type SOF{marker - 0xC0} (lossless/"
-                "hierarchical/arithmetic) not supported"
+                f"JPEG frame type SOF{marker - 0xC0} (hierarchical/"
+                "arithmetic) not supported"
             )
         elif marker == 0xDB:  # DQT
             bp = 0
@@ -520,6 +610,10 @@ def decode_planes(content: bytes) -> tuple[_Frame, list[np.ndarray]]:
             if len(body) < 2:
                 raise ValueError("JPEG DRI segment too short")
             fr.dri = struct.unpack_from(">H", body)[0]
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            # APP14 Adobe segment: version(2) flags0(2) flags1(2)
+            # transform(1) after the 5-byte tag.
+            fr.adobe_transform = body[11]
         elif marker == 0xDA:  # SOS
             if not fr.comps:
                 raise ValueError("JPEG SOS before SOF frame header")
@@ -535,6 +629,24 @@ def decode_planes(content: bytes) -> tuple[_Frame, list[np.ndarray]]:
                 spec.append((cids.index(cs), tda >> 4, tda & 0xF))
             ss, se, ahl = struct.unpack_from(">BBB", body, 1 + 2 * ns)
             ah, al = ahl >> 4, ahl & 0xF
+            if fr.lossless:
+                if not (1 <= ss <= 7) or se != 0 or ah != 0:
+                    raise ValueError("JPEG lossless scan parameters invalid")
+                if al >= fr.precision:
+                    raise ValueError(
+                        "JPEG lossless point transform >= precision"
+                    )
+                if stores is None:
+                    stores = [
+                        np.zeros((fr.height, fr.width), dtype=np.int32)
+                        for _ in fr.comps
+                    ]
+                    geom = {"hmax": 1, "vmax": 1, "pt": al}
+                saw_scan = True
+                pos = _decode_lossless_scan(
+                    content, fr, stores, spec, ss, al, pos + 2 + seg_len
+                )
+                continue
             if not fr.progressive and (ss, se, ah, al) != (0, 63, 0, 0):
                 raise ValueError("JPEG baseline scan with progressive params")
             if stores is None:
@@ -573,6 +685,13 @@ def decode_planes(content: bytes) -> tuple[_Frame, list[np.ndarray]]:
             "JPEG has no SOS scan" if fr.comps
             else "JPEG has no SOF frame header"
         )
+    if fr.lossless:  # samples are final — shift the point transform back
+        shift = geom.get("pt", 0)
+        maxv = (1 << fr.precision) - 1
+        dt = np.uint8 if fr.precision <= 8 else np.uint16
+        return fr, [
+            np.clip(store << shift, 0, maxv).astype(dt) for store in stores
+        ]
     # dequant + de-zigzag + batched IDCT per component
     level = 1 << (fr.precision - 1)
     planes = []
@@ -594,10 +713,28 @@ def decode_planes(content: bytes) -> tuple[_Frame, list[np.ndarray]]:
     return fr, planes
 
 
+def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255)
+
+
 def decode_pixels(content: bytes) -> np.ndarray:
-    """Decode to an (H, W, C) uint8 array — grayscale C=1 passthrough,
-    3-component YCbCr converted to RGB (JFIF convention), chroma
-    planes upsampled by sample-factor replication."""
+    """Decode to an (H, W, C) uint8 array — grayscale C=1 passthrough;
+    3-component YCbCr converted to RGB (JFIF convention, or stored RGB
+    when APP14 says transform=0); 4-component Adobe CMYK/YCCK
+    converted to RGB. Chroma planes are upsampled by sample-factor
+    replication.
+
+    CMYK note: the only 4-component JPEGs in the wild are Adobe-style
+    (print workflows / PDF DCTDecode), which store the ink values
+    INVERTED (sample = 255 - ink). With that convention, stored
+    channels are exactly the (R, G, B, 255-K) of the naive conversion
+    R = (255-C)(255-K)/255, so the output below is
+    stored_c * stored_k / 255 per channel — YCCK (transform=2) first
+    undoes the YCbCr transform on the three chroma-subsampled
+    channels."""
     fr, planes = decode_planes(content)
     hmax = max(c[1] for c in fr.comps)
     vmax = max(c[2] for c in fr.comps)
@@ -605,19 +742,33 @@ def decode_pixels(content: bytes) -> np.ndarray:
     for (_, h, v, _tq), plane in zip(fr.comps, planes):
         if h != hmax or v != vmax:
             plane = plane.repeat(vmax // v, axis=0).repeat(hmax // h, axis=1)
-        up.append(plane[: fr.height, : fr.width].astype(np.float32))
+        plane = plane[: fr.height, : fr.width].astype(np.float32)
+        if fr.precision > 8:  # >8-bit lossless: take the high byte
+            plane = np.floor(plane / (1 << (fr.precision - 8)))
+        up.append(plane)
     if len(up) == 1:
         return up[0][..., None].astype(np.uint8)
     if len(up) == 3:
-        y, cb, cr = up
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
-        return np.clip(
-            np.stack([r, g, b], axis=-1).round(), 0, 255
-        ).astype(np.uint8)
+        # Adobe "no transform" — and lossless, which by convention
+        # (DICOM et al.) stores component values untransformed.
+        if fr.adobe_transform == 0 or (
+            fr.lossless and fr.adobe_transform is None
+        ):
+            return np.stack(up, axis=-1).round().astype(np.uint8)
+        return _ycc_to_rgb(*up).astype(np.uint8)
+    if len(up) == 4:
+        if fr.adobe_transform == 1:
+            raise ValueError("JPEG APP14 YCbCr transform with 4 components")
+        if fr.adobe_transform == 2:  # YCCK: undo YCbCr on inverted CMY
+            smy = _ycc_to_rgb(up[0], up[1], up[2])
+            s_c, s_m, s_y = smy[..., 0], smy[..., 1], smy[..., 2]
+        else:  # transform 0 / absent: stored (inverted) CMYK directly
+            s_c, s_m, s_y = up[0], up[1], up[2]
+        s_k = up[3]
+        rgb = np.stack([s_c, s_m, s_y], axis=-1) * (s_k[..., None] / 255.0)
+        return np.clip(rgb.round(), 0, 255).astype(np.uint8)
     raise NotImplementedError(
-        f"JPEG with {len(up)} components (CMYK/unknown) not supported"
+        f"JPEG with {len(up)} components not supported"
     )
 
 
@@ -697,32 +848,72 @@ def _put_coeff(w: _BitWriter, codes: dict, sym_high: int, v: int) -> None:
         w.put(v if v >= 0 else v + (1 << s) - 1, s)
 
 
+def _rgb_to_ycc(
+    r: np.ndarray, g: np.ndarray, b: np.ndarray
+) -> list[np.ndarray]:
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return [y, cb, cr]
+
+
 def encode_baseline(
     img: np.ndarray,
     quant: int = 1,
     sampling: list[tuple[int, int]] | None = None,
     restart_interval: int = 0,
+    adobe_transform: int | None = None,
 ) -> bytes:
-    """Encode an (H, W) grayscale or (H, W, 3) RGB uint8 array as a
-    sequential-baseline JFIF-style JPEG. `quant=1` keeps every DCT
-    coefficient (near-lossless: only float rounding error), larger
-    values quantize. `sampling` gives per-component (h, v) factors
-    (default 1x1 everywhere; [(2, 2), (1, 1), (1, 1)] is 4:2:0)."""
+    """Encode an (H, W) grayscale, (H, W, 3) RGB, or (H, W, 4) CMYK
+    uint8 array as a sequential-baseline JFIF-style JPEG. `quant=1`
+    keeps every DCT coefficient (near-lossless: only float rounding
+    error), larger values quantize. `sampling` gives per-component
+    (h, v) factors (default 1x1 everywhere; [(2, 2), (1, 1), (1, 1)]
+    is 4:2:0). 4-channel input is EFFECTIVE ink values; they are
+    stored Adobe-inverted (255 - ink) with an APP14 marker —
+    `adobe_transform` 0 (the 4-channel default) stores inverted CMYK
+    directly, 2 stores YCCK (YCbCr applied to the inverted CMY
+    channels). For 3-channel input, `adobe_transform=0` stores RGB
+    samples directly (Adobe no-transform convention) instead of the
+    default YCbCr."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2 or img.shape[2] == 1
+    cmyk = img.ndim == 3 and img.shape[2] == 4
     height, width = img.shape[:2]
     if not height or not width:
         raise ValueError("cannot encode empty image")
+    app14 = b""
     if gray:
         planes = [img.reshape(height, width).astype(np.float32)]
         sampling = sampling or [(1, 1)]
+    elif cmyk:
+        if adobe_transform is None:
+            adobe_transform = 0
+        if adobe_transform not in (0, 2):
+            raise ValueError("CMYK adobe_transform must be 0 or 2")
+        inv = 255.0 - img.astype(np.float32)
+        s_c, s_m, s_y, s_k = (inv[..., i] for i in range(4))
+        if adobe_transform == 2:
+            planes = _rgb_to_ycc(s_c, s_m, s_y) + [s_k]
+        else:
+            planes = [s_c, s_m, s_y, s_k]
+        sampling = sampling or [(1, 1)] * 4
+        app14 = (
+            b"\xff\xee" + struct.pack(">H", 2 + 12)
+            + b"Adobe" + struct.pack(">HHHB", 100, 0, 0, adobe_transform)
+        )
     else:
         rgb = img.astype(np.float32)
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [y, cb, cr]
+        if adobe_transform == 0:  # Adobe no-transform: store RGB as-is
+            planes = [rgb[..., 0], rgb[..., 1], rgb[..., 2]]
+            app14 = (
+                b"\xff\xee" + struct.pack(">H", 2 + 12)
+                + b"Adobe" + struct.pack(">HHHB", 100, 0, 0, 0)
+            )
+        elif adobe_transform in (None, 1):
+            planes = _rgb_to_ycc(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+        else:
+            raise ValueError("RGB adobe_transform must be 0 or 1")
         sampling = sampling or [(1, 1)] * 3
     hmax = max(h for h, _ in sampling)
     vmax = max(v for _, v in sampling)
@@ -806,7 +997,113 @@ def encode_baseline(
         bytes([i + 1, 0x00]) for i in range(ncomp)
     ) + b"\x00\x3f\x00"
     return (
-        b"\xff\xd8" + dqt + seg(0xC0, sof_body) + dht + dri
+        b"\xff\xd8" + app14 + dqt + seg(0xC0, sof_body) + dht + dri
+        + seg(0xDA, sos_body) + scan + b"\xff\xd9"
+    )
+
+
+# Lossless (SOF3) Huffman spec: SSSS categories 0-16, all 17 symbols
+# at code length 5 (17 of 32 slots; incomplete codes valid per §C.2).
+_LL_DC_BITS = bytes([0, 0, 0, 0, 17] + [0] * 11)
+_LL_DC_VALS = bytes(range(17))
+
+
+def encode_lossless(
+    img: np.ndarray,
+    predictor: int = 4,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+    precision: int | None = None,
+) -> bytes:
+    """Encode an (H, W[, C]) uint8/uint16 array as a lossless (SOF3)
+    JPEG — T.81 Annex H predictive coding, bit-exact round-trip with
+    the SOF3 decode path (modulo the `point_transform` right-shift).
+    All components use 1x1 sampling in one interleaved scan.
+    `precision` defaults to 8 for uint8 input and 16 for uint16."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[..., None]
+    height, width, ncomp = img.shape
+    if not height or not width:
+        raise ValueError("cannot encode empty image")
+    if precision is None:
+        precision = 8 if img.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError(f"lossless precision {precision} out of range")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor {predictor} out of range")
+    if point_transform >= precision:
+        raise ValueError("point transform must be < precision")
+    if int(img.max()) >= (1 << precision):
+        raise ValueError("sample exceeds declared precision")
+    planes = [
+        (img[..., c].astype(np.int64) >> point_transform)
+        for c in range(ncomp)
+    ]
+    codes = _enc_codes(_LL_DC_BITS, _LL_DC_VALS)
+    default = 1 << (precision - point_transform - 1)
+    w = _BitWriter()
+    fresh = [True] * ncomp
+    n_rst = 0
+    for m in range(height * width):
+        if restart_interval and m and m % restart_interval == 0:
+            w.align()
+            w.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+            n_rst += 1
+            fresh = [True] * ncomp
+        y, x = divmod(m, width)
+        for c, plane in enumerate(planes):
+            if fresh[c]:
+                px = default
+                fresh[c] = False
+            elif y == 0:
+                px = int(plane[0, x - 1])
+            elif x == 0:
+                px = int(plane[y - 1, 0])
+            else:
+                ra = int(plane[y, x - 1])
+                rb = int(plane[y - 1, x])
+                rc = int(plane[y - 1, x - 1])
+                px = (
+                    ra if predictor == 1 else
+                    rb if predictor == 2 else
+                    rc if predictor == 3 else
+                    ra + rb - rc if predictor == 4 else
+                    ra + ((rb - rc) >> 1) if predictor == 5 else
+                    rb + ((ra - rc) >> 1) if predictor == 6 else
+                    (ra + rb) >> 1
+                )
+            diff = (int(plane[y, x]) - px) & 0xFFFF
+            if diff == 32768:  # SSSS 16: no extend bits
+                code, length = codes[16]
+                w.put(code, length)
+            else:
+                signed = diff - 65536 if diff > 32768 else diff
+                cat = _category(signed)
+                code, length = codes[cat]
+                w.put(code, length)
+                if cat:
+                    w.put(
+                        signed if signed >= 0 else signed + (1 << cat) - 1,
+                        cat,
+                    )
+    w.align()
+    scan = bytes(w.out)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    sof_body = struct.pack(">BHHB", precision, height, width, ncomp) + b"".join(
+        struct.pack(">BBB", c + 1, 0x11, 0) for c in range(ncomp)
+    )
+    dht = seg(0xC4, b"\x00" + _LL_DC_BITS + _LL_DC_VALS)
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval \
+        else b""
+    sos_body = bytes([ncomp]) + b"".join(
+        bytes([c + 1, 0x00]) for c in range(ncomp)
+    ) + bytes([predictor, 0, point_transform])
+    return (
+        b"\xff\xd8" + seg(0xC3, sof_body) + dht + dri
         + seg(0xDA, sos_body) + scan + b"\xff\xd9"
     )
 

@@ -453,11 +453,104 @@ def _packbits_decode(raw: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_decode(raw: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first codes starting at 9 bits,
+    ClearCode 256 / EOI 257, and the TIFF "early change" — the code
+    width bumps when the table reaches 2^width - 1 entries (one code
+    earlier than GIF's variant)."""
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = n = i = 0
+    prev: bytes | None = None
+    out = bytearray()
+    while True:
+        while n < width:
+            if i >= len(raw):
+                raise ValueError("TIFF LZW stream ended without EOI code")
+            acc = (acc << 8) | raw[i]
+            i += 1
+            n += 8
+        n -= width
+        code = (acc >> n) & ((1 << width) - 1)
+        acc &= (1 << n) - 1
+        if code == 256:  # ClearCode
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            return bytes(out)
+        if prev is None:
+            if code > 255:
+                raise ValueError("TIFF LZW first code after clear not literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        # Early change + the decoder's one-entry lag behind the
+        # encoder: bump at 2^w - 2 (GIF's variant would be 2^w - 1).
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+        if len(table) > 4095:
+            raise ValueError("TIFF LZW table overflow without ClearCode")
+        out += entry
+        prev = entry
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (fixture/synthesis path for the
+    decoder above; same early-change convention)."""
+    out = bytearray()
+    acc = n = 0
+
+    def put(code: int, w: int) -> None:
+        nonlocal acc, n
+        acc = (acc << w) | code
+        n += w
+        while n >= 8:
+            n -= 8
+            out.append((acc >> n) & 0xFF)
+            acc &= (1 << n) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    put(256, width)
+    w_seq = b""
+    for b in data:
+        cand = w_seq + bytes([b])
+        if cand in table:
+            w_seq = cand
+            continue
+        put(table[w_seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4094:  # table nearly full: restart
+            put(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w_seq = bytes([b])
+    if w_seq:
+        put(table[w_seq], width)
+    put(257, width)
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
 def _tiff_pixels(content: bytes):
-    """Decode 8-bit gray/RGB TIFF strips (uncompressed or PackBits) to
-    (H, W, C) uint8; other compressions (LZW/JPEG/G4) raise
-    NotImplementedError."""
+    """Decode 8-bit gray/RGB TIFF strips — uncompressed, PackBits,
+    LZW, or Deflate, with optional horizontal-differencing predictor
+    (tag 317 = 2) — to (H, W, C) uint8; other compressions (JPEG/G4)
+    raise NotImplementedError."""
     import numpy as np
+    import zlib
 
     t = _tiff_entries(content)
     meta = _decode_tiff(content)
@@ -470,8 +563,11 @@ def _tiff_pixels(content: bytes):
             f"TIFF pixel decode supports 8-bit gray/RGB only "
             f"(bps={bps}, spp={spp})"
         )
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {comp} unsupported")
+    predictor = t.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     offs = t.get(273)
     cnts = t.get(279)
     if not offs or not cnts or len(offs) != len(cnts):
@@ -481,13 +577,24 @@ def _tiff_pixels(content: bytes):
         if o + c > len(content):
             raise ValueError("TIFF strip beyond file")
         strip = content[o : o + c]
-        raw += _packbits_decode(strip) if comp == 32773 else strip
+        if comp == 32773:
+            raw += _packbits_decode(strip)
+        elif comp == 5:
+            raw += _tiff_lzw_decode(strip)
+        elif comp in (8, 32946):
+            try:
+                raw += zlib.decompress(strip)
+            except zlib.error as exc:
+                raise ValueError(f"TIFF deflate strip corrupt: {exc}") from exc
+        else:
+            raw += strip
     need = w * h * spp
     if len(raw) < need:
         raise ValueError(f"TIFF pixel data {len(raw)} < {need} bytes")
-    return np.frombuffer(bytes(raw[:need]), dtype=np.uint8).reshape(
-        h, w, spp
-    )
+    px = np.frombuffer(bytes(raw[:need]), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # undo per-row horizontal differencing
+        px = (np.cumsum(px.astype(np.int64), axis=1) & 0xFF).astype(np.uint8)
+    return px
 
 
 def _decode_gif(content: bytes) -> dict:
@@ -823,40 +930,118 @@ def _png_pixels(content: bytes):
     return samples
 
 
+def _bmp_rle_decode(data: bytes, w: int, h: int, bpp: int):
+    """RLE8/RLE4 (BI_RLE8 / BI_RLE4) to an (H, W) palette-index array
+    in STORED row order (row 0 = bottom for the usual positive-height
+    BMP; the caller flips). Escapes per the public format: 00 00 end
+    of line, 00 01 end of bitmap, 00 02 dx dy delta, 00 nn absolute
+    run (word-aligned); unreached pixels stay index 0."""
+    import numpy as np
+
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while True:
+        if i + 2 > n:
+            raise ValueError("BMP RLE stream truncated")
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:  # encoded run of cnt pixels
+            if y >= h or x + cnt > w:
+                raise ValueError("BMP RLE run overruns row")
+            if bpp == 8:
+                idx[y, x : x + cnt] = val
+            else:
+                pair = np.array([val >> 4, val & 0xF], dtype=np.uint8)
+                idx[y, x : x + cnt] = np.tile(pair, cnt // 2 + 1)[:cnt]
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return idx
+        elif val == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("BMP RLE delta truncated")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE delta out of bounds")
+        else:  # absolute mode: val literal pixels, word-aligned
+            if y >= h or x + val > w:
+                raise ValueError("BMP RLE absolute run overruns row")
+            if bpp == 8:
+                if i + val > n:
+                    raise ValueError("BMP RLE absolute data truncated")
+                idx[y, x : x + val] = np.frombuffer(
+                    data[i : i + val], dtype=np.uint8
+                )
+                i += (val + 1) & ~1
+            else:
+                nbytes = (val + 1) // 2
+                if i + nbytes > n:
+                    raise ValueError("BMP RLE absolute data truncated")
+                b = np.frombuffer(data[i : i + nbytes], dtype=np.uint8)
+                nib = np.empty(nbytes * 2, dtype=np.uint8)
+                nib[0::2] = b >> 4
+                nib[1::2] = b & 0xF
+                idx[y, x : x + val] = nib[:val]
+                i += (nbytes + 1) & ~1
+            x += val
+
+
 def _bmp_pixels(content: bytes):
-    """Decode an uncompressed BITMAPINFOHEADER BMP to (H, W, 3) RGB
-    uint8: 24-bpp BGR, 32-bpp BGRA (alpha dropped), and 8-bpp palette
-    variants; RLE/bitfield compressions raise NotImplementedError."""
+    """Decode a BITMAPINFOHEADER BMP to (H, W, 3) RGB uint8: 24-bpp
+    BGR, 32-bpp BGRA (alpha dropped), 4/8-bpp palette (uncompressed or
+    BI_RLE4/BI_RLE8); bitfield/embedded-codec compressions raise
+    NotImplementedError."""
     import struct
 
     import numpy as np
 
     meta = _decode_bmp(content)
     bpp = meta["bits_per_pixel"]
-    if bpp not in (8, 24, 32):
+    if bpp not in (4, 8, 24, 32):
         raise NotImplementedError(
-            f"BMP pixel decode supports 8/24/32 bpp, got {bpp}"
+            f"BMP pixel decode supports 4/8/24/32 bpp, got {bpp}"
         )
     compression = struct.unpack_from("<I", content, 30)[0]
-    if compression:
+    if compression not in (0, 1, 2):
         raise NotImplementedError(f"BMP compression {compression} unsupported")
+    if (compression == 1 and bpp != 8) or (compression == 2 and bpp != 4):
+        raise ValueError(f"BMP RLE{8 if compression == 1 else 4} "
+                         f"with {bpp} bpp is malformed")
     data_at = struct.unpack_from("<I", content, 10)[0]
     w, h = meta["width"], meta["height"]
     raw_h = struct.unpack_from("<i", content, 22)[0]
-    stride = (w * (bpp // 8) + 3) & ~3
-    need = data_at + stride * h
-    if len(content) < need:
-        raise ValueError(
-            f"BMP pixel data truncated: {len(content)} < {need} bytes"
-        )
-    rows = np.frombuffer(
-        content[data_at : data_at + stride * h], dtype=np.uint8
-    ).reshape(h, stride)
-    if bpp == 8:
+    if compression:
+        idx = _bmp_rle_decode(content[data_at:], w, h, bpp)
+    else:
+        stride = ((w * bpp + 31) >> 5) << 2
+        need = data_at + stride * h
+        if len(content) < need:
+            raise ValueError(
+                f"BMP pixel data truncated: {len(content)} < {need} bytes"
+            )
+        rows = np.frombuffer(
+            content[data_at : data_at + stride * h], dtype=np.uint8
+        ).reshape(h, stride)
+        if bpp == 4:
+            nib = np.empty((h, stride * 2), dtype=np.uint8)
+            nib[:, 0::2] = rows >> 4
+            nib[:, 1::2] = rows & 0xF
+            idx = nib[:, :w]
+        elif bpp == 8:
+            idx = rows[:, :w]
+        else:
+            ch = bpp // 8
+            px = rows[:, : w * ch].reshape(h, w, ch)[..., :3][..., ::-1]
+            idx = None
+    if bpp in (4, 8):
         # palette sits between the DIB header and the pixel data:
-        # BGRX quads; ClrUsed (offset 46) 0 means the full 256
+        # BGRX quads; ClrUsed (offset 46) 0 means the full 2^bpp
         dib_size = struct.unpack_from("<I", content, 14)[0]
-        n_colors = struct.unpack_from("<I", content, 46)[0] or 256
+        n_colors = struct.unpack_from("<I", content, 46)[0] or (1 << bpp)
         pal_at = 14 + dib_size
         pal = np.frombuffer(
             content[pal_at : pal_at + 4 * n_colors], dtype=np.uint8
@@ -864,21 +1049,18 @@ def _bmp_pixels(content: bytes):
         if len(pal) < 4 * n_colors:
             raise ValueError("BMP palette truncated")
         pal = pal.reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
-        idx = rows[:, :w]
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("BMP palette index out of range")
         px = pal[idx]
-    else:
-        ch = bpp // 8
-        px = rows[:, : w * ch].reshape(h, w, ch)[..., :3][..., ::-1]
     if raw_h > 0:  # positive height = bottom-up row order
         px = px[::-1]
     return np.ascontiguousarray(px)
 
 
 def _ppm_pixels(content: bytes):
-    """Decode binary P5 (gray) / P6 (RGB) Netpbm with maxval <= 255 to
-    (H, W, C) uint8."""
+    """Decode binary P5 (gray) / P6 (RGB) Netpbm to (H, W, C) uint8;
+    two-byte (maxval > 255, big-endian) samples are scaled to the
+    0-255 range by maxval."""
     import numpy as np
 
     meta = _decode_ppm(content)
@@ -902,14 +1084,20 @@ def _ppm_pixels(content: bytes):
         fields.append(int(content[start:pos]))
     pos += 1  # single whitespace after maxval, then raster
     w, h, maxval = fields
-    if maxval > 255:
-        raise NotImplementedError("Netpbm 16-bit samples unsupported")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"Netpbm maxval {maxval} out of range")
     channels = 3 if magic == "P6" else 1
-    need = w * h * channels
+    wide = maxval > 255  # two-byte big-endian samples (plain spec)
+    need = w * h * channels * (2 if wide else 1)
     raster = content[pos : pos + need]
     if len(raster) < need:
         raise ValueError(f"Netpbm raster truncated: {len(raster)} < {need}")
     del meta
+    if wide:
+        s = np.frombuffer(raster, dtype=">u2").astype(np.uint32)
+        return ((s * 255 + maxval // 2) // maxval).astype(np.uint8).reshape(
+            h, w, channels
+        )
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, channels)
 
 

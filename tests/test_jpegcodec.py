@@ -100,9 +100,13 @@ def test_unsupported_frames_and_structural_errors():
     # rules (full-band DC scan) -> structural corruption
     with pytest.raises(ValueError):
         J.decode_meta(b.replace(b"\xff\xc0", b"\xff\xc2", 1))
-    # genuinely unsupported frame type: lossless SOF3
-    with pytest.raises(NotImplementedError, match="not supported"):
+    # a baseline scan relabeled SOF3 violates the lossless scan
+    # parameter rules (Ss=0) -> structural corruption
+    with pytest.raises(ValueError, match="lossless scan parameters"):
         J.decode_meta(b.replace(b"\xff\xc0", b"\xff\xc3", 1))
+    # genuinely unsupported frame type: hierarchical SOF5
+    with pytest.raises(NotImplementedError, match="not supported"):
+        J.decode_meta(b.replace(b"\xff\xc0", b"\xff\xc5", 1))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_meta(b"not a jpeg")
     with pytest.raises(ValueError, match="no SOS"):
@@ -177,3 +181,137 @@ def test_undefined_tables_are_structural_errors():
     seg_len = int.from_bytes(b[at + 2 : at + 4], "big")
     with pytest.raises(ValueError, match="quant table"):
         J.decode_meta(b[:at] + b[at + 2 + seg_len :])
+
+
+# ---------------------------------------------------------------------------
+# Adobe APP14 color paths: CMYK, YCCK, stored-RGB (print-workflow /
+# PDF DCTDecode JPEGs).
+# ---------------------------------------------------------------------------
+
+def _naive_cmyk_to_rgb(cmyk: np.ndarray) -> np.ndarray:
+    c = cmyk.astype(np.float64)
+    return ((255 - c[..., :3]) * (255 - c[..., 3:4]) / 255.0).round()
+
+
+def test_cmyk_transform0_roundtrip():
+    rng = np.random.default_rng(11)
+    cmyk = rng.integers(0, 256, (24, 33, 4), dtype=np.uint8)
+    out = J.decode_pixels(J.encode_baseline(cmyk, adobe_transform=0))
+    assert out.shape == (24, 33, 3)
+    assert np.abs(out - _naive_cmyk_to_rgb(cmyk)).max() <= 3
+
+
+def test_ycck_transform2_roundtrip_including_subsampled_chroma():
+    rng = np.random.default_rng(12)
+    cmyk = rng.integers(0, 256, (24, 33, 4), dtype=np.uint8)
+    for sampling in (None, [(2, 2), (1, 1), (1, 1), (2, 2)]):
+        data = J.encode_baseline(
+            cmyk, sampling=sampling, adobe_transform=2
+        )
+        out = J.decode_pixels(data)
+        assert out.shape == (24, 33, 3)
+        if sampling is None:  # full-res: within color-convert rounding
+            assert np.abs(out - _naive_cmyk_to_rgb(cmyk)).max() <= 4
+    meta = J.decode_meta(data)
+    assert meta["bits_per_pixel"] == 32
+
+
+def test_adobe_stored_rgb_transform0():
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, (17, 21, 3), dtype=np.uint8)
+    out = J.decode_pixels(J.encode_baseline(rgb, adobe_transform=0))
+    # no YCbCr round-trip at all: only DCT rounding remains
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 1
+
+
+def test_cmyk_structural_errors():
+    rng = np.random.default_rng(14)
+    cmyk = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="adobe_transform"):
+        J.encode_baseline(cmyk, adobe_transform=1)
+    # APP14 claiming YCbCr over 4 components is contradictory
+    b = bytearray(J.encode_baseline(cmyk, adobe_transform=0))
+    at = bytes(b).index(b"Adobe")
+    b[at + 11] = 1
+    with pytest.raises(ValueError, match="4 components"):
+        J.decode_pixels(bytes(b))
+    # corrupt scan still quarantines through the CMYK path
+    b2 = bytearray(J.encode_baseline(cmyk, adobe_transform=2))
+    b2[-8] ^= 0x55
+    with pytest.raises(ValueError):
+        J.decode_pixels(bytes(b2))
+
+
+# ---------------------------------------------------------------------------
+# Lossless (SOF3) mode — T.81 Annex H predictive coding.
+# ---------------------------------------------------------------------------
+
+def test_lossless_every_predictor_is_bit_exact():
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (21, 17), dtype=np.uint8)
+    for p in range(1, 8):
+        fr, planes = J.decode_planes(J.encode_lossless(img, predictor=p))
+        assert fr.lossless
+        assert np.array_equal(planes[0], img)
+
+
+def test_lossless_rgb_interleaved_with_restarts():
+    rng = np.random.default_rng(32)
+    rgb = rng.integers(0, 256, (13, 19, 3), dtype=np.uint8)
+    for rst in (0, 5):
+        out = J.decode_pixels(
+            J.encode_lossless(rgb, predictor=6, restart_interval=rst)
+        )
+        # lossless 3-component stores RGB untransformed: exact
+        assert np.array_equal(out, rgb)
+
+
+def test_lossless_high_precision_and_point_transform():
+    rng = np.random.default_rng(33)
+    for prec in (12, 16):
+        hi = rng.integers(0, 1 << prec, (9, 11), dtype=np.uint16)
+        _fr, planes = J.decode_planes(
+            J.encode_lossless(hi, precision=prec)
+        )
+        assert planes[0].dtype == np.uint16
+        assert np.array_equal(planes[0], hi)
+        px = J.decode_pixels(J.encode_lossless(hi, precision=prec))
+        assert np.array_equal(px[..., 0], (hi >> (prec - 8)).astype(np.uint8))
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    _fr, planes = J.decode_planes(J.encode_lossless(img, point_transform=2))
+    assert np.array_equal(planes[0], (img >> 2) << 2)
+
+
+def test_lossless_corrupt_scan_quarantines():
+    img = np.add.outer(np.arange(16), np.arange(16)).astype(np.uint8)
+    b = bytearray(J.encode_lossless(img, predictor=4))
+    b[-6] ^= 0x7A
+    with pytest.raises(ValueError):
+        J.decode_meta(bytes(b))
+    with pytest.raises(ValueError):
+        J.decode_meta(bytes(b[: len(b) - len(b) // 3]))
+
+
+def test_lossless_structural_gates():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    b = bytearray(J.encode_lossless(img, predictor=1))
+    # SOS: patch predictor (Ss) to 0 -> invalid for lossless
+    at = bytes(b).index(b"\xff\xda")
+    b2 = bytearray(b)
+    b2[at + 2 + 2 + 1 + 2] = 0  # len(2) + ns(1) + comp spec(2) -> Ss byte
+    with pytest.raises(ValueError, match="lossless scan parameters"):
+        J.decode_planes(bytes(b2))
+    # subsampled lossless components are an honest unsupported gate
+    at_sof = bytes(b).index(b"\xff\xc3")
+    b3 = bytearray(b)
+    b3[at_sof + 2 + 2 + 6 + 1] = 0x22  # comp 1 h/v byte
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        J.decode_planes(bytes(b3))
+
+
+def test_dct_precision_other_than_8_is_unsupported_not_garbage():
+    b = bytearray(J.encode_baseline(np.zeros((8, 8), dtype=np.uint8)))
+    at = bytes(b).index(b"\xff\xc0")
+    b[at + 4] = 12  # precision byte of SOF0
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        J.decode_planes(bytes(b))

@@ -1897,3 +1897,152 @@ def test_vacuum_honors_declared_retention(spark, tmp_path):
     writers.compact_fact_table(spark, path)
     writers.set_retention(path, 10_000.0)
     assert writers.vacuum_fact_table(path, min_age_s=0) != []
+
+
+def test_tiff_lzw_deflate_and_predictor():
+    """TIFF LZW (early-change variant), Deflate strips, and the
+    horizontal-differencing predictor (tag 317 = 2)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    # raw LZW codec round-trip, incl. a payload big enough to grow the
+    # code width past 9 and 10 bits
+    rng = np.random.default_rng(5)
+    for payload in (
+        b"", b"\x00", b"abacabadabacaba" * 3,
+        rng.integers(0, 17, 5000, dtype=np.uint8).tobytes(),
+        bytes(rng.integers(0, 256, 9000, dtype=np.uint8)),
+    ):
+        assert M._tiff_lzw_decode(M._tiff_lzw_encode(payload)) == payload
+    with pytest.raises(ValueError, match="without EOI"):
+        M._tiff_lzw_decode(M._tiff_lzw_encode(b"abcabc")[:-2])
+
+    w, h, spp = 5, 4, 3
+    img = rng.integers(0, 256, (h, w, spp), dtype=np.uint8)
+    flat = img.tobytes()
+
+    def tiff(comp, strip, predictor=None):
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, h), (259, 3, 1, comp),
+            (277, 3, 1, spp),
+        ]
+        if predictor is not None:
+            entries.append((317, 3, 1, predictor))
+        n = len(entries) + 3
+        ifd_off = 8
+        data_off = ifd_off + 2 + 12 * n + 4
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+        out += struct.pack("<H", n)
+
+        def entry(tag, typ, cnt, val):
+            return struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
+
+        for tag, typ, cnt, val in entries:
+            out += entry(tag, typ, cnt, val)
+        out += entry(258, 3, 3, data_off)
+        out += entry(273, 4, 1, data_off + 6)
+        out += entry(279, 4, 1, len(strip))
+        out += struct.pack("<I", 0)
+        out += struct.pack("<HHH", 8, 8, 8)
+        out += strip
+        return bytes(out)
+
+    # LZW and Deflate (both code paths), no predictor
+    assert np.array_equal(M.decode_pixels(tiff(5, M._tiff_lzw_encode(flat))),
+                          img)
+    assert np.array_equal(M.decode_pixels(tiff(8, zlib.compress(flat))), img)
+
+    # predictor 2: strips store per-row horizontal differences
+    diff = np.diff(img.astype(np.int64), axis=1, prepend=img[:, :1].astype(
+        np.int64)) & 0xFF
+    diff[:, 0] = img[:, 0]
+    dflat = diff.astype(np.uint8).tobytes()
+    assert np.array_equal(
+        M.decode_pixels(tiff(5, M._tiff_lzw_encode(dflat), predictor=2)), img
+    )
+    assert np.array_equal(
+        M.decode_pixels(tiff(8, zlib.compress(dflat), predictor=2)), img
+    )
+
+    # honest gates and quarantines
+    with pytest.raises(NotImplementedError, match="predictor 3"):
+        M.decode_pixels(tiff(5, M._tiff_lzw_encode(flat), predictor=3))
+    with pytest.raises(NotImplementedError, match="compression 6"):
+        M.decode_pixels(tiff(6, flat))
+    with pytest.raises(ValueError, match="deflate strip corrupt"):
+        M.decode_pixels(tiff(8, b"\x00not-zlib"))
+
+
+def test_bmp_rle_and_4bpp_pixels():
+    """BI_RLE8 / BI_RLE4 runs, absolute mode, deltas, and uncompressed
+    4-bpp nibble rows."""
+    import struct
+
+    import numpy as np
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    def bmp(w, h, bpp, data, palette=b"", n_colors=0, compression=0):
+        dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                          len(data), 0, 0, n_colors, 0)
+        hdr_len = 14 + 40 + len(palette)
+        return (b"BM" + struct.pack("<IHHI", hdr_len + len(data), 0, 0,
+                                    hdr_len) + dib + palette + data)
+
+    # palette: BGRX quads for indices 0..3
+    pal = bytes([0, 0, 0, 0, 0, 0, 255, 0, 0, 255, 0, 0, 255, 0, 0, 0])
+    colors = {0: [0, 0, 0], 1: [255, 0, 0], 2: [0, 255, 0], 3: [0, 0, 255]}
+
+    # RLE8, 6x2 bottom-up. Stored row 0 (bottom): run 3x idx1,
+    # absolute 3 pixels [2,3,2] (+pad), EOL; row 1: delta (2,0),
+    # run 4x idx3, EOL, EOB. Delta-skipped pixels stay index 0.
+    rle8 = bytes([3, 1, 0, 3, 2, 3, 2, 0, 0, 0,
+                  0, 2, 2, 0, 4, 3, 0, 0, 0, 1])
+    px = M.decode_pixels(bmp(6, 2, 8, rle8, pal, 4, compression=1))
+    assert px.shape == (2, 6, 3)
+    assert px[1].tolist() == [colors[i] for i in [1, 1, 1, 2, 3, 2]]
+    assert px[0].tolist() == [colors[i] for i in [0, 0, 3, 3, 3, 3]]
+
+    # RLE4, 7x1: run of 4 alternating nibbles 1,2 then absolute 3
+    # pixels [3,1,3] (2 nibble bytes, already word-aligned), EOB
+    rle4 = bytes([4, 0x12, 0, 3, 0x31, 0x30, 0, 1])
+    px4 = M.decode_pixels(bmp(7, 1, 4, rle4, pal, 4, compression=2))
+    assert px4[0].tolist() == [colors[i] for i in [1, 2, 1, 2, 3, 1, 3]]
+
+    # uncompressed 4-bpp: 3x1, nibbles 1,2,3 in 4-byte stride
+    px4u = M.decode_pixels(bmp(3, 1, 4, bytes([0x12, 0x30, 0, 0]), pal, 4))
+    assert px4u[0].tolist() == [colors[i] for i in [1, 2, 3]]
+
+    # honest gates / quarantines
+    with pytest.raises(ValueError, match="malformed"):
+        M.decode_pixels(bmp(6, 2, 4, rle8, pal, 4, compression=1))
+    with pytest.raises(NotImplementedError, match="compression 3"):
+        M.decode_pixels(bmp(6, 2, 8, rle8, pal, 4, compression=3))
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_pixels(bmp(6, 2, 8, rle8[:-3], pal, 4, compression=1))
+    with pytest.raises(ValueError, match="overruns"):
+        M.decode_pixels(bmp(2, 1, 8, bytes([9, 1, 0, 1]), pal, 4,
+                            compression=1))
+
+
+def test_netpbm_16bit_samples_scale_to_uint8():
+    import numpy as np
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    rng = np.random.default_rng(8)
+    hi = rng.integers(0, 65536, (3, 4), dtype=np.uint16)
+    pgm = b"P5\n4 3\n65535\n" + hi.astype(">u2").tobytes()
+    out = M.decode_pixels(pgm)
+    exp = ((hi.astype(np.uint32) * 255 + 65535 // 2) // 65535).astype(np.uint8)
+    assert np.array_equal(out[..., 0], exp)
+    # maxval 1023 (10-bit) scales too; P6 three-channel as well
+    v = np.full((2, 2, 3), 1023, dtype=np.uint16)
+    ppm = b"P6\n2 2\n1023\n" + v.astype(">u2").tobytes()
+    assert (M.decode_pixels(ppm) == 255).all()
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_pixels(pgm[:-5])
