@@ -1959,6 +1959,18 @@ def decode_wav_samples(content: bytes) -> list[int]:
     return list(struct.unpack(f"<{n}h", data[: n * 2]))
 
 
+def decode_audio_samples(content: bytes) -> list[int]:
+    """16-bit mono PCM from a WAV *or* FLAC payload — the FLAC path is
+    a full frame decode (:mod:`functions.flaccodec`: fixed/LPC
+    predictors, Rice residuals, CRC verification), not a metadata
+    walk. Unrecognized containers raise ValueError."""
+    if content[:4] == b"fLaC":
+        from pdf_etl_engine_spark.functions import flaccodec
+
+        return flaccodec.decode_samples(content)
+    return decode_wav_samples(content)
+
+
 def with_synth_patterned_audio(docs: DataFrame) -> DataFrame:
     """Deterministic 64-sample 16-bit mono WAVs for the x43 audio
     fingerprint: sample i of doc_id's clip is
@@ -1999,16 +2011,16 @@ def with_synth_patterned_audio(docs: DataFrame) -> DataFrame:
 
 def with_audio_fingerprint(clips: DataFrame) -> DataFrame:
     """(doc_id, fp_hi, fp_lo): a 64-bit energy fingerprint — REAL PCM
-    decode (:func:`decode_wav_samples`), then bit i = sample i louder
-    than the clip mean, division-free (``s·n > total``) so the
-    fingerprint is exact integer arithmetic. The audio twin of
-    :func:`with_average_hash`."""
+    decode (:func:`decode_audio_samples`: WAV or FLAC), then bit i =
+    sample i louder than the clip mean, division-free (``s·n >
+    total``) so the fingerprint is exact integer arithmetic. The audio
+    twin of :func:`with_average_hash`."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-                s = decode_wav_samples(bytes(content))[:64]
+                s = decode_audio_samples(bytes(content))[:64]
                 total = sum(s)
                 n = len(s)
                 # min(32, n) guard mirrors the hi-bit loop: a valid
