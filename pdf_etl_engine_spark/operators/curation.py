@@ -1334,3 +1334,98 @@ def x40_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
     )
+
+
+# Shared regex dialect: RE2 (DuckDB) ∩ java.util.regex (Spark) — no
+# lookaround, no backrefs; \b \d and bounded quantifiers mean the same
+# thing in both. Applied in a fixed order so the redacted text is
+# byte-identical across engines.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_PHONE = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "x44_pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 ssn 123-45-6789.' AS t
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, t,
+             length(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+             length(regexp_extract_all(t, '{_PII_SSN}')) AS n_ssn,
+             length(regexp_extract_all(t, '{_PII_IPV4}')) AS n_ipv4
+      FROM seeded
+    ), redacted AS (
+      SELECT doc_id, n_email, n_ssn, n_ipv4,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_SSN}', '<SSN>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g') AS red
+      FROM counted
+    )
+    SELECT doc_id,
+           CAST(n_email AS BIGINT) AS n_email,
+           CAST(n_ssn AS BIGINT) AS n_ssn,
+           CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+           CAST(length(red) AS BIGINT) AS red_len,
+           right(red, 120) AS red_tail
+    FROM redacted
+    """,
+)
+def x44_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-surface PII scrubbing — the redaction pass every training-data
+    pipeline runs before export. PII-bearing suffixes are seeded
+    deterministically from doc_id (the raw corpus is synthetic and
+    PII-free) IDENTICALLY in both engines, then emails / SSNs / phone
+    numbers / IPv4 addresses are counted and replaced with typed
+    placeholders in one fixed order, so the redacted text — graded via
+    its length and 120-char tail — is byte-identical cross-engine.
+
+    100 TB shape: map-only (regexp count + replace inside whole-stage
+    codegen, no UDF, no shuffle); composes in front of
+    export_training_shards the way x36's rule flags do."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789."),
+    )
+    red = t
+    for pat, tag in ((_PII_EMAIL, "<EMAIL>"), (_PII_SSN, "<SSN>"),
+                     (_PII_PHONE, "<PHONE>"), (_PII_IPV4, "<IP>")):
+        red = F.regexp_replace(red, pat, tag)
+    staged = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_SSN), F.lit(0)))
+        .cast("long").alias("n_ssn"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IPV4), F.lit(0)))
+        .cast("long").alias("n_ipv4"),
+        red.alias("red"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_ipv4",
+        F.length("red").cast("long").alias("red_len"),
+        F.expr("right(red, 120)").alias("red_tail"),
+    )

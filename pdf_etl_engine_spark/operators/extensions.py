@@ -2381,3 +2381,122 @@ def x43_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clips"),
         F.min("doc_id").alias("canonical_doc"),
     )
+
+
+@query(
+    "x45_semdedup",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS c
+      FROM embeddings WHERE vec_id < 8
+    ), a AS (
+      SELECT e.vec_id, cent.centroid_id,
+             list_reduce([CAST(0.0 AS DOUBLE)] ||
+               list_transform(range(0, 64), j ->
+                 (CAST(e.embedding[CAST(j AS INTEGER) + 1] AS DOUBLE)
+                  - CAST(cent.c[CAST(j AS INTEGER) + 1] AS DOUBLE))
+                 * (CAST(e.embedding[CAST(j AS INTEGER) + 1] AS DOUBLE)
+                    - CAST(cent.c[CAST(j AS INTEGER) + 1] AS DOUBLE))),
+               (acc, x) -> acc + x) AS dist
+      FROM embeddings e, cent
+    ), m AS (
+      SELECT vec_id, min(dist) AS md FROM a GROUP BY 1
+    ), assigned AS (
+      SELECT a.vec_id, min(a.centroid_id) AS centroid_id
+      FROM a JOIN m ON a.vec_id = m.vec_id AND a.dist = m.md
+      GROUP BY a.vec_id
+    ), v AS (
+      SELECT s.vec_id, s.centroid_id,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_reduce([CAST(0.0 AS DOUBLE)] ||
+               list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (acc, x) -> acc + x)) AS nrm
+      FROM assigned s JOIN embeddings e ON e.vec_id = s.vec_id
+    ), removed AS (
+      SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE list_reduce([CAST(0.0 AS DOUBLE)] ||
+              list_transform(list_zip(a.e, b.e), s -> s[1] * s[2]),
+              (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.25
+    )
+    SELECT v.centroid_id,
+           count(*) AS n_vecs,
+           CAST(count(CASE WHEN r.vec_id IS NULL THEN 1 END) AS BIGINT)
+             AS n_kept,
+           CAST(count(r.vec_id) AS BIGINT) AS n_removed
+    FROM v LEFT JOIN removed r ON r.vec_id = v.vec_id
+    GROUP BY v.centroid_id
+    """,
+)
+def x45_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-surface SEMANTIC dedup (SemDeDup-shaped, public method:
+    cluster embeddings, prune near-duplicates within clusters only):
+    vectors are assigned to their nearest codebook centroid (the x4h
+    bit-exact L2 fold, ties → lowest centroid id), then near-dup
+    pruning — drop any vector with a lower-id cluster-mate at
+    cosine ≥ 0.25 — runs INSIDE clusters, so the quadratic term is
+    bounded by the largest cluster, not the corpus. Graded output is
+    the per-cluster keep/remove accounting; every distance and cosine
+    is a left-fold, so both engines agree bit-for-bit.
+
+    100 TB shape: codebook broadcasts (√N rows); assignment is
+    map-side; the pairs join shuffles on centroid_id — same blocking
+    discipline as x4i's LSH buckets, with cluster size bounded by the
+    codebook granularity (and a hot cluster splits under AQE). The
+    full method composes: x4e's trained k-means supplies real
+    centroids; this twin proves the pipeline's math end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c")
+    )
+    diff = lambda j: (  # noqa: E731
+        F.element_at(F.col("embedding"), j + 1).cast("double")
+        - F.element_at(F.col("c"), j + 1).cast("double")
+    )
+    dist = F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(63)), lambda j: diff(j) * diff(j)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    a = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "centroid_id", dist.alias("dist")
+    )
+    m = a.groupBy("vec_id").agg(F.min("dist").alias("md"))
+    assigned = (
+        a.join(m, "vec_id")
+        .filter(F.col("dist") == F.col("md"))
+        .groupBy("vec_id")
+        .agg(F.min("centroid_id").alias("centroid_id"))
+    )
+    v = assigned.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "vec_id",
+        "centroid_id",
+        _as_double(F.col("embedding")).alias("e"),
+        F.sqrt(_dot(_as_double(F.col("embedding")),
+                    _as_double(F.col("embedding")))).alias("nrm"),
+    )
+    va, vb = v.alias("a"), v.alias("b")
+    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    removed = (
+        va.join(
+            vb,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.25)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_removed", F.lit(1))
+    )
+    return (
+        v.join(removed, "vec_id", "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(F.when(F.col("is_removed").isNull(), 1))
+            .cast("long").alias("n_kept"),
+            F.count("is_removed").cast("long").alias("n_removed"),
+        )
+    )

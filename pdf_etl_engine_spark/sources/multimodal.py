@@ -1933,10 +1933,65 @@ def with_average_hash(images: DataFrame) -> DataFrame:
     )
 
 
+# IMA/DVI ADPCM tables (public spec, identical in every
+# implementation): 89-entry step sizes + index adjustments.
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: (new_pred, new_index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return pred, index
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int) -> list[int]:
+    """Mono IMA ADPCM blocks → 16-bit samples. Each block: 4-byte
+    header (int16 predictor = sample 0, uint8 step index, reserved),
+    then nibble pairs low-first."""
+    import struct
+
+    if block_align < 5:
+        raise ValueError("ADPCM block align too small")
+    out: list[int] = []
+    for at in range(0, len(data) - 3, block_align):
+        block = data[at : at + block_align]
+        pred = struct.unpack_from("<h", block, 0)[0]
+        index = block[2]
+        if index > 88:
+            raise ValueError("ADPCM step index out of range")
+        out.append(pred)
+        for b in block[4:]:
+            for nibble in (b & 0xF, b >> 4):
+                pred, index = _ima_step(pred, index, nibble)
+                out.append(pred)
+    return out
+
+
 def decode_wav_samples(content: bytes) -> list[int]:
-    """The PCM samples of a 16-bit mono WAV as Python ints — the
+    """The samples of a mono WAV as Python 16-bit ints — the
     sample-level decode the metadata walk (:func:`_decode_wav`) stops
-    short of. Raises ValueError for non-PCM/missing-data payloads."""
+    short of. Handles 16-bit PCM (format 1) and IMA ADPCM (format
+    0x11, full state-machine decode). Raises ValueError for other
+    codecs/missing-data payloads."""
     import struct
 
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
@@ -1952,11 +2007,65 @@ def decode_wav_samples(content: bytes) -> list[int]:
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    audio_fmt, channels, _rate, _br, _align, bits = fmt
-    if audio_fmt != 1 or bits != 16 or channels != 1:
+    audio_fmt, channels, _rate, _br, align, bits = fmt
+    if channels != 1:
+        raise ValueError("only mono supported here")
+    if audio_fmt == 0x11 and bits == 4:
+        return _ima_adpcm_decode(data, align)
+    if audio_fmt != 1 or bits != 16:
         raise ValueError("only 16-bit mono PCM supported here")
     n = len(data) // 2
     return list(struct.unpack(f"<{n}h", data[: n * 2]))
+
+
+def encode_wav_adpcm(samples: list[int], rate: int = 8000,
+                     block_samples: int = 505) -> bytes:
+    """Encode 16-bit mono PCM as an IMA-ADPCM WAV (fixture path for
+    the decoder above; standard greedy quantizer, so real decoders
+    accept the output)."""
+    import struct
+
+    align = 4 + (block_samples - 1 + 1) // 2
+    out_blocks = bytearray()
+    i = 0
+    index = 0
+    while i < len(samples):
+        chunk = samples[i : i + block_samples]
+        i += block_samples
+        pred = max(-32768, min(32767, int(chunk[0])))
+        block = bytearray(struct.pack("<hBB", pred, index, 0))
+        nibs: list[int] = []
+        for s in chunk[1:]:
+            step = _IMA_STEPS[index]
+            delta = int(s) - pred
+            nib = 0
+            if delta < 0:
+                nib = 8
+                delta = -delta
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            pred, index = _ima_step(pred, index, nib)
+            nibs.append(nib)
+        while len(nibs) < (align - 4) * 2:  # pad short final block
+            nibs.append(0)
+            pred, index = _ima_step(pred, index, 0)
+        for lo, hi in zip(nibs[0::2], nibs[1::2]):
+            block.append(lo | (hi << 4))
+        out_blocks += block
+    byte_rate = rate * align // max(block_samples, 1)
+    fmt = struct.pack("<HHIIHHH", 0x11, 1, rate, byte_rate, align, 4, 2) \
+        + struct.pack("<H", block_samples)
+    return (
+        b"RIFF" + struct.pack("<I", 28 + len(fmt) + len(out_blocks))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(out_blocks)) + bytes(out_blocks)
+    )
 
 
 def decode_audio_samples(content: bytes) -> list[int]:

@@ -2046,3 +2046,34 @@ def test_netpbm_16bit_samples_scale_to_uint8():
     assert (M.decode_pixels(ppm) == 255).all()
     with pytest.raises(ValueError, match="truncated"):
         M.decode_pixels(pgm[:-5])
+
+
+def test_wav_ima_adpcm_decode():
+    """IMA ADPCM (WAV format 0x11): full state-machine decode — smooth
+    signals reconstruct within quantizer error, constants converge
+    exactly, and structural errors quarantine."""
+    import numpy as np
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    t = np.arange(2021)
+    sig = (3000 * np.sin(t / 20)).astype(int).tolist()
+    out = M.decode_wav_samples(M.encode_wav_adpcm(sig, block_samples=505))
+    err = np.abs(np.array(out[: len(sig)]) - np.array(sig))
+    assert len(out) == 2525  # 5 blocks x 505 (last padded)
+    assert err.max() < 400 and float(np.sqrt((err**2).mean())) < 40
+
+    const = [1000] * 600
+    o2 = M.decode_wav_samples(M.encode_wav_adpcm(const, block_samples=505))
+    assert all(v == 1000 for v in o2[500:600])  # converged exactly
+
+    # audio fingerprint dispatch accepts the ADPCM container
+    fp_in = M.encode_wav_adpcm(const, block_samples=505)
+    assert M.decode_audio_samples(fp_in)[:5] == o2[:5]
+
+    # bad step index in a block header quarantines
+    b = bytearray(M.encode_wav_adpcm(const, block_samples=505))
+    at = bytes(b).index(b"data") + 8
+    b[at + 2] = 99
+    with pytest.raises(ValueError, match="step index"):
+        M.decode_wav_samples(bytes(b))
