@@ -211,3 +211,34 @@ def test_audio_fingerprint_dispatch_wav_and_flac():
     flac = FL.encode_flac(samples, block_size=16)
     assert M.decode_audio_samples(wav) == samples
     assert M.decode_audio_samples(flac) == samples
+
+
+def test_fuzz_decoder_only_valueerror_escapes():
+    """Quarantine contract under mutation: byte flips, truncations,
+    and splices of valid FLAC streams raise ValueError (or decode
+    fine) — never IndexError/KeyError/struct.error/infinite types."""
+    rng = np.random.default_rng(77)
+    sigs = [
+        (3000 * np.sin(np.arange(400) / 9)).astype(int).tolist(),
+        rng.integers(-32768, 32768, 300).tolist(),
+        [7] * 250,
+    ]
+    corpus = [FL.encode_flac(s, block_size=64) for s in sigs]
+    for trial in range(400):
+        base = bytearray(corpus[trial % len(corpus)])
+        kind = trial % 4
+        if kind == 0:  # single byte flip
+            base[rng.integers(0, len(base))] ^= int(rng.integers(1, 256))
+        elif kind == 1:  # truncate
+            base = base[: rng.integers(4, len(base))]
+        elif kind == 2:  # splice two streams
+            other = corpus[(trial + 1) % len(corpus)]
+            cut = rng.integers(4, min(len(base), len(other)))
+            base = base[:cut] + other[cut:]
+        else:  # multi-flip
+            for _ in range(5):
+                base[rng.integers(0, len(base))] ^= int(rng.integers(1, 256))
+        try:
+            FL.decode_pcm(bytes(base))
+        except ValueError:
+            pass  # the contract

@@ -2077,3 +2077,67 @@ def test_wav_ima_adpcm_decode():
     b[at + 2] = 99
     with pytest.raises(ValueError, match="step index"):
         M.decode_wav_samples(bytes(b))
+
+
+def test_fuzz_tiff_bmp_adpcm_quarantine_contract():
+    """Mutated TIFF-LZW, BMP-RLE, and ADPCM payloads raise
+    ValueError/NotImplementedError only — never bare crashes."""
+    import struct
+
+    import numpy as np
+
+    from pdf_etl_engine_spark.sources import multimodal as M
+
+    rng = np.random.default_rng(78)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+
+    def tiff_lzw(strip):
+        n = 7
+        data_off = 8 + 2 + 12 * n + 4
+        out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+        out += struct.pack("<H", n)
+
+        def entry(tag, typ, cnt, val):
+            return struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
+
+        for tag, typ, cnt, val in [(256, 3, 1, 5), (257, 3, 1, 6),
+                                   (259, 3, 1, 5), (277, 3, 1, 3)]:
+            out += entry(tag, typ, cnt, val)
+        out += entry(258, 3, 3, data_off)
+        out += entry(273, 4, 1, data_off + 6)
+        out += entry(279, 4, 1, len(strip))
+        out += struct.pack("<I", 0)
+        out += struct.pack("<HHH", 8, 8, 8)
+        out += strip
+        return bytes(out)
+
+    rle = bytes([3, 1, 0, 3, 2, 3, 2, 0, 0, 0, 0, 2, 2, 0, 2, 3, 0, 0, 0, 1])
+    pal = bytes(16)
+
+    def bmp_rle(data):
+        dib = struct.pack("<IiiHHIIiiII", 40, 6, 2, 1, 8, 1,
+                          len(data), 0, 0, 4, 0)
+        hdr = 14 + 40 + len(pal)
+        return (b"BM" + struct.pack("<IHHI", hdr + len(data), 0, 0, hdr)
+                + dib + pal + data)
+
+    corpus = [
+        tiff_lzw(M._tiff_lzw_encode(img.tobytes())),
+        bmp_rle(rle),
+        M.encode_wav_adpcm([100, -4000, 3000] * 100, block_samples=101),
+    ]
+    decoders = [M.decode_pixels, M.decode_pixels, M.decode_wav_samples]
+    for trial in range(300):
+        i = trial % len(corpus)
+        base = bytearray(corpus[i])
+        if trial % 3 == 0:
+            base[rng.integers(0, len(base))] ^= int(rng.integers(1, 256))
+        elif trial % 3 == 1:
+            base = base[: rng.integers(8, len(base))]
+        else:
+            for _ in range(4):
+                base[rng.integers(0, len(base))] ^= int(rng.integers(1, 256))
+        try:
+            decoders[i](bytes(base))
+        except (ValueError, NotImplementedError):
+            pass  # the contract
