@@ -1,0 +1,150 @@
+"""Correctness at scale: the driver's 50-query graded window re-run
+at sf1 (100x the sf0.01 grading scale) against the same DuckDB
+oracles, value-for-value.
+
+The driver grades rows+schema+values at sf0.01; overflow-class bugs
+(x40's Knuth multiply, x41's squared-cents moments — both found and
+fixed this round) only appear at scale. This sweep is the proactive
+net: every window query runs on the deterministic sf1 tables
+(tools/synth_sf1.py) on BOTH engines with the normalization the local
+parity suite uses (12-significant-digit floats, column-order
+insensitive). Per-side 120 s timeouts — a query that blows up
+combinatorially at sf1 is reported as such, not hidden.
+
+Run: python tools/sf1_parity.py  → one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TIMEOUT_S = 120.0
+
+
+def _normalize_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(bool(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.12g}"
+    return str(v)
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_normalize_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main() -> None:
+    import duckdb
+
+    from pdf_etl_engine_spark import registry
+    from pdf_etl_engine_spark.catalog import TABLES
+    from pdf_etl_engine_spark.session import get_spark
+    from tools.synth_sf1 import synth
+
+    registry.load_all()
+    spark = get_spark(app_name="sf1-parity", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf1 = synth()
+
+    window = list(registry.QUERIES)[: registry.GRADED_WINDOW]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf1}/{t}.parquet'"
+        )
+
+    def spark_run(name):
+        df = registry.QUERIES[name](spark, sf1)
+        cols = df.columns
+        sc = spark.sparkContext
+        sc.setJobGroup(name, name, interruptOnCancel=True)
+        timer = threading.Timer(
+            TIMEOUT_S, lambda: sc.cancelJobGroup(name)
+        )
+        timer.start()
+        try:
+            rows = [tuple(r) for r in df.collect()]
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
+        return rows, cols
+
+    def duck_run(name):
+        sql = registry.ORACLES[name]
+        timer = threading.Timer(TIMEOUT_S, con.interrupt)
+        timer.start()
+        try:
+            res = con.execute(sql)
+            cols = [d[0] for d in res.description]
+            rows = res.fetchall()
+        finally:
+            timer.cancel()
+        return rows, cols
+
+    per_query: dict[str, dict] = {}
+    n_ok = n_mismatch = 0
+    skipped: list[str] = []
+    for name in window:
+        entry: dict = {}
+        if name not in registry.ORACLES:
+            entry["status"] = "rows_only"
+            skipped.append(name)
+            per_query[name] = entry
+            continue
+        try:
+            t0 = time.monotonic()
+            srows, scols = spark_run(name)
+            entry["spark_sec"] = round(time.monotonic() - t0, 2)
+        except Exception as exc:
+            entry["status"] = f"spark_timeout_or_error: {type(exc).__name__}"
+            skipped.append(name)
+            per_query[name] = entry
+            continue
+        try:
+            t0 = time.monotonic()
+            drows, dcols = duck_run(name)
+            entry["duckdb_sec"] = round(time.monotonic() - t0, 2)
+        except Exception as exc:
+            entry["status"] = f"oracle_timeout_or_error: {type(exc).__name__}"
+            skipped.append(name)
+            per_query[name] = entry
+            continue
+        ok = (
+            sorted(scols) == sorted(dcols)
+            and len(srows) == len(drows)
+            and _normalize(srows, scols) == _normalize(drows, dcols)
+        )
+        entry["rows"] = len(srows)
+        entry["status"] = "ok" if ok else "MISMATCH"
+        n_ok += ok
+        n_mismatch += not ok
+        per_query[name] = entry
+
+    print(json.dumps({
+        "metric": "sf1_window_parity",
+        "sf": 1.0,
+        "window": len(window),
+        "ok": n_ok,
+        "mismatch": n_mismatch,
+        "skipped": skipped,
+        "per_query": per_query,
+    }))
+
+
+if __name__ == "__main__":
+    main()
