@@ -69,6 +69,9 @@ X_SURFACE = {
     "x_link_pagerank": "x39_link_pagerank",
     "x_mixture_sample": "x40_mixture_sample",
     "x_zscore_outliers": "x41_zscore_outliers",
+    # r7 additions, DuckDB twins measured into BASELINE.md same-day
+    "x_pii_redact": "x44_pii_redact",
+    "x_semdedup": "x45_semdedup",
 }
 
 
