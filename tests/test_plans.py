@@ -525,3 +525,32 @@ def test_interval_join_is_bucketed_equi_not_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "Join" in p
+
+
+def test_pii_redact_is_map_only(spark):
+    """x44: regex count + replace must stay inside a single map-side
+    projection — no keyed shuffle, no Python, no join. (The catalog's
+    round-robin input repartition of the tiny test tables is not a
+    keyed exchange and is allowed.) At 100 TB this is the difference
+    between a pass-through scan and a cluster-wide reshuffle of the
+    corpus."""
+    p = plan_of(registry.QUERIES["x44_pii_redact"](spark, SF_DIR))
+    assert "Exchange hashpartitioning" not in p, p[:1200]
+    assert "Exchange rangepartitioning" not in p, p[:1200]
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Join" not in p, p[:1200]
+
+
+def test_semdedup_codebook_broadcasts_and_pairs_join_is_equi(spark):
+    """x45: the centroid codebook rides a broadcast into the
+    assignment pass (its 8-row cross join is a deliberate
+    BroadcastNestedLoopJoin — bounded by codebook size, the x4h
+    shape), and the candidate PAIRS join must be a hash/merge
+    equi-join on centroid_id — a CartesianProduct between
+    corpus-sized relations would be the O(n²) shape the cluster
+    blocking exists to avoid."""
+    p = plan_of(registry.QUERIES["x45_semdedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in p, p[:1500]
+    assert "BroadcastExchange" in p, p[:1500]
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p), p[:1500]
