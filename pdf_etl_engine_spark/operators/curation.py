@@ -1362,10 +1362,11 @@ _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
       SELECT doc_id, t,
              length(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
              length(regexp_extract_all(t, '{_PII_SSN}')) AS n_ssn,
+             length(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
              length(regexp_extract_all(t, '{_PII_IPV4}')) AS n_ipv4
       FROM seeded
     ), redacted AS (
-      SELECT doc_id, n_email, n_ssn, n_ipv4,
+      SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4,
              regexp_replace(
                regexp_replace(
                  regexp_replace(
@@ -1378,6 +1379,7 @@ _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
     SELECT doc_id,
            CAST(n_email AS BIGINT) AS n_email,
            CAST(n_ssn AS BIGINT) AS n_ssn,
+           CAST(n_phone AS BIGINT) AS n_phone,
            CAST(n_ipv4 AS BIGINT) AS n_ipv4,
            CAST(length(red) AS BIGINT) AS red_len,
            right(red, 120) AS red_tail
@@ -1417,6 +1419,8 @@ def x44_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_email"),
         F.size(F.regexp_extract_all(t, F.lit(_PII_SSN), F.lit(0)))
         .cast("long").alias("n_ssn"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0)))
+        .cast("long").alias("n_phone"),
         F.size(F.regexp_extract_all(t, F.lit(_PII_IPV4), F.lit(0)))
         .cast("long").alias("n_ipv4"),
         red.alias("red"),
@@ -1425,6 +1429,7 @@ def x44_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_email",
         "n_ssn",
+        "n_phone",
         "n_ipv4",
         F.length("red").cast("long").alias("red_len"),
         F.expr("right(red, 120)").alias("red_tail"),
