@@ -302,6 +302,41 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "x_queries": x_timings,
+        "x_surface_total_sec": x_total,
+        "cold_sec": cold,
+        "scan_path_queries": scan_timings,
+        "scan_path_total_sec": scan_total,
+        "empty_job_floor_sec": round(floor_reused, 4),
+        "fresh_plan_job_floor_sec": round(floor_fresh, 4),
+        "sf": sf_val,
+        "sf1": sf1_section,
+        # measurement-noise context (VERDICT r6 #7: the r5→r6
+        # +18% headline drift was uniform across unchanged
+        # queries — host noise, not a query regression; r7
+        # re-measured identical code twice on an idle box and
+        # saw the empty-job floor itself swing 30→85 ms).
+        # load1 is sampled before the first timed query.
+        "load_avg_start": LOAD_START,
+        "load_avg_end": round(os.getloadavg()[0], 2),
+    }
+    # The r7 gate metric was LOST because the one big JSON line sat
+    # behind megabytes of Spark progress output and the driver's tail
+    # capture truncated it (VERDICT r7 defect #2). Three-way defense:
+    # the full payload persists to BENCH_LAST.json in-repo, is printed
+    # in full, and the VERY LAST stdout line is a compact gate record
+    # small enough that any tail window keeps it intact.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(payload))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -309,26 +344,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "x_queries": x_timings,
                 "x_surface_total_sec": x_total,
-                "cold_sec": cold,
-                "scan_path_queries": scan_timings,
                 "scan_path_total_sec": scan_total,
-                "empty_job_floor_sec": round(floor_reused, 4),
-                "fresh_plan_job_floor_sec": round(floor_fresh, 4),
                 "sf": sf_val,
-                "sf1": sf1_section,
-                # measurement-noise context (VERDICT r6 #7: the r5→r6
-                # +18% headline drift was uniform across unchanged
-                # queries — host noise, not a query regression; r7
-                # re-measured identical code twice on an idle box and
-                # saw the empty-job floor itself swing 30→85 ms).
-                # load1 is sampled before the first timed query.
-                "load_avg_start": LOAD_START,
-                "load_avg_end": round(os.getloadavg()[0], 2),
+                "full": "BENCH_LAST.json",
             }
         )
     )
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

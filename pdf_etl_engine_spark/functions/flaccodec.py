@@ -251,6 +251,18 @@ def decode_pcm(content: bytes) -> tuple[dict, list[list[int]]]:
     channels: list[list[int]] = [[] for _ in range(n_ch)]
     while pos < len(content):
         frame_at = pos
+        # Trailing-garbage tolerance: once the stream has delivered
+        # every sample STREAMINFO promised, bytes that don't start a
+        # valid frame (ID3v1 tags, padding some tools append after
+        # the frame sequence) end the decode instead of quarantining
+        # an otherwise-complete file. Before that point, a broken
+        # sync is still a hard error — the sample count contract
+        # would be violated.
+        if total and len(channels[0]) >= total:
+            if pos + 2 > len(content):
+                break
+            if _Bits(content, pos).read(14) != 0x3FFE:
+                break
         bits = _Bits(content, pos)
         sync = bits.read(14)
         if sync != 0x3FFE:

@@ -91,7 +91,7 @@ def s7b_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _s2_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Materialize every 50th document's text as a real ``.bin`` file
     (UTF-8 bytes) in a scratch dir keyed by the source parquet's
-    identity — idempotent (completion marker), executor-side writes.
+    identity — idempotent (completion marker), driver-local writes.
     This is fixture synthesis for the S2 scan, not part of the graded
     relational path."""
     import os
@@ -105,22 +105,25 @@ def _s2_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         return out
     os.makedirs(out, exist_ok=True)
 
-    def write_part(rows):
-        import os as _os
-
-        for row in rows:
-            p = _os.path.join(out, f"doc_{row['doc_id']}.bin")
-            tmp = f"{p}.tmp-{_os.getpid()}"
-            with open(tmp, "wb") as fh:
-                fh.write(row["text"].encode("utf-8"))
-            _os.replace(tmp, p)
-
-    (
+    # Fixture rows stream to the DRIVER and are written locally: a
+    # foreachPartition writer would scatter the .bin files across
+    # executor-local disks on any multi-node deployment and the
+    # subsequent binaryFile read would see nothing. The selection is
+    # tiny by construction (every 50th doc — ~120 rows at grading
+    # scale), so a driver-local toLocalIterator is the correct tool,
+    # not a scale compromise.
+    rows = (
         _lt(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 50 == 0)
         .select("doc_id", "text")
-        .foreachPartition(write_part)
+        .toLocalIterator()
     )
+    for row in rows:
+        p = os.path.join(out, f"doc_{row['doc_id']}.bin")
+        tmp = f"{p}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(row["text"].encode("utf-8"))
+        os.replace(tmp, p)
     with open(marker, "w"):
         pass
     return out
@@ -158,8 +161,10 @@ def s2_scan_binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_Q3 = """
 SELECT l_orderkey,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
-                AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                     AS BIGINT)
+                * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100
+                              AS BIGINT))) AS BIGINT) AS revenue_c4,
        CAST(o_orderdate AS DATE) AS o_orderdate,
        o_orderpriority
 FROM customer
@@ -169,7 +174,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < DATE '1997-01-01'
   AND l_shipdate > DATE '1997-01-01'
 GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
-ORDER BY revenue_cents DESC, l_orderkey
+ORDER BY revenue_c4 DESC, l_orderkey
 LIMIT 10
 """
 
@@ -179,8 +184,14 @@ def sql1_tpch_q3_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-TEXT surface: the engine accepts ANSI SQL directly —
     `register_views` + `spark.sql` run the IDENTICAL statement DuckDB
     executes as the oracle (TPC-H Q3 shape over this schema; revenue
-    quantized to integer cents so the aggregate is exact in any
-    accumulation order). This is the surface the reference exposes
+    in EXACT integer arithmetic — price cast to DECIMAL(12,2) and
+    discount to DECIMAL(4,2) before scaling to integer cents /
+    percent, so no float ``round()`` is left for engine versions to
+    disagree on: r7's red row was a 1-cent HALF_UP-vs-binary-round
+    divergence between Spark and a newer DuckDB on products landing
+    on an exact .5 cent. ``revenue_c4`` is cents×(100−discount%), a
+    strictly order-preserving integer scaling of revenue, exact in
+    any accumulation order). This is the surface the reference exposes
     through BigQuery (main.py:804-811: SQL strings over named tables)
     — here Catalyst plans the same text: broadcast the filtered
     customer dim, partial-aggregate the join, TakeOrdered the top 10.

@@ -95,8 +95,19 @@ def _commit_range_is_append_only(
         if since < v <= upto:
             with open(_os.path.join(cdir, fn)) as fh:
                 rec = _json.load(fh)
-            # lazy: a manifest-backed commit carries its counts inline
-            if rec.get("remove") or rec.get("n_remove"):
+            # lazy: a manifest-backed commit carries its counts inline.
+            # DV commits are NOT append-only either: a MOR delete or
+            # update may publish only deletion vectors (inline "dv",
+            # or "n_dv" on manifest-backed commits) with no "remove"
+            # entry — folding such a range incrementally would never
+            # subtract the DV-masked rows (stale aggregates after
+            # DELETE_MOR, double counts after UPDATE_MOR).
+            if (
+                rec.get("remove")
+                or rec.get("n_remove")
+                or rec.get("dv")
+                or rec.get("n_dv")
+            ):
                 return False
     return True
 

@@ -242,3 +242,21 @@ def test_fuzz_decoder_only_valueerror_escapes():
             FL.decode_pcm(bytes(base))
         except ValueError:
             pass  # the contract
+
+
+def test_trailing_bytes_after_last_frame_tolerated():
+    """ID3v1 tags / padding appended AFTER the final frame must not
+    quarantine a complete stream: once STREAMINFO's total_samples has
+    been delivered, non-sync trailing bytes end the decode. Before
+    that point a broken sync is still a hard error."""
+    s = [int(3000 * np.sin(i / 10)) for i in range(1000)]
+    data = FL.encode_flac(s, block_size=256)
+    id3v1 = b"TAG" + b"\x00" * 125  # classic 128-byte ID3v1 trailer
+    for tail in (id3v1, b"\x00", b"APETAGEX" + b"\x00" * 24):
+        meta, ch = FL.decode_pcm(data + tail)
+        assert ch[0] == s
+        assert meta["total_samples"] == len(s)
+    # truncating the stream mid-frame still quarantines: the promised
+    # sample count was not reached, so strictness is preserved
+    with pytest.raises(ValueError):
+        FL.decode_pcm(data[:-40] + id3v1)

@@ -554,3 +554,17 @@ def test_semdedup_codebook_broadcasts_and_pairs_join_is_equi(spark):
     assert "BroadcastExchange" in p, p[:1500]
     assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
             or "BroadcastHashJoin" in p), p[:1500]
+
+
+def test_sql_text_q3_broadcasts_and_take_orders(spark):
+    """sql1: the ANSI-SQL-text surface must plan exactly like the
+    hand-built joins — the filtered customer dim broadcasts into the
+    orders/lineitem join and the top-10 is TakeOrderedAndProject
+    (per-partition heaps), never a global Sort. Also pins that the
+    exact-DECIMAL cents arithmetic (the r7 rounding fix) stays wholly
+    JVM-side — no Python in the plan."""
+    p = plan_of(registry.QUERIES["sql1_tpch_q3_text"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p[:1500]
+    assert "TakeOrderedAndProject" in p, p[:1500]
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

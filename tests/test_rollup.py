@@ -91,6 +91,32 @@ def test_delete_in_range_forces_full_recompute(spark, tmp_path):
     assert _got(spark, rp) == _expected(spark, fact)
 
 
+def test_mor_dv_commit_forces_full_recompute(spark, tmp_path):
+    """A MOR delete/update publishes only deletion vectors — no
+    "remove" entry in the commit — yet is NOT append-only: folding
+    the range incrementally would never subtract the DV-masked rows
+    (stale aggregates after DELETE, double counts after UPDATE)."""
+    fact, rp = str(tmp_path / "fact"), str(tmp_path / "rollup")
+    writers.append_rows(_batch(spark, 0, 100), fact)
+    rollup.define_rollup(rp, fact, ["bucket"], MEASURES)
+    rollup.refresh_rollup(spark, rp)
+
+    assert writers.delete_rows(
+        spark, fact, "amount >= 90.0", mode="mor"
+    ) == 10
+    out = rollup.refresh_rollup(spark, rp)
+    assert out["mode"] == "full"
+    assert _got(spark, rp) == _expected(spark, fact)
+
+    writers.update_rows(
+        spark, fact, "amount < 5.0", {"amount": "amount + 1000.0"},
+        mode="mor",
+    )
+    out = rollup.refresh_rollup(spark, rp)
+    assert out["mode"] == "full"
+    assert _got(spark, rp) == _expected(spark, fact)
+
+
 def test_compaction_in_range_stays_incremental(spark, tmp_path):
     """A base (compaction) commit adds no rows — the change feed skips
     it and the fold stays incremental and correct."""
