@@ -2510,3 +2510,246 @@ def x45_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("is_removed").cast("long").alias("n_removed"),
         )
     )
+
+
+def _fp_quantize(col):
+    """Embedding → fixed-point BIGINT components: floor(x·10⁴). One
+    IEEE multiply + floor per component, bit-identical in any engine;
+    every downstream sum/distance on the integers is then exact and
+    accumulation-order-free — the discipline that makes iterative
+    k-means gradable cross-engine at all (float Lloyd means depend on
+    partition-level reduce order; integer sums don't)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * 10000).cast("long")
+    )
+
+
+def _fp_sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _fp_assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment on fixed-point vectors: broadcast
+    the codebook, integer L2 fold per (vector, cell), argmin with
+    ties → lowest cell id. Map-side except the per-vector argmin
+    groupBy — the x4h shape."""
+    a = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell", _fp_sqdist(F.col("qa"), F.col("c")).alias("dist")
+    )
+    m = a.groupBy("vec_id").agg(F.min("dist").alias("md"))
+    return (
+        a.join(m, "vec_id")
+        .filter(F.col("dist") == F.col("md"))
+        .groupBy("vec_id")
+        .agg(F.min("cell").alias("cell"))
+    )
+
+
+def _fp_lloyd(qdf: DataFrame, train: DataFrame, k: int, iters: int) -> DataFrame:
+    """`iters` Lloyd iterations over the training sample, entirely in
+    fixed-point integers: seeds are the first ``k`` vec_ids, the mean
+    is floor(Σqⱼ / n) via one exactly-specified double division per
+    component. Returns (cell, c: array<bigint>); a cell that loses
+    every member drops out (k' ≤ k), identically in both engines."""
+    cent = qdf.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cell"), F.col("qa").alias("c")
+    )
+    for _ in range(iters):
+        assigned = _fp_assign(train, cent)
+        long = (
+            assigned.join(train, "vec_id")
+            .select("cell", F.posexplode("qa").alias("j", "qj"))
+        )
+        comps = long.groupBy("cell", "j").agg(
+            F.floor(
+                F.sum("qj").cast("double") / F.count(F.lit(1))
+            ).cast("long").alias("cj")
+        )
+        cent = comps.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cj"))),
+                lambda s: s["cj"],
+            ).alias("c")
+        )
+    return cent
+
+
+@query(
+    "x45b_semdedup_trained",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qa
+      FROM embeddings
+    ), train AS (
+      SELECT * FROM q WHERE vec_id % 4 = 0
+    ), cent0 AS (
+      SELECT vec_id AS cell, qa AS c FROM q WHERE vec_id < 8
+    ), a1 AS (
+      SELECT t.vec_id, s.cell,
+             list_reduce([CAST(0 AS BIGINT)] ||
+               list_transform(list_zip(t.qa, s.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) AS dist
+      FROM train t, cent0 s
+    ), m1 AS (
+      SELECT vec_id, min(dist) AS md FROM a1 GROUP BY 1
+    ), as1 AS (
+      SELECT a1.vec_id, min(cell) AS cell
+      FROM a1 JOIN m1 ON a1.vec_id = m1.vec_id AND a1.dist = m1.md
+      GROUP BY 1
+    ), c1 AS (
+      SELECT cell, r.j,
+             CAST(floor(CAST(sum(t.qa[CAST(r.j AS INTEGER) + 1]) AS DOUBLE)
+                        / count(*)) AS BIGINT) AS cj
+      FROM as1 JOIN train t USING (vec_id), range(0, 64) r(j)
+      GROUP BY cell, r.j
+    ), cent1 AS (
+      SELECT cell, list(cj ORDER BY j) AS c FROM c1 GROUP BY cell
+    ), a2 AS (
+      SELECT t.vec_id, s.cell,
+             list_reduce([CAST(0 AS BIGINT)] ||
+               list_transform(list_zip(t.qa, s.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) AS dist
+      FROM train t, cent1 s
+    ), m2 AS (
+      SELECT vec_id, min(dist) AS md FROM a2 GROUP BY 1
+    ), as2 AS (
+      SELECT a2.vec_id, min(cell) AS cell
+      FROM a2 JOIN m2 ON a2.vec_id = m2.vec_id AND a2.dist = m2.md
+      GROUP BY 1
+    ), c2 AS (
+      SELECT cell, r.j,
+             CAST(floor(CAST(sum(t.qa[CAST(r.j AS INTEGER) + 1]) AS DOUBLE)
+                        / count(*)) AS BIGINT) AS cj
+      FROM as2 JOIN train t USING (vec_id), range(0, 64) r(j)
+      GROUP BY cell, r.j
+    ), cent2 AS (
+      SELECT cell, list(cj ORDER BY j) AS c FROM c2 GROUP BY cell
+    ), af AS (
+      SELECT q.vec_id, s.cell,
+             list_reduce([CAST(0 AS BIGINT)] ||
+               list_transform(list_zip(q.qa, s.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) AS dist
+      FROM q, cent2 s
+    ), mf AS (
+      SELECT vec_id, min(dist) AS md FROM af GROUP BY 1
+    ), v AS (
+      SELECT asf.vec_id, asf.cell AS centroid_id, q.qa,
+             list_reduce([CAST(0 AS BIGINT)] ||
+               list_transform(q.qa, x -> x * x),
+               (acc, x) -> acc + x) AS n2
+      FROM (
+        SELECT af.vec_id, min(cell) AS cell
+        FROM af JOIN mf ON af.vec_id = mf.vec_id AND af.dist = mf.md
+        GROUP BY 1
+      ) asf JOIN q ON q.vec_id = asf.vec_id
+    ), removed AS (
+      SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE list_reduce([CAST(0 AS BIGINT)] ||
+              list_transform(list_zip(a.qa, b.qa), p -> p[1] * p[2]),
+              (acc, x) -> acc + x) > 0
+        AND 16.0 * CAST(list_reduce([CAST(0 AS BIGINT)] ||
+              list_transform(list_zip(a.qa, b.qa), p -> p[1] * p[2]),
+              (acc, x) -> acc + x) AS DOUBLE)
+            * CAST(list_reduce([CAST(0 AS BIGINT)] ||
+              list_transform(list_zip(a.qa, b.qa), p -> p[1] * p[2]),
+              (acc, x) -> acc + x) AS DOUBLE)
+            >= CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)
+    )
+    SELECT v.centroid_id,
+           count(*) AS n_vecs,
+           CAST(count(CASE WHEN r.vec_id IS NULL THEN 1 END) AS BIGINT)
+             AS n_kept,
+           CAST(count(r.vec_id) AS BIGINT) AS n_removed
+    FROM v LEFT JOIN removed r ON r.vec_id = v.vec_id
+    GROUP BY v.centroid_id
+    """,
+)
+def x45b_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45b: SemDeDup on TRAINED centroids (VERDICT r7 #4) — the full
+    composition x45 only claimed: x4e's sampled-Lloyd k-means (2
+    iterations, seeds = first 8 vec_ids, deterministic 1/4 hash
+    sample) supplies the codebook, then the within-cluster cosine
+    prune runs against it. The whole pipeline — training included —
+    is oracle-graded bit-exact via the fixed-point discipline
+    (_fp_quantize): vectors quantize to BIGINT once, Lloyd means are
+    floor(Σ/n) (one exactly-specified double division per component),
+    distances are integer folds, and the cosine≥0.25 prune is the
+    sqrt-free integer form dot>0 ∧ 16·dot² ≥ ‖a‖²·‖b‖² (compared in
+    DOUBLE — same IEEE sequence both engines, no accumulation-order
+    dependence anywhere).
+
+    100 TB shape, same as x45: the codebook broadcasts into every
+    assignment pass (training touches only the 1/4 sample; at scale
+    the trained codebook is materialized once, k×d ints); the pairs
+    join is a hash equi-join on centroid_id, quadratic only within a
+    cluster. Reference anchor: clustering+prune replaces the
+    reference's per-document Gemini-embedding comparisons
+    (main.py:694-715's extract path feeding dedup downstream)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.select("vec_id", _fp_quantize(F.col("embedding")).alias("qa"))
+    train = qdf.filter(F.col("vec_id") % 4 == 0)
+    cent = _fp_lloyd(qdf, train, k=8, iters=2)
+    v = (
+        _fp_assign(qdf, cent)
+        .withColumnRenamed("cell", "centroid_id")
+        .join(qdf, "vec_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "qa",
+            F.aggregate(
+                F.transform(F.col("qa"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("n2"),
+        )
+    )
+    va, vb = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qa"), F.col("b.qa"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    removed = (
+        va.join(
+            vb,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"),
+                dot.alias("dot"),
+                F.col("a.n2").alias("na2"), F.col("b.n2").alias("nb2"))
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(16.0)
+                * F.col("dot").cast("double")
+                * F.col("dot").cast("double")
+                >= F.col("na2").cast("double") * F.col("nb2").cast("double")
+            )
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_removed", F.lit(1))
+    )
+    return (
+        v.join(removed, "vec_id", "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count(F.when(F.col("is_removed").isNull(), 1))
+            .cast("long").alias("n_kept"),
+            F.count("is_removed").cast("long").alias("n_removed"),
+        )
+    )
