@@ -135,3 +135,79 @@ def test_arith_lsh_near_dup_pair_recall(spark):
     assert exact, "exact near-dup baseline unexpectedly empty"
     assert len(exact & approx) / len(exact) >= 0.85
     assert approx <= exact
+
+
+def test_semdedup_trained_prune_recall(spark):
+    """x45b (cluster-bounded SemDeDup prune on trained centroids) vs
+    the exact all-pairs prune at the same cos≥0.25 bar (VERDICT r7
+    #4): what fraction of truly-removable near-dup vectors does the
+    cluster-bounded pass catch? Clustering trades recall for the
+    bounded quadratic term — SemDeDup's core bet — so the measure is
+    removal recall, not pair recall. Measured 0.763 at sf0.001 and
+    0.771 at sf0.01 (k=8, 2 Lloyd iterations); floor pinned at 0.7.
+    Precision is structural: within-cluster pairs use the identical
+    integer prune predicate, so every clustered removal is a true
+    removal (asserted as a subset check)."""
+    import pyspark.sql.functions as F
+
+    from pdf_etl_engine_spark.operators.extensions import (
+        _fp_assign,
+        _fp_lloyd,
+        _fp_quantize,
+        load_table,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qdf = emb.select("vec_id", _fp_quantize(F.col("embedding")).alias("qa"))
+    n2 = qdf.select(
+        "vec_id",
+        "qa",
+        F.aggregate(
+            F.transform("qa", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n2"),
+    )
+
+    def removed_set(v):
+        va, vb = v.alias("a"), v.alias("b")
+        dot = F.aggregate(
+            F.zip_with(F.col("a.qa"), F.col("b.qa"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        cond = F.col("a.vec_id") < F.col("b.vec_id")
+        if "centroid_id" in v.columns:
+            cond = cond & (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        r = (
+            va.join(vb, cond)
+            .select(
+                F.col("b.vec_id").alias("vec_id"),
+                dot.alias("dot"),
+                F.col("a.n2").alias("na2"),
+                F.col("b.n2").alias("nb2"),
+            )
+            .filter(
+                (F.col("dot") > 0)
+                & (
+                    F.lit(16.0)
+                    * F.col("dot").cast("double")
+                    * F.col("dot").cast("double")
+                    >= F.col("na2").cast("double") * F.col("nb2").cast("double")
+                )
+            )
+            .select("vec_id")
+            .distinct()
+        )
+        return {row["vec_id"] for row in r.collect()}
+
+    exact = removed_set(n2)
+    assert exact, "exact all-pairs prune unexpectedly empty"
+    train = qdf.filter(F.col("vec_id") % 4 == 0)
+    cent = _fp_lloyd(qdf, train, k=8, iters=2)
+    clustered = removed_set(
+        _fp_assign(qdf, cent).withColumnRenamed("cell", "centroid_id").join(n2, "vec_id")
+    )
+    assert clustered <= exact, "clustered prune produced a false removal"
+    recall = len(clustered & exact) / len(exact)
+    assert recall >= 0.7, f"semdedup removal recall {recall}"
