@@ -568,3 +568,73 @@ def test_sql_text_q3_broadcasts_and_take_orders(spark):
     assert "TakeOrderedAndProject" in p, p[:1500]
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_semdedup_hot_cluster_splits_under_aqe(spark):
+    """x45's docstring claims "a hot cluster splits under AQE"
+    (VERDICT r7 #5): measured here on a skewed-cluster fixture where
+    cluster 0 holds ~50% of all vectors. With the skew thresholds
+    scaled to fixture size (the 256 MB production default, scaled so
+    the sub-MB hot partition qualifies), AQE must mark the pairs
+    self-join SortMergeJoin(skew=true) and split both skewed sides
+    (AQEShuffleRead skewed) — turning the one-task hot cluster into
+    parallel mapper-range sub-joins. tools/semdedup_skew_bench.py
+    records the wall-clock effect at two sizes.
+
+    Two conditions make the split legal, both true of the real x45
+    shape: the join is Inner (both skewed sides splittable) and the
+    downstream `distinct(vec_id)` re-shuffles on a different key, so
+    splitting destroys no reusable output partitioning. (A downstream
+    groupBy(centroid_id) WOULD suppress the split to save its
+    shuffle — that variant needs forceOptimizeSkewedJoin; documented,
+    not x45's shape: x45's per-cluster accounting groupBy runs after
+    the removed-set join, behind the distinct boundary.)"""
+    n = 40_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.when(F.pmod(F.xxhash64("id"), F.lit(100)) < 50, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(31)) + 1)
+            .alias("centroid_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        a, b = df.alias("a"), df.alias("b")
+        j = (
+            a.join(
+                b,
+                (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(F.col("b.vec_id").alias("vec_id"))
+            .distinct()
+        )
+        n_removed = len(j.collect())  # AQE finalizes THIS df's plan
+        p = plan_of(j)
+        assert "(skew=true)" in p, p[:2000]
+        # reads print "skewed" or "coalesced and skewed" depending on
+        # whether the coalescing rule also touched the stage
+        assert "and skewed" in p or "AQEShuffleRead skewed" in p, p[:2000]
+        # every vector except cluster minima has a lower-id cluster-mate
+        n_clusters = df.select("centroid_id").distinct().count()
+        assert n_removed == n - n_clusters
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

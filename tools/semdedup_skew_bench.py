@@ -1,0 +1,116 @@
+"""Measured AQE hot-cluster splitting for the SemDeDup pairs join
+(VERDICT r7 #5, companion to tests/test_plans.py::
+test_semdedup_hot_cluster_splits_under_aqe).
+
+Fixture: the x45 pairs-join shape — a self equi-join on centroid_id
+with a vec_id< inequality and a distinct(vec_id) downstream — on a
+corpus where cluster 0 holds ~50% of all vectors (the worst case the
+operator's "hot cluster splits under AQE" claim must survive). Two
+sizes, each timed with AQE skew-join OFF (hot cluster = one task)
+and ON (mapper-range sub-joins), best-of-3 warm. Skew thresholds are
+scaled to fixture size exactly as the test scales them; production
+keeps the 256 MB default.
+
+The quadratic hot-cluster work is identical either way — the split
+buys parallelism, not less work — so the ceiling on speedup is
+(cores busy after) / (cores busy before), and the measured gain
+grows with the hot cluster's share of total work.
+
+Run: python tools/semdedup_skew_bench.py  → one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HOT_PCT = 50
+SIZES = (40_000, 80_000)
+
+
+def _timed(fn, runs: int = 3) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.monotonic()
+        fn()
+        dt = time.monotonic() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
+
+
+def _point(spark, n: int) -> dict:
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.when(F.pmod(F.xxhash64("id"), F.lit(100)) < HOT_PCT, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(31)) + 1)
+            .alias("centroid_id"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+
+    def pairs_removed():
+        a, b = df.alias("a"), df.alias("b")
+        j = (
+            a.join(
+                b,
+                (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(F.col("b.vec_id").alias("vec_id"))
+            .distinct()
+        )
+        return j.count()
+
+    skew_conf = "spark.sql.adaptive.skewJoin.enabled"
+    spark.conf.set(skew_conf, "false")
+    n_off = pairs_removed()
+    t_off = _timed(pairs_removed)
+    spark.conf.set(skew_conf, "true")
+    n_on = pairs_removed()
+    t_on = _timed(pairs_removed)
+    assert n_off == n_on, "skew split changed the result"
+    return {
+        "rows": n,
+        "removed": n_on,
+        "skew_off_sec": t_off,
+        "skew_on_sec": t_on,
+        "speedup": round(t_off / t_on, 2),
+    }
+
+
+def main() -> None:
+    from pdf_etl_engine_spark.session import get_spark
+
+    spark = get_spark(app_name="semdedup-skew-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    for k, v in {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }.items():
+        spark.conf.set(k, v)
+    print(
+        json.dumps(
+            {
+                "metric": "semdedup_aqe_skew",
+                "hot_pct": HOT_PCT,
+                "points": [_point(spark, n) for n in SIZES],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
