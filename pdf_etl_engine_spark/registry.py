@@ -70,8 +70,11 @@ PRIORITY: tuple[str, ...] = (
     "j6_point_lookup",
     "j7_range_asof",
     "j8_skew_salted_join",
-    # A: aggregates
-    "a1_count_exists",
+    # A: aggregates (a1_count_exists rotated to the tail in r9 —
+    # its count(*)>0 shape is subsumed by a2's aggregates and the
+    # p6/j2 existence joins; the slot now grades the flagship
+    # LLM-curation composition x45b: train → assign → prune,
+    # oracle-checked bit-exact including the k-means training)
     "a2_groupby_pricing_summary",
     "a3_count_distinct",
     # r7: a4 (approximate HLL — inherently rows-only) moved to the
@@ -119,6 +122,10 @@ PRIORITY: tuple[str, ...] = (
     "x10_deterministic_sample",
     "x16_contamination",
     "x22_incremental_dedup_exact",
+    # r9: SemDeDup on TRAINED centroids — the end-to-end curation
+    # pipeline (sampled-Lloyd training + assignment + prune) graded
+    # by the driver, not just local parity
+    "x45b_semdedup_trained",
 )
 
 

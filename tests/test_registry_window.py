@@ -51,12 +51,15 @@ def test_every_component_family_has_window_representative():
         "x5b_media_decode", "x6_text_analysis_agg",
         "x10_deterministic_sample", "x16_contamination",
         "x22_incremental_dedup_exact",
+        # r9 rotation: the trained-SemDeDup composition replaces
+        # a1_count_exists (shape subsumed by a2 + p6/j2 existence)
+        "x45b_semdedup_trained",
     }
     assert required <= set(WINDOW)
     prefixes = {n.split("_")[0] for n in WINDOW}
     assert {f"p{i}" for i in range(2, 7)} <= prefixes
     assert {f"j{i}" for i in range(1, 9)} <= prefixes
-    assert {f"a{i}" for i in (1, 2, 3, 6, 7)} <= prefixes
+    assert {f"a{i}" for i in (2, 3, 6, 7)} <= prefixes
 
 
 def test_window_queries_are_oracle_graded_where_possible():
@@ -75,6 +78,8 @@ def test_tail_queries_still_registered():
                  # the tail in favor of the graded LSH scale path, and
                  # approximate HLL for the SQL-text surface
                  "x4c_embedding_near_dup", "a4_approx_count_distinct",
+                 # r9: rotated out for x45b_semdedup_trained
+                 "a1_count_exists",
                  "x3_dedup_near_minhash", "x7_quality_score",
                  # merged out of the window in round 4, still runnable
                  "s1_scan_parquet", "p1_project_all", "a5_rollup",
