@@ -170,6 +170,34 @@ SF1_X = (
     "x_zscore_outliers",
 )
 
+# r9 (VERDICT r8 #1): the six HEAVY X-surface operators — the ones
+# with the largest DuckDB twins, i.e. the 100 TB-posture queries whose
+# scale crossover was previously inferred from sf0.1. Measured
+# separately from SF1_X because the warm (plan-reuse) methodology is
+# meaningless here: re-executing the same lineage skips already-
+# materialized shuffle stages entirely (Spark's DAG scheduler reuses
+# map outputs), so a 90 s semantic-dedup "re-runs" in 80 ms. These six
+# are timed FRESH — the DataFrame is rebuilt each run, so every
+# shuffle recomputes — single timed run per engine (they run seconds
+# to minutes at sf1; run-to-run variance is amortized by the runtime
+# itself, and a second 90 s run buys noise reduction the round can't
+# afford). AQE is ON for the Spark side: it's the engine's shipped
+# profile and the skew-split behavior these operators rely on at
+# scale; its per-stage round-trip cost is noise at multi-second
+# stage granularity.
+SF1_X_HEAVY = (
+    "x_semdedup",
+    "x_containment_dedup",
+    "x_gopher_rules",
+    "x_ngram_surprisal",
+    "x_embedding_near_dup",
+    "x_pii_redact",
+)
+# wall-clock guard: if the heavy section exceeds this budget, the
+# remaining queries are skipped WITH A NOTE in the payload (no silent
+# truncation) so one pathological round can't sink the whole bench
+SF1_HEAVY_BUDGET_S = 900.0
+
 
 def bench_sf1(spark) -> dict:
     import duckdb
@@ -231,6 +259,91 @@ def bench_sf1(spark) -> dict:
     }
     if errors:
         out["errors"] = errors
+    return out
+
+
+def bench_sf1_heavy(spark) -> dict:
+    """Fresh-execution sf1 measurement of the six heavy X-surface
+    operators (see SF1_X_HEAVY). One timed run per engine per query;
+    the Spark DataFrame is rebuilt every time so nothing is reused
+    across runs except the parquet files themselves."""
+    import duckdb
+
+    from pdf_etl_engine_spark import catalog
+    from pdf_etl_engine_spark.catalog import TABLES
+    from tools.synth_sf1 import synth
+
+    sf1_dir = synth()
+    prior_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf1_dir}/{t}.parquet'"
+        )
+    spark_t: dict[str, float] = {}
+    duck_t: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    skipped: list[str] = []
+    t_section = time.perf_counter()
+    try:
+        for bench_name in SF1_X_HEAVY:
+            if time.perf_counter() - t_section > SF1_HEAVY_BUDGET_S:
+                skipped.append(bench_name)
+                continue
+            qname = X_SURFACE[bench_name]
+            fn = registry.QUERIES[qname]
+            try:
+                # settle: fills the table cache + Janino code cache so
+                # the timed run measures execution, not first-touch
+                # setup; rebuilt DataFrame → all stages recompute
+                catalog._DF_CACHE.clear()
+                fn(spark, sf1_dir).toPandas()
+                t0 = time.perf_counter()
+                fn(spark, sf1_dir).toPandas()
+                spark_t[bench_name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:
+                errors[bench_name] = f"{type(exc).__name__}: {exc}"[:200]
+                continue
+            sql = registry.ORACLES[qname]
+            # per-query oracle timeout: a pathological DuckDB plan at
+            # sf1 is reported as such instead of eating the bench
+            import threading
+
+            timer = threading.Timer(SF1_HEAVY_BUDGET_S / 2, con.interrupt)
+            timer.start()
+            try:
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                duck_t[bench_name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:
+                errors[bench_name] = (
+                    f"oracle: {type(exc).__name__}: {exc}"[:200]
+                )
+            finally:
+                timer.cancel()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
+        catalog._DF_CACHE.clear()
+    ratio = {
+        k: round(spark_t[k] / duck_t[k], 3)
+        for k in spark_t
+        if duck_t.get(k)
+    }
+    out = {
+        "sf": 1.0,
+        "methodology": "fresh_plan_single_run_aqe_on",
+        "spark_sec": spark_t,
+        "duckdb_sec": duck_t,
+        "ratio": ratio,
+    }
+    if errors:
+        out["errors"] = errors
+    if skipped:
+        out["skipped_over_budget"] = skipped
     return out
 
 
