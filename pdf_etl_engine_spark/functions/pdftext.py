@@ -72,11 +72,19 @@ Identity-H with a CFF-only program (r7): a name-keyed /FontFile3's
 charset maps GID→SID→glyph name, recovering Unicode through the AGL
 subset the way the TrueType path does (``_parse_cff_charset``).
 
-Not handled (documented limits): CID-KEYED CFF programs (top DICT
-carries ROS — the charset holds CIDs, not names; the one remaining
-mapping would be a /CIDSystemInfo-registered external CMap, rare
-outside CJK print workflows), and password-protected documents
-(correctly quarantined, not decoded).
+CID-keyed CFF with Adobe-Identity ROS (r10): the charset holds CIDs,
+not names, but subsetters that repackage a name-keyed font into a CID
+container routinely keep the glyph-name strings and assign each CID
+the name's custom-SID value — those CIDs resolve through the String
+INDEX → AGL exactly like the name-keyed path, and under Identity-H
+the content codes ARE the CIDs, so the mapping applies directly.
+Genuinely numeric CID assignments (entries below 391 or outside the
+String INDEX) stay unmapped and degrade to code-point fallback.
+
+Not handled (documented limits): CID-keyed CFF under a REGISTERED
+non-Identity ROS (Adobe-Japan1 etc. — needs the registry's external
+CMap tables, rare outside CJK print workflows), and
+password-protected documents (correctly quarantined, not decoded).
 """
 
 from __future__ import annotations
@@ -1101,11 +1109,74 @@ def _cff_top_dict(d: bytes) -> dict[int, list[int]]:
     return out
 
 
+def _cff_sid_str(sid: int, strings: list[bytes]) -> str | None:
+    """SID → string: standard strings below 391, the font's String
+    INDEX above. None when out of range."""
+    if sid < 391:
+        return _CFF_STD[sid] if sid < len(_CFF_STD) else None
+    idx = sid - 391
+    return (
+        strings[idx].decode("latin-1", errors="replace")
+        if idx < len(strings)
+        else None
+    )
+
+
+def _read_cff_charset(cff: bytes, top: dict[int, list[int]]) -> list[int] | None:
+    """The charset array indexed by glyph id (entry = SID for
+    name-keyed fonts, CID for CID-keyed ones). None for Expert
+    predefined charsets or malformed structure; predefined charset 0
+    returns the identity list."""
+    charstrings_off = top.get(17, [None])[-1]
+    if not charstrings_off or charstrings_off >= len(cff):
+        return None
+    n_glyphs = _u16(cff, charstrings_off)
+    charset_off = top.get(15, [0])[-1]
+    if charset_off in (0, 1, 2):
+        # predefined charsets: 0 = ISOAdobe (entry == GID for the
+        # standard range) is recoverable; Expert variants are not
+        if charset_off != 0:
+            return None
+        return list(range(n_glyphs))
+    if charset_off >= len(cff):
+        return None
+    fmt = cff[charset_off]
+    entries = [0]  # glyph 0 is always .notdef
+    q = charset_off + 1
+    if fmt == 0:
+        for _ in range(n_glyphs - 1):
+            entries.append(_u16(cff, q))
+            q += 2
+    elif fmt in (1, 2):
+        step = 3 if fmt == 1 else 4
+        while len(entries) < n_glyphs:
+            first = _u16(cff, q)
+            n_left = cff[q + 2] if fmt == 1 else _u16(cff, q + 2)
+            for k in range(n_left + 1):
+                if len(entries) >= n_glyphs:
+                    break
+                entries.append(first + k)
+            q += step
+    else:
+        return None
+    return entries
+
+
 def _parse_cff_charset(cff: bytes) -> dict[int, str] | None:
-    """``{glyph_id: char}`` from a name-keyed CFF's charset: GID → SID
-    → glyph name (standard strings for SID < 391, the font's String
-    INDEX above) → Unicode via the AGL subset. None for CID-keyed
-    fonts (ROS present — charset entries are CIDs, not names),
+    """``{code: char}`` recovered from a CFF's charset, keyed the way
+    Identity-H content codes arrive:
+
+    * name-keyed font → ``{glyph_id: char}``: GID → SID → glyph name
+      → Unicode via the AGL subset (codes are GIDs under Identity-H);
+    * CID-keyed font (ROS present) with Ordering "Identity" →
+      ``{cid: char}``: a CID that lands in the font's own String INDEX
+      (≥ 391) is a glyph name the subsetter preserved when wrapping a
+      name-keyed font into a CID container — resolve it like a custom
+      SID (codes are CIDs under Identity-H, so no GID hop is needed).
+      Numeric CIDs below 391 are ambiguous with standard SIDs of
+      unrelated glyphs and stay unmapped.
+
+    None for registered non-Identity ROS (needs external CMap tables),
     predefined/absent charsets without recoverable names, or any
     malformed structure (degrades to code-point fallback, never
     raises)."""
@@ -1119,56 +1190,34 @@ def _parse_cff_charset(cff: bytes) -> dict[int, str] | None:
         if not tops:
             return None
         top = _cff_top_dict(tops[0])
-        if 1230 in top:  # ROS → CID-keyed: charset is CIDs, not names
+        if 1230 in top:  # ROS → CID-keyed: charset is CIDs, not SIDs
+            ros = top[1230]
+            if len(ros) < 2 or _cff_sid_str(ros[1], strings) != "Identity":
+                return None
+            cids = _read_cff_charset(cff, top)
+            if cids is None:
+                return None
+            mapping: dict[int, str] = {}
+            for cid in cids:
+                if cid < 391:
+                    continue
+                name = _cff_sid_str(cid, strings)
+                if name is None:
+                    continue
+                ch = _glyph_to_char(
+                    name.encode("latin-1", errors="replace")
+                )
+                if ch is not None:
+                    mapping.setdefault(cid, ch)
+            return mapping or None
+        sids = _read_cff_charset(cff, top)
+        if sids is None:
             return None
-        charstrings_off = top.get(17, [None])[-1]
-        if not charstrings_off or charstrings_off >= len(cff):
-            return None
-        n_glyphs = _u16(cff, charstrings_off)
-        charset_off = top.get(15, [0])[-1]
-        if charset_off in (0, 1, 2):
-            # predefined charsets: 0 = ISOAdobe (SID == GID for the
-            # standard range) is recoverable; Expert variants are not
-            if charset_off != 0:
-                return None
-            sids = list(range(n_glyphs))
-        else:
-            if charset_off >= len(cff):
-                return None
-            fmt = cff[charset_off]
-            sids = [0]  # glyph 0 is always .notdef
-            q = charset_off + 1
-            if fmt == 0:
-                for _ in range(n_glyphs - 1):
-                    sids.append(_u16(cff, q))
-                    q += 2
-            elif fmt in (1, 2):
-                step = 3 if fmt == 1 else 4
-                while len(sids) < n_glyphs:
-                    first = _u16(cff, q)
-                    n_left = (
-                        cff[q + 2] if fmt == 1 else _u16(cff, q + 2)
-                    )
-                    for k in range(n_left + 1):
-                        if len(sids) >= n_glyphs:
-                            break
-                        sids.append(first + k)
-                    q += step
-            else:
-                return None
-        mapping: dict[int, str] = {}
+        mapping = {}
         for gid, sid in enumerate(sids):
             if sid == 0:
                 continue
-            if sid < 391:
-                name = _CFF_STD[sid] if sid < len(_CFF_STD) else None
-            else:
-                idx = sid - 391
-                name = (
-                    strings[idx].decode("latin-1", errors="replace")
-                    if idx < len(strings)
-                    else None
-                )
+            name = _cff_sid_str(sid, strings)
             if name is None:
                 continue
             ch = _glyph_to_char(name.encode("latin-1", errors="replace"))
@@ -1419,8 +1468,11 @@ def _build_font_tables(
         mapping: dict[int, str] = {}
         gidmap = _parse_ttf_cmap(blobs[ff2]) if ff2 in blobs else None
         if gidmap is None and ff3 in blobs:
-            # CFF program: the name-keyed charset is the GID→name
-            # source (r7); CID-keyed CFFs return None and degrade
+            # CFF program: the charset is the remaining glyph→name
+            # source — keyed by GID for name-keyed fonts (r7), by CID
+            # for Adobe-Identity CID-keyed ones (r10); either way the
+            # keys are what Identity-H content codes carry. Registered
+            # non-Identity ROS returns None and degrades
             gidmap = _parse_cff_charset(blobs[ff3])
         if gidmap:
             if c2g in blobs:
