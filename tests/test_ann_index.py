@@ -5,6 +5,8 @@ must (a) statically prune to the query's L bucket partitions and
 
 from __future__ import annotations
 
+import pytest
+
 import pathlib
 
 from pyspark.sql import functions as F
@@ -24,6 +26,7 @@ def _build(spark, tmp_path_factory):
     return out
 
 
+@pytest.mark.slow
 def test_index_layout_is_partitioned(spark, tmp_path_factory):
     out = _build(spark, tmp_path_factory)
     tdirs = sorted(p.name for p in pathlib.Path(out).glob("t=*"))
@@ -32,6 +35,7 @@ def test_index_layout_is_partitioned(spark, tmp_path_factory):
     assert 1 <= len(bdirs) <= 2**ann_index.N_BITS
 
 
+@pytest.mark.slow
 def test_probe_prunes_partitions(spark, tmp_path_factory):
     """The probe's scan must carry the bucket disjuncts as PARTITION
     filters (directory pruning), not data filters, and must read
@@ -58,6 +62,7 @@ def test_probe_prunes_partitions(spark, tmp_path_factory):
     assert pruned == 1 and total >= ann_index.N_TABLES
 
 
+@pytest.mark.slow
 def test_probe_matches_query_time_lsh(spark, tmp_path_factory):
     """Same (k, L) hyperplanes ⇒ the index probe and x4b produce the
     identical top-10 (ids and rounded scores)."""

@@ -11,6 +11,8 @@ uniform across the five event_type groups.
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from pdf_etl_engine_spark import registry
@@ -21,6 +23,7 @@ registry.load_all()
 from tests.conftest import SF_DIR_T2  # noqa: E402
 
 
+@pytest.mark.slow
 def test_a4_hll_relative_error_bound(spark):
     approx = {
         r["event_type"]: r["approx_users"]

@@ -58,6 +58,7 @@ def test_publish_commit_race_disjoint_versions(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_append_rows_race_no_file_loss(tmp_path, spark):
     """Two simultaneous append_rows on the same table: both commits
     publish, the snapshot holds the union of both row sets, and
@@ -98,6 +99,7 @@ def test_append_rows_race_no_file_loss(tmp_path, spark):
     assert got.count() == 100
 
 
+@pytest.mark.slow
 def test_vacuum_grace_protects_inflight_append(tmp_path, spark):
     """Vacuum at the grace boundary: a data file moved into the layout
     but not yet published (the append's in-flight window) survives a
@@ -272,6 +274,7 @@ def test_torn_checkpoint_falls_back(tmp_path):
     assert writers._fold_state(path) == good
 
 
+@pytest.mark.slow
 def test_vacuum_interleaved_with_checkpoints(tmp_path, spark):
     """Checkpoints + racing appends + vacuum: vacuum reclaims only
     aged orphans, committed data stays readable, and post-vacuum
@@ -309,6 +312,7 @@ def test_vacuum_interleaved_with_checkpoints(tmp_path, spark):
     )
 
 
+@pytest.mark.slow
 def test_cow_delete_conflicts_with_racing_compaction(
     spark, tmp_path, monkeypatch
 ):
@@ -340,6 +344,7 @@ def test_cow_delete_conflicts_with_racing_compaction(
     assert writers.read_fact_table(spark, path).count() == 2
 
 
+@pytest.mark.slow
 def test_compaction_conflicts_with_racing_append(
     spark, tmp_path, monkeypatch
 ):
@@ -375,6 +380,7 @@ def test_compaction_conflicts_with_racing_append(
     assert writers.read_fact_table(spark, path).count() == 5
 
 
+@pytest.mark.slow
 def test_mor_deletes_on_same_file_conflict(spark, tmp_path, monkeypatch):
     """OCC: two MOR deletes masking the same file race — the second
     built its cumulative DV without the first's rows, so publishing

@@ -13,6 +13,8 @@ Three pins (VERDICT r2 next-round #3):
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -29,6 +31,7 @@ registry.load_all()
 SF_DIR = os.environ.get("SPARK_GRAFT_T2_SF_DIR", "/root/testdata/sf0.01")
 
 
+@pytest.mark.slow
 def test_star_cc_exact_on_handcrafted_graph(spark):
     """Chain of 8 (multi-round convergence), a triangle, one isolated
     vertex, and a 2-node component — exact component minimums."""
@@ -52,6 +55,7 @@ def test_star_cc_exact_on_handcrafted_graph(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_x14b_edge_gen_has_no_cartesian_product(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     plan = (
@@ -64,6 +68,7 @@ def test_x14b_edge_gen_has_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+@pytest.mark.slow
 def test_x14b_components_match_exact_x14(spark):
     exact = {
         r["vec_id"]: r["component"]

@@ -36,6 +36,7 @@ def _mk_table(spark, path, n=100, folders=("f1", "f2")):
     return path
 
 
+@pytest.mark.slow
 def test_mor_delete_masks_without_rewriting(spark, tmp_path):
     t = _mk_table(spark, str(tmp_path / "t"))
     before = sorted(W.committed_files(t))
@@ -49,6 +50,7 @@ def test_mor_delete_masks_without_rewriting(spark, tmp_path):
     assert got.filter("k % 10 = 3").count() == 0
 
 
+@pytest.mark.slow
 def test_mor_delete_is_cumulative_and_idempotent(spark, tmp_path):
     t = _mk_table(spark, str(tmp_path / "t"))
     assert W.delete_rows(spark, t, "k % 10 = 3", mode="mor") == 10
@@ -70,6 +72,7 @@ def test_mor_delete_time_travel(spark, tmp_path):
     assert W.read_fact_table(spark, t, version=v0).count() == 100
 
 
+@pytest.mark.slow
 def test_mor_then_cow_rewrite_drops_stale_dv(spark, tmp_path):
     t = _mk_table(spark, str(tmp_path / "t"))
     W.delete_rows(spark, t, "k % 10 = 3", mode="mor")
@@ -87,6 +90,7 @@ def test_mor_then_cow_rewrite_drops_stale_dv(spark, tmp_path):
     assert W.committed_files(t) == []
 
 
+@pytest.mark.slow
 def test_mor_merge_masks_matches_and_appends_source(spark, tmp_path):
     t = _mk_table(spark, str(tmp_path / "t"))
     files_before = set(W.committed_files(t))
@@ -103,6 +107,7 @@ def test_mor_merge_masks_matches_and_appends_source(spark, tmp_path):
     assert [r["v"] for r in got.filter("k = 5000").collect()] == [1]
 
 
+@pytest.mark.slow
 def test_mor_delete_retires_fully_masked_files(spark, tmp_path):
     # a file whose every row ends up masked leaves the snapshot
     # outright — no zombie 100%-masked DV entry, still no rewrite
@@ -134,6 +139,7 @@ def test_mor_delete_retires_fully_masked_files(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_compaction_applies_dv_and_resets_map(spark, tmp_path):
     t = _mk_table(spark, str(tmp_path / "t"))
     W.delete_rows(spark, t, "k % 10 = 3", mode="mor")
@@ -144,6 +150,7 @@ def test_compaction_applies_dv_and_resets_map(spark, tmp_path):
     assert got.filter("k % 10 = 3").count() == 0
 
 
+@pytest.mark.slow
 def test_vacuum_reclaims_superseded_dv_dirs(spark, tmp_path):
     t = _mk_table(spark, str(tmp_path / "t"))
     W.delete_rows(spark, t, "k = 1", mode="mor")
@@ -198,6 +205,7 @@ def test_dv_file_keys_match_committed_names(spark, tmp_path):
     assert keys <= set(W.committed_files(t))
 
 
+@pytest.mark.slow
 def test_mor_delete_exactly_once_under_txn_replay(spark, tmp_path):
     # streaming foreachBatch replay around a MOR delete: the delete
     # commit bumps the version but carries no txn, so append txn

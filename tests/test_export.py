@@ -5,6 +5,8 @@ and honest in its manifest accounting."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import json
 import os
@@ -27,6 +29,7 @@ def _content_hash(spark, out_dir) -> str:
     return h.hexdigest()
 
 
+@pytest.mark.slow
 def test_export_manifest_accounts_for_every_doc(spark, tmp_path):
     out = str(tmp_path / "shards")
     m = export_training_shards(spark, SF_DIR, out, epoch=0, n_shards=4)
@@ -54,6 +57,7 @@ def test_export_manifest_accounts_for_every_doc(spark, tmp_path):
         assert r["max(pos)"] == r["count(1)"]
 
 
+@pytest.mark.slow
 def test_export_is_deterministic_per_epoch_and_reshuffles_across(
     spark, tmp_path
 ):
@@ -74,6 +78,7 @@ def test_export_is_deterministic_per_epoch_and_reshuffles_across(
     assert da == dc
 
 
+@pytest.mark.slow
 def test_export_with_bpe_tokens(spark, tmp_path):
     from pdf_etl_engine_spark.catalog import load_table
     from pdf_etl_engine_spark.operators import tokenizer

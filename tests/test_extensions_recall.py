@@ -9,6 +9,8 @@ top-10 at cos 0.28-0.41) — and IVF nprobe=6/16 for x4e.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pdf_etl_engine_spark import registry
@@ -29,6 +31,7 @@ def _pairs(spark, name):
     }
 
 
+@pytest.mark.slow
 def test_lsh_topk_recall_at_10(spark):
     """x4b (multi-table LSH) vs x4 (exact brute force): recall@10.
     Measured 1.0 at sf0.01, 0.9 at sf0.1 with k=3, L=12."""
@@ -37,6 +40,7 @@ def test_lsh_topk_recall_at_10(spark):
     assert len(exact & approx) / len(exact) >= 0.8
 
 
+@pytest.mark.slow
 def test_ivf_topk_recall_at_10(spark):
     """x4e (trained IVF, nprobe=6/16) vs x4: recall@10 on the driver's
     NEAR-UNIFORM testdata, where no coarse quantizer can beat the
@@ -51,6 +55,7 @@ def test_ivf_topk_recall_at_10(spark):
     assert len(exact & approx) / len(exact) >= 0.3
 
 
+@pytest.mark.slow
 def test_ivf_trained_recall_clustered(spark):
     """The ≥0.9-recall claim for trained IVF (x4e's exact
     configuration: sampled k-means seeds + 2 Lloyd iterations,
@@ -114,6 +119,7 @@ def test_ivf_trained_recall_clustered(spark):
     assert recall >= 0.9, f"trained-IVF clustered recall {recall}"
 
 
+@pytest.mark.slow
 def test_lsh_near_dup_pair_recall(spark):
     """x4d (LSH-bucketed pair generation) vs x4c (exact O(n²) pairs at
     cos≥0.25): pair recall. Measured 0.947 at sf0.01, 0.941 at sf0.1."""
@@ -125,6 +131,7 @@ def test_lsh_near_dup_pair_recall(spark):
     assert approx <= exact
 
 
+@pytest.mark.slow
 def test_arith_lsh_near_dup_pair_recall(spark):
     """x4i (the GRADED integer-plane LSH path, r7) vs x4c: the recall
     anchor the window swap promised — the oracle-graded scale path
@@ -137,6 +144,7 @@ def test_arith_lsh_near_dup_pair_recall(spark):
     assert approx <= exact
 
 
+@pytest.mark.slow
 def test_semdedup_trained_prune_recall(spark):
     """x45b (cluster-bounded SemDeDup prune on trained centroids) vs
     the exact all-pairs prune at the same cos≥0.25 bar (VERDICT r7

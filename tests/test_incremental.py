@@ -6,6 +6,8 @@ decision is individually observable.
 
 from __future__ import annotations
 
+import pytest
+
 from pdf_etl_engine_spark.operators import incremental as I
 
 DOC_SCHEMA = "doc_id bigint, lang string, text string"
@@ -31,18 +33,21 @@ def _df(spark, rows):
     return spark.createDataFrame(rows, DOC_SCHEMA)
 
 
+@pytest.mark.slow
 def test_exact_layer_drops_only_byte_identical(spark):
     store = I.fingerprints(_df(spark, CORPUS))
     accepted = I.dedup_against_store(_df(spark, BATCH), store, near=False)
     assert sorted(r["doc_id"] for r in accepted.collect()) == [11, 12]
 
 
+@pytest.mark.slow
 def test_near_layer_drops_band_collisions(spark):
     store = I.fingerprints(_df(spark, CORPUS))
     accepted = I.dedup_against_store(_df(spark, BATCH), store, near=True)
     assert sorted(r["doc_id"] for r in accepted.collect()) == [12]
 
 
+@pytest.mark.slow
 def test_accept_loop_extends_the_store(spark):
     """Appending an accepted batch's fingerprints makes the store
     reject a re-offer of the same content."""
@@ -62,6 +67,7 @@ def test_store_carries_no_text(spark):
     assert set(fp.columns) == {"fp_id", "content_sha", "band_id", "band_sig"}
 
 
+@pytest.mark.slow
 def test_staged_store_matches_lazy_fingerprints(spark):
     """The disk-staged store and the lazily-derived store hold the
     same fingerprint rows for the same corpus."""
@@ -73,6 +79,7 @@ def test_staged_store_matches_lazy_fingerprints(spark):
     assert staged.exceptAll(lazy).count() == 0
 
 
+@pytest.mark.slow
 def test_bucketed_store_shuffle_free_probe(spark, sf_dir):
     """VERDICT r4 #6: the fingerprint store as bucketed tables — the
     store side of both probe joins is an Exchange-free bucketed scan,

@@ -127,6 +127,7 @@ def test_column_and_python_inference_agree(spark):
 
 # --- F1/F11: sanitizers ---------------------------------------------------
 
+@pytest.mark.slow
 def test_sanitizers(spark):
     assert kernel.sanitize_ident_py("Total Amount ($)") == "total_amount____"
     assert kernel.kpi_col_name("Rig ID") == "kpi_rig_id"
@@ -168,6 +169,7 @@ def test_strip_fences_and_json_map(spark):
         max_size=50,
     )
 )
+@pytest.mark.slow
 def test_coercion_total_on_arbitrary_strings(spark, values):
     """Invariant of main.py:219-250: any string coerces or NULLs —
     never raises (ANSI-safety of the kernels)."""
@@ -183,6 +185,7 @@ def test_coercion_total_on_arbitrary_strings(spark, values):
         assert r["t"] in T.LOGICAL_TYPES
 
 
+@pytest.mark.slow
 def test_fuzzy_date_udf(spark):
     """The optional dateutil-fuzzy UDF handles shapes the chain
     declines, and still never raises."""

@@ -8,6 +8,8 @@ nothing reaches into internals except version numbers.
 
 from __future__ import annotations
 
+import pytest
+
 from pdf_etl_engine_spark import pipeline
 from pdf_etl_engine_spark.service import HmacTokenVerifier, Service
 from pdf_etl_engine_spark.sources import rollup, writers
@@ -20,6 +22,7 @@ KPI_META = [
 ]
 
 
+@pytest.mark.slow
 def test_full_table_lifecycle(tmp_path, spark):
     cat = pipeline.Catalog(spark, str(tmp_path / "catalog"))
     cat.create_folder("u1", "invoices", kpi_metadata=KPI_META)

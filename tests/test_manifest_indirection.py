@@ -7,6 +7,8 @@ touched). Every log consumer resolves through ``_load_commit``."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 import time
@@ -45,6 +47,7 @@ def test_wide_commit_spills_to_manifest(spark, tmp_path, monkeypatch):
     assert len(state["stats"]) == 8
 
 
+@pytest.mark.slow
 def test_manifest_backed_dml_and_history(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(writers, "_MANIFEST_INLINE_MAX", 3)
     path = str(tmp_path / "facts")

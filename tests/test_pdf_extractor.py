@@ -126,6 +126,7 @@ KPI_META = [
 ]
 
 
+@pytest.mark.slow
 def test_pdf_ingest_end_to_end_golden(tmp_path, spark):
     """The reference's full core loop on actual PDF bytes: scan →
     extract (real parse) → pivot → coerce → append → read back."""
@@ -276,6 +277,7 @@ def _encrypt_pdf_aes256(lines: list[str], password: bytes = b"") -> bytes:
     return bytes(out)
 
 
+@pytest.mark.slow
 def test_encrypted_pdf_ingest_end_to_end(tmp_path, spark):
     """An AES-256 owner-locked invoice ingests transparently through
     the full Spark pipeline (decrypt → inflate → extract → coerce),

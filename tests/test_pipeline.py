@@ -38,6 +38,7 @@ def workspace(tmp_path, spark):
     return tmp_path, cat, str(tmp_path / "facts")
 
 
+@pytest.mark.slow
 def test_ingest_golden(workspace, spark):
     root, cat, facts = workspace
     _write_doc(
@@ -74,6 +75,7 @@ def test_ingest_golden(workspace, spark):
     assert r2["kpi_status"] is None  # missing → N/A → NULL
 
 
+@pytest.mark.slow
 def test_schema_evolution_add_column(workspace, spark):
     """S5: a later batch carries a new KPI column; earlier rows read
     NULL for it; columns are never dropped (main.py:277-291)."""
@@ -169,6 +171,7 @@ def test_discover_fields(workspace, spark):
     assert fields["Notes"][1] == "string"
 
 
+@pytest.mark.slow
 def test_multi_folder_batch_is_one_extraction_job(tmp_path, spark):
     """A 20-folder batch must run O(1) Spark jobs (one extraction, one
     append), not O(folders) — the old per-folder driver loop ran 3+
@@ -209,6 +212,7 @@ def test_multi_folder_batch_is_one_extraction_job(tmp_path, spark):
     assert row["kpi_metric_3"] == 3.0
 
 
+@pytest.mark.slow
 def test_extractor_fault_injection_quarantines_and_completes(
     tmp_path, spark
 ):
@@ -242,6 +246,7 @@ def test_extractor_fault_injection_quarantines_and_completes(
     assert committed.count() == 6
 
 
+@pytest.mark.slow
 def test_extractor_retry_recovers_transient_failures(tmp_path, spark):
     """A failure that clears within the retry budget commits normally
     (rate-limit shape: fail, back off, succeed)."""
@@ -294,6 +299,7 @@ def test_rate_limiter_paces_calls():
         pipeline.RateLimiter(max_rps=0)
 
 
+@pytest.mark.slow
 def test_extract_batch_honors_max_rps(spark):
     """Plumbing check: max_rps flows through extract_kpis_batch and
     extraction still completes correctly under pacing."""
@@ -312,6 +318,7 @@ def test_extract_batch_honors_max_rps(spark):
     assert json.loads(rows[0]["raw_extract"]) == {"Amount": "7"}
 
 
+@pytest.mark.slow
 def test_catalog_reads_pre_r5_schema(tmp_path, spark):
     """Round-4 catalogs (folders without selected_kpis/kpi_samples,
     shares without created_at) keep working under the widened explicit

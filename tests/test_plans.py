@@ -82,19 +82,26 @@ def test_relational_paths_have_no_python(spark):
     in the explicitly-Python operators: extractor U1, multimodal X5 —
     x5b/x5c/x5d are X5's oracle-graded decode/resize/format queries
     and are Python BY DESIGN, the Arrow-batched codec path)."""
-    offenders = []
-    for name in sorted(
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = sorted(
         set(registry.ORACLES)
         - {"x5b_media_decode", "x5c_resize_pipeline", "x5d_media_formats",
            "x42_image_ahash_dedup", "x43_audio_fingerprint_dedup"}
         # x42/x43: real pixel/PCM decode, Python by design (x5 family)
-    ):
+    )
+
+    def check(name: str) -> str | None:
+        # driver-side analysis only — thread-safe, no job runs
         p = plan_of(registry.QUERIES[name](spark, SF_DIR))
-        if any(
+        hit = any(
             marker in p
             for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
-        ):
-            offenders.append(name)
+        )
+        return name if hit else None
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = [n for n in pool.map(check, names) if n]
     assert not offenders, f"Python in relational plans: {offenders}"
 
 

@@ -49,6 +49,7 @@ MEASURES = {
 }
 
 
+@pytest.mark.slow
 def test_initial_refresh_is_full_and_correct(spark, tmp_path):
     fact, rp = str(tmp_path / "fact"), str(tmp_path / "rollup")
     writers.append_rows(_batch(spark, 0, 100), fact)
@@ -60,6 +61,7 @@ def test_initial_refresh_is_full_and_correct(spark, tmp_path):
     assert rollup.refresh_rollup(spark, rp)["mode"] == "noop"
 
 
+@pytest.mark.slow
 def test_append_only_range_folds_incrementally(spark, tmp_path):
     fact, rp = str(tmp_path / "fact"), str(tmp_path / "rollup")
     writers.append_rows(_batch(spark, 0, 100), fact)
@@ -73,6 +75,7 @@ def test_append_only_range_folds_incrementally(spark, tmp_path):
     assert _got(spark, rp) == _expected(spark, fact)
 
 
+@pytest.mark.slow
 def test_delete_in_range_forces_full_recompute(spark, tmp_path):
     fact, rp = str(tmp_path / "fact"), str(tmp_path / "rollup")
     writers.append_rows(_batch(spark, 0, 100), fact)
@@ -91,6 +94,7 @@ def test_delete_in_range_forces_full_recompute(spark, tmp_path):
     assert _got(spark, rp) == _expected(spark, fact)
 
 
+@pytest.mark.slow
 def test_mor_dv_commit_forces_full_recompute(spark, tmp_path):
     """A MOR delete/update publishes only deletion vectors — no
     "remove" entry in the commit — yet is NOT append-only: folding
@@ -117,6 +121,7 @@ def test_mor_dv_commit_forces_full_recompute(spark, tmp_path):
     assert _got(spark, rp) == _expected(spark, fact)
 
 
+@pytest.mark.slow
 def test_compaction_in_range_stays_incremental(spark, tmp_path):
     """A base (compaction) commit adds no rows — the change feed skips
     it and the fold stays incremental and correct."""
@@ -141,6 +146,7 @@ def test_non_decomposable_measure_rejected(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_rollup_is_live_and_idempotent(spark, tmp_path):
     """stream_rollup: the CDC stream triggers incremental refreshes;
     a re-run with nothing new folds nothing; appends caught up on the

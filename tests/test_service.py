@@ -5,6 +5,8 @@ missing" #2/#3.
 
 from __future__ import annotations
 
+import pytest
+
 from pdf_etl_engine_spark import pipeline
 from pdf_etl_engine_spark.service import HmacTokenVerifier, Service
 from tests.test_pdf_extractor import KPI_META, build_pdf
@@ -50,6 +52,7 @@ def test_routes_require_auth(tmp_path, spark):
     assert svc.upload_batch_file(None, {})[0] == 401
 
 
+@pytest.mark.slow
 def test_full_service_flow_with_shares(tmp_path, spark):
     svc, verifier = _service(tmp_path, spark)
     owner = verifier.issue("user_abc", "owner@example.com")
@@ -113,6 +116,7 @@ def test_incoming_root_grammar_fail_fast(tmp_path, spark):
         )
 
 
+@pytest.mark.slow
 def test_share_newest_wins_downgrade(tmp_path, spark):
     """ADVICE r4 (medium): re-sharing as 'view' must downgrade an
     earlier 'edit' — the reference's Firestore set() upsert
@@ -171,6 +175,7 @@ def test_upload_rejects_traversal_ids(tmp_path, spark):
                for r in rows)
 
 
+@pytest.mark.slow
 def test_get_results_resolves_shared_folder_without_owner_id(tmp_path, spark):
     """ADVICE r4: a viewer omitting owner_id reaches a folder shared
     with them via the reference's cross-tenant fallback search
@@ -199,6 +204,7 @@ def test_get_results_resolves_shared_folder_without_owner_id(tmp_path, spark):
     assert svc.get_results(stranger, "docs")[0] == 404
 
 
+@pytest.mark.slow
 def test_get_kpis_status_matrix(tmp_path, spark):
     """/get-kpis (main.py:517-591): 401 / 400 / 404 / 403 / 200, with
     the pre-computed kpi_metadata fast path."""
@@ -248,6 +254,7 @@ def test_get_kpis_fallback_on_the_fly_typing(tmp_path, spark):
     assert samples["Amount"] == "$42.50"
 
 
+@pytest.mark.slow
 def test_train_flow_routes_end_to_end(tmp_path, spark):
     """VERDICT r4 #2: the full train→upload→process→read flow using
     ONLY service routes (analyze-master → confirm-kpis → upload →
@@ -324,6 +331,7 @@ def test_train_flow_routes_end_to_end(tmp_path, spark):
     assert row["kpi_status"] == "Paid"
 
 
+@pytest.mark.slow
 def test_process_batch_quarantines_untrained(tmp_path, spark):
     """A file landing in an untrained folder quarantines (counted) —
     the route answers 200 with counters instead of raising, and the
@@ -361,6 +369,7 @@ def test_process_batch_empty_bucket_is_zero_not_500(tmp_path, spark):
                         "rows_written": 0, "files_failed": 0}
 
 
+@pytest.mark.slow
 def test_get_kpis_resolves_shared_folder_without_owner_id(tmp_path, spark):
     """A viewer's UI typically knows only folder_id — get_kpis falls
     back to the cross-tenant resolve like get_results does."""
@@ -377,6 +386,7 @@ def test_get_kpis_resolves_shared_folder_without_owner_id(tmp_path, spark):
     assert svc.get_kpis(stranger, "docs")[0] == 404  # unresolvable
 
 
+@pytest.mark.slow
 def test_analyze_master_cross_tenant_requires_edit_share(tmp_path, spark):
     """Hardening over the reference (which reads ANY blob by path,
     main.py:427-433): analyzing another tenant's master needs an edit
@@ -406,6 +416,7 @@ def test_analyze_master_cross_tenant_requires_edit_share(tmp_path, spark):
     assert svc.analyze_master(owner, req)[0] == 200
 
 
+@pytest.mark.slow
 def test_list_folders_owned_and_shared(tmp_path, spark):
     """Extension route: owned + shared folder listing with live
     (newest-wins) permission attached."""

@@ -116,6 +116,7 @@ def _mp4_with_samples(sample_sizes, sync=None, per_chunk=3):
     return ftyp + mdat + moov
 
 
+@pytest.mark.slow
 def test_multimodal_resize_real(spark):
     """X5 resize is REAL: decodes PNG/JPEG/BMP pixels, nearest-
     neighbor resamples, re-encodes PNG; undecodable payloads
@@ -249,6 +250,7 @@ def _fact_rows(spark, n, tenant="u1", folder="reports"):
     )
 
 
+@pytest.mark.slow
 def test_append_is_log_visible(spark, tmp_path):
     path = str(tmp_path / "facts")
     writers.append_rows(_fact_rows(spark, 3), path)
@@ -282,6 +284,7 @@ def test_crash_between_file_move_and_commit_is_invisible(spark, tmp_path):
     assert writers.read_fact_table(spark, path).count() == 3
 
 
+@pytest.mark.slow
 def test_legacy_table_bootstraps_into_log(spark, tmp_path):
     """append_rows onto a table written without a log keeps the legacy
     rows visible (bootstrap commit) and adds the new ones."""
@@ -308,6 +311,7 @@ def test_committed_read_still_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(folder_id" in plan
 
 
+@pytest.mark.slow
 def test_time_travel_and_versions(spark, tmp_path):
     path = str(tmp_path / "facts")
     writers.append_rows(_fact_rows(spark, 3), path)          # v0
@@ -319,6 +323,7 @@ def test_time_travel_and_versions(spark, tmp_path):
     assert writers.read_fact_table(spark, path, version=v0).count() == 3
 
 
+@pytest.mark.slow
 def test_timestamp_time_travel_and_history(spark, tmp_path):
     import time
 
@@ -367,6 +372,7 @@ def test_timestamp_time_travel_and_history(spark, tmp_path):
     assert hist[0]["operation"] == "UPDATE_COW"
 
 
+@pytest.mark.slow
 def test_generated_partition_spec(spark, tmp_path):
     path = str(tmp_path / "events_t")
     writers.set_partition_spec(
@@ -414,6 +420,7 @@ def test_generated_partition_spec(spark, tmp_path):
     assert dirs == {"event_date=2024-01-01", "event_date=2024-01-02"}
 
 
+@pytest.mark.slow
 def test_compaction_size_targeted(spark, tmp_path):
     path = str(tmp_path / "facts")
     for _ in range(4):
@@ -435,6 +442,7 @@ def test_compaction_size_targeted(spark, tmp_path):
     assert len(writers.committed_files(path)) == 2
 
 
+@pytest.mark.slow
 def test_compaction_snapshot_and_vacuum(spark, tmp_path):
     path = str(tmp_path / "facts")
     for i in range(4):  # 4 appends → ≥4 files in the partition
@@ -473,6 +481,7 @@ def test_vacuum_removes_crash_orphans(spark, tmp_path):
     assert writers.read_fact_table(spark, path).count() == 3
 
 
+@pytest.mark.slow
 def test_append_txn_is_idempotent(spark, tmp_path):
     """Exactly-once sink contract: a replayed (app_id, batch_id)
     append publishes nothing; a new batch_id appends normally."""
@@ -500,6 +509,7 @@ def test_txn_marker_survives_compaction(spark, tmp_path):
     assert writers.read_fact_table(spark, path).count() == 3
 
 
+@pytest.mark.slow
 def test_delete_rows_copy_on_write(spark, tmp_path):
     """DELETE rewrites only the files holding matching rows; the swap
     is one commit; prior versions stay readable (time travel)."""
@@ -551,6 +561,7 @@ def test_delete_null_condition_keeps_row(spark, tmp_path):
     assert [r["row_id"] for r in left] == ["b"]
 
 
+@pytest.mark.slow
 def test_merge_upsert_and_insert(spark, tmp_path):
     path = str(tmp_path / "facts")
     writers.append_rows(_fact_rows(spark, 3), path)
@@ -566,6 +577,7 @@ def test_merge_upsert_and_insert(spark, tmp_path):
     assert got == {"row_0": 0.0, "row_1": 99.0, "row_2": 2.0, "row_9": 9.0}
 
 
+@pytest.mark.slow
 def test_merge_evolves_schema_add_only(spark, tmp_path):
     """A merge source with a NEW column evolves the table add-only:
     pre-existing rows read NULL for it (S5 semantics)."""
@@ -596,6 +608,7 @@ def test_merge_duplicate_source_keys_rejected(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_merge_into_empty_table_inserts(spark, tmp_path):
     path = str(tmp_path / "facts")
     writers.append_rows(_fact_rows(spark, 0), path)  # log exists, no rows
@@ -606,6 +619,7 @@ def test_merge_into_empty_table_inserts(spark, tmp_path):
     assert writers.read_fact_table(spark, path).count() == 2
 
 
+@pytest.mark.slow
 def test_stats_pruning_skips_files(spark, tmp_path):
     """Appends with disjoint value ranges: a bounded read must prune
     to exactly the overlapping files, and the pruned read + real
@@ -673,6 +687,7 @@ def test_prune_without_stats_keeps_files(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_read_changes_incremental_feed(spark, tmp_path):
     path = str(tmp_path / "facts")
     writers.append_rows(_fact_rows(spark, 2), path)
@@ -691,6 +706,7 @@ def test_read_changes_incremental_feed(spark, tmp_path):
     assert writers.read_changes(spark, path, since_version=v1).count() == 0
 
 
+@pytest.mark.slow
 def test_vacuum_reclaims_deleted_files(spark, tmp_path):
     path = str(tmp_path / "facts")
     writers.create_fact_table(spark, path, _fact_rows(spark, 1).schema)
@@ -729,6 +745,7 @@ def test_df_cache_keyed_by_application_id(spark, sf_dir):
     assert all(isinstance(k[0], str) for k in catalog._DF_CACHE)
 
 
+@pytest.mark.slow
 def test_clustered_compaction_enables_range_pruning(spark, tmp_path):
     """VERDICT r2 #8: after clustered compaction on a high-cardinality
     key, file-stats data skipping must drop most files for a range
@@ -766,6 +783,7 @@ def test_clustered_compaction_enables_range_pruning(spark, tmp_path):
     assert df.count() == 100
 
 
+@pytest.mark.slow
 def test_clustered_append_enables_range_pruning(spark, tmp_path):
     """append_rows(cluster_by=…) must range-repartition the batch so a
     multi-partition append is skippable immediately (not only after
@@ -791,6 +809,7 @@ def test_clustered_append_enables_range_pruning(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
     """OPTIMIZE ZORDER: after z-order compaction on (x, y), a
     predicate on EITHER column alone must skip most files. The
@@ -824,6 +843,7 @@ def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
     assert tbl.filter("y = 5.0").count() == 64
 
 
+@pytest.mark.slow
 def test_zorder_string_and_timestamp_dimensions(spark, tmp_path):
     """Z-order must handle non-numeric dimensions via order-preserving
     proxies: strings (first-7-byte base-256) and timestamps (epoch).
@@ -879,6 +899,7 @@ def _wav(seconds=0.5, rate=44100, channels=2, bits=16):
     )
 
 
+@pytest.mark.slow
 def test_audio_fingerprint_short_clip(spark):
     """A valid PCM clip shorter than 32 samples fingerprints its
     prefix instead of raising IndexError (ADVICE r6 #3)."""
@@ -1549,6 +1570,7 @@ def test_avi_corrupt_and_non_mjpeg_contract():
         M.decode_video_frames(h264)
 
 
+@pytest.mark.slow
 def test_merge_identification_scan_prunes_by_source_key_range(
     spark, tmp_path
 ):
@@ -1592,6 +1614,7 @@ def test_merge_identification_scan_prunes_by_source_key_range(
     assert len(files_before & files_after) >= 7
 
 
+@pytest.mark.slow
 def test_delete_rows_with_prune_hint(spark, tmp_path):
     """delete_rows(prune=…): a condition-implied stats bound narrows
     the identification scan without changing what gets deleted."""
@@ -1613,6 +1636,7 @@ def test_delete_rows_with_prune_hint(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_auto_compact_policy_bounds_file_count(spark, tmp_path):
     """auto_compact: a no-op below the threshold (returns None, no new
     commit), a real compaction above it — so N tiny appends keep the
@@ -1649,6 +1673,7 @@ def test_auto_compact_policy_bounds_file_count(spark, tmp_path):
     assert len(kept) <= len(writers.committed_files(path)) // 2
 
 
+@pytest.mark.slow
 def test_zorder_quantile_buckets_survive_skew(spark, tmp_path):
     """The Z-order bucketing is QUANTILE-based, so a heavily skewed
     dimension (here x ~ i², most mass near 0) still yields balanced
@@ -1689,6 +1714,7 @@ def test_zorder_quantile_buckets_survive_skew(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_check_constraint_blocks_violating_append(spark, tmp_path):
     path = str(tmp_path / "facts")
     writers.append_rows(_fact_rows(spark, 3), path)
@@ -1708,6 +1734,7 @@ def test_check_constraint_blocks_violating_append(spark, tmp_path):
     assert writers.read_fact_table(spark, path).count() == 5
 
 
+@pytest.mark.slow
 def test_check_constraint_null_satisfies(spark, tmp_path):
     """SQL-standard CHECK: UNKNOWN (NULL) satisfies — only FALSE
     violates."""
@@ -1721,6 +1748,7 @@ def test_check_constraint_null_satisfies(spark, tmp_path):
     assert writers.read_fact_table(spark, path).count() == 2
 
 
+@pytest.mark.slow
 def test_not_null_blocks_null_and_absent_column(spark, tmp_path):
     path = str(tmp_path / "facts")
     writers.append_rows(_fact_rows(spark, 2), path)
@@ -1739,6 +1767,7 @@ def test_not_null_blocks_null_and_absent_column(spark, tmp_path):
         writers.append_rows(missing, path)
 
 
+@pytest.mark.slow
 def test_add_constraint_validates_existing_rows(spark, tmp_path):
     """A constraint the current table already violates is refused —
     registered constraints are real invariants."""
@@ -1756,6 +1785,7 @@ def test_add_constraint_validates_existing_rows(spark, tmp_path):
         writers.append_rows(_fact_rows(spark, 1, folder="y"), path)
 
 
+@pytest.mark.slow
 def test_merge_enforces_constraints_and_drop_lifts(spark, tmp_path):
     path = str(tmp_path / "facts")
     writers.append_rows(_fact_rows(spark, 2), path)
@@ -1786,6 +1816,7 @@ def test_unparsable_constraint_raises_value_error(spark, tmp_path):
         writers.append_rows(_fact_rows(spark, 1), path)
 
 
+@pytest.mark.slow
 def test_update_rows_cow(spark, tmp_path):
     path = str(tmp_path / "facts")
     writers.append_rows(_fact_rows(spark, 5), path)
@@ -1822,6 +1853,7 @@ def test_update_rows_cow(spark, tmp_path):
         writers.update_rows(spark, path, "true", {"nope": "1"})
 
 
+@pytest.mark.slow
 def test_update_rows_mor_masks_and_appends(spark, tmp_path):
     path = str(tmp_path / "facts")
     writers.append_rows(_fact_rows(spark, 5).coalesce(1), path)
@@ -1880,6 +1912,7 @@ def test_update_rows_respects_constraints(spark, tmp_path):
     } == {0.0, 1.0, 2.0}
 
 
+@pytest.mark.slow
 def test_vacuum_honors_declared_retention(spark, tmp_path):
     path = str(tmp_path / "facts")
     writers.append_rows(_fact_rows(spark, 3), path)

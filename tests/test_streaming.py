@@ -45,6 +45,7 @@ def _drain(spark, root, cat, facts, ckpt):
     q.awaitTermination()
 
 
+@pytest.mark.slow
 def test_stream_ingest_and_archive(workspace, spark, tmp_path):
     root, cat = workspace
     facts = str(root / "facts")
@@ -64,6 +65,7 @@ def test_stream_ingest_and_archive(workspace, spark, tmp_path):
     assert (root / "processed/u1/reports/batch/r1.pdf").exists()
 
 
+@pytest.mark.slow
 def test_stream_exactly_once_pickup(workspace, spark):
     """Restarting the query with the same checkpoint must not re-ingest
     already-committed files (fixes the reference's duplicate window,
@@ -85,6 +87,7 @@ def test_stream_exactly_once_pickup(workspace, spark):
     assert writers.read_fact_table(spark, facts).count() == 2
 
 
+@pytest.mark.slow
 def test_stream_quarantine_untrained_folder(workspace, spark):
     """Files for an untrained folder land in quarantine with the error,
     instead of being silently dropped (vs main.py:757-759)."""
@@ -101,6 +104,7 @@ def test_stream_quarantine_untrained_folder(workspace, spark):
     assert rows[0]["rel_path"].endswith("x.pdf")
 
 
+@pytest.mark.slow
 def test_stream_quarantine_cross_tenant_folder_name(workspace, spark):
     """A tenant that never trained 'reports' must NOT silently resolve
     to ANOTHER tenant's same-named folder (which would ingest under
@@ -146,6 +150,7 @@ def test_retrain_newest_generation_wins(workspace, spark):
     assert [k["name"] for k in meta["kpi_metadata"]] == ["Revised KPI"]
 
 
+@pytest.mark.slow
 def test_catalog_metadata_compaction_preserves_answers(workspace, spark):
     """compact_metadata (r6): dead generations drop, live answers
     don't move — get_folder still returns the newest KPI set and
@@ -179,6 +184,7 @@ def test_catalog_metadata_compaction_preserves_answers(workspace, spark):
     assert cat.compact_metadata() == kept
 
 
+@pytest.mark.slow
 def test_read_path_global_resolve_is_share_gated(workspace, spark):
     """resolve_folder_for_read finds another tenant's folder ONLY when
     a share grants it (main.py:783-791 + 796-802)."""
@@ -189,6 +195,7 @@ def test_read_path_global_resolve_is_share_gated(workspace, spark):
     assert meta is not None and meta["tenant_id"] == "u1"
 
 
+@pytest.mark.slow
 def test_read_path_resolve_bounded_per_owner(workspace, spark):
     """VERDICT r5 #8: re-train generations collapse to newest-per-owner
     SPARK-SIDE (row_number()=1 per owner window) before the collect, so
@@ -223,6 +230,7 @@ def test_read_path_resolve_bounded_per_owner(workspace, spark):
     assert [k["name"] for k in meta["kpi_metadata"]] == ["Other1"]
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_rows(spark, tmp_path):
     """§2.9: event-time window agg with watermark in append mode — a
     row arriving after the watermark passed its window is dropped.
@@ -274,6 +282,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert all("2024-01-01" not in k for k in rows), rows  # late row dropped
 
 
+@pytest.mark.slow
 def test_stateful_running_profile_across_restarts(spark, tmp_path):
     """applyInPandasWithState: per-user state must accumulate across
     micro-batches AND across query restarts (checkpointed state)."""
@@ -316,6 +325,7 @@ def test_stateful_running_profile_across_restarts(spark, tmp_path):
     assert emitted[1] == (3, 15.0), emitted
 
 
+@pytest.mark.slow
 def test_stateful_sessionization_timeout_and_inline_close(spark, tmp_path):
     """Timeout-driven sessions (r6): a session closes inline when a
     later event exceeds the gap, and via EVENT-TIME TIMEOUT when the
@@ -378,6 +388,7 @@ def test_stateful_sessionization_timeout_and_inline_close(spark, tmp_path):
                    for r in emitted), emitted
 
 
+@pytest.mark.slow
 def test_backpressure_caps_micro_batch_size(workspace, spark):
     """max_files_per_trigger drains a 6-file backlog in capped
     micro-batches (availableNow still processes everything), with
@@ -413,6 +424,7 @@ def test_backpressure_caps_micro_batch_size(workspace, spark):
     assert df.count() == 6
 
 
+@pytest.mark.slow
 def test_micro_batch_replay_does_not_duplicate(workspace, spark):
     """Sink-side exactly-once: a micro-batch re-delivered after a
     crash-before-checkpoint (same (app, batch_id) txn) must not
@@ -442,6 +454,7 @@ def test_micro_batch_replay_does_not_duplicate(workspace, spark):
     assert writers.read_fact_table(spark, facts).count() == 2
 
 
+@pytest.mark.slow
 def test_archive_manifest_large_batch(workspace, spark):
     """VERDICT r4 #4: the archive set rides an executor-written
     manifest + distributed moves — no driver collect, no serial loop.
@@ -463,6 +476,7 @@ def test_archive_manifest_large_batch(workspace, spark):
     assert df.count() == 120
 
 
+@pytest.mark.slow
 def test_archive_from_manifest_idempotent(workspace, spark):
     """A replayed archive (manifest exists, some files already moved)
     moves only the stragglers and never errors."""
@@ -493,6 +507,7 @@ def test_archive_from_manifest_idempotent(workspace, spark):
     assert S.archive_from_manifest(spark, str(manifest), str(root)) == 0
 
 
+@pytest.mark.slow
 def test_stream_ingest_auto_compacts_under_threshold(workspace, spark):
     """auto_compact_max_files: repeated micro-batches must not grow the
     fact table one file per batch forever — once the snapshot crosses
@@ -513,6 +528,7 @@ def test_stream_ingest_auto_compacts_under_threshold(workspace, spark):
     assert len(writers.committed_files(facts)) <= 4
 
 
+@pytest.mark.slow
 def test_stream_ingest_keeps_rollup_live(workspace, spark):
     """rollup_paths: a declared materialized rollup refreshes after
     every micro-batch, staying equal to a from-scratch aggregate of

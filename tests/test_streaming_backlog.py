@@ -32,6 +32,7 @@ def workspace(tmp_path, spark):
     return tmp_path, cat
 
 
+@pytest.mark.slow
 def test_thousand_file_backlog_end_to_end(workspace, spark):
     root, cat = workspace
     batch_dir = root / "incoming" / "u1" / "reports" / "batch"

@@ -40,6 +40,7 @@ def _drain(spark, path, checkpoint):
     return got
 
 
+@pytest.mark.slow
 def test_cdc_streams_appends_with_versions(spark, tmp_path):
     path = str(tmp_path / "facts")
     ckpt = str(tmp_path / "ckpt")
@@ -57,6 +58,7 @@ def test_cdc_streams_appends_with_versions(spark, tmp_path):
     assert by_row["row_2"]["amount"] == 2.0
 
 
+@pytest.mark.slow
 def test_cdc_resume_is_exactly_once_and_skips_compaction(spark, tmp_path):
     path = str(tmp_path / "facts")
     ckpt = str(tmp_path / "ckpt")
@@ -88,6 +90,7 @@ def test_cdc_schema_requires_data_or_sidecar(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_cdc_typed_partition_values(spark, tmp_path):
     """Partition columns declared non-string (date/int via a sidecar
     schema + set_partition_spec) stream as their DECLARED type, not as
@@ -126,6 +129,7 @@ def test_cdc_typed_partition_values(spark, tmp_path):
     assert by_row["b"]["amount"] == 2.5
 
 
+@pytest.mark.slow
 def test_cdc_timestamp_columns_roundtrip(spark, tmp_path):
     """TimestampType data columns stream back as the exact instant
     written (Spark 4 stores them as naive ns parquet; the source must
@@ -146,6 +150,7 @@ def test_cdc_timestamp_columns_roundtrip(spark, tmp_path):
     assert got[0]["uploaded_at"] == ts
 
 
+@pytest.mark.slow
 def test_cdc_sees_schema_evolution_nulls(spark, tmp_path):
     """Files written BEFORE a column existed stream NULL for it, same
     as the batch read side's schema-union contract."""

@@ -61,6 +61,7 @@ def test_train_matches_reference_trainer(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_local_endgame_matches_distributed_and_is_faster(spark, sf_dir):
     """VERDICT r6 #5: the driver-local endgame (symbol table collected
     once, merges finish in memory) produces the IDENTICAL merge list
