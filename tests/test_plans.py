@@ -513,15 +513,17 @@ def test_pagerank_iterations_are_equi_joins(spark):
 
 
 def test_graded_near_dup_is_lsh_equi_not_quadratic(spark):
-    """X4i (r7, the GRADED near-dup representative): pair generation
-    must ride the (table, bucket) equi-join shuffle key — never the
-    O(n²) BroadcastNestedLoop the exact x4c baseline deliberately
-    plans as, and no Python stage anywhere."""
-    p = plan_of(registry.QUERIES["x4i_lsh_near_dup_arith"](spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" not in p
-    assert "CartesianProduct" not in p
-    assert "Join" in p
-    assert "Python" not in p  # planes + cosine all codegen-side
+    """X4i (r7, the GRADED near-dup representative) and x4j (r10, the
+    production k=10 parameterization the sf1 sweep substitutes): pair
+    generation must ride the (table, bucket) equi-join shuffle key —
+    never the O(n²) BroadcastNestedLoop the exact x4c baseline
+    deliberately plans as, and no Python stage anywhere."""
+    for name in ("x4i_lsh_near_dup_arith", "x4j_lsh_near_dup_k10"):
+        p = plan_of(registry.QUERIES[name](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "Join" in p, name
+        assert "Python" not in p, name  # planes + cosine codegen-side
 
 
 def test_interval_join_is_bucketed_equi_not_bnlj(spark):
