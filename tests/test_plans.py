@@ -87,8 +87,13 @@ def test_relational_paths_have_no_python(spark):
     names = sorted(
         set(registry.ORACLES)
         - {"x5b_media_decode", "x5c_resize_pipeline", "x5d_media_formats",
-           "x42_image_ahash_dedup", "x43_audio_fingerprint_dedup"}
-        # x42/x43: real pixel/PCM decode, Python by design (x5 family)
+           "x42_image_ahash_dedup", "x43_audio_fingerprint_dedup",
+           "x4j_lsh_near_dup_k10"}
+        # x42/x43: real pixel/PCM decode, Python by design (x5 family);
+        # x4j: Arrow-vectorized LSH sign-projection + rescore kernels —
+        # dense linear algebra Spark has no native operator for (the
+        # JVM fold/chain forms measured 107-500 s at sf1 vs 8-20 s;
+        # see the operator docstring)
     )
 
     def check(name: str) -> str | None:
@@ -517,13 +522,23 @@ def test_graded_near_dup_is_lsh_equi_not_quadratic(spark):
     production k=10 parameterization the sf1 sweep substitutes): pair
     generation must ride the (table, bucket) equi-join shuffle key —
     never the O(n²) BroadcastNestedLoop the exact x4c baseline
-    deliberately plans as, and no Python stage anywhere."""
+    deliberately plans as. x4i keeps everything codegen-side; x4j's
+    bucket/rescore kernels are Arrow-vectorized BY DESIGN (see its
+    docstring) but its candidate join must still be key-driven and
+    its ID-only candidate rows must never carry the vector payload."""
     for name in ("x4i_lsh_near_dup_arith", "x4j_lsh_near_dup_k10"):
         p = plan_of(registry.QUERIES[name](spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in p, name
         assert "CartesianProduct" not in p, name
         assert "Join" in p, name
-        assert "Python" not in p, name  # planes + cosine codegen-side
+    p = plan_of(
+        registry.QUERIES["x4i_lsh_near_dup_arith"](spark, SF_DIR)
+    )
+    assert "Python" not in p  # x4i: planes + cosine codegen-side
+    p = plan_of(registry.QUERIES["x4j_lsh_near_dup_k10"](spark, SF_DIR))
+    # x4j: Arrow kernels present (vectorized batches, not row UDFs)...
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+    assert "BatchEvalPython" not in p  # ...never row-at-a-time Python
 
 
 def test_interval_join_is_bucketed_equi_not_bnlj(spark):
