@@ -1174,6 +1174,117 @@ def x4j_lsh_near_dup_k10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_X4K_TOPK = 5
+
+
+@query(
+    "x4k_knn_join_brute",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+             list_sum(list_transform(list_zip(a.e, b.e),
+                   s -> s[1] * s[2])) / (a.nrm * b.nrm) AS c
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT vec_id, nbr_id, c,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY c DESC, nbr_id) AS rn
+      FROM pairs
+    )
+    SELECT vec_id, nbr_id, CAST(rn AS INT) AS nbr_rank,
+           round(c + 5e-10, 4) AS cos_sim
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def x4k_knn_join_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-VECTORS k-NN join (exact): every vector's top-5 cosine
+    neighbors with deterministic tie-break (higher cosine first, then
+    lower neighbor id) — the primitive a SemDeDup / near-dup-graph /
+    diversity-sampling pipeline runs over the whole corpus, where x4
+    answers one query vector. Exact brute force is the BASELINE and
+    recall anchor; the sub-linear scale paths are the bucketed index
+    probes (x4b/x4e/x4f).
+
+    Spark shape: map-only — one Arrow kernel per vector batch against
+    the broadcast vector matrix (x4j's rescore pattern), computing the
+    batch × corpus similarity block with strict j-order float64
+    accumulation (bit-identical to the oracle's list_sum folds) and a
+    stable argsort whose tie behavior reproduces the oracle's
+    (c DESC, nbr_id) row_number exactly. ZERO shuffles: the only
+    exchange in the plan is Arrow batch transfer. At corpus sizes past
+    broadcast range you'd block the matrix into an outer join of
+    row-block × column-block (each block pair its own kernel call) or
+    switch to the IVF/LSH index probes; candidate generation and
+    tie-break semantics stay identical."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids_sorted = np.ascontiguousarray(ids[order])
+    mat = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
+    norms_sq = np.zeros(len(mat))
+    for j in range(64):  # strict fold order, matches the oracle nrm
+        norms_sq += mat[:, j] * mat[:, j]
+    norms = np.sqrt(norms_sq)
+    bc = spark.sparkContext.broadcast((ids_sorted, mat, norms))
+    topk = _X4K_TOPK
+
+    def knn(batches):
+        ids_s, m, nrm = bc.value
+        # per-task working set stays O(chunk × corpus) no matter how
+        # large an Arrow batch arrives: 1024 × 20k f64 ≈ 160 MB at sf1
+        chunk = 1024
+        for batch in batches:
+            all_qids = batch["vec_id"].to_numpy()
+            if not len(all_qids):
+                continue
+            all_q = np.stack(batch["embedding"].to_numpy()).astype(
+                np.float64
+            )
+            for s in range(0, len(all_qids), chunk):
+                qids = all_qids[s : s + chunk]
+                emb_q = all_q[s : s + chunk]
+                qi = np.searchsorted(ids_s, qids)
+                acc = np.zeros((len(emb_q), len(ids_s)))
+                for j in range(64):  # strict fold order = list_sum
+                    acc += emb_q[:, j : j + 1] * m[:, j][None, :]
+                cos = acc / (nrm[qi][:, None] * nrm[None, :])
+                cos[np.arange(len(emb_q)), qi] = -np.inf  # no self
+                # stable argsort on -cos: equal cosines keep column
+                # order, and columns are ascending nbr_id — the
+                # oracle's (c DESC, nbr_id) tie-break exactly
+                nbr = np.argsort(-cos, axis=1, kind="stable")[:, :topk]
+                rows = np.arange(len(emb_q))[:, None]
+                yield pd.DataFrame({
+                    "vec_id": np.repeat(qids, topk),
+                    "nbr_id": ids_s[nbr].ravel(),
+                    "nbr_rank": np.tile(
+                        np.arange(1, topk + 1, dtype=np.int32),
+                        len(emb_q),
+                    ),
+                    "cos_raw": cos[rows, nbr].ravel(),
+                })
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        knn, "vec_id bigint, nbr_id bigint, nbr_rank int, cos_raw double"
+    )
+    return scored.select(
+        "vec_id",
+        "nbr_id",
+        "nbr_rank",
+        stable_round(F.col("cos_raw"), 4).alias("cos_sim"),
+    )
+
+
 @query(
     "x2c_dedup_with_dups",
     oracle="""

@@ -88,12 +88,11 @@ def test_relational_paths_have_no_python(spark):
         set(registry.ORACLES)
         - {"x5b_media_decode", "x5c_resize_pipeline", "x5d_media_formats",
            "x42_image_ahash_dedup", "x43_audio_fingerprint_dedup",
-           "x4j_lsh_near_dup_k10"}
+           "x4j_lsh_near_dup_k10", "x4k_knn_join_brute"}
         # x42/x43: real pixel/PCM decode, Python by design (x5 family);
-        # x4j: Arrow-vectorized LSH sign-projection + rescore kernels —
-        # dense linear algebra Spark has no native operator for (the
-        # JVM fold/chain forms measured 107-500 s at sf1 vs 8-20 s;
-        # see the operator docstring)
+        # x4j/x4k: Arrow-vectorized dense-linear-algebra kernels Spark
+        # has no native operator for (the JVM fold/chain forms
+        # measured 107-500 s at sf1 vs 8-20 s; see the x4j docstring)
     )
 
     def check(name: str) -> str | None:
