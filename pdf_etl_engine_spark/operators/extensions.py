@@ -1082,6 +1082,50 @@ def _x4j_bucket_kernel(n_tables: int, n_bits: int, mod: int):
     return bucket_arr
 
 
+def _bc_vector_matrix(spark: SparkSession, emb: DataFrame):
+    """Broadcast (sorted vec_ids, float64 matrix, norms) — the build
+    side every Arrow rescore kernel probes. Norms accumulate in
+    strict j-order so they match the oracles' list_sum/list_reduce
+    folds bit-for-bit. Same bytes an F.broadcast of the relation
+    would ship (~10 MB at sf1); past broadcast range the rescore
+    stage swaps for a bucketed co-located join."""
+    import numpy as np
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids_sorted = np.ascontiguousarray(ids[order])
+    mat = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
+    norms_sq = np.zeros(len(mat))
+    for j in range(64):  # strict fold order, matches the oracle nrm
+        norms_sq += mat[:, j] * mat[:, j]
+    return spark.sparkContext.broadcast(
+        (ids_sorted, mat, np.sqrt(norms_sq))
+    )
+
+
+def _pair_cosine_kernel(bc):
+    """mapInPandas kernel: (vec_a, vec_b) ID pairs → + cos_raw, via
+    the broadcast matrix. Strict j-order float64 accumulation —
+    bit-identical to the oracles' list_sum folds (see
+    _x4j_bucket_kernel for the measured rationale)."""
+    import numpy as np
+
+    def rescore(batches):
+        ids_s, m, nrm = bc.value
+        for batch in batches:
+            ia = np.searchsorted(ids_s, batch["vec_a"].to_numpy())
+            ib = np.searchsorted(ids_s, batch["vec_b"].to_numpy())
+            va, vb = m[ia], m[ib]
+            acc = np.zeros(len(va))
+            for j in range(64):  # strict fold order, matches list_sum
+                acc += va[:, j] * vb[:, j]
+            batch["cos_raw"] = acc / (nrm[ia] * nrm[ib])
+            yield batch
+
+    return rescore
+
+
 @query("x4j_lsh_near_dup_k10", oracle=_arith_lsh_oracle(_X4J_L, _X4J_K, _X4J_MOD))
 def x4j_lsh_near_dup_k10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x4i's PRODUCTION-SCALE parameterization, oracle-graded: same
@@ -1117,35 +1161,9 @@ def x4j_lsh_near_dup_k10(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's 44 s in DuckDB. Every numpy operation is the identical
     IEEE float64 sequence the oracle folds run (strict j-order
     accumulation from 0.0), so the output stays hash-exact."""
-    import numpy as np
-
     emb = load_table(spark, sf_dir, "embeddings")
-    # broadcast build: the full vector matrix, sorted by vec_id for
-    # deterministic searchsorted lookup (same bytes F.broadcast ships
-    # in the JVM form; ~10 MB at sf1)
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    order = np.argsort(ids)
-    ids_sorted = np.ascontiguousarray(ids[order])
-    mat = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
-    norms_sq = np.zeros(len(mat))
-    for j in range(64):  # strict fold order, matches the oracle nrm
-        norms_sq += mat[:, j] * mat[:, j]
-    norms = np.sqrt(norms_sq)
-    bc = spark.sparkContext.broadcast((ids_sorted, mat, norms))
-
-    def rescore(batches):
-        ids_s, m, nrm = bc.value
-        for batch in batches:
-            ia = np.searchsorted(ids_s, batch["vec_a"].to_numpy())
-            ib = np.searchsorted(ids_s, batch["vec_b"].to_numpy())
-            va, vb = m[ia], m[ib]
-            acc = np.zeros(len(va))
-            for j in range(64):  # strict fold order, matches list_sum
-                acc += va[:, j] * vb[:, j]
-            batch["cos_raw"] = acc / (nrm[ia] * nrm[ib])
-            yield batch
-
+    bc = _bc_vector_matrix(spark, emb)
+    rescore = _pair_cosine_kernel(bc)
     bucket_arr = _x4j_bucket_kernel(_X4J_L, _X4J_K, _X4J_MOD)
     buckets = emb.select(
         "vec_id", F.posexplode(bucket_arr("embedding")).alias("t", "b")
@@ -1226,16 +1244,7 @@ def x4k_knn_join_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    order = np.argsort(ids)
-    ids_sorted = np.ascontiguousarray(ids[order])
-    mat = np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64)
-    norms_sq = np.zeros(len(mat))
-    for j in range(64):  # strict fold order, matches the oracle nrm
-        norms_sq += mat[:, j] * mat[:, j]
-    norms = np.sqrt(norms_sq)
-    bc = spark.sparkContext.broadcast((ids_sorted, mat, norms))
+    bc = _bc_vector_matrix(spark, emb)
     topk = _X4K_TOPK
 
     def knn(batches):
@@ -2757,7 +2766,16 @@ def x45_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline as x4i's LSH buckets, with cluster size bounded by the
     codebook granularity (and a hot cluster splits under AQE). The
     full method composes: x4e's trained k-means supplies real
-    centroids; this twin proves the pipeline's math end to end."""
+    centroids; this twin proves the pipeline's math end to end.
+
+    r10: the in-cluster pairs join carries ID-ONLY rows (16 bytes) and
+    the cosine runs in the shared Arrow rescore kernel against the
+    broadcast matrix — at sf1 the 8 clusters yield ~25M candidate
+    pairs, and the previous payload-through-the-join + interpreted
+    fold form (x4j's measured pathology) ran 68.7 s; the ID/Arrow form
+    is the x4j shape, with the AQE hot-cluster split retained on the
+    candidate equi-join. Assignment stays JVM fold-form (8 × 20k rows
+    only); the graded accounting is unchanged and bit-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c")
@@ -2781,28 +2799,27 @@ def x45_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.min("centroid_id").alias("centroid_id"))
     )
-    v = assigned.join(emb.select("vec_id", "embedding"), "vec_id").select(
-        "vec_id",
-        "centroid_id",
-        _as_double(F.col("embedding")).alias("e"),
-        F.sqrt(_dot(_as_double(F.col("embedding")),
-                    _as_double(F.col("embedding")))).alias("nrm"),
+    va, vb = assigned.alias("a"), assigned.alias("b")
+    cand = va.join(
+        vb,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
     )
-    va, vb = v.alias("a"), v.alias("b")
-    cos = _dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm"))
+    scored = cand.mapInPandas(
+        _pair_cosine_kernel(_bc_vector_matrix(spark, emb)),
+        "vec_a bigint, vec_b bigint, cos_raw double",
+    )
     removed = (
-        va.join(
-            vb,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= 0.25)
-        .select(F.col("b.vec_id").alias("vec_id"))
+        scored.filter(F.col("cos_raw") >= 0.25)
+        .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("is_removed", F.lit(1))
     )
     return (
-        v.join(removed, "vec_id", "left")
+        assigned.join(removed, "vec_id", "left")
         .groupBy("centroid_id")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),

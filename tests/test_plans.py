@@ -88,11 +88,13 @@ def test_relational_paths_have_no_python(spark):
         set(registry.ORACLES)
         - {"x5b_media_decode", "x5c_resize_pipeline", "x5d_media_formats",
            "x42_image_ahash_dedup", "x43_audio_fingerprint_dedup",
-           "x4j_lsh_near_dup_k10", "x4k_knn_join_brute"}
+           "x4j_lsh_near_dup_k10", "x4k_knn_join_brute",
+           "x45_semdedup"}
         # x42/x43: real pixel/PCM decode, Python by design (x5 family);
-        # x4j/x4k: Arrow-vectorized dense-linear-algebra kernels Spark
-        # has no native operator for (the JVM fold/chain forms
-        # measured 107-500 s at sf1 vs 8-20 s; see the x4j docstring)
+        # x4j/x4k/x45: Arrow-vectorized dense-linear-algebra rescore
+        # kernels Spark has no native operator for (the JVM fold/chain
+        # forms measured 68-500 s at sf1 vs 8-20 s; see the x4j
+        # docstring). The GRADED-window twin x45b stays fully JVM.
     )
 
     def check(name: str) -> str | None:
