@@ -837,12 +837,19 @@ def x27_ngram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, never the corpus."""
     docs = load_table(spark, sf_dir, "documents")
     n = F.length("text")
-    tri_arr = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.substring(F.col("text"), i, 3),
-    )
-    tris = docs.filter(n >= 3).select(
-        "doc_id", F.explode(tri_arr).alias("tri")
+    # compiled trigram generation: explode(sequence) + substring stays
+    # inside whole-stage codegen, where the transform-lambda HOF form
+    # interprets one call per character (CodegenFallback — the x4j
+    # lesson applied to strings; the repeated text column never leaves
+    # the codegen stage, so no extra materialization)
+    tris = (
+        docs.filter(n >= 3)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), n - 2)).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(text, i, 3)").alias("tri"))
     )
     # single-pass shape: the corpus explodes ONCE into per-doc trigram
     # COUNTS (map-side partials compress hard — within-doc repetition
