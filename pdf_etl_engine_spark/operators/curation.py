@@ -828,36 +828,62 @@ def x27_ngram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free), so libm last-ulp differences can't surface; the
     final 4-decimal round then sits ~1e-9 away from any boundary.
 
-    Scale shape: two shuffles — trigram explode → count (map-side
-    partial), then the score join back on the trigram key. The model
-    table is corpus-bounded (distinct trigrams), NOT doc-bounded; at
-    100 TB you'd min-count-cutoff the tail before the join (same
-    lever as x20's min-df) and let AQE pick broadcast vs shuffle. The
-    total-mass scalar rides a single-row window over the aggregated
-    model, never the corpus."""
+    Scale shape: ONE map-only Arrow kernel turns each document into
+    its per-doc trigram COUNTS (doc-local pre-aggregation — the x4j
+    Arrow-kernel discipline applied to strings), so the only rows that
+    ever shuffle are (doc_id, tri, k) with the trigram packed into a
+    single BIGINT: three 21-bit Unicode code points in 63 bits, a
+    bijection with the oracle's 3-char substring key, so every group
+    and count is identical by construction. The r10 JVM form
+    (explode(sequence)+substring → hash aggregate) pushed one row PER
+    CHARACTER (15M at sf1) through the aggregate and measured 5.4× the
+    oracle; the kernel emits the ~2× smaller per-doc-distinct set and
+    hashes integers, not strings. The model table is corpus-bounded
+    (distinct trigrams), NOT doc-bounded; at 100 TB you'd
+    min-count-cutoff the tail before the join (same lever as x20's
+    min-df) and let AQE pick broadcast vs shuffle. The total-mass
+    scalar rides a single-row window over the aggregated model, never
+    the corpus."""
+    import numpy as np
+    import pandas as pd
+
     docs = load_table(spark, sf_dir, "documents")
-    n = F.length("text")
-    # compiled trigram generation: explode(sequence) + substring stays
-    # inside whole-stage codegen, where the transform-lambda HOF form
-    # interprets one call per character (CodegenFallback — the x4j
-    # lesson applied to strings; the repeated text column never leaves
-    # the codegen stage, so no extra materialization)
-    tris = (
-        docs.filter(n >= 3)
-        .select(
-            "doc_id",
-            "text",
-            F.explode(F.sequence(F.lit(1), n - 2)).alias("i"),
-        )
-        .select("doc_id", F.expr("substring(text, i, 3)").alias("tri"))
+
+    def count_tris(batches):
+        # per-doc np.unique beats a batch-wide lexsort 6× (measured at
+        # sf1: 1.2 s vs 6.9 s single-threaded for 50k docs / 15M chars)
+        for batch in batches:
+            dids, tris, ks = [], [], []
+            for did, t in zip(batch["doc_id"].to_numpy(), batch["text"]):
+                if t is None or len(t) < 3:
+                    continue
+                # utf-32-le = exact code points; packing matches
+                # DuckDB's code-point substr(text, i, 3) 1:1
+                codes = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                u, k = np.unique(
+                    (codes[:-2] << 42) | (codes[1:-1] << 21) | codes[2:],
+                    return_counts=True,
+                )
+                dids.append(np.full(len(u), did, dtype=np.int64))
+                tris.append(u)
+                ks.append(k)
+            if dids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(dids),
+                        "tri": np.concatenate(tris),
+                        "k": np.concatenate(ks),
+                    }
+                )
+
+    # scoring weights each rounded surprisal by its count
+    # (k·round(lp) ≡ summing round(lp) k times — bit-identical to the
+    # per-occurrence oracle)
+    dt = docs.select("doc_id", "text").mapInPandas(
+        count_tris, "doc_id bigint, tri bigint, k bigint"
     )
-    # single-pass shape: the corpus explodes ONCE into per-doc trigram
-    # COUNTS (map-side partials compress hard — within-doc repetition
-    # is ~2x and the char-trigram vocabulary is charset-bounded), the
-    # model re-aggregates those counts, and scoring weights each
-    # rounded surprisal by its count (k·round(lp) ≡ summing round(lp)
-    # k times — bit-identical to the per-occurrence oracle)
-    dt = tris.groupBy("doc_id", "tri").agg(F.count("*").alias("k"))
     w = Window.partitionBy()
     freq = (
         dt.groupBy("tri")
