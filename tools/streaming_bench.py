@@ -43,12 +43,21 @@ def streaming_docs_per_sec(spark, n_files: int = 500) -> dict:
         cat = pipeline.Catalog(spark, os.path.join(root, "catalog"))
         cat.create_folder("u1", "reports", kpi_metadata=KPI_META)
         batch_dir = os.path.join(root, "incoming", "u1", "reports", "batch")
+        # second identical tree for the batch twin: the streaming drain
+        # ARCHIVES processed files out of its incoming dir, so the twin
+        # needs its own copy (rel_path grammar is root-agnostic)
+        twin_dir = os.path.join(
+            root, "batch_ws", "incoming", "u1", "reports", "batch"
+        )
         os.makedirs(batch_dir)
+        os.makedirs(twin_dir)
         for i in range(n_files):
-            with open(os.path.join(batch_dir, f"doc{i:04d}.pdf"), "wb") as fh:
-                fh.write(
-                    json.dumps({"Total Amount ($)": f"${i % 97}.00"}).encode()
-                )
+            payload = json.dumps(
+                {"Total Amount ($)": f"${i % 97}.00"}
+            ).encode()
+            for d in (batch_dir, twin_dir):
+                with open(os.path.join(d, f"doc{i:04d}.pdf"), "wb") as fh:
+                    fh.write(payload)
         facts = os.path.join(root, "facts")
         t0 = time.perf_counter()
         q = S.stream_ingest(
@@ -68,10 +77,31 @@ def streaming_docs_per_sec(spark, n_files: int = 500) -> dict:
             raise RuntimeError(
                 f"lossy drain: {n_landed}/{n_files} docs landed"
             )
+        # batch-equivalent twin (VERDICT r10 #6): the SAME files through
+        # the one-shot ingest_batch path into a fresh fact table — the
+        # engine's own batch floor, so the streaming rate is judged
+        # against a measured comparator instead of standing bare
+        # (DuckDB has no streaming ingest to twin against)
+        facts_b = os.path.join(root, "facts_batch")
+        t0 = time.perf_counter()
+        res = pipeline.ingest_batch(
+            spark,
+            f"{root}/batch_ws/incoming/*/*/*/*",
+            cat,
+            facts_b,
+            quarantine_path=os.path.join(root, "quarantine_batch"),
+        )
+        batch_wall = time.perf_counter() - t0
+        if res["rows_written"] != n_files:
+            raise RuntimeError(
+                f"batch twin lost rows: {res['rows_written']}/{n_files}"
+            )
         return {
             "docs": n_files,
             "wall_sec": round(wall, 2),
             "docs_per_sec": round(n_files / wall, 1),
+            "batch_equiv_sec": round(batch_wall, 2),
+            "stream_over_batch": round(wall / batch_wall, 2),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
