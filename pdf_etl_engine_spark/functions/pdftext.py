@@ -1467,6 +1467,7 @@ def _build_font_tables(
     for fnum, (ff2, ff3, c2g) in ident_fonts.items():
         mapping: dict[int, str] = {}
         gidmap = _parse_ttf_cmap(blobs[ff2]) if ff2 in blobs else None
+        from_ttf = gidmap is not None
         if gidmap is None and ff3 in blobs:
             # CFF program: the charset is the remaining glyph→name
             # source — keyed by GID for name-keyed fonts (r7), by CID
@@ -1475,9 +1476,14 @@ def _build_font_tables(
             # non-Identity ROS returns None and degrades
             gidmap = _parse_cff_charset(blobs[ff3])
         if gidmap:
-            if c2g in blobs:
+            if from_ttf and c2g in blobs:
                 # non-Identity CIDToGIDMap: 2-byte big-endian glyph id
-                # per CID (§9.7.4.2) — compose cid→gid→char
+                # per CID (§9.7.4.2) — compose cid→gid→char. TrueType
+                # programs ONLY: the entry is defined for CIDFontType2
+                # (§9.7.4.1); a nonconforming PDF that attaches a
+                # CIDToGIDMap stream to a CFF (CIDFontType0) font must
+                # not have its CID- or GID-keyed charset re-indexed
+                # through it (ADVICE r10)
                 c2g_raw = blobs[c2g]
                 for cid in range(len(c2g_raw) // 2):
                     gid = _u16(c2g_raw, 2 * cid)

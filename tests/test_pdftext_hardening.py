@@ -1606,6 +1606,38 @@ def test_identity_h_cff_cid_keyed_identity_ros_names():
     assert pdftext.extract_pdf_text(pdf) == want
 
 
+def test_identity_h_cff_ignores_nonconforming_cid_to_gid_stream():
+    """A CIDToGIDMap stream attached to a CIDFontType0 (CFF) font is
+    nonconforming — §9.7.4.1 defines the entry for CIDFontType2 only.
+    The CID-keyed charset must be used directly, never re-indexed
+    through the stream (ADVICE r10: composing them read wrong
+    characters)."""
+    want = "Total: 42"
+    names = [f"uni{ord(c):04X}" for c in want]
+    show = b"".join((393 + i).to_bytes(2, "big") for i in range(len(want)))
+    content = b"BT /F1 12 Tf <" + show.hex().encode() + b"> Tj ET"
+    # a garbage remap that would scramble every CID if composed
+    c2g = bytearray(2 * 500)
+    for cid in range(500):
+        c2g[2 * cid: 2 * cid + 2] = ((cid * 7 + 3) % 500).to_bytes(2, "big")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>",
+        _stream_obj(b"", content),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /BBBBBB+S"
+        b" /Encoding /Identity-H /DescendantFonts [6 0 R] >>",
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /BBBBBB+S"
+        b" /FontDescriptor 7 0 R /CIDToGIDMap 9 0 R >>",
+        b"<< /Type /FontDescriptor /FontName /BBBBBB+S /Flags 4"
+        b" /FontFile3 8 0 R >>",
+        _stream_obj(b"/Subtype /Type1C", _cff_cid_font(names)),
+        _stream_obj(b"", bytes(c2g)),
+    ]
+    assert pdftext.extract_pdf_text(_pdf(objs)) == want
+
+
 def test_identity_h_cff_cid_keyed_numeric_cids_degrade():
     """Adobe-Identity ROS with genuinely NUMERIC CIDs (below the
     custom-SID range): nothing maps — small CIDs are ambiguous with
