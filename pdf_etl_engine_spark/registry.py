@@ -99,9 +99,15 @@ PRIORITY: tuple[str, ...] = (
     # pipeline + UDTF
     "pp_ingest_pivot_coerce",
     "u4_explode_map_long",
-    # streaming windows + dedup + stream-static enrichment
+    # streaming windows + dedup + stream-static enrichment + CDC.
+    # r11 rotation (VERDICT r10 #5): stw_cdc_commitlog — the Spark 4
+    # Python Data Source commit-log reader, the most novel runtime
+    # component — takes the slot of stw_sliding_window, whose
+    # window-over-watermark shape the remaining stw_tumbling/
+    # stw_session rows still cover (sliding stays in the tail,
+    # locally graded).
     "stw_tumbling_window",
-    "stw_sliding_window",
+    "stw_cdc_commitlog",
     "stw_session_window",
     "stw_stream_dedup",
     "stw_enrich_join",

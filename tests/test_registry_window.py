@@ -38,8 +38,10 @@ def test_every_component_family_has_window_representative():
         "f213_infer_coerce", "f58_fenced_json_dates",
         "f1011_path_email", "f15_math_basics",
         "pp_ingest_pivot_coerce", "u4_explode_map_long",
-        # streaming
-        "stw_tumbling_window", "stw_sliding_window",
+        # streaming (r11 rotation: the CDC commit-log source replaces
+        # stw_sliding_window in the window — sliding's shape stays
+        # covered by tumbling/session; it remains tail-graded)
+        "stw_tumbling_window", "stw_cdc_commitlog",
         "stw_session_window", "stw_stream_dedup", "stw_enrich_join",
         # aggregates (a58 = A5 rollup/cube + A8 grouping sets)
         "a58_cube_grouping_sets",
