@@ -69,6 +69,17 @@ AUDITED = {
     "Python BY DESIGN — dense linear algebra Spark lacks natively), "
     "candidate equi-join on (table, bucket) carrying ID-only rows, "
     "no nested loop, no row-at-a-time Python.",
+    "x4j2_lsh_near_dup_colocated": "the 100 TB near-dup configuration "
+    "(r11): candidate generation and rescore FUSED into one "
+    "FlatMapGroupsInPandas kernel per (table, bucket) group — NO join "
+    "node at all, no broadcast of the vector relation, only corpus×L "
+    "bounded rows carry payload through the groupBy exchange; the "
+    "pair dedup is the only other exchange.",
+    "x27_ngram_surprisal": "map-only Arrow kernel emits per-doc trigram "
+    "COUNTS with the trigram packed into one BIGINT (r11) — the model "
+    "aggregate and score join shuffle integer ID rows only, never "
+    "per-character rows; total-mass scalar rides a single-row window "
+    "over the aggregated model.",
     "x44_pii_redact": "map-only: regex count + redact in one projection — "
     "no keyed exchange, no join, no Python (r7).",
     "x45_semdedup": "codebook broadcast into the assignment pass; the "
