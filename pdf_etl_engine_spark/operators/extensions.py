@@ -3124,14 +3124,19 @@ def x45_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     full method composes: x4e's trained k-means supplies real
     centroids; this twin proves the pipeline's math end to end.
 
-    r10: the in-cluster pairs join carries ID-ONLY rows (16 bytes) and
-    the cosine runs in the shared Arrow rescore kernel against the
-    broadcast matrix — at sf1 the 8 clusters yield ~25M candidate
-    pairs, and the previous payload-through-the-join + interpreted
-    fold form (x4j's measured pathology) ran 68.7 s; the ID/Arrow form
-    is the x4j shape, with the AQE hot-cluster split retained on the
-    candidate equi-join. Assignment stays JVM fold-form (8 × 20k rows
-    only); the graded accounting is unchanged and bit-exact."""
+    r10 → r11 shape history: the r10 form generated ~25M ID-only
+    candidate pairs per sf1 run via the centroid_id self-join and
+    rescored them against the per-process matrix (39.5 s, after the
+    r9 payload-through-the-join + interpreted fold form's 68.7 s).
+    r11 FUSES pruning into one applyInPandas kernel per centroid
+    group (the x4j2 discipline): each cluster's vectors co-locate
+    once (corpus-bounded exchange), the all-pairs block is
+    GEMM-screened and only survivors re-accumulate in strict fold
+    order — no pair relation ever materializes, no per-process
+    matrix needed, and a hot cluster is one task whose size the
+    codebook granularity bounds. Assignment stays JVM fold-form
+    (8 × 20k rows only); the graded accounting is unchanged and
+    bit-exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c")
@@ -3155,22 +3160,13 @@ def x45_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.min("centroid_id").alias("centroid_id"))
     )
-    va, vb = assigned.alias("a"), assigned.alias("b")
-    cand = va.join(
-        vb,
-        (F.col("a.centroid_id") == F.col("b.centroid_id"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-    )
-    scored = cand.mapInPandas(
-        _pair_cosine_kernel(_vector_matrix(sf_dir)),
+    clustered = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    scored = clustered.groupBy("centroid_id").applyInPandas(
+        _bucket_allpairs_kernel(0.25),
         "vec_a bigint, vec_b bigint, cos_raw double",
     )
     removed = (
-        scored.filter(F.col("cos_raw") >= 0.25)
-        .select(F.col("vec_b").alias("vec_id"))
+        scored.select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("is_removed", F.lit(1))
     )

@@ -687,19 +687,19 @@ def test_pii_redact_is_map_only(spark):
     assert "Join" not in p, p[:1200]
 
 
-def test_semdedup_codebook_broadcasts_and_pairs_join_is_equi(spark):
+def test_semdedup_codebook_broadcasts_and_prune_is_fused(spark):
     """x45: the centroid codebook rides a broadcast into the
     assignment pass (its 8-row cross join is a deliberate
     BroadcastNestedLoopJoin — bounded by codebook size, the x4h
-    shape), and the candidate PAIRS join must be a hash/merge
-    equi-join on centroid_id — a CartesianProduct between
-    corpus-sized relations would be the O(n²) shape the cluster
-    blocking exists to avoid."""
+    shape), and since r11 the in-cluster prune is the FUSED
+    per-centroid group kernel (the x4j2 discipline): one
+    FlatMapGroupsInPandas over the centroid_id exchange, no candidate
+    pair relation ever materializes, and certainly no
+    CartesianProduct between corpus-sized relations."""
     p = plan_of(registry.QUERIES["x45_semdedup"](spark, SF_DIR))
     assert "CartesianProduct" not in p, p[:1500]
     assert "BroadcastExchange" in p, p[:1500]
-    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
-            or "BroadcastHashJoin" in p), p[:1500]
+    assert "FlatMapGroupsInPandas" in p, p[:1500]
 
 
 def test_sql_text_q3_broadcasts_and_take_orders(spark):
@@ -717,24 +717,26 @@ def test_sql_text_q3_broadcasts_and_take_orders(spark):
 
 
 def test_semdedup_hot_cluster_splits_under_aqe(spark):
-    """x45's docstring claims "a hot cluster splits under AQE"
-    (VERDICT r7 #5): measured here on a skewed-cluster fixture where
-    cluster 0 holds ~50% of all vectors. With the skew thresholds
-    scaled to fixture size (the 256 MB production default, scaled so
-    the sub-MB hot partition qualifies), AQE must mark the pairs
+    """The JOIN-BASED in-cluster prune (x45's r10 shape, still the
+    right variant when cluster blocks exceed one task's memory — the
+    r11 fused group kernel trades that for zero pair
+    materialization): "a hot cluster splits under AQE" (VERDICT
+    r7 #5), measured here on a skewed-cluster fixture where cluster 0
+    holds ~50% of all vectors. With the skew thresholds scaled to
+    fixture size (the 256 MB production default, scaled so the
+    sub-MB hot partition qualifies), AQE must mark the pairs
     self-join SortMergeJoin(skew=true) and split both skewed sides
     (AQEShuffleRead skewed) — turning the one-task hot cluster into
     parallel mapper-range sub-joins. tools/semdedup_skew_bench.py
     records the wall-clock effect at two sizes.
 
-    Two conditions make the split legal, both true of the real x45
-    shape: the join is Inner (both skewed sides splittable) and the
+    Two conditions make the split legal, both true of this shape:
+    the join is Inner (both skewed sides splittable) and the
     downstream `distinct(vec_id)` re-shuffles on a different key, so
     splitting destroys no reusable output partitioning. (A downstream
     groupBy(centroid_id) WOULD suppress the split to save its
-    shuffle — that variant needs forceOptimizeSkewedJoin; documented,
-    not x45's shape: x45's per-cluster accounting groupBy runs after
-    the removed-set join, behind the distinct boundary.)"""
+    shuffle — that variant needs forceOptimizeSkewedJoin;
+    documented.)"""
     n = 40_000
     df = (
         spark.range(n)

@@ -83,10 +83,10 @@ AUDITED = {
     "x44_pii_redact": "map-only: regex count + redact in one projection — "
     "no keyed exchange, no join, no Python (r7).",
     "x45_semdedup": "codebook broadcast into the assignment pass; the "
-    "candidate pairs join is an equi-join on centroid_id carrying "
-    "ID-only rows (r10), cosines in the shared Arrow rescore kernel "
-    "(MapInPandas, Python BY DESIGN) — no CartesianProduct between "
-    "corpus-sized relations, AQE hot-cluster split retained.",
+    "in-cluster prune is FUSED into one FlatMapGroupsInPandas kernel "
+    "per centroid group (r11, the x4j2 discipline) — no candidate "
+    "pair relation materializes, no CartesianProduct between "
+    "corpus-sized relations; sf1 39.5 s → ~4 s.",
     "sql1_tpch_q3_text": "exact integer arithmetic — revenue folds as "
     "DECIMAL cents into BIGINT (no float round for engines to disagree "
     "on); dims broadcast, TakeOrderedAndProject caps the result (r8).",
