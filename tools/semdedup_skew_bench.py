@@ -2,7 +2,11 @@
 (VERDICT r7 #5, companion to tests/test_plans.py::
 test_semdedup_hot_cluster_splits_under_aqe).
 
-Fixture: the x45 pairs-join shape — a self equi-join on centroid_id
+Fixture: the JOIN-BASED in-cluster prune (x45's r10 shape; since r11
+x45 ships the fused per-centroid group kernel instead, but the join
+variant remains the right one when a cluster block exceeds one
+task's memory, and AQE splitting is its scale story) — a self
+equi-join on centroid_id
 with a vec_id< inequality and a distinct(vec_id) downstream — on a
 corpus where cluster 0 holds ~50% of all vectors (the worst case the
 operator's "hot cluster splits under AQE" claim must survive). Two
