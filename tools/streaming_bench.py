@@ -33,75 +33,96 @@ def streaming_docs_per_sec(spark, n_files: int = 500) -> dict:
 
     The workspace is a throwaway temp dir; the count assertion keeps a
     silently-lossy drain from ever reporting a (great-looking) rate.
+
+    An untimed 50-file SETTLE drain runs first in its own workspace
+    (r11): every other bench section warms its path before timing
+    (Janino/codegen caches, the Python worker pool, the streaming
+    sink's first-commit setup) — without it the timed drain's first
+    micro-batch pays one-off JVM warmup and the rate is a cold-start
+    number, not a throughput (measured 2.5x noise).
     """
     from pdf_etl_engine_spark import pipeline
     from pdf_etl_engine_spark.sources import writers
     from pdf_etl_engine_spark.streaming import ingest as S
 
-    root = tempfile.mkdtemp(prefix="spark-graft-stream-bench-")
-    try:
-        cat = pipeline.Catalog(spark, os.path.join(root, "catalog"))
+    def _drain(workspace: str, docs: int, twin: bool) -> dict:
+        cat = pipeline.Catalog(spark, os.path.join(workspace, "catalog"))
         cat.create_folder("u1", "reports", kpi_metadata=KPI_META)
-        batch_dir = os.path.join(root, "incoming", "u1", "reports", "batch")
-        # second identical tree for the batch twin: the streaming drain
-        # ARCHIVES processed files out of its incoming dir, so the twin
-        # needs its own copy (rel_path grammar is root-agnostic)
+        batch_dir = os.path.join(
+            workspace, "incoming", "u1", "reports", "batch"
+        )
         twin_dir = os.path.join(
-            root, "batch_ws", "incoming", "u1", "reports", "batch"
+            workspace, "batch_ws", "incoming", "u1", "reports", "batch"
         )
         os.makedirs(batch_dir)
-        os.makedirs(twin_dir)
-        for i in range(n_files):
+        if twin:
+            os.makedirs(twin_dir)
+        for i in range(docs):
             payload = json.dumps(
                 {"Total Amount ($)": f"${i % 97}.00"}
             ).encode()
-            for d in (batch_dir, twin_dir):
+            dirs = (batch_dir, twin_dir) if twin else (batch_dir,)
+            for d in dirs:
                 with open(os.path.join(d, f"doc{i:04d}.pdf"), "wb") as fh:
                     fh.write(payload)
-        facts = os.path.join(root, "facts")
+        facts = os.path.join(workspace, "facts")
         t0 = time.perf_counter()
         q = S.stream_ingest(
             spark,
-            root,
+            workspace,
             cat,
             facts,
-            os.path.join(root, "ckpt"),
-            quarantine_path=os.path.join(root, "quarantine"),
+            os.path.join(workspace, "ckpt"),
+            quarantine_path=os.path.join(workspace, "quarantine"),
             max_files_per_trigger=250,
             auto_compact_max_files=16,
         )
         q.awaitTermination()
         wall = time.perf_counter() - t0
         n_landed = writers.read_fact_table(spark, facts).count()
-        if n_landed != n_files:
+        if n_landed != docs:
             raise RuntimeError(
-                f"lossy drain: {n_landed}/{n_files} docs landed"
+                f"lossy drain: {n_landed}/{docs} docs landed"
             )
-        # batch-equivalent twin (VERDICT r10 #6): the SAME files through
-        # the one-shot ingest_batch path into a fresh fact table — the
-        # engine's own batch floor, so the streaming rate is judged
-        # against a measured comparator instead of standing bare
-        # (DuckDB has no streaming ingest to twin against)
-        facts_b = os.path.join(root, "facts_batch")
+        out = {"wall_sec": wall}
+        if not twin:
+            return out
+        # batch-equivalent twin (VERDICT r10 #6): the SAME files
+        # through the one-shot ingest_batch path into a fresh fact
+        # table — the engine's own batch floor, so the streaming rate
+        # is judged against a measured comparator instead of standing
+        # bare (DuckDB has no streaming ingest to twin against). Own
+        # tree: the drain ARCHIVES its incoming files.
+        facts_b = os.path.join(workspace, "facts_batch")
         t0 = time.perf_counter()
         res = pipeline.ingest_batch(
             spark,
-            f"{root}/batch_ws/incoming/*/*/*/*",
+            f"{workspace}/batch_ws/incoming/*/*/*/*",
             cat,
             facts_b,
-            quarantine_path=os.path.join(root, "quarantine_batch"),
+            quarantine_path=os.path.join(workspace, "quarantine_batch"),
         )
-        batch_wall = time.perf_counter() - t0
-        if res["rows_written"] != n_files:
+        out["batch_sec"] = time.perf_counter() - t0
+        if res["rows_written"] != docs:
             raise RuntimeError(
-                f"batch twin lost rows: {res['rows_written']}/{n_files}"
+                f"batch twin lost rows: {res['rows_written']}/{docs}"
             )
+        return out
+
+    root = tempfile.mkdtemp(prefix="spark-graft-stream-bench-")
+    try:
+        settle = os.path.join(root, "settle")
+        os.makedirs(settle)
+        _drain(settle, 50, twin=True)  # untimed settle, both paths
+        timed = os.path.join(root, "timed")
+        os.makedirs(timed)
+        r = _drain(timed, n_files, twin=True)
         return {
             "docs": n_files,
-            "wall_sec": round(wall, 2),
-            "docs_per_sec": round(n_files / wall, 1),
-            "batch_equiv_sec": round(batch_wall, 2),
-            "stream_over_batch": round(wall / batch_wall, 2),
+            "wall_sec": round(r["wall_sec"], 2),
+            "docs_per_sec": round(n_files / r["wall_sec"], 1),
+            "batch_equiv_sec": round(r["batch_sec"], 2),
+            "stream_over_batch": round(r["wall_sec"] / r["batch_sec"], 2),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
