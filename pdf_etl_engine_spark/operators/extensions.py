@@ -1571,16 +1571,17 @@ def x4k_knn_join_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes (x4b/x4e/x4f).
 
     Spark shape: map-only — one Arrow kernel per vector batch against
-    the broadcast vector matrix (x4j's rescore pattern), computing the
-    batch × corpus similarity block with strict j-order float64
-    accumulation (bit-identical to the oracle's list_sum folds) and a
-    stable argsort whose tie behavior reproduces the oracle's
-    (c DESC, nbr_id) row_number exactly. ZERO shuffles: the only
-    exchange in the plan is Arrow batch transfer. At corpus sizes past
-    broadcast range you'd block the matrix into an outer join of
-    row-block × column-block (each block pair its own kernel call) or
-    switch to the IVF/LSH index probes; candidate generation and
-    tie-break semantics stay identical."""
+    the lazily-built per-process vector matrix (x4j's rescore
+    pattern): a BLAS GEMM screens each chunk × corpus block, the
+    captured few candidates per row are re-accumulated with strict
+    j-order float64 folds (bit-identical to the oracle's list_sum),
+    and ranking runs on the exact values with the oracle's
+    (c DESC, nbr_id) tie-break. ZERO shuffles: the only exchange in
+    the plan is Arrow batch transfer. At corpus sizes past
+    per-process-matrix range you'd block the matrix into an outer
+    join of row-block × column-block (each block pair its own kernel
+    call) or switch to the IVF/LSH index probes; candidate generation
+    and tie-break semantics stay identical."""
     import numpy as np
     import pandas as pd
 
@@ -1604,24 +1605,45 @@ def x4k_knn_join_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
                 qids = all_qids[s : s + chunk]
                 emb_q = all_q[s : s + chunk]
                 qi = np.searchsorted(ids_s, qids)
-                acc = np.zeros((len(emb_q), len(ids_s)))
-                for j in range(64):  # strict fold order = list_sum
-                    acc += emb_q[:, j : j + 1] * m[:, j][None, :]
-                cos = acc / (nrm[qi][:, None] * nrm[None, :])
-                cos[np.arange(len(emb_q)), qi] = -np.inf  # no self
-                # stable argsort on -cos: equal cosines keep column
-                # order, and columns are ascending nbr_id — the
-                # oracle's (c DESC, nbr_id) tie-break exactly
-                nbr = np.argsort(-cos, axis=1, kind="stable")[:, :topk]
-                rows = np.arange(len(emb_q))[:, None]
+                # GEMM SCREEN (r11, the _bucket_allpairs_kernel
+                # discipline): a reassociated BLAS block differs from
+                # the strict fold by ≲1e-13, so capturing every
+                # column whose screened cosine is within 2e-9 of the
+                # row's 5th-best provably contains the exact top-5
+                # (the 5 screen-best columns alone witness
+                # exact-5th ≥ screen-5th − ε). The captured few are
+                # then re-accumulated in strict j-order and ranked on
+                # the EXACT values with the oracle's (c DESC, nbr_id)
+                # tie-break — emitted rows are bit-identical to the
+                # full strict-fold form this replaces, which streamed
+                # a chunk×corpus temp per dimension (64 passes) and
+                # was memory-bound (sf1: 34-70 s → ~4 s).
+                screen = (emb_q @ m.T) / (nrm[qi][:, None] * nrm[None, :])
+                screen[np.arange(len(emb_q)), qi] = -np.inf  # no self
+                kth = min(topk, screen.shape[1] - 1)
+                t_a = -np.partition(-screen, kth - 1, axis=1)[
+                    :, kth - 1
+                ]
+                rows_idx, cols_idx = np.where(
+                    (screen >= (t_a - 2e-9)[:, None])
+                    & np.isfinite(screen)  # self stays out even when
+                    # a degenerate row makes t_a itself -inf
+                )
+                A, B = emb_q[rows_idx], m[cols_idx]
+                acc = np.zeros(len(rows_idx))
+                for j in range(m.shape[1]):  # strict fold = list_sum
+                    acc += A[:, j] * B[:, j]
+                exact = acc / (nrm[qi][rows_idx] * nrm[cols_idx])
+                srt = np.lexsort((cols_idx, -exact, rows_idx))
+                r_s, c_s, e_s = rows_idx[srt], cols_idx[srt], exact[srt]
+                starts = np.searchsorted(r_s, np.arange(len(emb_q)))
+                pos = np.arange(len(r_s)) - starts[r_s]
+                keep = pos < topk
                 yield pd.DataFrame({
-                    "vec_id": np.repeat(qids, topk),
-                    "nbr_id": ids_s[nbr].ravel(),
-                    "nbr_rank": np.tile(
-                        np.arange(1, topk + 1, dtype=np.int32),
-                        len(emb_q),
-                    ),
-                    "cos_raw": cos[rows, nbr].ravel(),
+                    "vec_id": qids[r_s[keep]],
+                    "nbr_id": ids_s[c_s[keep]],
+                    "nbr_rank": (pos[keep] + 1).astype(np.int32),
+                    "cos_raw": e_s[keep],
                 })
 
     scored = emb.select("vec_id", "embedding").mapInPandas(
