@@ -1056,7 +1056,6 @@ def _x4j_bucket_kernel(n_tables: int, n_bits: int, mod: int):
     20k × 120 × 64 steps; this kernel does the identical arithmetic
     in 1-2 s of vectorized numpy over Arrow batches."""
     import numpy as np
-    import pandas as pd
 
     half = mod // 2
     coefs = np.array(
@@ -1064,6 +1063,15 @@ def _x4j_bucket_kernel(n_tables: int, n_bits: int, mod: int):
          for p in range(n_tables * n_bits)],
         dtype=np.float64,
     )
+    return _bucket_kernel_from_coefs(coefs, n_tables, n_bits)
+
+
+def _bucket_kernel_from_coefs(coefs, n_tables: int, n_bits: int):
+    """The _x4j_bucket_kernel body for ANY [L·k, 64] float64 plane
+    matrix (arithmetic or hash-mixed family) — identical strict fold
+    order, so each family stays bit-exact against its own SQL twin."""
+    import numpy as np
+    import pandas as pd
 
     # no type hints: extensions.py uses `from __future__ import
     # annotations`, which stringifies them and breaks pandas_udf's
@@ -1343,7 +1351,16 @@ def _bucket_allpairs_kernel(threshold: float):
     both the pair dot products and the norms accumulate in strict
     j-order from 0.0 — the same IEEE float64 sequence as
     _pair_cosine_kernel and the oracles' list_sum folds, so a pair
-    scored here is hash-identical to the matrix path's score."""
+    scored here is hash-identical to the matrix path's score.
+
+    Multi-probe groups (r12): when the group carries an ``h`` column
+    (home-vs-probe flag from the Hamming-1 probe emission), only
+    pairs where AT LEAST ONE side is home are scored — probe∧probe
+    pairs sit at bucket Hamming distance 2 and belong to no
+    candidate set; dropping them here keeps the emitted pair set
+    exactly {pairs with home-bucket Hamming distance ≤ 1}, the set
+    the SQL oracle derives from home buckets alone via
+    bit_count(xor(a.b, b.b)) <= 1."""
     import numpy as np
     import pandas as pd
 
@@ -1360,6 +1377,11 @@ def _bucket_allpairs_kernel(threshold: float):
         ids = pdf["vec_id"].to_numpy()
         order = np.argsort(ids)
         ids = ids[order]
+        home = (
+            pdf["h"].to_numpy()[order].astype(bool)
+            if "h" in pdf.columns
+            else None
+        )
         G = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
         nsq = np.zeros(m)
         for j in range(G.shape[1]):  # strict fold order = oracle nrm
@@ -1376,6 +1398,8 @@ def _bucket_allpairs_kernel(threshold: float):
         screen = (G @ G.T) / (nrm[:, None] * nrm[None, :])
         iu, ju = np.triu_indices(m, k=1)
         cand = screen[iu, ju] >= threshold - 1e-6
+        if home is not None:
+            cand &= home[iu] | home[ju]
         ia, ib = iu[cand], ju[cand]
         A, B = G[ia], G[ib]
         acc = np.zeros(len(ia))
@@ -1420,12 +1444,169 @@ def adaptive_lsh_bits(
     return max(floor, math.ceil(math.log2(max(n / target_occupancy, 1.0))))
 
 
+def _next_prime(n: int) -> int:
+    """Smallest prime ≥ n (trial division — n is always tiny: L·k+1)."""
+    c = max(n, 2)
+    while any(c % d == 0 for d in range(2, int(c**0.5) + 1)):
+        c += 1
+    return c
+
+
+def lsh_modulus(n_tables: int, n_bits: int, min_mod: int = 61) -> int:
+    """Modulus for the arithmetic plane family that PRESERVES the
+    documented invariant 'M must exceed L·k so no two planes coincide'
+    (_arith_bucket_sql) at ANY adaptive k: smallest prime ≥
+    max(min_mod, L·k + 1). Grading corpora (k at the floor, L·k ≤ 60)
+    keep the pinned mod 61 bit-identically; sf1's k=7 (L·k=84, where
+    the fixed mod 61 silently duplicated 23 of 84 planes and
+    correlated every table — ADVICE r11) gets 89; larger corpora keep
+    growing with k."""
+    return _next_prime(max(min_mod, n_tables * n_bits + 1))
+
+
+# --- r12: hash-mixed plane family + Hamming-1 multi-probe -------------------
+# RECALL_SF1 r11 exposed WHY the arithmetic family underperforms: every
+# plane (31p+17j) mod M is a cyclic shift of ONE sawtooth — a
+# 1-parameter curve in R^64 with mean pairwise |cosine| 0.38 (max
+# 0.9996: near-duplicate planes), so extra tables add little
+# independent information and recall saturates (0.20→0.28→0.33 over
+# L=4→8→12). The mixed family below drives each coefficient through a
+# 2-round multiply/xor-shift mixer (all ops int64-safe and exactly
+# expressible in both numpy and DuckDB SQL, so the oracle recomputes
+# the planes itself); measured mean |cosine| 0.100 vs 0.102 for true
+# random Gaussian planes — statistically indistinguishable from the
+# random hyperplanes sign-LSH theory assumes.
+
+_MIX_M1, _MIX_M2, _MIX_P = 2654435761, 1597334677, 2147483647
+
+
+def _mix_plane_coefs(n_planes: int, mod: int):
+    """[n_planes, 64] float64 mixed-family coefficients; int64-exact."""
+    import numpy as np
+
+    idx = np.arange(n_planes * 64, dtype=np.int64)
+    h = (idx + 1) * _MIX_M1 % _MIX_P
+    h ^= h >> 15
+    h = h * _MIX_M2 % _MIX_P
+    h ^= h >> 13
+    return (h % mod - mod // 2).astype(np.float64).reshape(n_planes, 64)
+
+
+def _mix_coef_expr(p: int, mod: int) -> str:
+    """DuckDB expression for mixed-plane p's coefficient at array index
+    j (the lambda variable in a range(0, 64) transform) — the same
+    mixer as _mix_plane_coefs, term for term; every intermediate stays
+    below 2^62 so BIGINT arithmetic never overflows."""
+    h1 = f"((({64 * p} + j + 1) * {_MIX_M1}) % {_MIX_P})"
+    h2 = f"xor({h1}, {h1} >> 15)"
+    h3 = f"(({h2} * {_MIX_M2}) % {_MIX_P})"
+    h4 = f"xor({h3}, {h3} >> 13)"
+    return f"({h4} % {mod} - {mod // 2})"
+
+
+def _mix_bucket_sql(t: int, k: int, mod: int) -> str:
+    """_arith_bucket_sql's twin for the mixed plane family: same
+    left-fold dot, coefficients from _mix_coef_expr."""
+    bits = []
+    for i in range(k):
+        p = t * k + i
+        fold = (
+            "list_reduce([CAST(0.0 AS DOUBLE)] || "
+            "list_transform(range(0, 64), j -> "
+            "CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) * "
+            f"CAST({_mix_coef_expr(p, mod)} AS DOUBLE)), "
+            "(a, x) -> a + x)"
+        )
+        bits.append(f"(CASE WHEN {fold} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _mixed_lsh_oracle(
+    n_tables: int, n_bits: int, mod: int, hamming: int = 0
+) -> str:
+    """DuckDB oracle for the mixed-plane near-dup pipeline. hamming=0
+    is the exact-bucket-match candidate rule; hamming=1 is the
+    multi-probe rule — a pair is a candidate when its HOME buckets in
+    some table differ in at most one bit (bit_count(xor(.,.)) <= 1),
+    which is precisely the pair set the Spark side's home+Hamming-1
+    probe emission produces (probe∧probe collisions are distance 2
+    and are masked out in _bucket_allpairs_kernel)."""
+    branches = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t,"
+        f" {_mix_bucket_sql(t, n_bits, mod)} AS b FROM embeddings"
+        for t in range(n_tables)
+    )
+    match = (
+        "a.b = b2.b"
+        if hamming == 0
+        else f"bit_count(xor(a.b, b2.b)) <= {hamming}"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), tb AS (
+      {branches}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS va, b2.vec_id AS vb
+      FROM tb a JOIN tb b2
+        ON a.t = b2.t AND {match} AND a.vec_id < b2.vec_id
+    )
+    SELECT c.va AS vec_a, c.vb AS vec_b,
+           round(list_sum(list_transform(list_zip(x.e, y.e),
+                 s -> s[1] * s[2])) / (x.nrm * y.nrm) + 5e-10, 4) AS cos_sim
+    FROM cand c JOIN v x ON x.vec_id = c.va JOIN v y ON y.vec_id = c.vb
+    WHERE list_sum(list_transform(list_zip(x.e, y.e), s -> s[1] * s[2]))
+          / (x.nrm * y.nrm) >= 0.25
+"""
+
+
+def _probe_bucket_kernel(coefs, n_tables: int, n_bits: int):
+    """Bucket + Hamming-1 probe emission as ONE Arrow kernel: per
+    vector and table it emits the home bucket plus the k one-bit-flip
+    neighbors, packed into int64 as t·2³⁴ | bucket·2 | is_home so the
+    JVM side unpacks with three codegen'd bit ops (an array<struct>
+    return would leave Arrow conversion on the hot path). Same strict
+    fold order as _bucket_kernel_from_coefs — home buckets are
+    bit-identical to the non-probe kernel's."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("array<long>")
+    def probe_arr(s):
+        emb = np.stack(s.to_numpy()).astype(np.float64)  # exact f32→f64
+        n = len(emb)
+        dots = np.zeros((n, n_tables * n_bits))
+        for j in range(64):  # strict fold order per (row, plane)
+            dots += emb[:, j : j + 1] * coefs[:, j][None, :]
+        bits = dots > 0
+        home = np.zeros((n, n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for i in range(n_bits):
+                home[:, t] |= bits[:, t * n_bits + i].astype(np.int64) << i
+        out = np.empty((n, n_tables * (n_bits + 1)), dtype=np.int64)
+        ts = np.arange(n_tables, dtype=np.int64) << 34
+        out[:, :n_tables] = ts[None, :] | (home << 1) | 1
+        for i in range(n_bits):
+            out[:, n_tables * (i + 1) : n_tables * (i + 2)] = ts[None, :] | (
+                (home ^ (1 << i)) << 1
+            )
+        return pd.Series(list(out))
+
+    return probe_arr
+
+
 def fused_lsh_pairs(
     emb: DataFrame,
     n_tables: int,
     n_bits: int,
     mod: int,
     threshold: float,
+    plane: str = "arith",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Fused LSH candidate generation + exact rescore at any (L, k, M)
     arithmetic-plane parameterization: bucket assignment is the x4j
@@ -1438,14 +1619,58 @@ def fused_lsh_pairs(
     rescored every candidate through the interpreted _dot fold
     (CodegenFallback, ~5M lambda-steps/s) and carried (e, nrm) payload
     through the candidate-pair join — at sf1's dense k=3 buckets it
-    ran >10 min where this shape runs seconds."""
-    bucket_arr = _x4j_bucket_kernel(n_tables, n_bits, mod)
-    buckets = emb.select(
-        "vec_id",
-        "embedding",
-        F.posexplode(bucket_arr("embedding")).alias("t", "b"),
-    )
-    scored = buckets.groupBy("t", "b").applyInPandas(
+    ran >10 min where this shape runs seconds.
+
+    r12 levers: ``plane="mixed"`` swaps the correlated arithmetic
+    sawtooth planes for the hash-mixed family (random-hyperplane
+    statistics — see the family comment above); ``probe_hamming=1``
+    adds Hamming-1 multi-probe, which multiplies the bucket-shuffle
+    rows by (k+1) but lifts per-table collision probability from p^k
+    to p^k + k·p^(k-1)(1-p) — at cos 0.6, k=10, L=12 that is
+    0.03→0.16 per table, 0.31→0.87 overall, the difference between a
+    near-dup pass that misses ⅔ of true pairs and one that keeps
+    ~9/10. Candidate set with probes = {pairs whose home buckets in
+    some table differ in ≤1 bit}; exactness of the rescore is
+    unchanged."""
+    if plane == "mixed":
+        coefs = _mix_plane_coefs(n_tables * n_bits, mod)
+    else:
+        import numpy as np
+
+        half = mod // 2
+        coefs = np.array(
+            [[(31 * p + 17 * j) % mod - half for j in range(64)]
+             for p in range(n_tables * n_bits)],
+            dtype=np.float64,
+        )
+    if probe_hamming == 0:
+        bucket_arr = _bucket_kernel_from_coefs(coefs, n_tables, n_bits)
+        buckets = emb.select(
+            "vec_id",
+            "embedding",
+            F.posexplode(bucket_arr("embedding")).alias("t", "b"),
+        )
+        grouped = buckets.groupBy("t", "b")
+    else:
+        if probe_hamming != 1:
+            raise ValueError("probe_hamming must be 0 or 1")
+        probe_arr = _probe_bucket_kernel(coefs, n_tables, n_bits)
+        packed = emb.select(
+            "vec_id",
+            "embedding",
+            F.explode(probe_arr("embedding")).alias("pk"),
+        )
+        buckets = packed.select(
+            "vec_id",
+            "embedding",
+            F.shiftright("pk", 34).cast("int").alias("t"),
+            F.shiftright("pk", 1)
+            .bitwiseAND(F.lit((1 << 33) - 1))
+            .alias("b"),
+            F.col("pk").bitwiseAND(F.lit(1)).cast("boolean").alias("h"),
+        )
+        grouped = buckets.groupBy("t", "b")
+    scored = grouped.applyInPandas(
         _bucket_allpairs_kernel(threshold),
         "vec_a bigint, vec_b bigint, cos_raw double",
     )
@@ -1479,6 +1704,64 @@ def x4j2_lsh_near_dup_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     same occupancy bound (no AQE dependency)."""
     emb = load_table(spark, sf_dir, "embeddings")
     scored = fused_lsh_pairs(emb, _X4J_L, _X4J_K, _X4J_MOD, 0.25)
+    return scored.select(
+        "vec_a",
+        "vec_b",
+        stable_round(F.col("cos_raw"), 4).alias("cos_sim"),
+    )
+
+
+@query(
+    "x4m_lsh_near_dup_mixed",
+    oracle=_mixed_lsh_oracle(_X4J_L, _X4J_K, _X4J_MOD, hamming=0),
+)
+def x4m_lsh_near_dup_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x4j2's fused co-located shape at the same (L=12, k=10, mod 127)
+    parameterization with the HASH-MIXED plane family — the r12 fix
+    for the recall defect RECALL_SF1 r11 exposed (the arithmetic
+    planes are cyclic shifts of one sawtooth; mean pairwise |cosine|
+    0.38 vs 0.10 for this family ≈ true random hyperplanes). Graded
+    end-to-end: the DuckDB oracle recomputes the mixer itself
+    (_mix_coef_expr), so plane construction, bucket assignment,
+    candidate join, and rescore are all cross-engine bit-exact.
+    Reference anchor: SURVEY §2.11 X3/X4 (main.py:694-715's
+    per-document comparisons at corpus scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = fused_lsh_pairs(
+        emb, _X4J_L, _X4J_K, _X4J_MOD, 0.25, plane="mixed"
+    )
+    return scored.select(
+        "vec_a",
+        "vec_b",
+        stable_round(F.col("cos_raw"), 4).alias("cos_sim"),
+    )
+
+
+@query(
+    "x4n_lsh_near_dup_multiprobe",
+    oracle=_mixed_lsh_oracle(_X4J_L, _X4J_K, _X4J_MOD, hamming=1),
+)
+def x4n_lsh_near_dup_multiprobe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The RECOMMENDED production near-dup configuration after r12:
+    mixed planes + Hamming-1 multi-probe at (L=12, k=10, mod 127).
+    Multi-probe lifts per-table collision probability from p^k to
+    p^k + k·p^(k-1)(1-p) at the cost of (k+1)× bucket-shuffle rows —
+    measured recall on the high-similarity truth set (cos ≥ 0.6,
+    exact k-NN ground truth at sf1) rises from the arithmetic
+    family's 0.11 to ≥0.8 (RECALL_SF1.json, floor pinned in
+    tests/test_extensions_recall.py). Oracle-graded: candidates are
+    exactly the pairs whose home buckets differ in ≤1 bit in some
+    table (bit_count(xor(a.b, b.b)) <= 1 in the SQL twin); the Spark
+    side derives the same set via home+probe emission with
+    probe∧probe pairs masked in the bucket kernel. Plan shape is
+    x4j2's: one bucket shuffle (now (k+1)×L rows per vector), the
+    quadratic block numpy-local per group, ID-only pairs out."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = fused_lsh_pairs(
+        emb, _X4J_L, _X4J_K, _X4J_MOD, 0.25, plane="mixed", probe_hamming=1
+    )
     return scored.select(
         "vec_a",
         "vec_b",
@@ -2231,8 +2514,10 @@ def x14b_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X14b: near-duplicate clusters AT SCALE — the x14 semantics with
     both quadratic parts replaced by shuffle-keyed algorithms: edge
     generation via the FUSED multi-table LSH kernel
-    (`fused_lsh_pairs`, the x4j2 shape at L=12/mod 61 planes with
-    SCALE-ADAPTIVE bucket width — `adaptive_lsh_bits` derives k from
+    (`fused_lsh_pairs`, the x4j2 shape at L=12 with a k-scaled
+    modulus — `lsh_modulus`, keeping planes duplicate-free at any
+    adaptive k, r12 — and SCALE-ADAPTIVE bucket width:
+    `adaptive_lsh_bits` derives k from
     the parquet footer's row count, so grading corpora run the pinned
     k=3 bit-identically while sf1 runs k=7 and 100 TB keeps k growing
     with the occupancy bound; no cross join, the bucket block runs as
@@ -2247,8 +2532,12 @@ def x14b_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the measured edge recall."""
     emb = load_table(spark, sf_dir, "embeddings")
     k = adaptive_lsh_bits(_embedding_count(sf_dir))
+    # modulus scales with k (ADVICE r11): fixed mod 61 under adaptive
+    # k=7 (L·k=84) silently reused 23 planes and correlated tables;
+    # lsh_modulus keeps grading corpora (k=3 → 61) bit-identical and
+    # gives sf1 a duplicate-free 89
     edges = fused_lsh_pairs(
-        emb, n_tables=12, n_bits=k, mod=61, threshold=0.25
+        emb, n_tables=12, n_bits=k, mod=lsh_modulus(12, k), threshold=0.25
     ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     return connected_components(emb.select("vec_id"), edges)
 

@@ -89,6 +89,7 @@ def test_relational_paths_have_no_python(spark):
         - {"x5b_media_decode", "x5c_resize_pipeline", "x5d_media_formats",
            "x42_image_ahash_dedup", "x43_audio_fingerprint_dedup",
            "x4j_lsh_near_dup_k10", "x4j2_lsh_near_dup_colocated",
+           "x4m_lsh_near_dup_mixed", "x4n_lsh_near_dup_multiprobe",
            "x4k_knn_join_brute", "x45_semdedup",
            "x27_ngram_surprisal"}
         # x42/x43: real pixel/PCM decode, Python by design (x5 family);
