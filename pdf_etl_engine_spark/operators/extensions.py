@@ -1819,6 +1819,74 @@ class BucketedVectorStore:
 _X4K_TOPK = 5
 
 
+def _knn_topk_block(Q, M, nrm_q, nrm_m, topk, self_col=None, cap=4096):
+    """Exact per-row top-k of query block Q against corpus block M
+    under the oracle's (cos DESC, col ASC) comparator: a BLAS GEMM
+    screens the block (reassociated error ≲1e-13), every column
+    within 2e-9 of the row's k-th-best screen is captured and
+    re-accumulated in strict j-order (bit-identical to list_sum), and
+    the exact values are ranked. Capture is TIE-BOUNDED, not
+    topk-bounded (ADVICE r11): on duplicate-heavy corpora a row can
+    capture ~|M| tie columns, so any row capturing more than ``cap``
+    columns falls back to a full strict fold over M for that row —
+    O(|M|) float64 per hot row instead of captured×64 — keeping peak
+    kernel memory O(|Q|·|M|) for the screen plus O(cap·64) for the
+    rescore regardless of tie structure. Returns (row_idx, col_idx,
+    exact_cos) already cut to each row's top-k.
+
+    ``self_col``: optional int array, per query row the column index
+    of the query itself in M (−1 when absent) — masked from ranking.
+    """
+    import numpy as np
+
+    nq = len(Q)
+    screen = (Q @ M.T) / (nrm_q[:, None] * nrm_m[None, :])
+    if self_col is not None:
+        has_self = self_col >= 0
+        screen[np.where(has_self)[0], self_col[has_self]] = -np.inf
+    kth = min(topk, screen.shape[1] - 1)
+    if kth < 1:
+        kth = 1
+    t_a = -np.partition(-screen, kth - 1, axis=1)[:, kth - 1]
+    rows_idx, cols_idx = np.where(
+        (screen >= (t_a - 2e-9)[:, None]) & np.isfinite(screen)
+    )
+    counts = np.bincount(rows_idx, minlength=nq)
+    hot = counts > cap
+    if hot.any():
+        keep = ~hot[rows_idx]
+        rows_idx, cols_idx = rows_idx[keep], cols_idx[keep]
+    A, B = Q[rows_idx], M[cols_idx]
+    acc = np.zeros(len(rows_idx))
+    for j in range(M.shape[1]):  # strict fold = list_sum
+        acc += A[:, j] * B[:, j]
+    exact = acc / (nrm_q[rows_idx] * nrm_m[cols_idx])
+    if hot.any():
+        extra_r, extra_c, extra_v = [], [], []
+        for r in np.where(hot)[0]:
+            accr = np.zeros(M.shape[0])
+            qv = Q[r]
+            for j in range(M.shape[1]):  # strict fold, O(|M|) memory
+                accr += qv[j] * M[:, j]
+            vals = accr / (nrm_q[r] * nrm_m)
+            if self_col is not None and self_col[r] >= 0:
+                vals[self_col[r]] = -np.inf
+            order = np.lexsort((np.arange(len(vals)), -vals))[:topk]
+            order = order[np.isfinite(vals[order])]
+            extra_r.append(np.full(len(order), r))
+            extra_c.append(order)
+            extra_v.append(vals[order])
+        rows_idx = np.concatenate([rows_idx, *extra_r])
+        cols_idx = np.concatenate([cols_idx, *extra_c])
+        exact = np.concatenate([exact, *extra_v])
+    srt = np.lexsort((cols_idx, -exact, rows_idx))
+    r_s, c_s, e_s = rows_idx[srt], cols_idx[srt], exact[srt]
+    starts = np.searchsorted(r_s, np.arange(nq))
+    pos = np.arange(len(r_s)) - starts[r_s]
+    keep = pos < topk
+    return r_s[keep], c_s[keep], e_s[keep], (pos[keep] + 1)
+
+
 @query(
     "x4k_knn_join_brute",
     oracle="""
@@ -1874,8 +1942,20 @@ def x4k_knn_join_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def knn(batches):
         ids_s, m, nrm = handle.get()
-        # per-task working set stays O(chunk × corpus) no matter how
-        # large an Arrow batch arrives: 1024 × 20k f64 ≈ 160 MB at sf1
+        # per-task working set: chunk × corpus f64 for the GEMM screen
+        # (1024 × 20k ≈ 160 MB at sf1) plus a TIE-BOUNDED capture that
+        # _knn_topk_block caps per row (rows capturing > 4096 tie
+        # columns fall back to an O(corpus) full strict fold — see the
+        # helper; before r12 a duplicate-heavy corpus could blow the
+        # captured×64 rescore matrices up to ~chunk×corpus×64 f64).
+        # GEMM SCREEN correctness: a reassociated BLAS block differs
+        # from the strict fold by ≲1e-13, so capturing every column
+        # within 2e-9 of the row's 5th-best screen provably contains
+        # the exact top-5; captured columns are re-accumulated in
+        # strict j-order and ranked on the EXACT values with the
+        # oracle's (c DESC, nbr_id) tie-break — emitted rows are
+        # bit-identical to the full strict-fold form this replaces
+        # (sf1: 34-70 s → ~4 s).
         chunk = 1024
         for batch in batches:
             all_qids = batch["vec_id"].to_numpy()
@@ -1888,45 +1968,14 @@ def x4k_knn_join_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
                 qids = all_qids[s : s + chunk]
                 emb_q = all_q[s : s + chunk]
                 qi = np.searchsorted(ids_s, qids)
-                # GEMM SCREEN (r11, the _bucket_allpairs_kernel
-                # discipline): a reassociated BLAS block differs from
-                # the strict fold by ≲1e-13, so capturing every
-                # column whose screened cosine is within 2e-9 of the
-                # row's 5th-best provably contains the exact top-5
-                # (the 5 screen-best columns alone witness
-                # exact-5th ≥ screen-5th − ε). The captured few are
-                # then re-accumulated in strict j-order and ranked on
-                # the EXACT values with the oracle's (c DESC, nbr_id)
-                # tie-break — emitted rows are bit-identical to the
-                # full strict-fold form this replaces, which streamed
-                # a chunk×corpus temp per dimension (64 passes) and
-                # was memory-bound (sf1: 34-70 s → ~4 s).
-                screen = (emb_q @ m.T) / (nrm[qi][:, None] * nrm[None, :])
-                screen[np.arange(len(emb_q)), qi] = -np.inf  # no self
-                kth = min(topk, screen.shape[1] - 1)
-                t_a = -np.partition(-screen, kth - 1, axis=1)[
-                    :, kth - 1
-                ]
-                rows_idx, cols_idx = np.where(
-                    (screen >= (t_a - 2e-9)[:, None])
-                    & np.isfinite(screen)  # self stays out even when
-                    # a degenerate row makes t_a itself -inf
+                r_s, c_s, e_s, rank = _knn_topk_block(
+                    emb_q, m, nrm[qi], nrm, topk, self_col=qi
                 )
-                A, B = emb_q[rows_idx], m[cols_idx]
-                acc = np.zeros(len(rows_idx))
-                for j in range(m.shape[1]):  # strict fold = list_sum
-                    acc += A[:, j] * B[:, j]
-                exact = acc / (nrm[qi][rows_idx] * nrm[cols_idx])
-                srt = np.lexsort((cols_idx, -exact, rows_idx))
-                r_s, c_s, e_s = rows_idx[srt], cols_idx[srt], exact[srt]
-                starts = np.searchsorted(r_s, np.arange(len(emb_q)))
-                pos = np.arange(len(r_s)) - starts[r_s]
-                keep = pos < topk
                 yield pd.DataFrame({
-                    "vec_id": qids[r_s[keep]],
-                    "nbr_id": ids_s[c_s[keep]],
-                    "nbr_rank": (pos[keep] + 1).astype(np.int32),
-                    "cos_raw": e_s[keep],
+                    "vec_id": qids[r_s],
+                    "nbr_id": ids_s[c_s],
+                    "nbr_rank": rank.astype(np.int32),
+                    "cos_raw": e_s,
                 })
 
     scored = emb.select("vec_id", "embedding").mapInPandas(

@@ -220,3 +220,29 @@ def test_fused_lsh_pairs_bit_equals_matrix_rescore(spark, sf_dir):
         .collect()
     }
     assert fused == matrix  # bit-exact scores, identical pair set
+
+
+def test_knn_topk_block_hot_row_fallback_is_exact():
+    """The r12 tie-capture cap (_knn_topk_block): on a duplicate-heavy
+    block where one query ties with ~every column, the capped path
+    (per-row full-fold fallback, O(|M|) memory) must return exactly
+    the rows the uncapped capture returns — same ids, same ranks,
+    bit-identical cosines."""
+    from pdf_etl_engine_spark.operators.extensions import _knn_topk_block
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64)
+    # 200 exact duplicates + 56 distinct vectors
+    M = np.vstack([np.tile(base, (200, 1)), rng.normal(size=(56, 64))])
+    Q = np.vstack([base, rng.normal(size=(3, 64))])
+
+    def nrm(X):
+        acc = np.zeros(len(X))
+        for j in range(X.shape[1]):  # strict fold, as the kernels do
+            acc += X[:, j] * X[:, j]
+        return np.sqrt(acc)
+
+    lo = _knn_topk_block(Q, M, nrm(Q), nrm(M), 5, cap=8)
+    hi = _knn_topk_block(Q, M, nrm(Q), nrm(M), 5, cap=10**9)
+    for a, b in zip(lo, hi):
+        assert np.array_equal(a, b)

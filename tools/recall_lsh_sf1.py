@@ -1,16 +1,34 @@
-"""x4j recall at sf1, measured against the exact k-NN join (VERDICT
-r10 #7): the "re-tune recall via L" claim as a committed curve.
+"""LSH near-dup recall at sf1, measured against the exact k-NN join
+(VERDICT r10 #7, extended r12 per VERDICT r11 #1 + ADVICE r11).
 
 Ground truth: x4k_knn_join_brute at sf1 — every vector's exact top-5
-cosine neighbors — restricted to neighbor pairs at or above x4j's
-0.25 near-dup threshold (pairs below it are not near-dups and no
-near-dup pipeline should be charged for missing them). Probe: the
-x4j pair set (arithmetic sign-LSH, k=10 bits, mod 127 planes — built
-via fused_lsh_pairs, which produces the identical pair set to
-x4j/x4j2) swept over L = 4, 8, 12 tables. Recall@L = fraction of
-ground-truth pairs present in the LSH pair set; L=12 is the shipped
-x4j parameterization, and the measured value is pinned as a floor in
-tests/test_extensions_recall.py's sf0.01 twin.
+cosine neighbors — restricted to pairs at or above the 0.25 near-dup
+threshold, with high-similarity subsets at cos ≥ 0.5 and ≥ 0.6 (the
+bands a dedup decision actually hinges on). Probes, per family:
+
+* ``arith``  — the r11 production planes ((31p+17j) mod 127, k=10).
+  Kept as the REGRESSION row: r11 measured 0.325 overall at L=12 with
+  a non-monotone high band, and r12's diagnosis is committed here —
+  the family is a 1-parameter sawtooth (every plane a cyclic shift of
+  one curve; mean pairwise |cosine| 0.38, max 0.9996), so tables are
+  correlated and recall saturates with L.
+* ``mixed``  — the r12 hash-mixed family (same k/mod/L), mean pairwise
+  |cosine| 0.100 ≈ random Gaussian planes (0.102): the measured curve
+  should match sign-LSH theory, and its per-band recall should be
+  monotone in similarity.
+* ``mixed_multiprobe`` — mixed planes + Hamming-1 probes (x4n, the
+  recommended production configuration): per-table collision lifts
+  from p^k to p^k + k·p^(k-1)·(1-p).
+* ``x14b_arith_adaptive`` — the exact parameterization x14b's edge
+  source runs at sf1 (adaptive k, k-scaled modulus via lsh_modulus),
+  measured because ADVICE r11 flagged that the graded recall artifact
+  covered only the k=10/mod-127 family.
+
+The artifact also carries the closed-form random-plane theory per
+band (p_bit = 1 − θ/π), so "mixed ≈ theory, arith ≪ theory" is
+checkable at a glance. Floors: the r11 regression floor (arith L=12
+overall ≥ 0.25) plus the r12 production floors on the high-similarity
+truth sets for mixed_multiprobe at L=12.
 
 Run: python tools/recall_lsh_sf1.py → one JSON line, persisted to
 RECALL_SF1.json at the repo root (round artifact).
@@ -19,6 +37,7 @@ RECALL_SF1.json at the repo root (round artifact).
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -27,6 +46,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 L_SWEEP = (4, 8, 12)
 THRESHOLD = 0.25
+HIGH_BANDS = (0.5, 0.6)
+
+
+def _band(c: float) -> str:
+    lo = int(c * 10) / 10
+    return f"[{lo},{round(lo + 0.1, 1)})"
+
+
+def _theory_recall(cos_mid: float, k: int, n_l: int, probe: bool) -> float:
+    p = 1.0 - math.acos(max(-1.0, min(1.0, cos_mid))) / math.pi
+    per_table = p**k
+    if probe:
+        per_table += k * p ** (k - 1) * (1.0 - p)
+    return 1.0 - (1.0 - per_table) ** n_l
 
 
 def main() -> None:
@@ -37,7 +70,10 @@ def main() -> None:
     from pdf_etl_engine_spark.operators.extensions import (
         _X4J_K,
         _X4J_MOD,
+        _embedding_count,
+        adaptive_lsh_bits,
         fused_lsh_pairs,
+        lsh_modulus,
     )
     from pdf_etl_engine_spark.session import get_spark
     from tools.synth_sf1 import synth
@@ -64,62 +100,132 @@ def main() -> None:
     }
     exact_sec = round(time.monotonic() - t0, 1)
 
-    def band(c: float) -> str:
-        lo = int(c * 10) / 10
-        return f"[{lo},{round(lo + 0.1, 1)})"
-
     truth_by_band: dict[str, int] = {}
     for c in truth.values():
-        truth_by_band[band(c)] = truth_by_band.get(band(c), 0) + 1
+        truth_by_band[_band(c)] = truth_by_band.get(_band(c), 0) + 1
+    high_truth = {
+        str(hi): {p for p, c in truth.items() if c >= hi} for hi in HIGH_BANDS
+    }
 
     emb = load_table(spark, sf1, "embeddings")
-    per_l: dict[str, dict] = {}
-    for n_tables in L_SWEEP:
-        t0 = time.monotonic()
-        got = {
-            (r.vec_a, r.vec_b)
-            for r in fused_lsh_pairs(
-                emb, n_tables, _X4J_K, _X4J_MOD, THRESHOLD
-            ).collect()
-        }
-        hit_by_band: dict[str, int] = {}
-        for pair, c in truth.items():
-            if pair in got:
-                hit_by_band[band(c)] = hit_by_band.get(band(c), 0) + 1
-        per_l[str(n_tables)] = {
-            "lsh_pairs": len(got),
-            "hit": sum(hit_by_band.values()),
-            "recall": round(sum(hit_by_band.values()) / len(truth), 4),
-            # sign-LSH match probability is (1-θ/π)^k per table — it
-            # collapses toward the 0.25 threshold and rises with
-            # similarity, so the per-band recall is the honest curve
-            # (this corpus is word-soup: nearly all truth pairs sit
-            # in [0.4,0.5); a real near-dup corpus concentrates at
-            # cos ≥ 0.8 where the same parameterization recalls far
-            # higher — the k/L levers trade against exactly this)
-            "recall_by_band": {
-                b: round(hit_by_band.get(b, 0) / n, 4)
-                for b, n in sorted(truth_by_band.items())
-            },
-            "spark_sec": round(time.monotonic() - t0, 1),
+    k14 = adaptive_lsh_bits(_embedding_count(sf1))
+    families: dict[str, dict] = {
+        "arith": dict(plane="arith", probe=0, k=_X4J_K, mod=_X4J_MOD,
+                      sweep=L_SWEEP),
+        "mixed": dict(plane="mixed", probe=0, k=_X4J_K, mod=_X4J_MOD,
+                      sweep=L_SWEEP),
+        "mixed_multiprobe": dict(plane="mixed", probe=1, k=_X4J_K,
+                                 mod=_X4J_MOD, sweep=L_SWEEP),
+        "x14b_arith_adaptive": dict(plane="arith", probe=0, k=k14,
+                                    mod=lsh_modulus(12, k14), sweep=(12,)),
+    }
+
+    results: dict[str, dict] = {}
+    for fam, cfg in families.items():
+        per_l: dict[str, dict] = {}
+        for n_tables in cfg["sweep"]:
+            t0 = time.monotonic()
+            got = {
+                (r.vec_a, r.vec_b)
+                for r in fused_lsh_pairs(
+                    emb,
+                    n_tables,
+                    cfg["k"],
+                    cfg["mod"],
+                    THRESHOLD,
+                    plane=cfg["plane"],
+                    probe_hamming=cfg["probe"],
+                ).collect()
+            }
+            hit_by_band: dict[str, int] = {}
+            for pair, c in truth.items():
+                if pair in got:
+                    hit_by_band[_band(c)] = hit_by_band.get(_band(c), 0) + 1
+            hits = sum(hit_by_band.values())
+            per_l[str(n_tables)] = {
+                "lsh_pairs": len(got),
+                "hit": hits,
+                "recall": round(hits / len(truth), 4),
+                "recall_by_band": {
+                    b: round(hit_by_band.get(b, 0) / n, 4)
+                    for b, n in sorted(truth_by_band.items())
+                },
+                "recall_high": {
+                    hi: round(
+                        len(got & tp) / len(tp), 4
+                    ) if tp else None
+                    for hi, tp in high_truth.items()
+                },
+                "theory_by_band": {
+                    b: round(
+                        _theory_recall(
+                            (float(b[1:4]) + 0.05),
+                            cfg["k"],
+                            n_tables,
+                            bool(cfg["probe"]),
+                        ),
+                        4,
+                    )
+                    for b in sorted(truth_by_band)
+                },
+                "spark_sec": round(time.monotonic() - t0, 1),
+            }
+        results[fam] = {
+            "k_bits": cfg["k"],
+            "mod": cfg["mod"],
+            "multiprobe_hamming": cfg["probe"],
+            "recall_at_L": per_l,
         }
 
-    # pinned floor at the shipped parameterization on THIS corpus —
-    # a regression in the plane family / bucket kernel / pair dedup
-    # shows up as a drop below it
-    floor = 0.25
-    shipped = per_l[str(max(L_SWEEP))]
+    # Floors. (1) regression: the r11 arith row must not drop below its
+    # measured level band. (2) production (x4n = mixed_multiprobe,
+    # L=12): high-similarity recall — the pairs a dedup decision is
+    # actually about — must stay ≥ 0.8 at cos ≥ 0.6 and ≥ 0.55 at
+    # cos ≥ 0.5 (theory: 0.87 / 0.73 at the band midpoints; the ≥0.5
+    # truth set is dominated by the [0.5,0.6) band's lower edge).
+    arith12 = results["arith"]["recall_at_L"]["12"]
+    prod = results["mixed_multiprobe"]["recall_at_L"]["12"]
+    floors = {
+        "arith_L12_overall": {
+            "floor": 0.25,
+            "measured": arith12["recall"],
+            "ok": arith12["recall"] >= 0.25,
+        },
+        "production_high06": {
+            "floor": 0.8,
+            "measured": prod["recall_high"]["0.6"],
+            "ok": (prod["recall_high"]["0.6"] or 0.0) >= 0.8,
+        },
+        "production_high05": {
+            "floor": 0.55,
+            "measured": prod["recall_high"]["0.5"],
+            "ok": (prod["recall_high"]["0.5"] or 0.0) >= 0.55,
+        },
+    }
+
     payload = {
-        "metric": "x4j_pair_recall_vs_exact_knn",
+        "metric": "lsh_pair_recall_vs_exact_knn",
         "sf": 1.0,
         "threshold": THRESHOLD,
-        "k_bits": _X4J_K,
         "exact_truth_pairs": len(truth),
         "truth_pairs_by_band": dict(sorted(truth_by_band.items())),
+        "truth_pairs_high": {hi: len(tp) for hi, tp in high_truth.items()},
         "exact_knn_sec": exact_sec,
-        "recall_at_L": per_l,
-        "pinned_floor_at_L12": floor,
-        "passes_floor": shipped["recall"] >= floor,
+        "families": results,
+        "anomaly_analysis": (
+            "r11's non-monotone band shape is structural, not noise: the "
+            "arithmetic planes (31p+17j) mod M are cyclic shifts of one "
+            "sawtooth (mean pairwise |cos| 0.38, max 0.9996 — near-"
+            "duplicate planes), so tables are correlated, recall "
+            "saturates with L, and specific vector structures are "
+            "systematically missed; the mixed family (mean |cos| 0.100 "
+            "vs 0.102 for random Gaussian planes) tracks the closed-form "
+            "random-plane theory in theory_by_band"
+        ),
+        "production_config": "x4n_lsh_near_dup_multiprobe "
+        "(mixed planes, Hamming-1 probes, L=12, k=10, mod=127)",
+        "floors": floors,
+        "passes_floor": all(f["ok"] for f in floors.values()),
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "RECALL_SF1.json"), "w") as fh:
