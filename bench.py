@@ -220,8 +220,10 @@ SF1_HEAVY_BUDGET_S = 1400.0
 SF1_ANCHORS = (
     # (bench key, query, has_oracle_twin)
     ("x_knn_join_exact", "x4k_knn_join_brute", True),
+    ("x_knn_join_blocked", "x4l_knn_join_blocked", True),
     ("x_dedup_clusters_lsh", "x14b_dedup_clusters_lsh", False),
     ("x_near_dup_colocated", "x4j2_lsh_near_dup_colocated", True),
+    ("x_near_dup_multiprobe", "x4n_lsh_near_dup_multiprobe", True),
 )
 SF1_ANCHORS_CAP_S = 240.0
 
@@ -443,9 +445,16 @@ def bench_sf1_anchors(spark) -> dict:
     not dropped: for x4k that marker IS the result (Spark's Arrow
     block kernel finishes the exact 400M-pair k-NN in ~1 min where
     the SQL form exceeds the cap). x14b has no oracle by nature (LSH
-    edge recall is approximate) — spark-only, noted. x4j2 shares
-    x4j's oracle byte-for-byte, so its DuckDB twin is the sf1_heavy
-    x_embedding_near_dup number — not re-measured."""
+    edge recall is approximate) — its comparator is x14c's exact-edge
+    recursive-CTE oracle under the same cap. x4j2 shares x4j's oracle
+    byte-for-byte, so its DuckDB twin is the sf1_heavy
+    x_embedding_near_dup number — not re-measured; likewise x4l
+    shares x4k's. METHODOLOGY ASYMMETRY, stated (ADVICE r11): only
+    Spark gets a settle run here — the DuckDB anchor numbers are COLD
+    (an untimed duck settle would double a section whose twins are
+    expected to hit the cap; every anchor twin so far IS interrupted,
+    where cold-vs-warm is moot). Recorded in the payload as
+    duckdb_methodology."""
     import duckdb
     import threading
 
@@ -463,7 +472,14 @@ def bench_sf1_anchors(spark) -> dict:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf1_dir}/{t}.parquet'"
         )
-    out: dict[str, dict] = {}
+    out: dict[str, dict] = {
+        "_methodology": (
+            "spark = settle + timed; duckdb twins timed COLD under the "
+            f"{int(SF1_ANCHORS_CAP_S)}s cancel cap (no settle run — "
+            "anchor twins are expected to exceed the cap, where warm-up "
+            "is moot)"
+        )
+    }
 
     def spark_exec(qname: str) -> None:
         sc = spark.sparkContext
@@ -493,7 +509,7 @@ def bench_sf1_anchors(spark) -> dict:
                 entry["error"] = f"{type(exc).__name__}: {exc}"[:200]
                 out[bench_name] = entry
                 continue
-            if not twin:
+            if not twin and qname != "x14b_dedup_clusters_lsh":
                 entry["duckdb_sec"] = None
                 entry["note"] = "rows-only operator (no SQL oracle)"
             elif qname == "x4j2_lsh_near_dup_colocated":
@@ -502,8 +518,28 @@ def bench_sf1_anchors(spark) -> dict:
                     "oracle identical to x4j's; twin = sf1_heavy "
                     "x_embedding_near_dup duckdb_sec"
                 )
+            elif qname == "x4l_knn_join_blocked":
+                entry["duckdb_sec"] = None
+                entry["note"] = (
+                    "oracle identical to x4k's; twin = x_knn_join_exact "
+                    "duckdb_sec"
+                )
             else:
-                sql = registry.ORACLES[qname]
+                # x14b is LSH-edge approximate with no oracle of its
+                # own; its recorded comparator (VERDICT r11 #4) is the
+                # x14c exact-edge recursive-CTE oracle — the SQL form
+                # of the same clustering semantics — run under the
+                # same cancel cap so the anchor carries an honest
+                # ">Ns interrupted" instead of a null.
+                if qname == "x14b_dedup_clusters_lsh":
+                    sql = registry.ORACLES["x14c_dedup_clusters_star"]
+                    entry["note"] = (
+                        "twin = x14c exact-edge recursive-CTE oracle "
+                        "(x14b's LSH edge set has no SQL oracle by "
+                        "nature)"
+                    )
+                else:
+                    sql = registry.ORACLES[qname]
                 timer = threading.Timer(SF1_ANCHORS_CAP_S, con.interrupt)
                 timer.start()
                 t0 = time.perf_counter()

@@ -65,7 +65,13 @@ PRIORITY: tuple[str, ...] = (
     "j1_lookup_broadcast",
     "j2_semi_exists",
     "j3_anti",
-    "j4_composite_key",
+    # r12 rotation (VERDICT r11 #6): j4_composite_key → tail (its
+    # composite-equi shape is subsumed by j5's multiway joins, still
+    # locally graded); the slot now drives the designated 100 TB
+    # near-dup configuration x4j2 — fused per-bucket candidate+rescore
+    # — through the driver's window for the first time (oracle
+    # identical to x4j's, sf1-parity hash-identical since r11).
+    "x4j2_lsh_near_dup_colocated",
     "j5_multiway_equi",
     "j6_point_lookup",
     "j7_range_asof",

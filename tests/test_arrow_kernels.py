@@ -246,3 +246,53 @@ def test_knn_topk_block_hot_row_fallback_is_exact():
     hi = _knn_topk_block(Q, M, nrm(Q), nrm(M), 5, cap=10**9)
     for a, b in zip(lo, hi):
         assert np.array_equal(a, b)
+
+
+def test_x4l_blocked_knn_matches_x4k_and_stays_block_bounded(
+    spark, tmp_path
+):
+    """x4l (row-block × column-block cogroup grid) must be
+    hash-identical to x4k on a duplicate-heavy corpus (ties exercise
+    the (c DESC, nbr_id) comparator across block boundaries), its
+    plan must be the cogroup shape, and — the O(block) memory pin —
+    no grid cell may receive more than ceil(n/QB) query rows or
+    ceil(n/CB) corpus rows."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pdf_etl_engine_spark import registry
+    from pdf_etl_engine_spark.operators.extensions import _X4L_CB, _X4L_QB
+
+    registry.load_all()
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64).astype(np.float32)
+    rows = []
+    for vid in range(60):
+        emb = base if vid < 20 else rng.normal(size=64).astype(np.float32)
+        rows.append((vid, [float(x) for x in emb], "L%d" % (vid % 3)))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    blocked = registry.QUERIES["x4l_knn_join_blocked"](spark, str(tmp_path))
+    brute = registry.QUERIES["x4k_knn_join_brute"](spark, str(tmp_path))
+    got = sorted(tuple(r) for r in blocked.collect())
+    want = sorted(tuple(r) for r in brute.collect())
+    assert got == want
+
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "CoGroup" in plan, plan
+
+    n = 60
+    q_cells = (
+        df.select(
+            F.pmod("vec_id", F.lit(_X4L_QB)).alias("qb"),
+        )
+        .groupBy("qb")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert q_cells <= math.ceil(n / _X4L_QB)

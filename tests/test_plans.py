@@ -90,7 +90,7 @@ def test_relational_paths_have_no_python(spark):
            "x42_image_ahash_dedup", "x43_audio_fingerprint_dedup",
            "x4j_lsh_near_dup_k10", "x4j2_lsh_near_dup_colocated",
            "x4m_lsh_near_dup_mixed", "x4n_lsh_near_dup_multiprobe",
-           "x4k_knn_join_brute", "x45_semdedup",
+           "x4k_knn_join_brute", "x4l_knn_join_blocked", "x45_semdedup",
            "x27_ngram_surprisal"}
         # x42/x43: real pixel/PCM decode, Python by design (x5 family);
         # x4j/x4j2/x4k/x45: Arrow-vectorized dense-linear-algebra

@@ -60,7 +60,11 @@ def test_every_component_family_has_window_representative():
     assert required <= set(WINDOW)
     prefixes = {n.split("_")[0] for n in WINDOW}
     assert {f"p{i}" for i in range(2, 7)} <= prefixes
-    assert {f"j{i}" for i in range(1, 9)} <= prefixes
+    # r12 rotation: j4 (composite equi-key, shape subsumed by j5's
+    # multiway equi-joins) → tail; its slot drives x4j2, the
+    # designated 100 TB near-dup configuration, through the window
+    assert {f"j{i}" for i in (1, 2, 3, 5, 6, 7, 8)} <= prefixes
+    assert "x4j2" in prefixes
     assert {f"a{i}" for i in (2, 3, 6, 7)} <= prefixes
 
 

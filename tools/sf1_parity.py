@@ -85,13 +85,20 @@ def main() -> None:
         )
 
     def spark_run(name):
-        """Returns (rows, cols, warm_sec): the first execution pays
-        session/plan/codegen/table-cache warmup (that cost lands in
-        the caller's spark_sec), then ONE warm re-execution of the
-        same DataFrame is timed separately — the steady-state number
-        a long-lived cluster session sees (VERDICT r10 #4: conflating
-        the two undersold the engine, e.g. t1 at 7.98 s cold vs
-        ~50 ms warm)."""
+        """Returns (rows, cols, cold_sec, warm_sec): the first
+        execution pays session/plan/codegen/table-cache warmup (that
+        cost lands in spark_sec), then ONE warm re-execution is timed
+        separately — the steady-state number a long-lived cluster
+        session sees (VERDICT r10 #4). r12 (VERDICT r11 #3 + ADVICE):
+        the warm run is timed via df.toArrow() — Arrow batch
+        collection, no per-row Python Row materialization — because
+        for 10⁵-10⁶-row results the Row decode dominated the r11 warm
+        numbers (j3 9.2×, j7 9.6× vs DuckDB's C-level fetchall; the
+        bench harness's engine-side timings of the same families sat
+        at 0.14-0.74×). The warm run also gets a FRESH cancel timer
+        (a cold collect consuming most of the deadline must not
+        interrupt the warm run), and a warm-run failure keeps the
+        cold result (warm=None) instead of failing the query."""
         df = registry.QUERIES[name](spark, sf1)
         cols = df.columns
         sc = spark.sparkContext
@@ -104,9 +111,21 @@ def main() -> None:
             t0 = time.monotonic()
             rows = [tuple(r) for r in df.collect()]
             cold = round(time.monotonic() - t0, 2)
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
+        warm = None
+        sc.setJobGroup(name, name, interruptOnCancel=True)
+        timer = threading.Timer(
+            TIMEOUT_S, lambda: sc.cancelJobGroup(name)
+        )
+        timer.start()
+        try:
             t0 = time.monotonic()
-            df.collect()
+            df.toArrow()
             warm = round(time.monotonic() - t0, 3)
+        except Exception:
+            warm = None  # cold result stands; warm is measurement-only
         finally:
             timer.cancel()
             sc.setJobGroup("", "")
@@ -173,6 +192,14 @@ def main() -> None:
         "ok": n_ok,
         "mismatch": n_mismatch,
         "skipped": skipped,
+        "warm_methodology": (
+            "spark_sec = cold collect() incl. plan/codegen warmup (the "
+            "graded values come from it); spark_sec_warm = one warm "
+            "re-execution timed via df.toArrow() (Arrow batches, no "
+            "Python Row decode) under a fresh cancel timer; duckdb_sec "
+            "= C-level fetchall. Warm-run failure keeps the cold "
+            "result (spark_sec_warm=null)."
+        ),
         "per_query": per_query,
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
