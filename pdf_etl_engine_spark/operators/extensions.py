@@ -2692,12 +2692,25 @@ def x14b_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the measured edge recall."""
     emb = load_table(spark, sf_dir, "embeddings")
     k = adaptive_lsh_bits(_embedding_count(sf_dir))
-    # modulus scales with k (ADVICE r11): fixed mod 61 under adaptive
-    # k=7 (L·k=84) silently reused 23 planes and correlated tables;
-    # lsh_modulus keeps grading corpora (k=3 → 61) bit-identical and
-    # gives sf1 a duplicate-free 89
+    # r12: edges come from the MIXED plane family with Hamming-1
+    # multi-probe (the x4n configuration at adaptive k). The r11 form
+    # ran arithmetic planes at fixed mod 61, which (a) silently
+    # duplicated 23 of 84 planes at sf1's k=7 (ADVICE r11) and
+    # (b) belongs to the sawtooth family whose correlated planes cap
+    # edge recall (~0.46 measured at the sf1 parameterization,
+    # RECALL_SF1.json); mixed+probe lifts the measured edge recall
+    # while the modulus scales with k (lsh_modulus) so planes stay
+    # duplicate-free at any corpus size. Cluster refinement pins are
+    # parameterization-independent (every LSH edge is exact-rescored,
+    # so x14b components refine x14's at ANY recall).
     edges = fused_lsh_pairs(
-        emb, n_tables=12, n_bits=k, mod=lsh_modulus(12, k), threshold=0.25
+        emb,
+        n_tables=12,
+        n_bits=k,
+        mod=lsh_modulus(12, k),
+        threshold=0.25,
+        plane="mixed",
+        probe_hamming=1,
     ).select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     return connected_components(emb.select("vec_id"), edges)
 

@@ -219,3 +219,27 @@ def test_semdedup_trained_prune_recall(spark):
     assert clustered <= exact, "clustered prune produced a false removal"
     recall = len(clustered & exact) / len(exact)
     assert recall >= 0.7, f"semdedup removal recall {recall}"
+
+
+@pytest.mark.slow
+def test_multiprobe_mixed_lsh_near_dup_pair_recall(spark):
+    """x4n (the r12 production configuration: mixed planes +
+    Hamming-1 multi-probe, L=12, k=10) vs x4c exact pairs at
+    cos≥0.25 — the sf0.01 twin of the RECALL_SF1 production floors.
+    This corpus's truth pairs sit almost entirely at the 0.25-0.35
+    threshold boundary (2818 pairs, only 59 at cos≥0.4, ONE at ≥0.5),
+    where sign-LSH theory at k=10/L=12 predicts 0.415 overall — the
+    measured 0.405 matches theory, which is the point of the mixed
+    family (the sf1 artifact carries the high-band ≥0.8 production
+    floor on a real high-similarity truth set). Pinned: overall ≥0.35
+    (theory-matched), cos≥0.4 subset ≥0.5 (measured 0.695), and zero
+    false positives (every emitted pair is exact-rescored)."""
+    exact_df = registry.QUERIES["x4c_embedding_near_dup"](spark, SF_DIR)
+    exact = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in exact_df.collect()}
+    approx = _pairs(spark, "x4n_lsh_near_dup_multiprobe")
+    assert exact, "exact near-dup baseline unexpectedly empty"
+    assert len(approx & set(exact)) / len(exact) >= 0.35
+    high = {p for p, c in exact.items() if c >= 0.4}
+    if high:
+        assert len(approx & high) / len(high) >= 0.5
+    assert approx <= set(exact)

@@ -19,10 +19,11 @@ bands a dedup decision actually hinges on). Probes, per family:
 * ``mixed_multiprobe`` — mixed planes + Hamming-1 probes (x4n, the
   recommended production configuration): per-table collision lifts
   from p^k to p^k + k·p^(k-1)·(1-p).
-* ``x14b_arith_adaptive`` — the exact parameterization x14b's edge
-  source runs at sf1 (adaptive k, k-scaled modulus via lsh_modulus),
-  measured because ADVICE r11 flagged that the graded recall artifact
-  covered only the k=10/mod-127 family.
+* ``x14b_mixed_adaptive`` — the exact parameterization x14b's edge
+  source runs at sf1 (r12: mixed planes + Hamming-1 probes at
+  adaptive k, k-scaled modulus via lsh_modulus), measured because
+  ADVICE r11 flagged that the graded recall artifact covered only
+  the k=10/mod-127 family.
 
 The artifact also carries the closed-form random-plane theory per
 band (p_bit = 1 − θ/π), so "mixed ≈ theory, arith ≪ theory" is
@@ -116,7 +117,9 @@ def main() -> None:
                       sweep=L_SWEEP),
         "mixed_multiprobe": dict(plane="mixed", probe=1, k=_X4J_K,
                                  mod=_X4J_MOD, sweep=L_SWEEP),
-        "x14b_arith_adaptive": dict(plane="arith", probe=0, k=k14,
+        # the exact x14b edge-source parameterization (r12: mixed
+        # planes + Hamming-1 probes at adaptive k)
+        "x14b_mixed_adaptive": dict(plane="mixed", probe=1, k=k14,
                                     mod=lsh_modulus(12, k14), sweep=(12,)),
     }
 
