@@ -111,6 +111,10 @@ def main() -> None:
         os.makedirs(timed_ws)
         wall = drain(timed_ws, n_files)
 
+        # snapshot stream-side phases BEFORE the twin: ingest_batch
+        # funnels through the same (patched) process_bound_batch
+        stream_phases = dict(phases)
+        stream_counts = dict(counts)
         # batch twin on the same file set (own tree: the drain
         # archives its inputs), phase-timed the same way
         cat = pipeline.Catalog(
@@ -135,27 +139,31 @@ def main() -> None:
         S.archive_from_manifest = orig_arch
         writers.auto_compact = orig_comp
 
-    micro = phases.get("micro_batch_total", 0.0)
-    compact = phases.get("auto_compact", 0.0)
+    micro = stream_phases.get("micro_batch_total", 0.0)
+    compact = stream_phases.get("auto_compact", 0.0)
     framework = wall - micro - compact
-    pbb = phases.get("process_bound_batch", 0.0)
+    pbb = stream_phases.get("process_bound_batch", 0.0)
+    twin_pbb = phases.get("process_bound_batch", 0.0) - pbb
     payload = {
         "metric": "streaming_drain_profile",
         "docs": n_files,
         "wall_sec": round(wall, 2),
         "batch_equiv_sec": round(batch_sec, 2),
         "stream_over_batch": round(wall / batch_sec, 2),
-        "micro_batches": counts.get("micro_batch_total", 0),
+        "micro_batches": stream_counts.get("micro_batch_total", 0),
         "phases_sec": {
             "process_bound_batch": round(pbb, 2),
             "persist_and_bind": round(
-                micro - pbb - phases.get("archive_moves", 0.0), 2
+                micro - pbb - stream_phases.get("archive_moves", 0.0), 2
             ),
-            "archive_moves": round(phases.get("archive_moves", 0.0), 2),
+            "archive_moves": round(
+                stream_phases.get("archive_moves", 0.0), 2
+            ),
             "auto_compact": round(compact, 2),
             "framework_residual": round(framework, 2),
         },
-        "phase_counts": counts,
+        "batch_twin_process_bound_sec": round(twin_pbb, 2),
+        "phase_counts": stream_counts,
     }
     print(json.dumps(payload))
 
