@@ -75,6 +75,23 @@ AUDITED = {
     "node at all, no broadcast of the vector relation, only corpus×L "
     "bounded rows carry payload through the groupBy exchange; the "
     "pair dedup is the only other exchange.",
+    "x4m_lsh_near_dup_mixed": "x4j2's fused shape with the hash-mixed "
+    "plane family (r12 recall fix): one FlatMapGroupsInPandas kernel "
+    "per (table, bucket) group, no join node, pair dedup the only "
+    "other exchange — plan identical to x4j2; only the plane "
+    "coefficients differ (and the DuckDB oracle recomputes the mixer "
+    "itself).",
+    "x4n_lsh_near_dup_multiprobe": "the r12 production near-dup "
+    "configuration: home + Hamming-1 probe rows ((k+1)·L per vector, "
+    "packed int64 unpacked by three codegen'd bit ops) through ONE "
+    "groupBy(t, b) exchange into the fused per-bucket kernel "
+    "(probe∧probe pairs masked); measured sf1 recall 0.833 at "
+    "cos≥0.6 vs the arith family's 0.11 (RECALL_SF1.json).",
+    "x4l_knn_join_blocked": "x4k past per-process-matrix range (r12): "
+    "FlatMapCoGroupsInPandas over the (query-block, corpus-block) "
+    "grid — corpus×(QB+CB) rows through one cogroup exchange, peak "
+    "task memory O(block), then one row_number window merges "
+    "per-block top-5s; hash-identical to x4k's oracle.",
     "x27_ngram_surprisal": "map-only Arrow kernel emits per-doc trigram "
     "COUNTS with the trigram packed into one BIGINT (r11) — the model "
     "aggregate and score join shuffle integer ID rows only, never "
