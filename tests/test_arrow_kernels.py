@@ -345,3 +345,61 @@ def test_bucketed_vector_store_rescore_end_to_end(spark, sf_dir):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS t_e2e_store_vectors")
+
+
+def test_lsh_modulus_keeps_planes_duplicate_free():
+    """ADVICE r11: mod must exceed L·k so no two arithmetic planes
+    coincide. lsh_modulus preserves the pinned 61 for grading-corpus
+    k (L·k ≤ 60), returns a prime > L·k beyond it, and the resulting
+    plane matrices actually contain no duplicate rows at the adaptive
+    parameterizations x14b runs."""
+    from pdf_etl_engine_spark.operators.extensions import lsh_modulus
+
+    assert lsh_modulus(12, 3) == 61   # grading corpora: bit-identical
+    assert lsh_modulus(12, 5) == 61   # L·k=60 still fits
+    assert lsh_modulus(12, 7) == 89   # sf1: the r11 defect (61) fixed
+    for k in (3, 7, 10, 13):
+        mod = lsh_modulus(12, k)
+        assert mod > 12 * k
+        planes = np.array(
+            [[(31 * p + 17 * j) % mod for j in range(64)]
+             for p in range(12 * k)]
+        )
+        assert len(np.unique(planes, axis=0)) == 12 * k
+
+
+def test_mixed_plane_family_matches_duckdb_mixer_and_is_decorrelated():
+    """The r12 mixed plane family: (a) numpy and the DuckDB SQL
+    expression compute identical coefficients (the oracle recomputes
+    the mixer itself); (b) mean pairwise |cosine| of the planes is at
+    the random-hyperplane level (~0.10), unlike the arithmetic
+    sawtooth family (~0.38) whose correlation caused the r11 recall
+    anomaly."""
+    import duckdb
+
+    from pdf_etl_engine_spark.operators.extensions import (
+        _mix_coef_expr,
+        _mix_plane_coefs,
+    )
+
+    coefs = _mix_plane_coefs(120, 127)
+    con = duckdb.connect()
+    for p in (0, 7, 119):
+        sql_vals = con.execute(
+            f"SELECT list_transform(range(0, 64), "
+            f"j -> {_mix_coef_expr(p, 127)})"
+        ).fetchone()[0]
+        assert list(coefs[p].astype(int)) == sql_vals
+
+    norm = coefs / np.linalg.norm(coefs, axis=1, keepdims=True)
+    corr = norm @ norm.T
+    off = np.abs(corr[~np.eye(len(coefs), dtype=bool)])
+    assert off.mean() < 0.15
+    arith = np.array(
+        [[(31 * p + 17 * j) % 127 - 63 for j in range(64)]
+         for p in range(120)],
+        dtype=float,
+    )
+    an = arith / np.linalg.norm(arith, axis=1, keepdims=True)
+    aoff = np.abs((an @ an.T)[~np.eye(120, dtype=bool)])
+    assert aoff.mean() > 0.3  # the defect the mixed family removes
