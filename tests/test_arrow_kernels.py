@@ -403,3 +403,34 @@ def test_mixed_plane_family_matches_duckdb_mixer_and_is_decorrelated():
     an = arith / np.linalg.norm(arith, axis=1, keepdims=True)
     aoff = np.abs((an @ an.T)[~np.eye(120, dtype=bool)])
     assert aoff.mean() > 0.3  # the defect the mixed family removes
+
+
+def test_lsh_recall_contract_matches_measured_and_is_monotone():
+    """The executable recall↔cost contract: theory at the measured sf1
+    parameterizations must sit near the committed RECALL_SF1 numbers
+    for the mixed family (the point of the r12 plane fix), L must be
+    monotone in target recall, and the planner must refuse unreachable
+    targets instead of under-recalling silently."""
+    import pytest as _pytest
+
+    from pdf_etl_engine_spark.operators.extensions import (
+        lsh_recall_theory,
+        lsh_tables_for_recall,
+    )
+
+    # sf1 measured (RECALL_SF1.json, mixed_multiprobe L=12 k=10):
+    # [0.5,0.6) band 0.7797 vs theory 0.8063; [0.6,0.7) 0.8333 vs
+    # 0.9234 (18-pair band) — theory within ~0.1 of measurement
+    assert abs(lsh_recall_theory(0.55, 10, 12, 1) - 0.8063) < 0.01
+    assert lsh_recall_theory(0.65, 10, 12, 1) > 0.9
+
+    # monotonicity of the planner in target and threshold
+    l_lo = lsh_tables_for_recall(0.5, 0.6, 10, probe_hamming=1)
+    l_hi = lsh_tables_for_recall(0.9, 0.6, 10, probe_hamming=1)
+    assert l_lo <= l_hi
+    assert lsh_tables_for_recall(0.9, 0.7, 10, 1) <= l_hi
+
+    # probing reaches targets plain buckets cannot (within 256 tables)
+    with _pytest.raises(ValueError):
+        lsh_tables_for_recall(0.99, 0.4, 10, probe_hamming=0)
+    assert lsh_tables_for_recall(0.9, 0.6, 10, probe_hamming=1) <= 16
