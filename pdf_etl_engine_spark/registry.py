@@ -122,10 +122,16 @@ PRIORITY: tuple[str, ...] = (
     "x2_dedup_exact",
     "x3c_ngram_jaccard",
     "x4_cosine_topk",
-    # r7: the LSH scale path is the graded X4-dedup representative
-    # (VERDICT r6 #1); the exact all-pairs x4c baseline registers in
-    # the tail as the recall/exactness anchor
-    "x4i_lsh_near_dup_arith",
+    # r7: the LSH scale path became the graded X4-dedup representative
+    # (VERDICT r6 #1). r12 rotation: x4i_lsh_near_dup_arith → tail
+    # (its arithmetic-plane parameterization is still driver-graded
+    # via x4j2, which shares the family and the fused kernel); the
+    # slot now grades x4n — the RECOMMENDED production near-dup
+    # configuration after the r12 recall fix (mixed planes +
+    # Hamming-1 multi-probe, measured sf1 recall 0.83 at cos≥0.6 vs
+    # the arith family's 0.11, RECALL_SF1.json) — so the config a
+    # user should actually deploy is the one the driver checks.
+    "x4n_lsh_near_dup_multiprobe",
     # x5b is the ORACLE-graded X5 representative (real BMP/WAV decode
     # checked against recomputed formulas); the binary-plumbing
     # rows-only twin x5 registers in the tail
