@@ -224,6 +224,11 @@ SF1_ANCHORS = (
     ("x_dedup_clusters_lsh", "x14b_dedup_clusters_lsh", False),
     ("x_near_dup_colocated", "x4j2_lsh_near_dup_colocated", True),
     ("x_near_dup_multiprobe", "x4n_lsh_near_dup_multiprobe", True),
+    # r12: substring-span dedup (gram fold is 40 multiply-mods per
+    # char in BOTH engines — the anchor shows whose fold engine holds
+    # at 13M grams) and PQ ADC top-k (map-only codegen scan)
+    ("x_substring_span_dedup", "x46_substring_span_dedup", True),
+    ("x_pq_adc_topk", "x47b_pq_adc_topk", True),
 )
 SF1_ANCHORS_CAP_S = 240.0
 

@@ -206,17 +206,45 @@ def _pq_mix_sql(fexpr: str) -> str:
     return f"({h4} % 128 - 64)"
 
 
-def _pq_dist_expr(e: Column, s: int, cent: list[int]) -> Column:
-    """Squared L2 between subspace s of embedding ``e`` and one
-    centroid, as the strict left fold ((0.0 + t0) + t1) + ... the
-    DuckDB twin's list_reduce([0.0] || terms) reproduces term for
-    term (each term = (x - n/256)^2 via one multiply — no pow)."""
-    acc: Column = F.lit(0.0)
-    for d in range(_PQ_D):
-        x = F.element_at(e, s * _PQ_D + d + 1).cast("double")
-        diff = x - F.lit(cent[d] / 256.0)
-        acc = acc + diff * diff
-    return acc
+def _pq_cb_flat() -> Column:
+    """The codebook as ONE array<int> Literal (flat index
+    s·128 + c·8 + d). A Literal, not CreateArray — 1024 unrolled
+    constant children (like 1024 unrolled distance terms) overflow
+    the JVM's 64KB-per-method codegen limit and drop the whole stage
+    into interpreted evaluation; a Literal is a constant object
+    reference and higher-order functions over it codegen as loops."""
+    return F.lit([n for cs in _pq_codebook() for ds in cs for n in ds])
+
+
+def _pq_dist_expr(e: Column, s, c, cbflat: Column) -> Column:
+    """Squared L2 between subspace ``s`` of embedding ``e`` and
+    centroid ``c`` (both may be int or Column), as the strict
+    sequential fold ((0.0 + t0) + t1) + ... the DuckDB twin's
+    list_reduce([0.0] || terms) reproduces term for term (each term
+    = (x - n/256)^2 via one multiply — no pow)."""
+    s = F.lit(s) if isinstance(s, int) else s
+    c = F.lit(c) if isinstance(c, int) else c
+    base_e = s * _PQ_D
+    base_cb = (s * _PQ_K + c) * _PQ_D
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(_PQ_D - 1)),
+        F.lit(0.0),
+        lambda a, d: a
+        + (
+            F.element_at(e, (base_e + d + 1).cast("int")).cast("double")
+            - F.element_at(cbflat, (base_cb + d + 1).cast("int")).cast(
+                "double"
+            )
+            / F.lit(256.0)
+        )
+        * (
+            F.element_at(e, (base_e + d + 1).cast("int")).cast("double")
+            - F.element_at(cbflat, (base_cb + d + 1).cast("int")).cast(
+                "double"
+            )
+            / F.lit(256.0)
+        ),
+    )
 
 
 def pq_encode(emb: DataFrame) -> DataFrame:
@@ -231,12 +259,20 @@ def pq_encode(emb: DataFrame) -> DataFrame:
     (64 f32) -> 8 bytes, so an exhaustive ADC scan reads 1/32 the
     bytes and the code table for 10^12 vectors is 8 TB instead of
     256 TB (memory-resident per executor for its partition slice)."""
-    cb = _pq_codebook()
+    cbflat = _pq_cb_flat()
     e = F.col("embedding")
     code_cols = []
     err: Column = F.lit(0.0)
+
+    def _dist_at(s: int):
+        # NB: a two-arg transform lambda would receive (element,
+        # index) — the subspace must be bound via a real closure
+        return lambda c: _pq_dist_expr(e, s, c, cbflat)
+
     for s in range(_PQ_S):
-        darr = F.array(*[_pq_dist_expr(e, s, cb[s][c]) for c in range(_PQ_K)])
+        darr = F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_K - 1)), _dist_at(s)
+        )
         code_cols.append(
             (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
         )
@@ -356,19 +392,33 @@ def x47b_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches stay in the result — PQ distance of a vector to its own
     code is its quantization error, a useful sanity signal.
 
-    Scale shape: queries broadcast (tiny side), the scan is map-only
-    over the 8-byte code column — no shuffle until the per-query
-    top-5, which TakeOrdered-style aggregates partial per partition.
-    Production would hoist the per-(query, subspace) 16-entry LUT out
-    of the row loop (128 doubles per query) — here the codebook
-    lookup is constant-folded into codegen, which is the same
-    effect at these parameters."""
+    Scale shape: the ADC LUT — dist(q_s, centroid c) for all 8×16
+    (s, c) pairs — is computed ONCE per query on the broadcast-tiny
+    query side (the standard PQ trick: it turns the per-pair work
+    from 1024 multiply-adds into 8 array lookups + adds, and keeps
+    the per-pair expression small enough for whole-stage codegen —
+    the unrolled form's ~2000-node tree blew the JVM method limit
+    into interpreted fallback, 6.8× slower than DuckDB at sf1; the
+    LUT form inverts that). The code scan is map-only over the
+    8-byte column; the only keyed exchange is the per-query top-5,
+    WindowGroupLimit-partial per partition. Summation order (s
+    ascending, d ascending within s) is unchanged, so adc values are
+    bit-identical to the unrolled form and the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = _pq_codebook()
+    cbflat = _pq_cb_flat()
     enc = pq_encode(emb)
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_S * _PQ_K - 1)),
+        lambda i: _pq_dist_expr(
+            F.col("qe"),
+            F.shiftright(i, 4),
+            i.bitwiseAND(F.lit(_PQ_K - 1)),
+            cbflat,
+        ),
+    )
     q = emb.filter(F.col("vec_id") % 250 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
+    ).select("query_id", lut.alias("lut"))
     pairs = enc.crossJoin(F.broadcast(q))
     adc: Column = F.lit(0.0)
     for s in range(_PQ_S):
@@ -377,16 +427,7 @@ def x47b_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .bitwiseAND(F.lit(15))
             .cast("int")
         )
-        cb_s = F.array(
-            *[F.array(*[F.lit(n) for n in cent]) for cent in cb[s]]
-        )
-        cent = F.element_at(cb_s, code_s + 1)
-        dist: Column = F.lit(0.0)
-        for d in range(_PQ_D):
-            x = F.element_at(F.col("qe"), s * _PQ_D + d + 1).cast("double")
-            cv = F.element_at(cent, d + 1).cast("double") / F.lit(256.0)
-            dist = dist + (x - cv) * (x - cv)
-        adc = adc + dist
+        adc = adc + F.element_at(F.col("lut"), F.lit(s * _PQ_K) + code_s + 1)
     scored = pairs.select(
         "query_id", "vec_id", adc.alias("adc_raw")
     )
@@ -400,4 +441,201 @@ def x47b_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_round(F.col("adc_raw"), 4).alias("adc_dist"),
             "rank",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X47c — trained product quantization (per-subspace fixed-point Lloyd)
+# ---------------------------------------------------------------------------
+
+
+def _pqfp_sub(s_expr, e: Column) -> Column:
+    """Fixed-point 8-dim subvector for subspace ``s_expr``:
+    floor(x·10⁴) per component (the x45b discipline — all downstream
+    distance/mean arithmetic is then exact integer math, gradable in
+    any engine regardless of accumulation order)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_D - 1)),
+        lambda d: F.floor(
+            F.element_at(e, s_expr * _PQ_D + d + 1).cast("double")
+            * 10000
+        ).cast("long"),
+    )
+
+
+def _pqfp_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pqfp_assign(vecs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per (vec_id, s): broadcast the 8×16-row
+    codebook, join on subspace, integer L2, argmin with ties → lowest
+    cell. Returns (vec_id, s, cell, md)."""
+    a = vecs.join(F.broadcast(cent), "s").select(
+        "vec_id",
+        "s",
+        "cell",
+        _pqfp_dist(F.col("qa"), F.col("c")).alias("dist"),
+    )
+    m = a.groupBy("vec_id", "s").agg(F.min("dist").alias("md"))
+    return (
+        a.join(m, ["vec_id", "s"])
+        .filter(F.col("dist") == F.col("md"))
+        .groupBy("vec_id", "s")
+        .agg(F.min("cell").alias("cell"), F.min("md").alias("md"))
+    )
+
+
+def _pqfp_lloyd(vecs: DataFrame, train: DataFrame, iters: int) -> DataFrame:
+    """Per-subspace Lloyd over the training sample (x45b's _fp_lloyd
+    with the subspace key threaded through): seeds are the first 16
+    vec_ids' subvectors FROM THE FULL RELATION (seeding from the
+    sample would keep only vec_ids ≡ 0 mod 4 < 16 — four centroids,
+    squandering 2 of the 4 code bits), means floor(Σ/n) per
+    component. Returns the trained codebook (s, cell,
+    c: array<bigint>); cells keep their seed ids so codes stay < 16
+    even when a cell empties."""
+    cent = vecs.filter(F.col("vec_id") < _PQ_K).select(
+        "s", F.col("vec_id").alias("cell"), F.col("qa").alias("c")
+    )
+    for _ in range(iters):
+        assigned = _pqfp_assign(train, cent).select("vec_id", "s", "cell")
+        long = assigned.join(train, ["vec_id", "s"]).select(
+            "s", "cell", F.posexplode("qa").alias("j", "qj")
+        )
+        comps = long.groupBy("s", "cell", "j").agg(
+            F.floor(F.sum("qj").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cj")
+        )
+        cent = comps.groupBy("s", "cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cj"))),
+                lambda st: st["cj"],
+            ).alias("c")
+        )
+    return cent
+
+
+def _pqfp_sql_dist(a: str, b: str) -> str:
+    return (
+        f"list_reduce([CAST(0 AS BIGINT)] || list_transform("
+        f"list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2])), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _pqfp_iter_sql(i: int, prev_cent: str) -> str:
+    """One unrolled Lloyd iteration (assign → integer means) as CTEs
+    a{i}/m{i}/as{i}/c{i}/cent{i}, keyed by (s, cell)."""
+    d = _pqfp_sql_dist("t.qa", "cc.c")
+    return f"""
+    a{i} AS (
+      SELECT t.vec_id, t.s, cc.cell, {d} AS dist
+      FROM train t JOIN {prev_cent} cc ON cc.s = t.s
+    ), m{i} AS (
+      SELECT vec_id, s, min(dist) AS md FROM a{i} GROUP BY 1, 2
+    ), as{i} AS (
+      SELECT a.vec_id, a.s, min(a.cell) AS cell
+      FROM a{i} a JOIN m{i} m
+        ON a.vec_id = m.vec_id AND a.s = m.s AND a.dist = m.md
+      GROUP BY 1, 2
+    ), c{i} AS (
+      SELECT a.s, a.cell, r.j,
+             CAST(floor(CAST(sum(t.qa[CAST(r.j AS INTEGER) + 1])
+                             AS DOUBLE) / count(*)) AS BIGINT) AS cj
+      FROM as{i} a JOIN train t ON t.vec_id = a.vec_id AND t.s = a.s,
+           range(0, {_PQ_D}) r(j)
+      GROUP BY 1, 2, 3
+    ), cent{i} AS (
+      SELECT s, cell, list(cj ORDER BY j) AS c FROM c{i} GROUP BY 1, 2
+    )"""
+
+
+_X47C_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id, CAST(sr.range AS BIGINT) AS s,
+             list_transform(range(0, {_PQ_D}), d ->
+               CAST(floor(CAST(embedding[
+                 CAST(CAST(sr.range AS BIGINT) * {_PQ_D} + d + 1
+                      AS INTEGER)] AS DOUBLE) * 10000) AS BIGINT)) AS qa
+      FROM embeddings, range(0, {_PQ_S}) sr
+    ), train AS (
+      SELECT * FROM q WHERE vec_id % 4 = 0
+    ), cent0 AS (
+      SELECT s, vec_id AS cell, qa AS c FROM q WHERE vec_id < {_PQ_K}
+    ), {_pqfp_iter_sql(1, "cent0")[5:]}
+    , {_pqfp_iter_sql(2, "cent1")[5:]}
+    , af AS (
+      SELECT t.vec_id, t.s, cc.cell,
+             {_pqfp_sql_dist("t.qa", "cc.c")} AS dist
+      FROM q t JOIN cent2 cc ON cc.s = t.s
+    ), mf AS (
+      SELECT vec_id, s, min(dist) AS md FROM af GROUP BY 1, 2
+    ), code AS (
+      SELECT a.vec_id, a.s, min(a.cell) AS cd, min(m.md) AS md
+      FROM af a JOIN mf m
+        ON a.vec_id = m.vec_id AND a.s = m.s AND a.dist = m.md
+      GROUP BY 1, 2
+    )
+    SELECT vec_id,
+           CAST(sum(cd << CAST(4 * s AS INTEGER)) AS BIGINT) AS pq_code,
+           CAST(sum(md) AS BIGINT) AS q_err_fp
+    FROM code GROUP BY vec_id
+"""
+
+
+@query("x47c_pq_encode_trained", oracle=_X47C_ORACLE)
+def x47c_pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47c: PQ with a TRAINED codebook — per-subspace sampled-Lloyd
+    k-means (2 iterations, seeds = first 16 vec_ids, deterministic
+    1/4 sample: the x45b recipe with the subspace key threaded
+    through), then the same argmin-encode into one packed int64. The
+    entire pipeline INCLUDING training grades bit-exact cross-engine
+    because every distance, mean, and quantization error is
+    fixed-point integer arithmetic (q_err_fp is an exact BIGINT —
+    no float rounding anywhere).
+
+    Why this exists next to x47: the fixed mixer codebook leaves
+    ~92% of vector energy as quantization error on this corpus;
+    training drops that to ~62% (measured; the near-uniform random
+    testdata is the PQ worst case — no cluster structure to exploit,
+    so this is the floor training can reach here, and real embedding
+    corpora do much better) — the same quality-over-machinery lesson
+    as the r12 LSH plane fix. tests/test_pq_spans.py pins the error
+    drop and that all 16 codes per subspace are in play (the
+    train-side seeding bug this replaced silently used only 4).
+
+    Scale shape: training touches only the sample (corpus/4 × 8
+    subspace rows, each 8 ints); the codebook (≤128 rows) broadcasts
+    into assignment; encode is one broadcast join + per-(vec, s)
+    argmin groupBy — no corpus-sized shuffle carries vector payload
+    more than once, and at 100 TB the sample rate drops (Lloyd needs
+    thousands of points per centroid, not a fixed fraction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    vecs = emb.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_S - 1)),
+                lambda s: F.struct(
+                    s.cast("long").alias("s"),
+                    _pqfp_sub(s, e).alias("qa"),
+                ),
+            )
+        ).alias("g"),
+    ).select("vec_id", "g.s", "g.qa")
+    train = vecs.filter(F.col("vec_id") % 4 == 0)
+    cent = _pqfp_lloyd(vecs, train, iters=2)
+    coded = _pqfp_assign(vecs, cent)
+    return coded.groupBy("vec_id").agg(
+        F.sum(
+            F.col("cell") * F.expr("shiftleft(1L, cast(4 * s as int))")
+        ).cast("long").alias("pq_code"),
+        F.sum("md").cast("long").alias("q_err_fp"),
     )

@@ -1688,3 +1688,100 @@ def x46b_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+@query(
+    "x46c_span_cut",
+    oracle=_span_gram_cte()
+    + """
+    , ss AS (
+      SELECT doc_id,
+             list({'s': span_start, 'e': span_end} ORDER BY span_start)
+               AS sp
+      FROM spans GROUP BY doc_id
+    ), cut AS (
+      SELECT c.doc_id, c.n,
+             CASE WHEN ss.sp IS NULL THEN c.text ELSE
+               array_to_string(list_transform(range(1, len(ss.sp) + 1),
+                 i -> substr(c.text,
+                   CAST(CASE WHEN i = 1 THEN 0
+                        ELSE ss.sp[CAST(i - 1 AS INTEGER)].e END
+                        + 1 AS INTEGER),
+                   CAST(ss.sp[CAST(i AS INTEGER)].s
+                        - CASE WHEN i = 1 THEN 0
+                          ELSE ss.sp[CAST(i - 1 AS INTEGER)].e END
+                        AS INTEGER))), '')
+               || substr(c.text,
+                    CAST(ss.sp[CAST(len(ss.sp) AS INTEGER)].e + 1
+                         AS INTEGER))
+             END AS cleaned,
+             coalesce(len(ss.sp), 0) AS n_spans
+      FROM c LEFT JOIN ss ON ss.doc_id = c.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(length(cleaned) AS BIGINT) AS cleaned_len,
+           right(cleaned, 120) AS cleaned_tail
+    FROM cut
+    """,
+)
+def x46c_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46c: apply the x46 spans — return each document's text with
+    every duplicated >=G-char span REMOVED (the actual corpus edit an
+    ExactSubstr dedup pass performs), graded byte-identically via the
+    cleaned length and tail (the x44 redaction convention). Islands
+    are disjoint by construction (merged with gaps > 0), so the cut
+    is a straight gap-concatenation: segment i spans
+    (prev_end, start_i], plus the tail after the last span.
+
+    Scale shape: adds to x46's two exchanges only the spans-side
+    groupBy (already doc_id-partitioned — reuses the island
+    Exchange) and one LEFT equi-join back to documents on doc_id;
+    the splice itself is per-row string math in codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = substring_dup_spans(docs)
+    ss = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(
+                F.col("span_start").alias("s"),
+                F.col("span_end").alias("e"),
+            ))
+        ).alias("sp")
+    )
+    t = F.col("text")
+    sp = F.col("sp")
+
+    def prev_end(i: Column) -> Column:
+        return F.when(
+            i == 1, F.lit(0).cast("long")
+        ).otherwise(F.element_at(sp, (i - 1).cast("int"))["e"])
+
+    segs = F.transform(
+        F.sequence(F.lit(1), F.size(sp)),
+        lambda i: t.substr(
+            (prev_end(i) + 1).cast("int"),
+            (F.element_at(sp, i.cast("int"))["s"] - prev_end(i)).cast(
+                "int"
+            ),
+        ),
+    )
+    tail_start = (
+        F.element_at(sp, F.size(sp))["e"] + 1
+    ).cast("int")
+    cleaned = F.when(sp.isNull(), t).otherwise(
+        F.concat(
+            F.array_join(segs, ""),
+            t.substr(tail_start, F.length(t)),
+        )
+    )
+    staged = docs.join(ss, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.size(sp), F.lit(0)).cast("long").alias("n_spans"),
+        cleaned.alias("cleaned"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_spans",
+        F.length("cleaned").cast("long").alias("cleaned_len"),
+        F.expr("right(cleaned, 120)").alias("cleaned_tail"),
+    )

@@ -104,6 +104,39 @@ class TestSubstringSpans:
         rel1 = sorted((s - 30, e - 30) for s, e in by_doc[1])
         assert rel0 == rel1
 
+    def test_span_cut_matches_python_splice(self, spark):
+        """x46c on real testdata == a Python-side removal of the x46
+        spans from the raw text, doc for doc (length AND tail)."""
+        from pdf_etl_engine_spark.registry import QUERIES
+
+        texts = {
+            r.doc_id: r.text
+            for r in spark.read.parquet(
+                f"{SF_DIR}/documents.parquet"
+            ).collect()
+        }
+        spans: dict[int, list[tuple[int, int]]] = {}
+        for r in QUERIES["x46_substring_span_dedup"](
+            spark, SF_DIR
+        ).collect():
+            spans.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end)
+            )
+        cut_rows = QUERIES["x46c_span_cut"](spark, SF_DIR).collect()
+        assert len(cut_rows) == len(texts)
+        checked_nonzero = 0
+        for r in cut_rows:
+            t = texts[r.doc_id]
+            expect = t
+            for s, e in sorted(spans.get(r.doc_id, []), reverse=True):
+                expect = expect[:s] + expect[e:]
+            assert r.n_spans == len(spans.get(r.doc_id, []))
+            assert r.cleaned_len == len(expect)
+            assert r.cleaned_tail == expect[-120:]
+            if r.n_spans:
+                checked_nonzero += 1
+        assert checked_nonzero > 0, "testdata should contain dup spans"
+
     def test_short_docs_empty(self, spark):
         assert (
             substring_dup_spans(_docs(spark, ["tiny", "tiny"])).count()
@@ -156,3 +189,37 @@ class TestPQ:
         assert self_pairs, "query set should rank itself somewhere"
         for q, v in self_pairs:
             assert adc[(q, v)] == err[v]
+
+
+class TestTrainedPQ:
+    @pytest.fixture(scope="class")
+    def encs(self, spark):
+        from pdf_etl_engine_spark.registry import QUERIES
+
+        fixed = QUERIES["x47_pq_encode"](spark, SF_DIR).collect()
+        trained = QUERIES["x47c_pq_encode_trained"](spark, SF_DIR).collect()
+        return fixed, trained
+
+    def test_training_reduces_quantization_error(self, encs):
+        """The trained codebook must beat the fixed mixer codebook on
+        mean quantization error by a clear margin (measured 0.92 →
+        0.62 of vector energy; pinned at 20% improvement). q_err_fp
+        is exact integer arithmetic at 1e4 fixed point, so the
+        comparison is deterministic."""
+        fixed, trained = encs
+        fixed_mean = float(np.mean([r.q_err for r in fixed]))
+        trained_mean = float(
+            np.mean([r.q_err_fp for r in trained])
+        ) / 1e8
+        assert trained_mean < 0.8 * fixed_mean
+
+    def test_all_code_values_reachable(self, encs):
+        """Every subspace must use MORE than 4 distinct codes — the
+        seeding-from-the-sample bug (vec_id % 4 == 0 AND < 16 → four
+        seeds) capped each subspace at 4 codes, silently wasting 2 of
+        the 4 bits."""
+        _, trained = encs
+        for s in range(_PQ_S):
+            used = {(r.pq_code >> (4 * s)) & 15 for r in trained}
+            assert len(used) > 4, f"subspace {s} uses only {used}"
+            assert all(0 <= c < _PQ_K for c in used)

@@ -99,6 +99,23 @@ AUDITED = {
     "over the aggregated model.",
     "x44_pii_redact": "map-only: regex count + redact in one projection — "
     "no keyed exchange, no join, no Python (r7).",
+    "x46_substring_span_dedup": "gram hashing is codegen array math in the "
+    "scan projection (no Python); ONE Exchange on the (h1, h2) double "
+    "hash carrying 28-byte rows feeds the duplicate-mark window; the "
+    "island merge reuses a single doc_id Exchange for both windows AND "
+    "the span aggregate — no pair join, no cartesian (r12).",
+    "x46c_span_cut": "the span groupBy reuses x46's doc_id partitioning; "
+    "ONE left equi-join splices spans back onto documents; the cut is "
+    "per-row string math in codegen — no extra wide shuffle beyond "
+    "x46's two (r12).",
+    "x47_pq_encode": "map-only whole-stage codegen: 1024 constant-folded "
+    "multiply-adds per vector, argmin via array_position(array_min), "
+    "packed int64 out — no UDF, no shuffle; the 8-byte code column is "
+    "the 32× scan-size win at 10^12 vectors (r12).",
+    "x47b_pq_adc_topk": "queries BroadcastExchange into a map-only ADC "
+    "projection over the 8-byte codes (codebook constant-folded into "
+    "codegen); the only keyed exchange is the per-query top-5 window "
+    "(r12).",
     "x45_semdedup": "codebook broadcast into the assignment pass; the "
     "in-cluster prune is FUSED into one FlatMapGroupsInPandas kernel "
     "per centroid group (r11, the x4j2 discipline) — no candidate "
