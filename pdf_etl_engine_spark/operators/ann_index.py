@@ -253,8 +253,12 @@ def pq_encode(emb: DataFrame) -> DataFrame:
     both engines), 8 4-bit codes packed little-endian into ONE int64
     ``pq_code``. Returns (vec_id, pq_code, q_err_raw).
 
-    Scale shape: map-only inside whole-stage codegen — 1024
-    constant-folded multiply-adds per vector, no UDF, no shuffle. The
+    Scale shape: map-only — no UDF, no shuffle; the distances run as
+    higher-order-function folds over one array-Literal codebook
+    (HOFs are CodegenFallback, but a constant-size interpreted
+    expression — the unrolled codegen'd form overflowed the JVM's
+    64KB method limit and was strictly slower; see the x47b note)
+    at ~2.4 s for the full sf1 corpus. The
     point at 100 TB: the persisted search column shrinks 256 bytes
     (64 f32) -> 8 bytes, so an exhaustive ADC scan reads 1/32 the
     bytes and the code table for 10^12 vectors is 8 TB instead of
@@ -638,4 +642,328 @@ def x47c_pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell") * F.expr("shiftleft(1L, cast(4 * s as int))")
         ).cast("long").alias("pq_code"),
         F.sum("md").cast("long").alias("q_err_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X47d — IVF-PQ: coarse cells + PQ-coded residuals + cell-pruned ADC probe
+# ---------------------------------------------------------------------------
+
+_IVFPQ_CELLS = 8   # coarse cells (seeds: vec_id < 8)
+_IVFPQ_NPROBE = 2  # cells probed per query
+
+
+def _ivfpq_coarse(vecs_fp: DataFrame) -> DataFrame:
+    """Coarse quantizer = x45b's fixed-point sampled Lloyd on FULL
+    vectors (2 iterations, seeds vec_id < 8, deterministic 1/4
+    sample). Returns (cell, c: array<bigint>). Integer-exact, so the
+    cell assignment — the partition key of the whole layout —
+    grades bit-identically cross-engine."""
+    cent = vecs_fp.filter(F.col("vec_id") < _IVFPQ_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("qa").alias("c")
+    )
+    train = vecs_fp.filter(F.col("vec_id") % 4 == 0)
+    for _ in range(2):
+        a = train.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            _pqfp_dist(F.col("qa"), F.col("c")).alias("dist"),
+            "cell",
+        )
+        m = a.groupBy("vec_id").agg(F.min("dist").alias("md"))
+        assigned = (
+            a.join(m, "vec_id")
+            .filter(F.col("dist") == F.col("md"))
+            .groupBy("vec_id")
+            .agg(F.min("cell").alias("cell"))
+        )
+        long = assigned.join(train, "vec_id").select(
+            "cell", F.posexplode("qa").alias("j", "qj")
+        )
+        comps = long.groupBy("cell", "j").agg(
+            F.floor(F.sum("qj").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cj")
+        )
+        cent = comps.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cj"))),
+                lambda st: st["cj"],
+            ).alias("c")
+        )
+    return cent
+
+
+def _residual_col(e: Column, c: Column) -> Column:
+    """Float residual of embedding ``e`` against fixed-point centroid
+    ``c``: x_d − c_d/10⁴, each term one subtraction of exactly-
+    representable doubles — identical in both engines."""
+    return F.zip_with(
+        e, c, lambda x, cj: x.cast("double") - cj.cast("double") / F.lit(1e4)
+    )
+
+
+def _ivfpq_coarse_sql() -> str:
+    """Oracle CTEs for the coarse quantizer: qf (fixed-point full
+    vectors) → 2 unrolled Lloyd iterations keyed by cell → gcent2,
+    plus gcode (every vector's cell via final assignment). The x45b
+    CTE pattern verbatim at 64 dims."""
+    d = (
+        "list_reduce([CAST(0 AS BIGINT)] || "
+        "list_transform(list_zip(t.qa, cc.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, x) -> acc + x)"
+    )
+    it = lambda i, prev: f"""
+    ga{i} AS (
+      SELECT t.vec_id, cc.cell, {d} AS dist
+      FROM gtrain t, {prev} cc
+    ), gm{i} AS (
+      SELECT vec_id, min(dist) AS md FROM ga{i} GROUP BY 1
+    ), gas{i} AS (
+      SELECT a.vec_id, min(a.cell) AS cell
+      FROM ga{i} a JOIN gm{i} m
+        ON a.vec_id = m.vec_id AND a.dist = m.md
+      GROUP BY 1
+    ), gc{i} AS (
+      SELECT a.cell, r.j,
+             CAST(floor(CAST(sum(t.qa[CAST(r.j AS INTEGER) + 1])
+                             AS DOUBLE) / count(*)) AS BIGINT) AS cj
+      FROM gas{i} a JOIN gtrain t ON t.vec_id = a.vec_id,
+           range(0, 64) r(j)
+      GROUP BY 1, 2
+    ), gcent{i} AS (
+      SELECT cell, list(cj ORDER BY j) AS c FROM gc{i} GROUP BY 1
+    )"""
+    return f"""
+    WITH qf AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qa
+      FROM embeddings
+    ), gtrain AS (
+      SELECT * FROM qf WHERE vec_id % 4 = 0
+    ), gcent0 AS (
+      SELECT vec_id AS cell, qa AS c FROM qf WHERE vec_id < {_IVFPQ_CELLS}
+    ), {it(1, "gcent0")[5:]}
+    , {it(2, "gcent1")[5:]}
+    , gaf AS (
+      SELECT t.vec_id, cc.cell, {d} AS dist
+      FROM qf t, gcent2 cc
+    ), gmf AS (
+      SELECT vec_id, min(dist) AS md FROM gaf GROUP BY 1
+    ), gcode AS (
+      SELECT a.vec_id, min(a.cell) AS cell
+      FROM gaf a JOIN gmf m ON a.vec_id = m.vec_id AND a.dist = m.md
+      GROUP BY 1
+    )
+    """
+
+
+def _x47d_oracle() -> str:
+    """Full IVF-PQ oracle: coarse CTEs + residual PQ encode + probed
+    ADC. Residual r_d = x_d − cent_d/10⁴ (exact doubles); PQ encode
+    of the residual against the mixer codebook (cb CTE from
+    _pq_cb_cte's pattern); a query probes its NPROBE nearest cells
+    by integer centroid distance and ADC-scans only those cells'
+    codes using its per-cell residual."""
+    term = (
+        f"(CAST(v.embedding[CAST(cb.s * {_PQ_D} + d + 1 AS INTEGER)] "
+        "AS DOUBLE) "
+        f"- CAST(ct.c[CAST(cb.s * {_PQ_D} + d + 1 AS INTEGER)] "
+        "AS DOUBLE) / 10000.0 "
+        "- CAST(cb.cn[CAST(d + 1 AS INTEGER)] AS DOUBLE) / 256.0)"
+    )
+    qterm = (
+        f"(CAST(q.embedding[CAST(cb.s * {_PQ_D} + d + 1 AS INTEGER)] "
+        "AS DOUBLE) "
+        f"- CAST(ct.c[CAST(cb.s * {_PQ_D} + d + 1 AS INTEGER)] "
+        "AS DOUBLE) / 10000.0 "
+        "- CAST(cb.cn[CAST(d + 1 AS INTEGER)] AS DOUBLE) / 256.0)"
+    )
+    return _ivfpq_coarse_sql() + f"""
+    , cb AS (
+      SELECT CAST(sr.range AS BIGINT) AS s, CAST(cr.range AS BIGINT) AS c,
+             list_transform(range(0, {_PQ_D}), d ->
+               {_pq_mix_sql(f"(CAST(sr.range AS BIGINT) * 128 + CAST(cr.range AS BIGINT) * 8 + d)")})
+               AS cn
+      FROM range(0, {_PQ_S}) sr, range(0, {_PQ_K}) cr
+    ), rdist AS (
+      SELECT v.vec_id, g.cell, cb.s, cb.c,
+             list_reduce([CAST(0.0 AS DOUBLE)] ||
+               list_transform(range(0, {_PQ_D}), d -> {term} * {term}),
+               (a, b) -> a + b) AS dd
+      FROM embeddings v
+      JOIN gcode g ON g.vec_id = v.vec_id
+      JOIN gcent2 ct ON ct.cell = g.cell
+      CROSS JOIN cb
+    ), rcode AS (
+      SELECT vec_id, cell, s,
+             CAST(list_position(list(dd ORDER BY c),
+                  list_min(list(dd ORDER BY c))) - 1 AS BIGINT) AS cd
+      FROM rdist GROUP BY vec_id, cell, s
+    ), qsel AS (
+      SELECT vec_id AS query_id, embedding, qa
+      FROM qf WHERE vec_id % 250 = 0
+    ), qcelld AS (
+      SELECT q.query_id, cc.cell,
+             list_reduce([CAST(0 AS BIGINT)] ||
+               list_transform(list_zip(q.qa, cc.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (acc, x) -> acc + x) AS dist
+      FROM qsel q, gcent2 cc
+    ), probed AS (
+      SELECT query_id, cell FROM (
+        SELECT query_id, cell,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, cell) AS rn
+        FROM qcelld
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    ), pd AS (
+      SELECT p.query_id, rc.vec_id, rc.cell, cb.s,
+             list_reduce([CAST(0.0 AS DOUBLE)] ||
+               list_transform(range(0, {_PQ_D}), d -> {qterm} * {qterm}),
+               (a, b) -> a + b) AS dd
+      FROM probed p
+      JOIN rcode rc ON rc.cell = p.cell
+      JOIN qsel q ON q.query_id = p.query_id
+      JOIN gcent2 ct ON ct.cell = p.cell
+      JOIN cb ON cb.s = rc.s AND cb.c = rc.cd
+    ), adc AS (
+      SELECT query_id, vec_id, min(cell) AS cell,
+             list_reduce([CAST(0.0 AS DOUBLE)] || list(dd ORDER BY s),
+                         (a, b) -> a + b) AS adc_raw
+      FROM pd GROUP BY query_id, vec_id
+    )
+    SELECT query_id, vec_id, cell,
+           round(adc_raw + 5e-10, 4) AS adc_dist, rank
+    FROM (
+      SELECT query_id, vec_id, cell, adc_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_raw, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """
+
+
+@query("x47d_ivfpq_topk", oracle=_x47d_oracle())
+def x47d_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47d: IVF-PQ end to end — the standard billion-vector serving
+    layout, every stage oracle-graded: (1) coarse cells from the
+    fixed-point sampled Lloyd (integer-exact ⇒ the partition key
+    grades bit-identically), (2) PQ codes of the RESIDUAL x − cent
+    against the mixer codebook (residual terms are exact-double
+    subtractions; distances strict folds), (3) a query ranks cells
+    by integer centroid distance, probes the nprobe=2 nearest, and
+    ADC-scans ONLY those cells' 8-byte codes with its per-cell
+    residual LUT.
+
+    Scale shape: cells are the partition key — a probe touches
+    nprobe partitions, reading 8-byte codes + one 64-int centroid
+    per cell; the encode side adds one broadcast join (centroids)
+    to x47's map-only scan; nothing corpus-sized shuffles more than
+    the one cell assignment. This composes x4e's IVF pruning with
+    x47's 32× scan compression — the two levers that make 10^12
+    vectors probeable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs_fp = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 10000).cast("long"),
+        ).alias("qa"),
+    )
+    cent = _ivfpq_coarse(vecs_fp)
+    # final assignment of every vector to its cell
+    a = vecs_fp.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "qa",
+        "cell",
+        _pqfp_dist(F.col("qa"), F.col("c")).alias("dist"),
+        F.col("c").alias("centvec"),
+    )
+    m = a.groupBy("vec_id").agg(F.min("dist").alias("md"))
+    assigned = (
+        a.join(m, "vec_id")
+        .filter(F.col("dist") == F.col("md"))
+        .groupBy("vec_id")
+        .agg(F.min("cell").alias("cell"))
+    )
+    withcent = assigned.join(
+        vecs_fp.select("vec_id", "embedding"), "vec_id"
+    ).join(F.broadcast(cent), "cell")
+    # residual-PQ encode: codes per (vec, s) against the mixer codebook
+    cbflat = _pq_cb_flat()
+    resid = _residual_col(F.col("embedding"), F.col("c"))
+    enc = withcent.select(
+        "vec_id", "cell", resid.alias("re")
+    )
+
+    def _rdist_at(s: int):
+        return lambda c: _pq_dist_expr(F.col("re"), s, c, cbflat)
+
+    code_cols = []
+    for s in range(_PQ_S):
+        darr = F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_K - 1)), _rdist_at(s)
+        )
+        code_cols.append(
+            (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
+        )
+    codes = enc.select(
+        "vec_id",
+        "cell",
+        *[c.alias(f"cd{s}") for s, c in enumerate(code_cols)],
+    )
+    # queries: rank cells by integer distance, keep nprobe
+    q = vecs_fp.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("qa").alias("qqa"),
+    )
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qe",
+        "cell",
+        F.col("c").alias("centvec"),
+        _pqfp_dist(F.col("qqa"), F.col("c")).alias("dist"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probed = qc.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= _IVFPQ_NPROBE
+    )
+    # per (query, cell): residual LUT (128 doubles)
+    qresid = _residual_col(F.col("qe"), F.col("centvec"))
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_S * _PQ_K - 1)),
+        lambda i: _pq_dist_expr(
+            F.col("qr"),
+            F.shiftright(i, 4),
+            i.bitwiseAND(F.lit(_PQ_K - 1)),
+            cbflat,
+        ),
+    )
+    qlut = probed.select(
+        "query_id", "cell", qresid.alias("qr")
+    ).select("query_id", "cell", lut.alias("lut"))
+    pairs = codes.join(F.broadcast(qlut), "cell")
+    adc: Column = F.lit(0.0)
+    for s in range(_PQ_S):
+        adc = adc + F.element_at(
+            F.col("lut"), F.lit(s * _PQ_K) + F.col(f"cd{s}").cast("int") + 1
+        )
+    scored = pairs.select(
+        "query_id", "vec_id", "cell", adc.alias("adc_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_raw", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            stable_round(F.col("adc_raw"), 4).alias("adc_dist"),
+            "rank",
+        )
     )

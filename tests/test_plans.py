@@ -787,3 +787,80 @@ def test_semdedup_hot_cluster_splits_under_aqe(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_substring_span_dedup_plan(spark):
+    """x46: no pair relation anywhere (the duplicate test is a window
+    count on the hash key, not a self-join) — no join node at all —
+    and exactly two wide exchanges: the (h1, h2) gram shuffle and the
+    doc_id island shuffle (plus the catalog cache's round-robin)."""
+    p = plan_of(registry.QUERIES["x46_substring_span_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" not in p
+    wide = p.count("hashpartitioning")
+    assert wide == 2, f"expected 2 hash exchanges, plan has {wide}"
+
+
+def test_span_cut_join_reuses_partitioning(spark):
+    """x46c adds only an equi-join of the span aggregate back onto
+    documents — no nested loop, no cartesian; the span side's island
+    exchange is the one x46 already paid."""
+    p = plan_of(registry.QUERIES["x46c_span_cut"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    wide = p.count("hashpartitioning")
+    assert wide <= 3, f"span cut grew wide exchanges: {wide}"
+
+
+def test_pq_encode_is_map_only(spark):
+    """x47/x47c encode: the fixed-codebook path must be pure map-side
+    (no exchange but the catalog cache's); and neither PQ path may
+    fall out of codegen into interpreted projection — the unrolled
+    1024-term form overflowed the 64KB JVM method limit (caught at
+    the sf1 anchor as a 6.8x slowdown); the loop form keeps the
+    expression tree constant-size (higher-order functions are
+    CodegenFallback by design — the same trade every F.aggregate
+    kernel in this codebase makes — but a SMALL interpreted
+    expression, not a 2000-node one)."""
+    df = registry.QUERIES["x47_pq_encode"](spark, SF_DIR)
+    df.collect()
+    p = plan_of(df)
+    assert "hashpartitioning" not in p
+    assert "Join" not in p
+    # the codebook must appear as ONE array literal, not 1024
+    # unrolled CreateArray children (the 64KB-overflow failure mode)
+    assert "element_at([31,61,-13" in p.replace(" ", "")[:20000] or \
+        "element_at([31, 61, -13" in p[:20000], p[:300]
+
+
+def test_pq_adc_broadcasts_queries_and_limits_partially(spark):
+    """x47b: the query side must broadcast (never shuffle the code
+    scan for the pairing) and the per-query top-5 must push a
+    partial WindowGroupLimit below the exchange."""
+    p = plan_of(registry.QUERIES["x47b_pq_adc_topk"](spark, SF_DIR))
+    assert "BroadcastExchange" in p
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_trained_pq_codebook_broadcasts(spark):
+    """x47c: assignment joins against the trained codebook must
+    broadcast the (≤128-row) codebook, never sort-merge the corpus
+    against it."""
+    p = plan_of(
+        registry.QUERIES["x47c_pq_encode_trained"](spark, SF_DIR)
+    )
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivfpq_probe_joins_on_cell(spark):
+    """x47d: the ADC scan must reach codes via an EQUI-join on the
+    cell key with the per-(query, cell) LUT side broadcast — never a
+    cartesian between corpus-sized relations — and the per-query
+    top-5 must partial-limit below its exchange."""
+    p = plan_of(registry.QUERIES["x47d_ivfpq_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    assert "WindowGroupLimit" in p

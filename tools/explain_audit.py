@@ -108,14 +108,23 @@ AUDITED = {
     "ONE left equi-join splices spans back onto documents; the cut is "
     "per-row string math in codegen — no extra wide shuffle beyond "
     "x46's two (r12).",
-    "x47_pq_encode": "map-only whole-stage codegen: 1024 constant-folded "
-    "multiply-adds per vector, argmin via array_position(array_min), "
-    "packed int64 out — no UDF, no shuffle; the 8-byte code column is "
-    "the 32× scan-size win at 10^12 vectors (r12).",
-    "x47b_pq_adc_topk": "queries BroadcastExchange into a map-only ADC "
-    "projection over the 8-byte codes (codebook constant-folded into "
-    "codegen); the only keyed exchange is the per-query top-5 window "
-    "(r12).",
+    "x47_pq_encode": "map-only: HOF folds over ONE array-Literal "
+    "codebook (the unrolled 1024-term codegen form overflowed the "
+    "64KB JVM method limit into interpreted eval — the loop form is "
+    "a small expression instead), argmin via "
+    "array_position(array_min), packed int64 out — no UDF, no "
+    "shuffle; the 8-byte code column is the 32× scan-size win at "
+    "10^12 vectors (r12).",
+    "x47b_pq_adc_topk": "queries BroadcastExchange with a "
+    "precomputed per-query 128-entry ADC LUT (the standard PQ "
+    "trick: per-pair work = 8 lookups + adds, measured 30.7→4.3 s "
+    "at sf1); the only keyed exchange is the per-query top-5, "
+    "WindowGroupLimit-partial per partition (r12).",
+    "x47d_ivfpq_topk": "IVF-PQ composed: coarse centroids broadcast "
+    "(8 rows) for assignment, residual-PQ encode map-side over the "
+    "array-Literal codebook, probe = equi-join codes⋈broadcast "
+    "per-(query,cell) LUT on the cell key — no cartesian between "
+    "corpus-sized relations; per-query top-5 WindowGroupLimit (r12).",
     "x45_semdedup": "codebook broadcast into the assignment pass; the "
     "in-cluster prune is FUSED into one FlatMapGroupsInPandas kernel "
     "per centroid group (r11, the x4j2 discipline) — no candidate "
