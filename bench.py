@@ -229,6 +229,7 @@ SF1_ANCHORS = (
     # at 13M grams) and PQ ADC top-k (map-only codegen scan)
     ("x_substring_span_dedup", "x46_substring_span_dedup", True),
     ("x_pq_adc_topk", "x47b_pq_adc_topk", True),
+    ("x_ivfpq_topk", "x47d_ivfpq_topk", True),
 )
 SF1_ANCHORS_CAP_S = 240.0
 

