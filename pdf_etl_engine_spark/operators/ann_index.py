@@ -263,26 +263,34 @@ def pq_encode(emb: DataFrame) -> DataFrame:
     256 TB (memory-resident per executor for its partition slice)."""
     cbflat = _pq_cb_flat()
     e = F.col("embedding")
-    code_cols = []
-    err: Column = F.lit(0.0)
 
     def _dist_at(s: int):
         # NB: a two-arg transform lambda would receive (element,
         # index) — the subspace must be bound via a real closure
         return lambda c: _pq_dist_expr(e, s, c, cbflat)
 
-    for s in range(_PQ_S):
-        darr = F.transform(
-            F.sequence(F.lit(0), F.lit(_PQ_K - 1)), _dist_at(s)
-        )
-        code_cols.append(
-            (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
-        )
-        err = err + F.array_min(darr)
+    # Stage the 16-distance array per subspace as a REAL column, then
+    # take argmin/min from the materialized array: each fold runs
+    # once per (row, subspace) instead of three times (position, min,
+    # err all re-evaluating the full transform — HOFs sit outside
+    # codegen's subexpression elimination).
+    staged = emb.select(
+        "vec_id",
+        *[
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_K - 1)), _dist_at(s)
+            ).alias(f"da{s}")
+            for s in range(_PQ_S)
+        ],
+    )
     pq = F.lit(0).cast("long")
-    for s, c in enumerate(code_cols):
-        pq = pq + c * F.lit(1 << (4 * s)).cast("long")
-    return emb.select(
+    err: Column = F.lit(0.0)
+    for s in range(_PQ_S):
+        da = F.col(f"da{s}")
+        code = (F.array_position(da, F.array_min(da)) - 1).cast("long")
+        pq = pq + code * F.lit(1 << (4 * s)).cast("long")
+        err = err + F.array_min(da)
+    return staged.select(
         "vec_id", pq.alias("pq_code"), err.alias("q_err_raw")
     )
 
@@ -633,7 +641,10 @@ def x47c_pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     ).select("vec_id", "g.s", "g.qa")
     train = vecs.filter(F.col("vec_id") % 4 == 0)
-    cent = _pqfp_lloyd(vecs, train, iters=2)
+    # lazy-persist the (<=128 x 8-int) codebook: _pqfp_assign's
+    # argmin references its input twice (distances + the min join),
+    # which would otherwise re-run the whole Lloyd chain per branch
+    cent = _pqfp_lloyd(vecs, train, iters=2).persist()
     coded = _pqfp_assign(vecs, cent)
     return coded.groupBy("vec_id").agg(
         F.sum(
@@ -870,7 +881,13 @@ def x47d_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 10000).cast("long"),
         ).alias("qa"),
     )
-    cent = _ivfpq_coarse(vecs_fp)
+    # persist the (<=8 x 64-int) centroid relation: it is referenced
+    # by the assignment, the residual join, AND the query-side cell
+    # ranking — without the cache each reference re-runs the whole
+    # 2-iteration Lloyd chain (lazy persist: no job at construction,
+    # bounded size, CacheManager dedupes repeated registrations of
+    # the same canonical plan)
+    cent = _ivfpq_coarse(vecs_fp).persist()
     # final assignment of every vector to its cell
     a = vecs_fp.crossJoin(F.broadcast(cent)).select(
         "vec_id",
@@ -900,18 +917,29 @@ def x47d_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _rdist_at(s: int):
         return lambda c: _pq_dist_expr(F.col("re"), s, c, cbflat)
 
-    code_cols = []
-    for s in range(_PQ_S):
-        darr = F.transform(
-            F.sequence(F.lit(0), F.lit(_PQ_K - 1)), _rdist_at(s)
-        )
-        code_cols.append(
-            (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
-        )
-    codes = enc.select(
+    # stage distance arrays once per subspace (see pq_encode)
+    staged = enc.select(
         "vec_id",
         "cell",
-        *[c.alias(f"cd{s}") for s, c in enumerate(code_cols)],
+        *[
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_K - 1)), _rdist_at(s)
+            ).alias(f"da{s}")
+            for s in range(_PQ_S)
+        ],
+    )
+    codes = staged.select(
+        "vec_id",
+        "cell",
+        *[
+            (
+                F.array_position(F.col(f"da{s}"), F.array_min(F.col(f"da{s}")))
+                - 1
+            )
+            .cast("long")
+            .alias(f"cd{s}")
+            for s in range(_PQ_S)
+        ],
     )
     # queries: rank cells by integer distance, keep nprobe
     q = vecs_fp.filter(F.col("vec_id") % 250 == 0).select(
