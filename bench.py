@@ -218,18 +218,26 @@ SF1_HEAVY_BUDGET_S = 1400.0
 # x4k's DuckDB twin (exact 400M-pair k-NN) measured >330 s at sf1
 # before interrupt; a capped ">Ns" marker is the honest record.
 SF1_ANCHORS = (
-    # (bench key, query, has_oracle_twin)
+    # (bench key, query, has_oracle_twin). ORDER MATTERS: the
+    # interrupted twins (x4k, x14b) burn their full 240s cap of CPU
+    # and leave load1 at 7-10 for minutes — anchors that ran after
+    # them measured 1.2-1.6x their idle-box times (r12: the PQ
+    # anchors read 1.25x under load vs 0.7x idle). Light anchors
+    # with finishing twins run FIRST, cap-burning twins LAST, so the
+    # load a twin leaves behind can only skew the record of the twin
+    # section itself.
+    ("x_near_dup_colocated", "x4j2_lsh_near_dup_colocated", True),
+    ("x_near_dup_multiprobe", "x4n_lsh_near_dup_multiprobe", True),
+    # r12: PQ ADC top-k (LUT-hoisted scan) + composed IVF-PQ probe
+    ("x_pq_adc_topk", "x47b_pq_adc_topk", True),
+    ("x_ivfpq_topk", "x47d_ivfpq_topk", True),
+    # r12: substring-span dedup (gram fold is 40 multiply-mods per
+    # char in BOTH engines — the anchor shows whose fold engine holds
+    # at 13M grams)
+    ("x_substring_span_dedup", "x46_substring_span_dedup", True),
     ("x_knn_join_exact", "x4k_knn_join_brute", True),
     ("x_knn_join_blocked", "x4l_knn_join_blocked", True),
     ("x_dedup_clusters_lsh", "x14b_dedup_clusters_lsh", False),
-    ("x_near_dup_colocated", "x4j2_lsh_near_dup_colocated", True),
-    ("x_near_dup_multiprobe", "x4n_lsh_near_dup_multiprobe", True),
-    # r12: substring-span dedup (gram fold is 40 multiply-mods per
-    # char in BOTH engines — the anchor shows whose fold engine holds
-    # at 13M grams) and PQ ADC top-k (map-only codegen scan)
-    ("x_substring_span_dedup", "x46_substring_span_dedup", True),
-    ("x_pq_adc_topk", "x47b_pq_adc_topk", True),
-    ("x_ivfpq_topk", "x47d_ivfpq_topk", True),
 )
 SF1_ANCHORS_CAP_S = 240.0
 
