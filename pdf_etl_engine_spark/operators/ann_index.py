@@ -245,6 +245,41 @@ def _pq_dist_expr(e: Column, s, c, cbflat: Column) -> Column:
     )
 
 
+def _stage_pq_dists(
+    df: DataFrame, keep: list, vec_col: str, cbflat: Column
+) -> DataFrame:
+    """Stage the 16-distance array per subspace as REAL columns
+    da0..da7 next to ``keep``: each fold then runs once per
+    (row, subspace) instead of once per consumer (argmin / min /
+    error all re-evaluating the transform — HOFs sit outside
+    codegen's subexpression elimination, and CollapseProject will
+    not inline a non-cheap producer referenced more than once).
+    Shared by pq_encode and the x47d residual encode so the staging
+    discipline cannot silently diverge between them."""
+
+    def _dist_at(s: int):
+        # NB: a two-arg transform lambda would receive (element,
+        # index) — the subspace must be bound via a real closure
+        return lambda c: _pq_dist_expr(F.col(vec_col), s, c, cbflat)
+
+    return df.select(
+        *keep,
+        *[
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_K - 1)), _dist_at(s)
+            ).alias(f"da{s}")
+            for s in range(_PQ_S)
+        ],
+    )
+
+
+def _pq_argmin(s: int) -> Column:
+    """First-min argmin over the staged da{s} column (ties -> lowest
+    code, = list_position(ds, list_min(ds)) - 1 in the oracle)."""
+    da = F.col(f"da{s}")
+    return (F.array_position(da, F.array_min(da)) - 1).cast("long")
+
+
 def pq_encode(emb: DataFrame) -> DataFrame:
     """PQ-encode embeddings: per subspace, argmin squared-L2 centroid
     (ties -> smallest centroid id, = first position of the min in
@@ -261,35 +296,12 @@ def pq_encode(emb: DataFrame) -> DataFrame:
     (64 f32) -> 8 bytes, so an exhaustive ADC scan reads 1/32 the
     bytes and the code table for 10^12 vectors is 8 TB instead of
     256 TB (memory-resident per executor for its partition slice)."""
-    cbflat = _pq_cb_flat()
-    e = F.col("embedding")
-
-    def _dist_at(s: int):
-        # NB: a two-arg transform lambda would receive (element,
-        # index) — the subspace must be bound via a real closure
-        return lambda c: _pq_dist_expr(e, s, c, cbflat)
-
-    # Stage the 16-distance array per subspace as a REAL column, then
-    # take argmin/min from the materialized array: each fold runs
-    # once per (row, subspace) instead of three times (position, min,
-    # err all re-evaluating the full transform — HOFs sit outside
-    # codegen's subexpression elimination).
-    staged = emb.select(
-        "vec_id",
-        *[
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_PQ_K - 1)), _dist_at(s)
-            ).alias(f"da{s}")
-            for s in range(_PQ_S)
-        ],
-    )
+    staged = _stage_pq_dists(emb, ["vec_id"], "embedding", _pq_cb_flat())
     pq = F.lit(0).cast("long")
     err: Column = F.lit(0.0)
     for s in range(_PQ_S):
-        da = F.col(f"da{s}")
-        code = (F.array_position(da, F.array_min(da)) - 1).cast("long")
-        pq = pq + code * F.lit(1 << (4 * s)).cast("long")
-        err = err + F.array_min(da)
+        pq = pq + _pq_argmin(s) * F.lit(1 << (4 * s)).cast("long")
+        err = err + F.array_min(F.col(f"da{s}"))
     return staged.select(
         "vec_id", pq.alias("pq_code"), err.alias("q_err_raw")
     )
@@ -643,7 +655,12 @@ def x47c_pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = vecs.filter(F.col("vec_id") % 4 == 0)
     # lazy-persist the (<=128 x 8-int) codebook: _pqfp_assign's
     # argmin references its input twice (distances + the min join),
-    # which would otherwise re-run the whole Lloyd chain per branch
+    # which would otherwise re-run the whole Lloyd chain per branch.
+    # Deliberately never unpersisted (the returned plan is lazy, so
+    # there is no post-consumption hook here, unlike the repo's
+    # materialize-then-unpersist sites): growth is bounded to one
+    # <=128-row entry per distinct (query, sf_dir) canonical plan —
+    # CacheManager dedupes re-registrations.
     cent = _pqfp_lloyd(vecs, train, iters=2).persist()
     coded = _pqfp_assign(vecs, cent)
     return coded.groupBy("vec_id").agg(
@@ -886,16 +903,14 @@ def x47d_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranking — without the cache each reference re-runs the whole
     # 2-iteration Lloyd chain (lazy persist: no job at construction,
     # bounded size, CacheManager dedupes repeated registrations of
-    # the same canonical plan)
+    # the same canonical plan; never unpersisted by design — see the
+    # x47c note)
     cent = _ivfpq_coarse(vecs_fp).persist()
     # final assignment of every vector to its cell
     a = vecs_fp.crossJoin(F.broadcast(cent)).select(
         "vec_id",
-        "embedding",
-        "qa",
         "cell",
         _pqfp_dist(F.col("qa"), F.col("c")).alias("dist"),
-        F.col("c").alias("centvec"),
     )
     m = a.groupBy("vec_id").agg(F.min("dist").alias("md"))
     assigned = (
@@ -913,33 +928,11 @@ def x47d_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = withcent.select(
         "vec_id", "cell", resid.alias("re")
     )
-
-    def _rdist_at(s: int):
-        return lambda c: _pq_dist_expr(F.col("re"), s, c, cbflat)
-
-    # stage distance arrays once per subspace (see pq_encode)
-    staged = enc.select(
-        "vec_id",
-        "cell",
-        *[
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_PQ_K - 1)), _rdist_at(s)
-            ).alias(f"da{s}")
-            for s in range(_PQ_S)
-        ],
-    )
+    staged = _stage_pq_dists(enc, ["vec_id", "cell"], "re", cbflat)
     codes = staged.select(
         "vec_id",
         "cell",
-        *[
-            (
-                F.array_position(F.col(f"da{s}"), F.array_min(F.col(f"da{s}")))
-                - 1
-            )
-            .cast("long")
-            .alias(f"cd{s}")
-            for s in range(_PQ_S)
-        ],
+        *[_pq_argmin(s).alias(f"cd{s}") for s in range(_PQ_S)],
     )
     # queries: rank cells by integer distance, keep nprobe
     q = vecs_fp.filter(F.col("vec_id") % 250 == 0).select(

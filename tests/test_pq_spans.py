@@ -139,8 +139,14 @@ class TestSubstringSpans:
         assert checked_nonzero > 0, "testdata should contain dup spans"
 
     def test_short_docs_empty(self, spark):
+        """Sub-G and empty texts produce no spans and no crash (the
+        char-code transform runs on every row; Spark's sequence(1, 0)
+        would run DESCENDING, so the position array must be gated on
+        length >= G)."""
         assert (
-            substring_dup_spans(_docs(spark, ["tiny", "tiny"])).count()
+            substring_dup_spans(
+                _docs(spark, ["tiny", "tiny", "", ""])
+            ).count()
             == 0
         )
 
