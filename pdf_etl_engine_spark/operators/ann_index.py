@@ -653,15 +653,15 @@ def x47c_pq_encode_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     ).select("vec_id", "g.s", "g.qa")
     train = vecs.filter(F.col("vec_id") % 4 == 0)
-    # lazy-persist the (<=128 x 8-int) codebook: _pqfp_assign's
+    # materialize the (<=128 x 8-int) codebook once: _pqfp_assign's
     # argmin references its input twice (distances + the min join),
     # which would otherwise re-run the whole Lloyd chain per branch.
-    # Deliberately never unpersisted (the returned plan is lazy, so
-    # there is no post-consumption hook here, unlike the repo's
-    # materialize-then-unpersist sites): growth is bounded to one
-    # <=128-row entry per distinct (query, sf_dir) canonical plan —
-    # CacheManager dedupes re-registrations.
-    cent = _pqfp_lloyd(vecs, train, iters=2).persist()
+    # localCheckpoint (lazy), NOT persist: a persist entry is keyed
+    # by canonical plan in the CacheManager, so it would survive
+    # across the bench's rebuilt DataFrames and let a "fresh" timed
+    # run silently skip training; a lazy local checkpoint is scoped
+    # to THIS DataFrame object and recomputes per rebuild.
+    cent = _pqfp_lloyd(vecs, train, iters=2).localCheckpoint(eager=False)
     coded = _pqfp_assign(vecs, cent)
     return coded.groupBy("vec_id").agg(
         F.sum(
@@ -898,14 +898,12 @@ def x47d_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 10000).cast("long"),
         ).alias("qa"),
     )
-    # persist the (<=8 x 64-int) centroid relation: it is referenced
-    # by the assignment, the residual join, AND the query-side cell
-    # ranking — without the cache each reference re-runs the whole
-    # 2-iteration Lloyd chain (lazy persist: no job at construction,
-    # bounded size, CacheManager dedupes repeated registrations of
-    # the same canonical plan; never unpersisted by design — see the
-    # x47c note)
-    cent = _ivfpq_coarse(vecs_fp).persist()
+    # materialize the (<=8 x 64-int) centroid relation once: it is
+    # referenced by the assignment, the residual join, AND the
+    # query-side cell ranking — without it each reference re-runs
+    # the whole 2-iteration Lloyd chain. Lazy localCheckpoint, not
+    # persist — see the x47c note on bench-honesty
+    cent = _ivfpq_coarse(vecs_fp).localCheckpoint(eager=False)
     # final assignment of every vector to its cell
     a = vecs_fp.crossJoin(F.broadcast(cent)).select(
         "vec_id",

@@ -541,7 +541,15 @@ def x23_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy()
     budget_per_src = F.lit(10_000.0) / F.count("*").over(w)
-    rate = F.least(F.lit(1.0), budget_per_src / F.col("n_tokens"))
+    # a zero-token source must not abort the job under ANSI mode:
+    # DuckDB's x/0 on DOUBLE is NULL and least() skips NULLs (rate
+    # 1.0) — mirror that exactly instead of throwing DIVIDE_BY_ZERO
+    rate = F.least(
+        F.lit(1.0),
+        F.when(
+            F.col("n_tokens") != 0, budget_per_src / F.col("n_tokens")
+        ),
+    )
     return per_src.select(
         "source",
         "n_docs",
@@ -596,10 +604,16 @@ def x24_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     n_chunks = F.ceil(F.size(ws) / F.lit(20.0)).cast("int")
-    chunk_arr = F.transform(
-        F.sequence(F.lit(1), n_chunks),
-        lambda i: F.concat_ws(" ", F.slice(ws, (i - 1) * 20 + 1, 20)),
-    )
+    # gate on >=1 chunk: sequence(1, 0) runs DESCENDING ([1, 0]) and
+    # would emit two phantom empty chunks per zero-word doc where the
+    # oracle's range(1, 1) emits none
+    chunk_arr = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.concat_ws(" ", F.slice(ws, (i - 1) * 20 + 1, 20)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     chunks = docs.select(
         "doc_id", "lang", F.explode(chunk_arr).alias("chunk")
     )
@@ -693,7 +707,11 @@ def x25_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_seq.alias("n_sequences"),
         F.sum(is_split.cast("bigint")).alias("n_split_docs"),
         stable_round(
-            F.sum("n_toks") / (n_seq * cap).cast("double"), 6
+            F.when(
+                n_seq != 0,
+                F.sum("n_toks") / (n_seq * cap).cast("double"),
+            ),
+            6,
         ).alias("avg_fill"),
     )
 
@@ -884,6 +902,16 @@ def x27_ngram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = docs.select("doc_id", "text").mapInPandas(
         count_tris, "doc_id bigint, tri bigint, k bigint"
     )
+    # KNOWN double-execution, deliberate: dt feeds BOTH the model
+    # aggregate and the score join, and their exchanges differ (one
+    # has a partial aggregate) so ReuseExchange cannot deduplicate —
+    # the Arrow kernel runs twice per execution. Materializing dt
+    # (localCheckpoint) was tried in r12 and REVERTED: storing the
+    # ~15M-row (doc_id, tri, k) relation OOMs a default-heap session
+    # at sf1 (AGGREGATE_OUT_OF_MEMORY), while the second kernel pass
+    # costs only ~1.4 s — recompute is strictly cheaper than storage
+    # here. At 100 TB the model aggregate would be built once and
+    # persisted as a table, not recomputed per query.
     w = Window.partitionBy()
     freq = (
         dt.groupBy("tri")
@@ -917,7 +945,7 @@ def x27_ngram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(string_split(text, ' '), w -> w <> '') AS ws
       FROM documents
     ), snip AS (
-      SELECT doc_id + 1000000 AS doc_id, lang,
+      SELECT -doc_id - 1 AS doc_id, lang,
              ws[1:greatest(CAST(floor(len(ws) * 0.4) AS BIGINT), 5)] AS ws
       FROM ws0 WHERE doc_id % 7 = 0
     ), corpus AS (
@@ -974,7 +1002,7 @@ def x28_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = _words()
     base = docs.select("doc_id", "lang", ws.alias("ws"))
     snip = base.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         "lang",
         F.slice(
             F.col("ws"),
@@ -1143,8 +1171,8 @@ def x36_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         n.alias("n_words"),
-        (char_sum.cast("double") / n).alias("mwl"),
-        (n_unique.cast("double") / n).alias("fu"),
+        F.when(n != 0, char_sum.cast("double") / n).alias("mwl"),
+        F.when(n != 0, n_unique.cast("double") / n).alias("fu"),
         has_stop.alias("has_stopword"),
     ).join(top, "doc_id", "left")
     base = base.withColumn(
@@ -1336,7 +1364,13 @@ def x40_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.least(
                 F.lit(1.0),
-                (10000.0 / F.count(F.lit(1)).over(w)) / F.col("n_tokens"),
+                # NULL (not DIVIDE_BY_ZERO) for a zero-token source;
+                # least skips NULLs in both engines — x23 discipline
+                F.when(
+                    F.col("n_tokens") != 0,
+                    (10000.0 / F.count(F.lit(1)).over(w))
+                    / F.col("n_tokens"),
+                ),
             )
             * 1_000_000,
             0,
@@ -1373,7 +1407,7 @@ def x40_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lookaround, no backrefs; \b \d and bounded quantifiers mean the same
 # thing in both. Applied in a fixed order so the redacted text is
 # byte-identical across engines.
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_EMAIL = _EMAIL_RE  # one email definition for x15 AND x44
 _PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
 _PII_PHONE = r"\b\d{3}[- ]\d{3}[- ]\d{4}\b"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
@@ -1682,8 +1716,11 @@ def x46b_dup_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dup_chars"
             ),
             stable_round(
-                F.coalesce(F.col("dup_chars"), F.lit(0))
-                / F.col("n_chars_text"),
+                F.when(
+                    F.col("n_chars_text") != 0,
+                    F.coalesce(F.col("dup_chars"), F.lit(0))
+                    / F.col("n_chars_text"),
+                ),
                 4,
             ).alias("dup_ratio"),
         )
