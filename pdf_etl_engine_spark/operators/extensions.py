@@ -1055,15 +1055,23 @@ def _x4j_bucket_kernel(n_tables: int, n_bits: int, mod: int):
     per element (CodegenFallback) and measured 34 s for sf1's
     20k × 120 × 64 steps; this kernel does the identical arithmetic
     in 1-2 s of vectorized numpy over Arrow batches."""
+    coefs = _arith_plane_coefs(n_tables * n_bits, mod)
+    return _bucket_kernel_from_coefs(coefs, n_tables, n_bits)
+
+
+def _arith_plane_coefs(n_planes: int, mod: int):
+    """[n_planes, 64] float64 arithmetic-family coefficients
+    ((31p + 17j) % mod − mod//2) — THE bit-exactness contract with
+    _arith_bucket_sql; every consumer (x4j kernel, fused_lsh_pairs)
+    must build planes through here so the families can't drift."""
     import numpy as np
 
     half = mod // 2
-    coefs = np.array(
+    return np.array(
         [[(31 * p + 17 * j) % mod - half for j in range(64)]
-         for p in range(n_tables * n_bits)],
+         for p in range(n_planes)],
         dtype=np.float64,
     )
-    return _bucket_kernel_from_coefs(coefs, n_tables, n_bits)
 
 
 def _bucket_kernel_from_coefs(coefs, n_tables: int, n_bits: int):
@@ -1466,9 +1474,14 @@ def lsh_recall_theory(
     far off this curve (the r11 recall anomaly)."""
     import math
 
+    if probe_hamming not in (0, 1):
+        # the execution path (fused_lsh_pairs) supports exactly these
+        # depths; modelling a depth the engine can't run would plan
+        # an L the deployment cannot realize (r12 review)
+        raise ValueError("probe_hamming must be 0 or 1")
     p = 1.0 - math.acos(max(-1.0, min(1.0, cos_sim))) / math.pi
     per_table = p**n_bits
-    if probe_hamming >= 1:
+    if probe_hamming == 1:
         per_table += n_bits * p ** (n_bits - 1) * (1.0 - p)
     return 1.0 - (1.0 - per_table) ** n_tables
 
@@ -1502,7 +1515,7 @@ def lsh_tables_for_recall(
     raise ValueError(
         f"recall {target_recall} at cos {cos_threshold} unreachable with "
         f"k={n_bits}, probe={probe_hamming} within {max_tables} tables; "
-        "raise probe_hamming or lower n_bits"
+        "lower n_bits (or enable Hamming-1 probing if off)"
     )
 
 
@@ -1689,14 +1702,7 @@ def fused_lsh_pairs(
     if plane == "mixed":
         coefs = _mix_plane_coefs(n_tables * n_bits, mod)
     else:
-        import numpy as np
-
-        half = mod // 2
-        coefs = np.array(
-            [[(31 * p + 17 * j) % mod - half for j in range(64)]
-             for p in range(n_tables * n_bits)],
-            dtype=np.float64,
-        )
+        coefs = _arith_plane_coefs(n_tables * n_bits, mod)
     if probe_hamming == 0:
         bucket_arr = _bucket_kernel_from_coefs(coefs, n_tables, n_bits)
         buckets = emb.select(
@@ -1902,7 +1908,14 @@ def _knn_topk_block(Q, M, nrm_q, nrm_m, topk, self_col=None, cap=4096):
     if self_col is not None:
         has_self = self_col >= 0
         screen[np.where(has_self)[0], self_col[has_self]] = -np.inf
-    kth = min(topk, screen.shape[1] - 1)
+    # kth = min(topk, |M|): blocks with <= topk columns must capture
+    # EVERY column (r12 review fix: the old `shape[1] - 1` was only
+    # right when a self column is masked — on self-free x4l blocks
+    # smaller than topk+1 it silently dropped each row's last
+    # neighbor). When a masked self column makes the kth-best -inf,
+    # the threshold is -inf and the isfinite filter below still
+    # bounds the capture correctly.
+    kth = min(topk, screen.shape[1])
     if kth < 1:
         kth = 1
     t_a = -np.partition(-screen, kth - 1, axis=1)[:, kth - 1]
