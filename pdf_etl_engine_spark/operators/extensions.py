@@ -171,15 +171,19 @@ def x3_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3: MinHash+LSH near-dup candidates: shingle → 16 minhashes →
     4 bands of 4 → candidates collide on (band_id, band_signature).
     The self-join runs on the banded signature — the shuffle key
-    carries the candidate generation, never an all-pairs product. The
-    estimated Jaccard (signature agreement) filters candidates at the
-    end."""
+    carries the candidate generation, never an all-pairs product —
+    and the banded rows are ID-ONLY (r12: the 16-long signature used
+    to ride the band shuffle 4× per doc and both sides of the
+    self-join — the payload-through-the-shuffle pattern the x4j
+    docstring flags; signatures now re-attach to the deduped pairs
+    via two doc_id equi-joins against the corpus-bounded sig
+    relation). The estimated Jaccard (signature agreement) filters
+    candidates at the end."""
     docs = load_table(spark, sf_dir, "documents")
     sig = docs.select("doc_id", minhash_signature(F.col("text")).alias("sig"))
     rows_per_band = _N_HASHES // _BANDS
     bands = sig.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -209,10 +213,12 @@ def x3_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l.doc_id").alias("doc_a"),
             F.col("r.doc_id").alias("doc_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        .join(sig.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sig").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sig").alias("sig_b")), "doc_b")
     )
     est = stable_round(
         F.size(
