@@ -1,0 +1,503 @@
+"""Distributed model-training and sketching operators (SURVEY.md
+§2.11 extension surface, third wave): bounded-memory frequent-items
+(heavy hitters), supervised classifier training (the CCNet/fastText
+quality-filter recipe in its deterministic integer form), and
+distribution-matching data selection (DSIR importance weights).
+
+Why these belong in a 100 TB pretraining-data engine: the reference's
+curation story ends at regex heuristics (main.py:563-571), but every
+production pipeline also (a) profiles the corpus's token head — at a
+vocabulary that does NOT fit one hash table, which is what the
+Misra–Gries two-pass bounds; (b) trains a quality classifier on
+labeled exemplars and scores the corpus with it (CCNet trains
+fastText on Wikipedia-vs-CommonCrawl); (c) re-weights the corpus
+toward a target domain (DSIR, Xie et al. 2023: hashed-n-gram
+importance weights between raw and target distributions).
+
+Design rules shared with the rest of the package:
+
+* Integer arithmetic wherever the semantics allow (perceptron weights,
+  feature hashes, counts) so both engines are bit-identical by
+  construction; the one float surface (DSIR's log-ratios) goes through
+  the x27 fixed-point discipline — round each log to 1e-6 BEFORE any
+  order-dependent sum, accumulate as BIGINT.
+* Model state that fits the driver (a 33-weight perceptron, a 64-row
+  log-ratio table) is collected per iteration — same bounded-metadata
+  rule as x32b's BPE argmax and x45b's Lloyd steps; everything
+  corpus-sized stays distributed.
+* No O(n²): heavy-hitter candidates bound the exact-pass hash table,
+  classifier iterations are K groupBy-sums, DSIR is two corpus scans
+  plus a 64-row broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_etl_engine_spark.catalog import load_table
+from pdf_etl_engine_spark.functions.stable import stable_round
+from pdf_etl_engine_spark.registry import query
+
+# Word-hash family: Karp-Rabin fold over code points mod a Mersenne
+# prime, then mod the feature dimension — the x46 span-hash contract
+# at word granularity, so DuckDB recomputes the identical bucket with
+# list_reduce. Base 31 / seed 7 keeps it distinct from the span grams'
+# (131, 7) / (137, 11) pairs.
+_HASH_M = 2_147_483_647
+_HASH_B = 31
+_HASH_SEED = 7
+
+
+def _word_bucket(w: Column, dim: int) -> Column:
+    """Hash one whitespace token into [0, dim) — identical on both
+    engines (integer fold, no engine hash builtin)."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.ascii(w.substr(i, F.lit(1))).cast("long"),
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(_HASH_SEED).cast("long"),
+        lambda a, c: (a * _HASH_B + c) % _HASH_M,
+    )
+    return (h % dim).cast("int")
+
+
+def _word_bucket_sql(expr: str, dim: int) -> str:
+    """DuckDB twin of _word_bucket over a VARCHAR expression."""
+    return (
+        f"CAST(list_reduce([CAST({_HASH_SEED} AS BIGINT)] || "
+        f"list_transform(range(1, len({expr}) + 1), "
+        f"i -> CAST(ascii(substr({expr}, CAST(i AS INTEGER), 1)) AS BIGINT)), "
+        f"(a, c) -> (a * {_HASH_B} + c) % {_HASH_M}) % {dim} AS INTEGER)"
+    )
+
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+def _words() -> Column:
+    """Non-empty whitespace tokens (the curation.py contract)."""
+    return F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+
+
+# ---------------------------------------------------------------------------
+# X48 — heavy hitters: exact top-k frequent tokens via a bounded-memory
+# Misra–Gries candidate pass
+# ---------------------------------------------------------------------------
+
+_HH_K = 25
+_HH_CAP = 4096
+
+
+def mg_candidates(tokens: DataFrame, cap: int = _HH_CAP) -> DataFrame:
+    """Pass 1 of the heavy-hitters two-pass: per-PARTITION Misra–Gries
+    summaries of at most ``cap`` tokens each, streamed batch-by-batch
+    through one Arrow kernel (state lives across the partition's
+    batches, so the summary sees the whole partition, not one batch).
+
+    Guarantee (the reason this is exact, not approximate, when used as
+    a candidate filter): within a partition of n_p tokens, Misra–Gries
+    with capacity C retains every token whose partition count exceeds
+    n_p/(C+1) — each eviction round removes C+1 total mass, so a token
+    can be fully evicted only if its count is at most (evicted mass)/
+    (C+1) ≤ n_p/(C+1). Summing over partitions: any token ABSENT from
+    every summary has global count ≤ N/(C+1). Therefore if the true
+    k-th count exceeds N/(C+1) — checkable after the exact pass — the
+    candidate union provably contains the true top-k.
+
+    Batch merge is the Apache DataSketches frequent-items shape:
+    pre-aggregate the Arrow batch with np.unique, add into the running
+    dict, and when the dict exceeds ``cap`` subtract the (size-cap)-th
+    smallest count from everything and drop the non-positive — one
+    vectorized eviction per overflow instead of per-item decrements.
+
+    Scale: the summary is ≤ cap rows PER PARTITION regardless of
+    vocabulary size — this is the operator you reach for when the
+    vocabulary (URLs, n-grams, user-ids) would blow the hash-aggregate
+    that a plain groupBy needs. Output rows: ≤ cap × n_partitions.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def mg(batches):
+        counts: dict[str, int] = {}
+        for batch in batches:
+            u, k = np.unique(batch["token"].astype(str), return_counts=True)
+            for t, c in zip(u, k):
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > cap:
+                vals = np.fromiter(counts.values(), dtype=np.int64)
+                # subtract the smallest surplus count from everything;
+                # removes >= (size-cap) keys, keeps the MG bound
+                m = int(np.partition(vals, len(counts) - cap - 1)[
+                    len(counts) - cap - 1
+                ])
+                counts = {
+                    t: c - m for t, c in counts.items() if c - m > 0
+                }
+        if counts:
+            yield pd.DataFrame({"token": list(counts.keys())})
+
+    return tokens.mapInPandas(mg, "token string")
+
+
+@query(
+    "x48_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS token FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY token
+    ORDER BY cnt DESC, token LIMIT {_HH_K}
+    """,
+)
+def x48_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48: exact top-25 most frequent tokens, computed with a
+    bounded-memory two-pass instead of an unbounded hash aggregate.
+
+    Pass 1 (map-only): per-partition Misra–Gries summaries — at most
+    4096 candidate tokens per partition, whatever the vocabulary.
+    Pass 2: exact counts restricted to the broadcast candidate set
+    (the groupBy hash table is ≤ |candidates| keys by construction),
+    then top-k with a deterministic (cnt DESC, token) tie-break.
+
+    The oracle is the PLAIN exact top-k — the two-pass must reproduce
+    it bit-for-bit, which it provably does whenever the k-th count
+    exceeds N/(cap+1) (see mg_candidates; tests/test_training_ops.py
+    pins that margin on the testdata and pins an adversarial eviction
+    case where cap is tiny and the guarantee still holds).
+
+    Scale shape: a plain groupBy on a 100 TB URL/n-gram column builds
+    a hash aggregate proportional to the DISTINCT count — spill city.
+    Here the only full-vocabulary structure is the per-partition
+    4096-entry dict inside the Arrow kernel; the shuffle carries
+    candidate tokens only (≤ cap × partitions rows for pass 1's
+    distinct, then counts for ≤ that many keys in pass 2, map-side
+    partial aggregation doing the heavy lifting)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(_words()).alias("token"))
+    cand = mg_candidates(tokens).distinct()
+    exact = (
+        tokens.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return exact.orderBy(F.desc("cnt"), "token").limit(_HH_K)
+
+
+# ---------------------------------------------------------------------------
+# X49 — supervised quality-classifier training: averaged-gradient
+# perceptron over hashed bag-of-words features, integer-exact
+# ---------------------------------------------------------------------------
+
+_PC_DIM = 32  # hashed feature buckets; bucket _PC_DIM is the bias
+_PC_ITERS = 3
+
+
+def perceptron_features(docs: DataFrame, dim: int = _PC_DIM) -> DataFrame:
+    """(doc_id, y, b, x): hashed bag-of-words counts plus a bias
+    feature (b=dim, x=1) for every doc; y = +1 for lang='en' (the
+    CCNet-style "target domain" exemplar label), −1 otherwise."""
+    y = F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y")
+    words = docs.select("doc_id", y, F.explode(_words()).alias("w"))
+    feat = (
+        words.groupBy("doc_id", "y", _word_bucket(F.col("w"), dim).alias("b"))
+        .agg(F.count("*").alias("x"))
+    )
+    bias = docs.select(
+        "doc_id", y, F.lit(dim).cast("int").alias("b"),
+        F.lit(1).cast("long").alias("x"),
+    )
+    return feat.unionByName(bias)
+
+
+# Shared 3-iteration-unrolled training CTE: feature matrix -> w1/w2/w3
+# weight relations -> mf margins under the final weights. Both x49
+# (weights out) and x49b (per-doc scores out) grade the SAME training.
+_PC_CTE = f"""
+    WITH ws AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             {_TOKS_SQL} AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, y, unnest(toks) AS w FROM ws),
+    feat AS (
+      SELECT doc_id, y, {_word_bucket_sql('w', _PC_DIM)} AS b,
+             count(*) AS x
+      FROM tok GROUP BY doc_id, y, b
+      UNION ALL
+      SELECT doc_id, y, {_PC_DIM}, 1 FROM ws
+    ),
+    dims AS (
+      SELECT CAST(unnest(range(0, {_PC_DIM + 1})) AS INTEGER) AS b
+    ),
+    g1 AS (SELECT b, sum(y * x) AS d FROM feat GROUP BY b),
+    w1 AS (
+      SELECT dims.b, CAST(coalesce(g1.d, 0) AS BIGINT) AS wt
+      FROM dims LEFT JOIN g1 ON dims.b = g1.b
+    ),
+    m2 AS (
+      SELECT f.doc_id, f.y, sum(w1.wt * f.x) AS s
+      FROM feat f JOIN w1 ON f.b = w1.b GROUP BY f.doc_id, f.y
+    ),
+    g2 AS (
+      SELECT b, sum(y * x) AS d FROM feat
+      WHERE doc_id IN (SELECT doc_id FROM m2 WHERE y * s <= 0)
+      GROUP BY b
+    ),
+    w2 AS (
+      SELECT w1.b, w1.wt + coalesce(g2.d, 0) AS wt
+      FROM w1 LEFT JOIN g2 ON w1.b = g2.b
+    ),
+    m3 AS (
+      SELECT f.doc_id, f.y, sum(w2.wt * f.x) AS s
+      FROM feat f JOIN w2 ON f.b = w2.b GROUP BY f.doc_id, f.y
+    ),
+    g3 AS (
+      SELECT b, sum(y * x) AS d FROM feat
+      WHERE doc_id IN (SELECT doc_id FROM m3 WHERE y * s <= 0)
+      GROUP BY b
+    ),
+    w3 AS (
+      SELECT w2.b, w2.wt + coalesce(g3.d, 0) AS wt
+      FROM w2 LEFT JOIN g3 ON w2.b = g3.b
+    ),
+    mf AS (
+      SELECT f.doc_id, f.y, sum(w3.wt * f.x) AS s
+      FROM feat f JOIN w3 ON f.b = w3.b GROUP BY f.doc_id, f.y
+    )
+"""
+
+
+@query(
+    "x49_quality_perceptron",
+    oracle=_PC_CTE
+    + """
+    SELECT w3.b AS feature_id, w3.wt AS weight,
+           (SELECT CAST(count(*) AS BIGINT) FROM mf WHERE y * s <= 0)
+             AS n_misclassified
+    FROM w3 ORDER BY feature_id
+    """,
+)
+def x49_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49: a quality classifier TRAINED distributed — the CCNet /
+    fastText pretraining-filter recipe (train a linear model on
+    target-domain exemplars, score the crawl with it) in its
+    deterministic form: a full-batch perceptron over hashed
+    bag-of-words counts, integer weights, 3 synchronous iterations.
+
+    Each iteration is two shuffles, both corpus-bounded-small:
+    margins = one groupBy(doc_id) over the cached feature matrix with
+    the 33 current weights joined in as a broadcast literal; gradient
+    = one groupBy(b) sum of y·x over the misclassified docs (≤ 33
+    rows out). The model (33 ints) is collected per iteration — the
+    x32b/x45b bounded-metadata rule; the feature matrix itself never
+    leaves the executors and is built ONCE (persisted across
+    iterations; at 100 TB it would be a materialized table).
+
+    Everything is int64 arithmetic, so the unrolled-SQL oracle —
+    including both trainings' intermediate weight vectors — matches
+    bit-for-bit; y·margin ≤ 0 is an exact integer predicate with no
+    float boundary. Output: the trained weight per feature bucket
+    (bias = bucket 32) plus the final misclassification count.
+
+    Reference anchor: the reference delegates document understanding
+    to an external LLM (main.py:413-512, analyze-master); this is the
+    self-contained statistical counterpart a 100 TB pipeline trains
+    in-cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = perceptron_features(docs).persist()
+    try:
+        w = train_perceptron(feat)
+        misses = _margins(feat, w).filter(
+            F.col("y") * F.col("s") <= 0
+        ).count()
+        out = spark.createDataFrame(
+            [(b, int(w[b]), int(misses)) for b in range(len(w))],
+            "feature_id int, weight long, n_misclassified long",
+        )
+        return out.orderBy("feature_id")
+    finally:
+        feat.unpersist()
+
+
+def _margins(feat: DataFrame, w: list[int]) -> DataFrame:
+    """Per-doc integer margin Σ w_b·x_b under the given weights; the
+    33-element model enters the plan as a literal array — broadcast by
+    construction, no join."""
+    warr = F.array(*[F.lit(int(v)).cast("long") for v in w])
+    return (
+        feat.withColumn(
+            "ws", F.element_at(warr, F.col("b") + 1) * F.col("x")
+        )
+        .groupBy("doc_id", "y")
+        .agg(F.sum("ws").alias("s"))
+    )
+
+
+def train_perceptron(
+    feat: DataFrame, iters: int = _PC_ITERS, dim: int = _PC_DIM
+) -> list[int]:
+    """Run the synchronous full-batch perceptron loop over a persisted
+    feature matrix; returns the (dim+1)-element integer weight vector.
+    Each iteration collects only the ≤ dim+1 gradient rows (the
+    bounded-metadata rule)."""
+    w = [0] * (dim + 1)
+    for _ in range(iters):
+        miscl = _margins(feat, w).filter(F.col("y") * F.col("s") <= 0)
+        grad = (
+            feat.join(miscl.select("doc_id"), "doc_id")
+            .groupBy("b")
+            .agg(F.sum(F.col("y") * F.col("x")).alias("d"))
+            .collect()  # ≤ dim+1 rows — bounded model state
+        )
+        for row in grad:
+            w[row["b"]] += row["d"]
+    return w
+
+
+@query(
+    "x49b_perceptron_filter",
+    oracle=_PC_CTE
+    + """
+    SELECT doc_id, CAST(s AS BIGINT) AS score, s > 0 AS keep
+    FROM mf
+    """,
+)
+def x49b_perceptron_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49b: the APPLY half of the CCNet recipe — train the x49
+    perceptron, then score every document with the learned weights and
+    flag the keeps (score > 0 ⇒ predicted target-domain). This is the
+    end-to-end shape a pipeline runs: one training job over labeled
+    exemplars, one map-side scoring pass over the full corpus.
+
+    Scoring is a groupBy(doc_id) over the SAME persisted feature
+    matrix with the final 33 weights as a broadcast literal — at
+    100 TB the trained model is constant-size and scoring is one
+    scan + one doc-keyed aggregation (doc_id is the write order, so
+    AQE coalesces the exchange). Training determinism as in x49, so
+    the unrolled-SQL oracle reproduces every per-doc integer score."""
+    docs = load_table(spark, sf_dir, "documents")
+    feat = perceptron_features(docs).persist()
+    try:
+        w = train_perceptron(feat)
+        return _margins(feat, w).select(
+            "doc_id",
+            F.col("s").alias("score"),
+            (F.col("s") > 0).alias("keep"),
+        )
+    finally:
+        feat.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# X50 — DSIR: distribution-matching importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_DIM = 64
+
+
+@query(
+    "x50_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_TOKS_SQL}) AS w FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang, {_word_bucket_sql('w', _DSIR_DIM)} AS b
+      FROM tok
+    ),
+    model AS (
+      SELECT b,
+             count(*) AS r,
+             count(*) FILTER (WHERE lang = 'en') AS t
+      FROM b GROUP BY b
+    ),
+    tot AS (SELECT sum(r) AS rn, sum(t) AS tn FROM model),
+    lr AS (
+      SELECT b,
+             CAST(round(ln(CAST(t + 1 AS DOUBLE) / (tn + {_DSIR_DIM}))
+                        * 1000000) AS BIGINT)
+             - CAST(round(ln(CAST(r + 1 AS DOUBLE) / (rn + {_DSIR_DIM}))
+                          * 1000000) AS BIGINT) AS lr_fp
+      FROM model, tot
+    ),
+    scored AS (
+      SELECT doc_id, b.b, count(*) AS x FROM b GROUP BY doc_id, b.b
+    )
+    SELECT s.doc_id,
+           CAST(sum(s.x) AS BIGINT) AS n_tokens,
+           round(CAST(sum(s.x * lr.lr_fp) AS DOUBLE) / 1000000
+                 + 5e-10, 4) AS dsir_weight
+    FROM scored s JOIN lr ON s.b = lr.b
+    GROUP BY s.doc_id
+    """,
+)
+def x50_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50: DSIR importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling") — score every raw
+    document by how much more likely its hashed-unigram bag is under
+    the TARGET distribution (here the lang='en' subcorpus, standing in
+    for the paper's Wikipedia/books target) than under the raw corpus
+    distribution. Resampling keeps docs ∝ exp(weight); the weight is
+    the deliverable (the top-fraction cut is x10/x18's job).
+
+    dsir_weight(d) = Σ_b x_{{d,b}} · [ln p̂_target(b) − ln p̂_raw(b)]
+    with add-1 smoothing over the 64 hashed buckets.
+
+    Cross-engine float discipline (the x27 rule): each of the 64
+    log-probabilities is rounded to 1e-6 and differenced as BIGINT
+    fixed-point BEFORE the per-doc sum — the accumulation is integer,
+    order-free, and immune to libm last-ulp drift; only the final
+    display round is float.
+
+    Scale shape: one corpus scan builds the 64-row model (count +
+    filtered count per bucket — a single groupBy with map-side
+    partials; the target need not be re-scanned), one scan scores
+    docs against the broadcast 64-row log-ratio table. No shuffle
+    carries text; the per-doc re-aggregation groups on doc_id. At
+    100 TB the model table stays 64 rows — the broadcast is constant
+    regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(_words()).alias("w")
+    ).withColumn("b", _word_bucket(F.col("w"), _DSIR_DIM)).drop("w")
+    model = tok.groupBy("b").agg(
+        F.count("*").alias("r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t"),
+    )
+    win = Window.partitionBy()
+    model = model.withColumn("rn", F.sum("r").over(win)).withColumn(
+        "tn", F.sum("t").over(win)
+    )
+
+    def _lp(cnt: str, tot: str) -> Column:
+        return F.round(
+            F.log(
+                (F.col(cnt) + 1).cast("double")
+                / (F.col(tot) + _DSIR_DIM)
+            )
+            * 1_000_000
+        ).cast("long")
+
+    lr = model.select(
+        "b", (_lp("t", "tn") - _lp("r", "rn")).alias("lr_fp")
+    )
+    scored = tok.groupBy("doc_id", "b").agg(F.count("*").alias("x"))
+    return (
+        scored.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("x").alias("n_tokens"),
+            stable_round(
+                F.sum(F.col("x") * F.col("lr_fp")).cast("double")
+                / 1_000_000,
+                4,
+            ).alias("dsir_weight"),
+        )
+    )

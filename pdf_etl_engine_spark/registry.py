@@ -75,7 +75,15 @@ PRIORITY: tuple[str, ...] = (
     "j5_multiway_equi",
     "j6_point_lookup",
     "j7_range_asof",
-    "j8_skew_salted_join",
+    # r12 second-pass rotation: j8_skew_salted_join (BONUS row — its
+    # salted≡plain equivalence stays pinned by test_plans.py's parity
+    # + skew suite and it remains locally oracle-graded in the tail)
+    # yields its slot to x49b_perceptron_filter: the first SUPERVISED
+    # training operator (CCNet-style quality classifier, trained
+    # distributed and applied corpus-wide), graded end-to-end — the
+    # 3-iteration-unrolled SQL oracle reproduces every per-doc
+    # integer score, training included.
+    "x49b_perceptron_filter",
     # A: aggregates (a1_count_exists rotated to the tail in r9 —
     # its count(*)>0 shape is subsumed by a2's aggregates and the
     # p6/j2 existence joins; the slot now grades the flagship
@@ -167,6 +175,7 @@ def load_all() -> None:
         sets,
         sorts,
         tokenizer,
+        training,
         windows,
     )
     from pdf_etl_engine_spark.streaming import cdc, windowq  # noqa: F401

@@ -864,3 +864,38 @@ def test_ivfpq_probe_joins_on_cell(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p
     assert "WindowGroupLimit" in p
+
+
+def test_heavy_hitter_candidate_join_broadcasts(spark):
+    """x48: the Misra–Gries candidate set (≤ cap×partitions rows)
+    must broadcast for the exact pass — the token stream never
+    shuffles for the membership join — and the final top-k is
+    per-partition heaps, not a global sort."""
+    p = plan_of(registry.QUERIES["x48_heavy_hitters"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_perceptron_margin_pass_has_no_model_join(spark):
+    """x49b (the scoring shape x49 iterates): the 33-weight model
+    must enter the plan as a LITERAL array — no join, no broadcast
+    relation, no Python — so each training iteration is exactly one
+    doc-keyed aggregation over the feature matrix."""
+    from pdf_etl_engine_spark.operators.training import (
+        _margins,
+        perceptron_features,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = plan_of(_margins(perceptron_features(docs), [1] * 33))
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dsir_model_side_broadcasts(spark):
+    """x50: the 64-row log-ratio model must broadcast; the corpus
+    token stream must never sort-merge against it."""
+    p = plan_of(registry.QUERIES["x50_dsir_importance"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -65,9 +65,14 @@ def test_every_component_family_has_window_representative():
     assert {f"p{i}" for i in range(2, 7)} <= prefixes
     # r12 rotation: j4 (composite equi-key, shape subsumed by j5's
     # multiway equi-joins) → tail; its slot drives x4j2, the
-    # designated 100 TB near-dup configuration, through the window
-    assert {f"j{i}" for i in (1, 2, 3, 5, 6, 7, 8)} <= prefixes
+    # designated 100 TB near-dup configuration, through the window.
+    # r12 second pass: j8 (BONUS skew-salted ≡ plain join, still
+    # pinned by the salted parity/plan suite and tail-graded) → tail;
+    # its slot drives x49b — supervised classifier training applied
+    # corpus-wide — through the window.
+    assert {f"j{i}" for i in (1, 2, 3, 5, 6, 7)} <= prefixes
     assert "x4j2" in prefixes
+    assert "x49b" in prefixes
     assert {f"a{i}" for i in (2, 3, 6, 7)} <= prefixes
 
 

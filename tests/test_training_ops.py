@@ -1,0 +1,142 @@
+"""Pins for the training/sketching operators (x48/x49/x50).
+
+The oracle-parity lane already grades all three value-exact against
+DuckDB at sf0.01; these tests pin the properties the oracle CANNOT
+see — the Misra–Gries exactness margin, eviction behavior under a
+tiny capacity, bounded model state, and the DSIR weight's
+distribution-matching direction.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+
+from pdf_etl_engine_spark.catalog import load_table
+from pdf_etl_engine_spark.operators.training import (
+    _HH_CAP,
+    mg_candidates,
+    perceptron_features,
+)
+from pdf_etl_engine_spark.registry import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_mg_bound_makes_topk_provably_exact(spark):
+    """The two-pass heavy hitter is EXACT iff the k-th true count
+    exceeds N/(cap+1) — the Misra–Gries absence bound. Pin that the
+    testdata sits far inside that margin (so the graded oracle match
+    is guaranteed, not lucky), and that the candidate pass actually
+    contains every token of the exact top-k."""
+    docs = load_table(spark, SF_DIR, "documents")
+    tokens = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).alias("token")
+    )
+    n_total = tokens.count()
+    exact_topk = [
+        r["token"]
+        for r in tokens.groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), "token")
+        .limit(25)
+        .collect()
+    ]
+    kth = (
+        tokens.groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), "token")
+        .limit(25)
+        .agg(F.min("count"))
+        .collect()[0][0]
+    )
+    assert kth > n_total / (_HH_CAP + 1), (
+        "MG exactness margin violated on testdata: "
+        f"kth={kth} N/(cap+1)={n_total / (_HH_CAP + 1):.1f}"
+    )
+    cand = {r["token"] for r in mg_candidates(tokens).distinct().collect()}
+    assert set(exact_topk) <= cand
+
+
+def test_mg_eviction_keeps_heavy_keys_under_tiny_cap(spark):
+    """Adversarial eviction: capacity 4 over a stream where one key
+    holds 60% of the mass and 200 singletons churn the summary. The
+    heavy key must survive every eviction round (the MG guarantee:
+    absence implies count <= n_p/(cap+1))."""
+    rows = [("hot",)] * 300 + [(f"rare_{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "token string").coalesce(1)
+    cand = {r["token"] for r in mg_candidates(df, cap=4).collect()}
+    assert "hot" in cand
+    assert len(cand) <= 4
+
+
+def test_mg_summary_is_capacity_bounded_per_partition(spark):
+    """The pass-1 output is <= cap rows per partition whatever the
+    vocabulary (the 100 TB memory contract)."""
+    rows = [(f"tok_{i}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, "token string").repartition(4)
+    out = mg_candidates(df, cap=64)
+    per_part = out.withColumn(
+        "pid", F.spark_partition_id()
+    ).groupBy("pid").count()
+    # all-singleton partitions may evict to an EMPTY summary — that is
+    # the MG bound working (every count <= n_p/(cap+1)), so coalesce
+    max_rows = per_part.agg(
+        F.coalesce(F.max("count"), F.lit(0))
+    ).collect()[0][0]
+    assert max_rows <= 64
+
+
+def test_perceptron_converges_and_separates_separable_fixture(spark):
+    """On a linearly separable synthetic corpus (label word decides
+    the class), 3 full-batch iterations must reach zero
+    misclassifications — pinning that the distributed gradient loop
+    actually learns, not just terminates."""
+    rows = [
+        (i, "good clean prose text", "en")
+        if i % 2 == 0
+        else (i, "spam junk noise garbage", "de")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        # reuse the registered query end-to-end on the fixture dir
+        out = QUERIES["x49_quality_perceptron"](spark, d).collect()
+    miscl = out[0]["n_misclassified"]
+    assert miscl == 0, f"separable fixture not separated: {miscl} left"
+
+
+def test_perceptron_feature_matrix_has_bias_for_empty_docs(spark):
+    """Docs with no tokens still get the bias feature — every doc
+    participates in every margin pass."""
+    docs = spark.createDataFrame(
+        [(1, "", "en"), (2, "a b", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    feat = perceptron_features(docs)
+    assert feat.filter("doc_id = 1").count() == 1  # bias row only
+    assert feat.filter("doc_id = 1 AND b = 32 AND x = 1").count() == 1
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    """Gibbs-direction sanity: averaged over the TARGET subcorpus the
+    importance log-ratio must be at least the raw-corpus average
+    (per-token it is a KL-flavored quantity; equality only if the
+    distributions coincide)."""
+    out = QUERIES["x50_dsir_importance"](spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    j = out.join(docs, "doc_id")
+    per_tok = (F.col("dsir_weight") / F.col("n_tokens")).alias("ptw")
+    means = (
+        j.select("lang", per_tok)
+        .groupBy((F.col("lang") == "en").alias("is_target"))
+        .agg(F.avg("ptw").alias("m"))
+        .collect()
+    )
+    m = {r["is_target"]: r["m"] for r in means}
+    assert m[True] >= m[False]

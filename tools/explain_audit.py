@@ -137,6 +137,19 @@ AUDITED = {
     "fixed-point Lloyd iterations, then the trained codebook broadcasts "
     "into assignment and the pairs join stays an equi-join on "
     "centroid_id — no corpus-sized cartesian anywhere (r8).",
+    "x48_heavy_hitters": "two-pass frequent items (r12): pass 1 is one "
+    "Arrow kernel (per-partition Misra–Gries, ≤4096 candidates per "
+    "partition regardless of vocabulary); the exact pass joins the token "
+    "stream against the BROADCAST candidate set — the hash aggregate is "
+    "candidate-bounded, never vocabulary-bounded — and the top-k is "
+    "TakeOrderedAndProject.",
+    "x49b_perceptron_filter": "supervised training applied (r12): the "
+    "33 trained integer weights enter the scoring plan as a literal "
+    "array — no model join, no Python; scoring is one doc-keyed "
+    "aggregation over the hashed feature matrix.",
+    "x50_dsir_importance": "DSIR (r12): the 64-row log-ratio model "
+    "broadcasts; corpus tokens never sort-merge against it; fixed-point "
+    "log accumulation keeps the per-doc sum order-free.",
 }
 
 
