@@ -75,6 +75,14 @@ X_SURFACE = {
     # r10: exact all-vectors k-NN join (Arrow block kernel); twin
     # measured into BASELINE.md 2026-08-15
     "x_knn_join": "x4k_knn_join_brute",
+    # r12 second pass: supervised classifier train+apply, DSIR
+    # importance weights, and the bounded-memory heavy-hitter
+    # two-pass (the latter's ~3x-vs-single-pass design cost at
+    # trivial vocabulary is documented in its docstring and
+    # BASELINE.md — recorded, not hidden)
+    "x_quality_classifier": "x49b_perceptron_filter",
+    "x_dsir_importance": "x50_dsir_importance",
+    "x_heavy_hitters": "x48_heavy_hitters",
 }
 
 
@@ -171,6 +179,12 @@ SF1_X = (
     "x_mixture_sample",
     "x_url_blocklist",
     "x_zscore_outliers",
+    # r12 second pass (all three measured same-day at sf1:
+    # classifier 0.79x / DSIR 0.39x / heavy hitters ~3.5x vs the
+    # single-pass oracle — the last is the two-pass design cost)
+    "x_quality_classifier",
+    "x_dsir_importance",
+    "x_heavy_hitters",
 )
 
 # r9 (VERDICT r8 #1): the six HEAVY X-surface operators — the ones
