@@ -122,7 +122,6 @@ def mg_candidates(tokens: DataFrame, cap: int = _HH_CAP) -> DataFrame:
     vocabulary (URLs, n-grams, user-ids) would blow the hash-aggregate
     that a plain groupBy needs. Output rows: ≤ cap × n_partitions.
     """
-    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -130,27 +129,44 @@ def mg_candidates(tokens: DataFrame, cap: int = _HH_CAP) -> DataFrame:
         counts: dict[str, int] = {}
         for batch in batches:
             vc = pc.value_counts(batch.column("token"))
-            for t, c in zip(
-                vc.field("values").to_pylist(),
-                vc.field("counts").to_pylist(),
-            ):
-                counts[t] = counts.get(t, 0) + c
-            if len(counts) > cap:
-                vals = np.fromiter(counts.values(), dtype=np.int64)
-                # subtract the smallest surplus count from everything;
-                # removes >= (size-cap) keys, keeps the MG bound
-                m = int(np.partition(vals, len(counts) - cap - 1)[
-                    len(counts) - cap - 1
-                ])
-                counts = {
-                    t: c - m for t, c in counts.items() if c - m > 0
-                }
+            counts = mg_merge(
+                counts,
+                zip(
+                    vc.field("values").to_pylist(),
+                    vc.field("counts").to_pylist(),
+                ),
+                cap,
+            )
         if counts:
             yield pa.RecordBatch.from_pydict(
                 {"token": pa.array(list(counts.keys()), pa.string())}
             )
 
     return tokens.mapInArrow(mg, "token string")
+
+
+def mg_merge(counts: dict, batch_counts, cap: int) -> dict:
+    """Merge pre-aggregated (key, count) pairs into a Misra–Gries
+    summary of capacity ``cap``. Pure function (property-tested in
+    tests/test_training_ops.py): on overflow, subtract the
+    (size−cap)-th smallest count from every key and drop the
+    non-positive — each such eviction subtracts its decrement from
+    MORE than cap keys, so the cumulative decrement D satisfies
+    D·(cap+1) ≤ total inserted mass, giving the absence bound
+    true_count(absent key) ≤ D ≤ n/(cap+1)."""
+    import numpy as np
+
+    for t, c in batch_counts:
+        counts[t] = counts.get(t, 0) + c
+    if len(counts) > cap:
+        vals = np.fromiter(counts.values(), dtype=np.int64)
+        m = int(
+            np.partition(vals, len(counts) - cap - 1)[
+                len(counts) - cap - 1
+            ]
+        )
+        counts = {t: c - m for t, c in counts.items() if c - m > 0}
+    return counts
 
 
 @query(

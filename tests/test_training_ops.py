@@ -140,3 +140,45 @@ def test_dsir_weights_favor_target_distribution(spark):
     )
     m = {r["is_target"]: r["m"] for r in means}
     assert m[True] >= m[False]
+
+
+def test_mg_merge_property_absence_bound():
+    """Property (hypothesis): for ANY stream and ANY batch split,
+    every key absent from the final Misra–Gries summary has true
+    count <= n/(cap+1), and the summary never exceeds cap keys.
+    This is the exactness precondition x48's oracle match rests on."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_etl_engine_spark.operators.training import mg_merge
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        stream=st.lists(
+            st.integers(min_value=0, max_value=30), max_size=400
+        ),
+        cap=st.integers(min_value=1, max_value=8),
+        data=st.data(),
+    )
+    def run(stream, cap, data):
+        truth = Counter(stream)
+        counts: dict = {}
+        i = 0
+        while i < len(stream):
+            j = data.draw(
+                st.integers(min_value=i + 1, max_value=len(stream))
+            )
+            counts = mg_merge(counts, Counter(stream[i:j]).items(), cap)
+            assert len(counts) <= cap
+            i = j
+        n = len(stream)
+        for key, true_c in truth.items():
+            if key not in counts:
+                assert true_c <= n / (cap + 1), (
+                    f"absent key {key} true={true_c} > "
+                    f"n/(cap+1)={n / (cap + 1):.1f}"
+                )
+
+    run()
