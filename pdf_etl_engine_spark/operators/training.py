@@ -121,13 +121,20 @@ def mg_candidates(tokens: DataFrame, cap: int = _HH_CAP) -> DataFrame:
     vocabulary size — this is the operator you reach for when the
     vocabulary (URLs, n-grams, user-ids) would blow the hash-aggregate
     that a plain groupBy needs. Output rows: ≤ cap × n_partitions.
+
+    Output schema ``(token, np)``: candidate rows carry token with
+    np NULL; ONE marker row per partition carries token NULL with
+    np = the partition's total token count — so pass 2 can certify
+    exactness (k-th count vs N/(cap+1)) without a third corpus scan.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
     def mg(batches):
         counts: dict[str, int] = {}
+        n_part = 0
         for batch in batches:
+            n_part += batch.num_rows
             vc = pc.value_counts(batch.column("token"))
             counts = mg_merge(
                 counts,
@@ -137,12 +144,15 @@ def mg_candidates(tokens: DataFrame, cap: int = _HH_CAP) -> DataFrame:
                 ),
                 cap,
             )
-        if counts:
-            yield pa.RecordBatch.from_pydict(
-                {"token": pa.array(list(counts.keys()), pa.string())}
-            )
+        toks = list(counts.keys())
+        yield pa.RecordBatch.from_pydict(
+            {
+                "token": pa.array(toks + [None], pa.string()),
+                "np": pa.array([None] * len(toks) + [n_part], pa.int64()),
+            }
+        )
 
-    return tokens.mapInArrow(mg, "token string")
+    return tokens.mapInArrow(mg, "token string, np long")
 
 
 def mg_merge(counts: dict, batch_counts, cap: int) -> dict:
@@ -174,8 +184,11 @@ def mg_merge(counts: dict, batch_counts, cap: int) -> dict:
     oracle=f"""
     WITH toks AS (
       SELECT unnest({_TOKS_SQL}) AS token FROM documents
-    )
-    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    ),
+    tot AS (SELECT count(*) AS n_total FROM toks)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+           count(*) * {_HH_CAP + 1} > (SELECT n_total FROM tot)
+             AS mg_exact
     FROM toks GROUP BY token
     ORDER BY cnt DESC, token LIMIT {_HH_K}
     """,
@@ -194,7 +207,13 @@ def x48_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     it bit-for-bit, which it provably does whenever the k-th count
     exceeds N/(cap+1) (see mg_candidates; tests/test_training_ops.py
     pins that margin on the testdata and pins an adversarial eviction
-    case where cap is tiny and the guarantee still holds).
+    case where cap is tiny and the guarantee still holds). The
+    precondition is also CERTIFIED IN THE RESULT: ``mg_exact`` is
+    cnt·(cap+1) > N per row — if the k-th (smallest) returned row is
+    true, the whole top-k is provably exact; a false row means that
+    rank is only heavy-hitter-approximate. N comes from the pass-1
+    partition markers, not a third corpus scan, and the oracle
+    recomputes the identical certificate.
 
     Scale shape: a plain groupBy on a 100 TB URL/n-gram column builds
     a hash aggregate proportional to the DISTINCT count — spill city.
@@ -214,13 +233,23 @@ def x48_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate (URLs/n-grams), which the testdata cannot show."""
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(_words()).alias("token"))
-    cand = mg_candidates(tokens).distinct()
+    # lazy localCheckpoint: pass 1 has two consumers (candidates +
+    # the N certificate) — materializing its ≤(cap+1)×partitions rows
+    # keeps the corpus scan count at exactly two (ann_index precedent)
+    pass1 = mg_candidates(tokens).localCheckpoint(eager=False)
+    cand = pass1.filter(F.col("token").isNotNull()).select("token").distinct()
+    total = pass1.agg(F.sum("np").alias("n_total"))
     exact = (
         tokens.join(F.broadcast(cand), "token")
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(total))
     )
-    return exact.orderBy(F.desc("cnt"), "token").limit(_HH_K)
+    return exact.select(
+        "token",
+        "cnt",
+        (F.col("cnt") * (_HH_CAP + 1) > F.col("n_total")).alias("mg_exact"),
+    ).orderBy(F.desc("cnt"), "token").limit(_HH_K)
 
 
 # ---------------------------------------------------------------------------
@@ -410,23 +439,25 @@ def x49b_perceptron_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end shape a pipeline runs: one training job over labeled
     exemplars, one map-side scoring pass over the full corpus.
 
-    Scoring is a groupBy(doc_id) over the SAME persisted feature
-    matrix with the final 33 weights as a broadcast literal — at
-    100 TB the trained model is constant-size and scoring is one
-    scan + one doc-keyed aggregation (doc_id is the write order, so
-    AQE coalesces the exchange). Training determinism as in x49, so
-    the unrolled-SQL oracle reproduces every per-doc integer score."""
+    Training iterates over a persisted feature matrix; the RETURNED
+    scoring DataFrame is built over a FRESH (uncached) feature scan —
+    the training cache is released before return, and at 100 TB you
+    would not cache the corpus-wide matrix anyway: scoring is one
+    scan + one doc-keyed aggregation with the constant-size model as
+    a broadcast literal (doc_id is the write order, so AQE coalesces
+    the exchange). Training determinism as in x49, so the
+    unrolled-SQL oracle reproduces every per-doc integer score."""
     docs = load_table(spark, sf_dir, "documents")
     feat = perceptron_features(docs).persist()
     try:
         w = train_perceptron(feat)
-        return _margins(feat, w).select(
-            "doc_id",
-            F.col("s").alias("score"),
-            (F.col("s") > 0).alias("keep"),
-        )
     finally:
         feat.unpersist()
+    return _margins(perceptron_features(docs), w).select(
+        "doc_id",
+        F.col("s").alias("score"),
+        (F.col("s") > 0).alias("keep"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -490,20 +521,38 @@ def x50_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free, and immune to libm last-ulp drift; only the final
     display round is float.
 
-    Scale shape: one corpus scan builds the 64-row model (count +
-    filtered count per bucket — a single groupBy with map-side
-    partials; the target need not be re-scanned), one scan scores
-    docs against the broadcast 64-row log-ratio table. No shuffle
-    carries text; the per-doc re-aggregation groups on doc_id. At
-    100 TB the model table stays 64 rows — the broadcast is constant
-    regardless of corpus size."""
+    Scale shape: the heavy work — tokenize + per-character Karp-Rabin
+    hashing — runs ONCE: a single per-(doc_id, lang, bucket) staging
+    aggregation feeds BOTH the 64-row model and the per-doc scoring
+    side. The staged relation is ≤64 ints-rows per document (~1000×
+    smaller than the text it derives from), so it is
+    localCheckpoint-materialized rather than recomputed per branch —
+    ReuseExchange cannot unify the branches here because the cached
+    table's nested adaptive plan defeats exchange canonicalization,
+    and re-running the per-character fold twice costs more than
+    storing the counts (measured at sf1; the opposite trade from
+    x27, whose per-doc TRIGRAM relation was 10× larger and OOMed
+    when stored). Scoring joins the broadcast 64-row log-ratio
+    table. No shuffle carries text. At 100 TB the model table stays
+    64 rows — the broadcast is constant regardless of corpus size,
+    and staged is the (tiny) feature table you would materialize
+    anyway."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(_words()).alias("w")
     ).withColumn("b", _word_bucket(F.col("w"), _DSIR_DIM)).drop("w")
-    model = tok.groupBy("b").agg(
-        F.count("*").alias("r"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("t"),
+    # one (doc_id, lang) pair per doc → (doc_id, b) already unique;
+    # both consumers below hang off this single materialized aggregate
+    staged = (
+        tok.groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    model = staged.groupBy("b").agg(
+        F.sum("x").alias("r"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == "en", F.col("x"))), F.lit(0)
+        ).alias("t"),
     )
     win = Window.partitionBy()
     model = model.withColumn("rn", F.sum("r").over(win)).withColumn(
@@ -522,7 +571,7 @@ def x50_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr = model.select(
         "b", (_lp("t", "tn") - _lp("r", "rn")).alias("lr_fp")
     )
-    scored = tok.groupBy("doc_id", "b").agg(F.count("*").alias("x"))
+    scored = staged.select("doc_id", "b", "x")
     return (
         scored.join(F.broadcast(lr), "b")
         .groupBy("doc_id")

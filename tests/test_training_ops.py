@@ -69,9 +69,14 @@ def test_mg_eviction_keeps_heavy_keys_under_tiny_cap(spark):
     absence implies count <= n_p/(cap+1))."""
     rows = [("hot",)] * 300 + [(f"rare_{i}",) for i in range(200)]
     df = spark.createDataFrame(rows, "token string").coalesce(1)
-    cand = {r["token"] for r in mg_candidates(df, cap=4).collect()}
+    out = mg_candidates(df, cap=4)
+    cand = {
+        r["token"] for r in out.filter("token IS NOT NULL").collect()
+    }
     assert "hot" in cand
     assert len(cand) <= 4
+    # the partition marker must carry the full token count
+    assert out.agg(F.sum("np")).collect()[0][0] == 500
 
 
 def test_mg_summary_is_capacity_bounded_per_partition(spark):
@@ -79,7 +84,7 @@ def test_mg_summary_is_capacity_bounded_per_partition(spark):
     vocabulary (the 100 TB memory contract)."""
     rows = [(f"tok_{i}",) for i in range(5000)]
     df = spark.createDataFrame(rows, "token string").repartition(4)
-    out = mg_candidates(df, cap=64)
+    out = mg_candidates(df, cap=64).filter("token IS NOT NULL")
     per_part = out.withColumn(
         "pid", F.spark_partition_id()
     ).groupBy("pid").count()
