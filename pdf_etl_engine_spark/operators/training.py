@@ -584,3 +584,111 @@ def x50_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dsir_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X51 — curriculum shard assignment by global difficulty quantiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x51_curriculum_shards",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             {_TOKS_SQL} AS toks
+      FROM documents
+    ),
+    diff AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN 0
+                  ELSE (SELECT CAST(sum(len(t.w)) * 1000 AS BIGINT)
+                        FROM unnest(toks) AS t(w)) // len(toks)
+             END AS difficulty_fp
+      FROM d
+    ),
+    cuts AS (
+      SELECT CAST(round(quantile_cont(difficulty_fp, 0.25) * 1000)
+                  AS BIGINT) AS q1,
+             CAST(round(quantile_cont(difficulty_fp, 0.50) * 1000)
+                  AS BIGINT) AS q2,
+             CAST(round(quantile_cont(difficulty_fp, 0.75) * 1000)
+                  AS BIGINT) AS q3
+      FROM diff
+    )
+    SELECT doc_id, n_tokens, difficulty_fp,
+           CAST(1 + CAST(difficulty_fp * 1000 > q1 AS INTEGER)
+                  + CAST(difficulty_fp * 1000 > q2 AS INTEGER)
+                  + CAST(difficulty_fp * 1000 > q3 AS INTEGER)
+                AS INTEGER) AS shard
+    FROM diff, cuts
+    """,
+)
+def x51_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51: curriculum data ordering — assign every document to one of
+    four difficulty shards by GLOBAL quantiles of a per-doc difficulty
+    score (here: mean token length in 1e-3 fixed point — the cheap
+    deterministic stand-in for a perplexity score; swap in x27's
+    surprisal for the production signal). Curriculum schedules
+    (easy→hard) are a standard pretraining data-ordering lever; the
+    engine-side primitive is "bin by corpus-wide quantiles without a
+    global sort".
+
+    Scale shape: difficulty is map-only integer arithmetic in
+    whole-stage codegen; the three quartile cutoffs are ONE exact
+    `percentile` aggregate (a single-row model — broadcast into the
+    assignment pass as a constant, the x50/x45 model-broadcast
+    discipline), and shard assignment is map-only comparisons — no
+    global sort, no per-doc window over the corpus (contrast ntile,
+    which would single-partition the world). At 100 TB you would
+    swap the exact percentile for `approx_percentile` (t-digest,
+    mergeable, bounded state) and accept ±ε shard boundaries; the
+    exact form is kept here because the oracle must match
+    bit-for-bit.
+
+    Boundary determinism: difficulty is integer fixed-point; the
+    interpolated quartiles are scaled ×1000 and rounded to BIGINT in
+    BOTH engines before the strict > comparisons, so a doc sitting
+    exactly on a cutoff grades identically everywhere.
+
+    Reference anchor: the reference serves results in one global
+    recency order (main.py:809); this is the corpus-ordering
+    counterpart a training pipeline needs. SURVEY §2.11 (mixture /
+    ordering family: x23, x33, x40)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _words()
+    n_tokens = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    diff = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens == 0, F.lit(0).cast("long"))
+        .otherwise((sum_len * 1000).cast("long") / n_tokens)
+        .cast("long")
+        .alias("difficulty_fp"),
+    )
+    cuts = diff.agg(
+        *[
+            F.round(
+                F.expr(f"percentile(difficulty_fp, {p})") * 1000
+            )
+            .cast("long")
+            .alias(q)
+            for q, p in (("q1", 0.25), ("q2", 0.50), ("q3", 0.75))
+        ]
+    )
+    d1000 = F.col("difficulty_fp") * 1000
+    return diff.join(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "difficulty_fp",
+        (
+            F.lit(1)
+            + (d1000 > F.col("q1")).cast("int")
+            + (d1000 > F.col("q2")).cast("int")
+            + (d1000 > F.col("q3")).cast("int")
+        ).cast("int").alias("shard"),
+    )

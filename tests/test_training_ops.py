@@ -187,3 +187,30 @@ def test_mg_merge_property_absence_bound():
                 )
 
     run()
+
+
+def test_curriculum_shards_balanced_and_complete(spark):
+    """x51: every doc lands in exactly one of four shards, and global
+    quartile cuts keep the shards within a sane balance band (exact
+    quantiles of a continuous-ish score → ~25% each; wide tolerance
+    for the discrete fixed-point ties)."""
+    out = QUERIES["x51_curriculum_shards"](spark, SF_DIR)
+    rows = out.groupBy("shard").count().collect()
+    by_shard = {r["shard"]: r["count"] for r in rows}
+    total = sum(by_shard.values())
+    assert set(by_shard) == {1, 2, 3, 4}
+    assert total == 500
+    for s, c in by_shard.items():
+        assert 0.10 <= c / total <= 0.45, f"shard {s} holds {c}/{total}"
+
+
+def test_curriculum_assignment_is_broadcast_not_window(spark):
+    """x51's scale contract: shard assignment must be a broadcast of
+    the single-row cutoff model + map-only comparisons — never a
+    corpus-wide Window/ntile (which would single-partition the
+    world)."""
+    df = QUERIES["x51_curriculum_shards"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
