@@ -1822,3 +1822,123 @@ def x46c_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("cleaned").cast("long").alias("cleaned_len"),
         F.expr("right(cleaned, 120)").alias("cleaned_tail"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X52 — line-level boilerplate removal (RefinedWeb/CCNet line dedup)
+# ---------------------------------------------------------------------------
+
+_X52_DF_MIN = 3  # lines present in >= this many docs are boilerplate
+
+
+@query(
+    "x52_line_boilerplate",
+    oracle=f"""
+    WITH lined AS (
+      SELECT doc_id,
+             'nav menu home'
+             || chr(10) || 'body ' || CAST(doc_id AS VARCHAR) || ' '
+                || substr(text, 1, 40)
+             || chr(10) || CASE WHEN doc_id % 2 = 0
+                  THEN 'subscribe to our newsletter'
+                  ELSE 'detail ' || CAST(doc_id AS VARCHAR) END
+             || chr(10) || 'pair ' || CAST(doc_id // 2 AS VARCHAR)
+             || chr(10) || 'copyright example corp' AS t
+      FROM documents
+    ),
+    split AS (
+      SELECT doc_id, string_split(t, chr(10)) AS parts FROM lined
+    ),
+    lines AS (
+      SELECT doc_id, parts[CAST(pos AS INTEGER)] AS line, pos
+      FROM split, UNNEST(range(1, len(parts) + 1)) AS u(pos)
+    ),
+    marked AS (
+      SELECT doc_id, line, pos,
+             count(*) OVER (PARTITION BY line) AS df
+      FROM lines
+    ),
+    cleaned AS (
+      SELECT doc_id,
+             CAST(count(*) FILTER (WHERE df >= {_X52_DF_MIN}) AS BIGINT)
+               AS n_removed,
+             coalesce(
+               string_agg(line, chr(10) ORDER BY pos)
+                 FILTER (WHERE df < {_X52_DF_MIN}), '') AS clean
+      FROM marked GROUP BY doc_id
+    )
+    SELECT doc_id, n_removed,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           right(clean, 120) AS clean_tail
+    FROM cleaned
+    """,
+)
+def x52_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52: line-level boilerplate removal — the RefinedWeb/CCNet line
+    dedup pass: any LINE that appears in >= 3 documents corpus-wide
+    (nav menus, subscribe banners, copyright footers) is stripped from
+    every document; per-doc line order is preserved for the kept
+    lines. Where x24 sees 20-token chunks, x28 whole docs, and x46
+    character spans, this is the newline-granularity pass real web
+    corpora run FIRST.
+
+    The corpus is single-line word-soup, so multi-line fixtures are
+    synthesized from doc_id identically in both engines (the x44/x15
+    convention): per doc — a universal nav line, a unique body line, a
+    newsletter banner on even docs (df ≈ half the corpus), a 'pair'
+    line shared by EXACTLY TWO docs (below the threshold — must
+    survive), and a universal copyright line. Graded on removed-count
+    + cleaned length + 120-char tail (the x44 byte-identity
+    convention).
+
+    Scale shape: the document-frequency test is ONE shuffle of
+    (doc_id, line, pos) rows partitioned on the line key — a window
+    count marks boilerplate in place, no self-join, no pair relation
+    (the x46 discipline at line granularity; at 100 TB you would hash
+    the line to a 16-byte key before the exchange, exactly like the
+    span grams, and df-cutoff the tail). Reassembly is one
+    doc_id-keyed aggregation: sort the kept (pos, line) structs
+    in-row, join with the newline — deterministic, no second window.
+    Rows per doc are bounded by line count; nothing is quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    nl = F.lit("\n")
+    t = F.concat(
+        F.lit("nav menu home"),
+        nl, F.lit("body "), F.col("doc_id").cast("string"), F.lit(" "),
+        F.substring("text", 1, 40),
+        nl,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("subscribe to our newsletter"),
+        ).otherwise(
+            F.concat(F.lit("detail "), F.col("doc_id").cast("string"))
+        ),
+        nl, F.lit("pair "),
+        F.floor(F.col("doc_id") / 2).cast("long").cast("string"),
+        nl, F.lit("copyright example corp"),
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(t, "\n")).alias("pos0", "line")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
+    marked = lines.withColumn(
+        "df", F.count("*").over(Window.partitionBy("line"))
+    )
+    kept = F.when(
+        F.col("df") < _X52_DF_MIN, F.struct("pos", "line")
+    )
+    cleaned = marked.groupBy("doc_id").agg(
+        F.count(F.when(F.col("df") >= _X52_DF_MIN, 1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean"),
+    )
+    return cleaned.select(
+        "doc_id",
+        "n_removed",
+        F.length("clean").cast("long").alias("clean_len"),
+        F.expr("right(clean, 120)").alias("clean_tail"),
+    )

@@ -14,6 +14,7 @@ import tempfile
 
 import pyspark.sql.functions as F
 
+from pdf_etl_engine_spark import registry
 from pdf_etl_engine_spark.catalog import load_table
 from pdf_etl_engine_spark.operators.training import (
     _HH_CAP,
@@ -21,6 +22,8 @@ from pdf_etl_engine_spark.operators.training import (
     perceptron_features,
 )
 from pdf_etl_engine_spark.registry import QUERIES
+
+registry.load_all()
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -214,3 +217,30 @@ def test_curriculum_assignment_is_broadcast_not_window(spark):
     assert "Window" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_line_boilerplate_threshold_semantics(spark):
+    """x52: universal lines (nav/copyright, df=corpus) and the
+    newsletter banner (df=half) are removed; the 'pair' line shared
+    by exactly TWO docs sits below the df>=3 threshold and must
+    survive in every doc's cleaned text."""
+    out = QUERIES["x52_line_boilerplate"](spark, SF_DIR).collect()
+    assert len(out) == 500
+    for r in out:
+        # universal nav + copyright always removed; newsletter on even
+        expected_removed = 3 if r["doc_id"] % 2 == 0 else 2
+        assert r["n_removed"] == expected_removed, r
+        assert "pair " in r["clean_tail"] or "copyright" not in r["clean_tail"]
+    # the pair line survives: every cleaned text ends
+    # '...\npair <doc_id//2>' for odd docs (detail line before it)
+    sample = [r for r in out if r["doc_id"] == 3][0]
+    assert f"pair {3 // 2}" in sample["clean_tail"]
+
+
+def test_line_boilerplate_is_single_window_no_selfjoin(spark):
+    """x52's df test must be one line-keyed window (mark in place),
+    never a self-join producing a pair relation."""
+    df = QUERIES["x52_line_boilerplate"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in p
+    assert "Join" not in p
