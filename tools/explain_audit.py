@@ -150,6 +150,14 @@ AUDITED = {
     "x50_dsir_importance": "DSIR (r12): the 64-row log-ratio model "
     "broadcasts; corpus tokens never sort-merge against it; fixed-point "
     "log accumulation keeps the per-doc sum order-free.",
+    "x51_curriculum_shards": "curriculum binning (r12): difficulty is "
+    "map-only codegen; the quartile cutoffs are ONE single-row "
+    "aggregate broadcast into a map-only assignment — no global sort, "
+    "no corpus-wide Window/ntile.",
+    "x52_line_boilerplate": "line dedup (r12): the document-frequency "
+    "test is one line-keyed window marking rows in place — no "
+    "self-join, no pair relation; reassembly is one doc-keyed "
+    "aggregation with an in-row array_sort.",
 }
 
 
