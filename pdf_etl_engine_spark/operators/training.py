@@ -692,3 +692,168 @@ def x51_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (d1000 > F.col("q3")).cast("int")
         ).cast("int").alias("shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X53 — the curation pipeline composed end-to-end
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x53_curation_pipeline",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, toks,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN 0
+                  ELSE (SELECT CAST(sum(len(t.w)) * 1000 AS BIGINT)
+                        FROM unnest(toks) AS t(w)) // len(toks)
+             END AS difficulty_fp
+      FROM ws
+    ),
+    quality AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 10 AND 5000
+        AND difficulty_fp <= 15000
+        AND doc_id % 97 <> 0
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY text ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    bench AS (
+      SELECT DISTINCT
+             array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+      FROM ws, UNNEST(range(1, greatest(len(toks) - 3, 1))) AS t(i)
+      WHERE doc_id % 97 = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT d.doc_id
+      FROM deduped d,
+           UNNEST(range(1, greatest(len(d.toks) - 3, 1))) AS t(i)
+      WHERE array_to_string(list_slice(d.toks, i, i + 4), ' ')
+              IN (SELECT g FROM bench)
+    ),
+    survivors AS (
+      SELECT doc_id, n_tokens, difficulty_fp FROM deduped
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    cuts AS (
+      SELECT CAST(round(quantile_cont(difficulty_fp, 0.25) * 1000)
+                  AS BIGINT) AS q1,
+             CAST(round(quantile_cont(difficulty_fp, 0.50) * 1000)
+                  AS BIGINT) AS q2,
+             CAST(round(quantile_cont(difficulty_fp, 0.75) * 1000)
+                  AS BIGINT) AS q3
+      FROM survivors
+    )
+    SELECT doc_id, n_tokens, difficulty_fp,
+           CAST(1 + CAST(difficulty_fp * 1000 > q1 AS INTEGER)
+                  + CAST(difficulty_fp * 1000 > q2 AS INTEGER)
+                  + CAST(difficulty_fp * 1000 > q3 AS INTEGER)
+                AS INTEGER) AS shard
+    FROM survivors, cuts
+    """,
+)
+def x53_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53: the curation pipeline COMPOSED — the end-to-end DAG a user
+    actually submits, every stage an operator graded individually
+    elsewhere in this registry:
+
+      1. quality gate (x36's Gopher-lite form): 10 ≤ n_tokens ≤ 5000,
+         mean word length ≤ 15.0 (integer fixed-point);
+      2. benchmark exclusion: the doc_id % 97 held-out set (x16's
+         convention) leaves the training corpus entirely;
+      3. exact dedup, keep-first (x2b): one survivor per identical
+         text, lowest doc_id wins — a text-keyed window, no self-join;
+      4. decontamination (x16): drop any doc sharing a distinct word
+         5-gram with the benchmark set (benchmark grams broadcast —
+         eval suites are MBs against a 100 TB corpus);
+      5. curriculum assignment (x51): quartile shards of the
+         survivors' difficulty, single-row cutoff model broadcast.
+
+    Composing matters because Catalyst optimizes ACROSS stages: the
+    quality predicates push into the one corpus scan that feeds both
+    the dedup window and the gram explode; nothing materializes
+    between stages. Whole pipeline in one plan: one text-keyed
+    exchange (dedup), one gram-keyed broadcast probe (decontam), one
+    single-row aggregate (cuts) — the corpus never shuffles its text
+    twice. All arithmetic integer fixed-point; the one float surface
+    (quantile interpolation) is scaled+rounded to BIGINT in both
+    engines (the x51 rule).
+
+    Reference anchor: this is the batch form of the reference's whole
+    ingest-to-results lifecycle (main.py:656-816) for the curation
+    domain; SURVEY §2.11's composition deliverable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _words()
+    n_tokens = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    scored = docs.select(
+        "doc_id",
+        "text",
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens == 0, F.lit(0).cast("long"))
+        .otherwise((sum_len * 1000).cast("long") / n_tokens)
+        .cast("long")
+        .alias("difficulty_fp"),
+    )
+    quality = scored.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 5000)
+        & (F.col("difficulty_fp") <= 15000)
+        & (F.col("doc_id") % 97 != 0)
+    )
+    w_txt = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w_txt))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    from pdf_etl_engine_spark.operators.curation import _ngrams
+
+    grams5 = _ngrams(toks, 5)
+    bench = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams5).alias("g"))
+        .distinct()
+    )
+    dgrams = deduped.select(
+        "doc_id", F.explode(grams5).alias("g")
+    ).distinct()
+    contaminated = dgrams.join(F.broadcast(bench), "g").select(
+        "doc_id"
+    ).distinct()
+    survivors = deduped.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "difficulty_fp"
+    )
+    cuts = survivors.agg(
+        *[
+            F.round(
+                F.expr(f"percentile(difficulty_fp, {p})") * 1000
+            )
+            .cast("long")
+            .alias(q)
+            for q, p in (("q1", 0.25), ("q2", 0.50), ("q3", 0.75))
+        ]
+    )
+    d1000 = F.col("difficulty_fp") * 1000
+    return survivors.join(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "difficulty_fp",
+        (
+            F.lit(1)
+            + (d1000 > F.col("q1")).cast("int")
+            + (d1000 > F.col("q2")).cast("int")
+            + (d1000 > F.col("q3")).cast("int")
+        ).cast("int").alias("shard"),
+    )

@@ -244,3 +244,29 @@ def test_line_boilerplate_is_single_window_no_selfjoin(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" in p
     assert "Join" not in p
+
+
+def test_curation_pipeline_stage_semantics(spark):
+    """x53: benchmark docs (doc_id%97==0) never appear; every text is
+    unique among survivors (exact dedup held); shard covers 1..4."""
+    out = QUERIES["x53_curation_pipeline"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows, "pipeline emptied the corpus"
+    assert all(r["doc_id"] % 97 != 0 for r in rows)
+    assert {r["shard"] for r in rows} == {1, 2, 3, 4}
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    survivors = out.select("doc_id").join(docs, "doc_id")
+    n = survivors.count()
+    assert survivors.select("text").distinct().count() == n
+
+
+def test_curation_pipeline_plan_shape(spark):
+    """x53's composed plan: the benchmark gram probe and the cutoff
+    model must broadcast; no cartesian product; the corpus text keys
+    exactly one Window (the dedup)."""
+    df = QUERIES["x53_curation_pipeline"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("Window") >= 1
+    assert "SortMergeJoin" not in p
