@@ -251,6 +251,10 @@ SF1_ANCHORS = (
     ("x_quality_classifier", "x49b_perceptron_filter", True),
     ("x_dsir_importance", "x50_dsir_importance", True),
     ("x_heavy_hitters", "x48_heavy_hitters", True),
+    # r12 second pass: the composed curation DAG — anchored (its
+    # DuckDB twin runs ~80 s at sf1, too heavy for the warm lane's
+    # repeated runs; measured 0.17x same-day: 13.7 s vs 78.5 s)
+    ("x_curation_pipeline", "x53_curation_pipeline", True),
     # r12: PQ ADC top-k (LUT-hoisted scan) + composed IVF-PQ probe
     ("x_pq_adc_topk", "x47b_pq_adc_topk", True),
     ("x_ivfpq_topk", "x47d_ivfpq_topk", True),

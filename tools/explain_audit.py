@@ -158,6 +158,10 @@ AUDITED = {
     "test is one line-keyed window marking rows in place — no "
     "self-join, no pair relation; reassembly is one doc-keyed "
     "aggregation with an in-row array_sort.",
+    "x53_curation_pipeline": "composed curation DAG (r12): quality "
+    "predicates reach the corpus scan feeding both the dedup window "
+    "and the gram explode; benchmark grams + quartile cutoffs "
+    "broadcast; one text-keyed exchange in the whole five-stage plan.",
 }
 
 
