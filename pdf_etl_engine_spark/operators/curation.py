@@ -1843,6 +1843,7 @@ _X52_DF_MIN = 3  # lines present in >= this many docs are boilerplate
                   THEN 'subscribe to our newsletter'
                   ELSE 'detail ' || CAST(doc_id AS VARCHAR) END
              || chr(10) || 'pair ' || CAST(doc_id // 2 AS VARCHAR)
+             || chr(10) || 'pair ' || CAST(doc_id // 2 AS VARCHAR)
              || chr(10) || 'copyright example corp' AS t
       FROM documents
     ),
@@ -1853,10 +1854,18 @@ _X52_DF_MIN = 3  # lines present in >= this many docs are boilerplate
       SELECT doc_id, parts[CAST(pos AS INTEGER)] AS line, pos
       FROM split, UNNEST(range(1, len(parts) + 1)) AS u(pos)
     ),
+    firsts AS (
+      SELECT doc_id, line, pos,
+             CASE WHEN lag(doc_id) OVER (
+                    PARTITION BY line ORDER BY doc_id, pos)
+                  IS DISTINCT FROM doc_id
+                  THEN 1 ELSE 0 END AS first_in_doc
+      FROM lines
+    ),
     marked AS (
       SELECT doc_id, line, pos,
-             count(*) OVER (PARTITION BY line) AS df
-      FROM lines
+             sum(first_in_doc) OVER (PARTITION BY line) AS df
+      FROM firsts
     ),
     cleaned AS (
       SELECT doc_id,
@@ -1886,20 +1895,25 @@ def x52_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized from doc_id identically in both engines (the x44/x15
     convention): per doc — a universal nav line, a unique body line, a
     newsletter banner on even docs (df ≈ half the corpus), a 'pair'
-    line shared by EXACTLY TWO docs (below the threshold — must
-    survive), and a universal copyright line. Graded on removed-count
-    + cleaned length + 120-char tail (the x44 byte-identity
-    convention).
+    line shared by EXACTLY TWO docs and repeated TWICE within each
+    (4 occurrences corpus-wide but document frequency 2 — below the
+    threshold, must survive: the fixture itself pins that the
+    threshold counts DOCUMENTS, not occurrences), and a universal
+    copyright line. Graded on removed-count + cleaned length +
+    120-char tail (the x44 byte-identity convention).
 
     Scale shape: the document-frequency test is ONE shuffle of
-    (doc_id, line, pos) rows partitioned on the line key — a window
-    count marks boilerplate in place, no self-join, no pair relation
-    (the x46 discipline at line granularity; at 100 TB you would hash
-    the line to a 16-byte key before the exchange, exactly like the
-    span grams, and df-cutoff the tail). Reassembly is one
-    doc_id-keyed aggregation: sort the kept (pos, line) structs
-    in-row, join with the newline — deterministic, no second window.
-    Rows per doc are bounded by line count; nothing is quadratic."""
+    (doc_id, line, pos) rows partitioned on the line key — a
+    lag-based first-in-doc flag plus a window sum, both over the SAME
+    line partitioning (one exchange, two window functions), mark
+    boilerplate in place: no self-join, no pair relation, no distinct
+    sub-aggregation (the x46 discipline at line granularity; at
+    100 TB you would hash the line to a 16-byte key before the
+    exchange, exactly like the span grams, and df-cutoff the tail).
+    Reassembly is one doc_id-keyed aggregation: sort the kept
+    (pos, line) structs in-row, join with the newline —
+    deterministic, no second window. Rows per doc are bounded by
+    line count; nothing is quadratic."""
     docs = load_table(spark, sf_dir, "documents")
     nl = F.lit("\n")
     t = F.concat(
@@ -1915,13 +1929,27 @@ def x52_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         nl, F.lit("pair "),
         F.floor(F.col("doc_id") / 2).cast("long").cast("string"),
+        # the pair line REPEATS within the doc: occurrence count 4
+        # corpus-wide but document frequency 2 — distinguishes df
+        # counting from occurrence counting in the graded fixture
+        nl, F.lit("pair "),
+        F.floor(F.col("doc_id") / 2).cast("long").cast("string"),
         nl, F.lit("copyright example corp"),
     )
     lines = docs.select(
         "doc_id", F.posexplode(F.split(t, "\n")).alias("pos0", "line")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "line")
-    marked = lines.withColumn(
-        "df", F.count("*").over(Window.partitionBy("line"))
+    # document frequency, not occurrence frequency: count each
+    # (line, doc_id) once — a lag-based first-occurrence flag, then a
+    # line-keyed window sum. Both windows partition by line, so they
+    # share ONE exchange (still mark-in-place, no join).
+    w_line = Window.partitionBy("line").orderBy("doc_id", "pos")
+    prev_doc = F.lag("doc_id").over(w_line)
+    first_in_doc = F.when(
+        prev_doc.isNull() | (prev_doc != F.col("doc_id")), 1
+    ).otherwise(0)
+    marked = lines.withColumn("first_in_doc", first_in_doc).withColumn(
+        "df", F.sum("first_in_doc").over(Window.partitionBy("line"))
     )
     kept = F.when(
         F.col("df") < _X52_DF_MIN, F.struct("pos", "line")

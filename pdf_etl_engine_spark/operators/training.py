@@ -590,6 +590,84 @@ def x50_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X51 — curriculum shard assignment by global difficulty quantiles
 # ---------------------------------------------------------------------------
 
+# Shared difficulty/quartile-shard contract, used by BOTH x51 (the
+# standalone operator) and x53 (stage 5 of the composed pipeline) in
+# both engines — one definition, four call sites, zero drift.
+_DIFF_COLS_SQL = """
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN 0
+                  ELSE (SELECT CAST(sum(len(t.w)) * 1000 AS BIGINT)
+                        FROM unnest(toks) AS t(w)) // len(toks)
+             END AS difficulty_fp
+"""
+_SHARD_SQL_TAIL = """
+    cuts AS (
+      SELECT CAST(round(quantile_cont(difficulty_fp, 0.25) * 1000)
+                  AS BIGINT) AS q1,
+             CAST(round(quantile_cont(difficulty_fp, 0.50) * 1000)
+                  AS BIGINT) AS q2,
+             CAST(round(quantile_cont(difficulty_fp, 0.75) * 1000)
+                  AS BIGINT) AS q3
+      FROM __SRC__
+    )
+    SELECT doc_id, n_tokens, difficulty_fp,
+           CAST(1 + CAST(difficulty_fp * 1000 > q1 AS INTEGER)
+                  + CAST(difficulty_fp * 1000 > q2 AS INTEGER)
+                  + CAST(difficulty_fp * 1000 > q3 AS INTEGER)
+                AS INTEGER) AS shard
+    FROM __SRC__, cuts
+"""
+
+
+def _shard_sql(src: str) -> str:
+    """The quartile-cuts CTE + shard SELECT over a relation exposing
+    (doc_id, n_tokens, difficulty_fp)."""
+    return _SHARD_SQL_TAIL.replace("__SRC__", src)
+
+
+def difficulty_cols() -> tuple[Column, Column]:
+    """(n_tokens, difficulty_fp): token count and mean token length in
+    1e-3 fixed point — map-only integer arithmetic, identical to
+    _DIFF_COLS_SQL."""
+    toks = _words()
+    n_tokens = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    difficulty = (
+        F.when(n_tokens == 0, F.lit(0).cast("long"))
+        .otherwise((sum_len * 1000).cast("long") / n_tokens)
+        .cast("long")
+    )
+    return n_tokens.alias("n_tokens"), difficulty.alias("difficulty_fp")
+
+
+def assign_quartile_shards(diff: DataFrame) -> DataFrame:
+    """Append the quartile shard to a (doc_id, n_tokens,
+    difficulty_fp) relation: one exact `percentile` aggregate
+    (single-row cutoff model, broadcast) + map-only comparisons —
+    the Spark twin of _shard_sql."""
+    cuts = diff.agg(
+        *[
+            F.round(F.expr(f"percentile(difficulty_fp, {p})") * 1000)
+            .cast("long")
+            .alias(q)
+            for q, p in (("q1", 0.25), ("q2", 0.50), ("q3", 0.75))
+        ]
+    )
+    d1000 = F.col("difficulty_fp") * 1000
+    return diff.join(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        "difficulty_fp",
+        (
+            F.lit(1)
+            + (d1000 > F.col("q1")).cast("int")
+            + (d1000 > F.col("q2")).cast("int")
+            + (d1000 > F.col("q3")).cast("int")
+        ).cast("int").alias("shard"),
+    )
+
 
 @query(
     "x51_curriculum_shards",
@@ -600,29 +678,10 @@ def x50_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     diff AS (
-      SELECT doc_id,
-             CAST(len(toks) AS BIGINT) AS n_tokens,
-             CASE WHEN len(toks) = 0 THEN 0
-                  ELSE (SELECT CAST(sum(len(t.w)) * 1000 AS BIGINT)
-                        FROM unnest(toks) AS t(w)) // len(toks)
-             END AS difficulty_fp
+      SELECT doc_id, {_DIFF_COLS_SQL}
       FROM d
     ),
-    cuts AS (
-      SELECT CAST(round(quantile_cont(difficulty_fp, 0.25) * 1000)
-                  AS BIGINT) AS q1,
-             CAST(round(quantile_cont(difficulty_fp, 0.50) * 1000)
-                  AS BIGINT) AS q2,
-             CAST(round(quantile_cont(difficulty_fp, 0.75) * 1000)
-                  AS BIGINT) AS q3
-      FROM diff
-    )
-    SELECT doc_id, n_tokens, difficulty_fp,
-           CAST(1 + CAST(difficulty_fp * 1000 > q1 AS INTEGER)
-                  + CAST(difficulty_fp * 1000 > q2 AS INTEGER)
-                  + CAST(difficulty_fp * 1000 > q3 AS INTEGER)
-                AS INTEGER) AS shard
-    FROM diff, cuts
+    {_shard_sql("diff")}
     """,
 )
 def x51_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,41 +716,8 @@ def x51_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart a training pipeline needs. SURVEY §2.11 (mixture /
     ordering family: x23, x33, x40)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _words()
-    n_tokens = F.size(toks).cast("long")
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-    )
-    diff = docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.when(n_tokens == 0, F.lit(0).cast("long"))
-        .otherwise((sum_len * 1000).cast("long") / n_tokens)
-        .cast("long")
-        .alias("difficulty_fp"),
-    )
-    cuts = diff.agg(
-        *[
-            F.round(
-                F.expr(f"percentile(difficulty_fp, {p})") * 1000
-            )
-            .cast("long")
-            .alias(q)
-            for q, p in (("q1", 0.25), ("q2", 0.50), ("q3", 0.75))
-        ]
-    )
-    d1000 = F.col("difficulty_fp") * 1000
-    return diff.join(F.broadcast(cuts)).select(
-        "doc_id",
-        "n_tokens",
-        "difficulty_fp",
-        (
-            F.lit(1)
-            + (d1000 > F.col("q1")).cast("int")
-            + (d1000 > F.col("q2")).cast("int")
-            + (d1000 > F.col("q3")).cast("int")
-        ).cast("int").alias("shard"),
-    )
+    diff = docs.select("doc_id", *difficulty_cols())
+    return assign_quartile_shards(diff)
 
 
 # ---------------------------------------------------------------------------
@@ -706,12 +732,7 @@ def x51_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
     ),
     scored AS (
-      SELECT doc_id, text, toks,
-             CAST(len(toks) AS BIGINT) AS n_tokens,
-             CASE WHEN len(toks) = 0 THEN 0
-                  ELSE (SELECT CAST(sum(len(t.w)) * 1000 AS BIGINT)
-                        FROM unnest(toks) AS t(w)) // len(toks)
-             END AS difficulty_fp
+      SELECT doc_id, text, toks, {_DIFF_COLS_SQL}
       FROM ws
     ),
     quality AS (
@@ -744,21 +765,7 @@ def x51_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, n_tokens, difficulty_fp FROM deduped
       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
     ),
-    cuts AS (
-      SELECT CAST(round(quantile_cont(difficulty_fp, 0.25) * 1000)
-                  AS BIGINT) AS q1,
-             CAST(round(quantile_cont(difficulty_fp, 0.50) * 1000)
-                  AS BIGINT) AS q2,
-             CAST(round(quantile_cont(difficulty_fp, 0.75) * 1000)
-                  AS BIGINT) AS q3
-      FROM survivors
-    )
-    SELECT doc_id, n_tokens, difficulty_fp,
-           CAST(1 + CAST(difficulty_fp * 1000 > q1 AS INTEGER)
-                  + CAST(difficulty_fp * 1000 > q2 AS INTEGER)
-                  + CAST(difficulty_fp * 1000 > q3 AS INTEGER)
-                AS INTEGER) AS shard
-    FROM survivors, cuts
+    {_shard_sql("survivors")}
     """,
 )
 def x53_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -792,20 +799,21 @@ def x53_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest-to-results lifecycle (main.py:656-816) for the curation
     domain; SURVEY §2.11's composition deliverable."""
     docs = load_table(spark, sf_dir, "documents")
+    # survivors feeds BOTH the cutoff aggregate and the final probe —
+    # lazy localCheckpoint (3 integer columns) so the four upstream
+    # stages execute once, not twice (the x50 two-consumer rule)
+    survivors = curation_survivors(docs).localCheckpoint(eager=False)
+    return assign_quartile_shards(survivors)
+
+
+def curation_survivors(docs: DataFrame) -> DataFrame:
+    """Stages 1-4 of x53 (quality gate → benchmark exclusion →
+    keep-first exact dedup → 5-gram decontamination) as one lazy
+    subtree: (doc_id, n_tokens, difficulty_fp) of the surviving
+    corpus. Factored out so the plan pins can inspect the
+    pre-checkpoint shape."""
     toks = _words()
-    n_tokens = F.size(toks).cast("long")
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-    )
-    scored = docs.select(
-        "doc_id",
-        "text",
-        n_tokens.alias("n_tokens"),
-        F.when(n_tokens == 0, F.lit(0).cast("long"))
-        .otherwise((sum_len * 1000).cast("long") / n_tokens)
-        .cast("long")
-        .alias("difficulty_fp"),
-    )
+    scored = docs.select("doc_id", "text", *difficulty_cols())
     quality = scored.filter(
         (F.col("n_tokens") >= 10)
         & (F.col("n_tokens") <= 5000)
@@ -832,28 +840,6 @@ def x53_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = dgrams.join(F.broadcast(bench), "g").select(
         "doc_id"
     ).distinct()
-    survivors = deduped.join(contaminated, "doc_id", "left_anti").select(
+    return deduped.join(contaminated, "doc_id", "left_anti").select(
         "doc_id", "n_tokens", "difficulty_fp"
-    )
-    cuts = survivors.agg(
-        *[
-            F.round(
-                F.expr(f"percentile(difficulty_fp, {p})") * 1000
-            )
-            .cast("long")
-            .alias(q)
-            for q, p in (("q1", 0.25), ("q2", 0.50), ("q3", 0.75))
-        ]
-    )
-    d1000 = F.col("difficulty_fp") * 1000
-    return survivors.join(F.broadcast(cuts)).select(
-        "doc_id",
-        "n_tokens",
-        "difficulty_fp",
-        (
-            F.lit(1)
-            + (d1000 > F.col("q1")).cast("int")
-            + (d1000 > F.col("q2")).cast("int")
-            + (d1000 > F.col("q3")).cast("int")
-        ).cast("int").alias("shard"),
     )

@@ -221,20 +221,22 @@ def test_curriculum_assignment_is_broadcast_not_window(spark):
 
 def test_line_boilerplate_threshold_semantics(spark):
     """x52: universal lines (nav/copyright, df=corpus) and the
-    newsletter banner (df=half) are removed; the 'pair' line shared
-    by exactly TWO docs sits below the df>=3 threshold and must
-    survive in every doc's cleaned text."""
+    newsletter banner (df=half) are removed; the 'pair' line — shared
+    by exactly TWO docs but occurring FOUR times corpus-wide (twice
+    per doc) — sits below the df>=3 DOCUMENT-frequency threshold and
+    must survive with BOTH in-doc copies intact (an occurrence count
+    would wrongly strip it)."""
     out = QUERIES["x52_line_boilerplate"](spark, SF_DIR).collect()
     assert len(out) == 500
     for r in out:
         # universal nav + copyright always removed; newsletter on even
         expected_removed = 3 if r["doc_id"] % 2 == 0 else 2
         assert r["n_removed"] == expected_removed, r
-        assert "pair " in r["clean_tail"] or "copyright" not in r["clean_tail"]
-    # the pair line survives: every cleaned text ends
-    # '...\npair <doc_id//2>' for odd docs (detail line before it)
+        assert "copyright" not in r["clean_tail"], r
+        assert "nav menu home" not in r["clean_tail"], r
     sample = [r for r in out if r["doc_id"] == 3][0]
-    assert f"pair {3 // 2}" in sample["clean_tail"]
+    pair_line = f"pair {3 // 2}"
+    assert sample["clean_tail"].endswith(f"{pair_line}\n{pair_line}")
 
 
 def test_line_boilerplate_is_single_window_no_selfjoin(spark):
@@ -261,12 +263,23 @@ def test_curation_pipeline_stage_semantics(spark):
 
 
 def test_curation_pipeline_plan_shape(spark):
-    """x53's composed plan: the benchmark gram probe and the cutoff
-    model must broadcast; no cartesian product; the corpus text keys
-    exactly one Window (the dedup)."""
-    df = QUERIES["x53_curation_pipeline"](spark, SF_DIR)
-    p = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in p
-    assert "BroadcastHashJoin" in p
-    assert p.count("Window") >= 1
-    assert "SortMergeJoin" not in p
+    """x53's composed plan, both sides of the survivors checkpoint:
+    upstream — the benchmark gram probe broadcasts, the dedup is one
+    text-keyed window, no cartesian; downstream — the single-row
+    cutoff model broadcasts onto the checkpointed survivors."""
+    from pdf_etl_engine_spark.operators.training import (
+        assign_quartile_shards,
+        curation_survivors,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    up = curation_survivors(docs)  # pre-checkpoint subtree
+    pu = up._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pu
+    assert "BroadcastHashJoin" in pu  # gram probe
+    assert "Window" in pu  # keep-first dedup
+    assert "SortMergeJoin" not in pu
+    down = QUERIES["x53_curation_pipeline"](spark, SF_DIR)
+    pd_ = down._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pd_
+    assert "Broadcast" in pd_  # cutoff model onto the checkpoint scan
