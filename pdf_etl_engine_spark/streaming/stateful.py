@@ -155,3 +155,82 @@ def user_sessions(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters — the r12 Misra–Gries sketch as per-shard
+# stateful streaming state (the third canonical stateful shape: a
+# BOUNDED-MEMORY summary evolved across micro-batches).
+# ---------------------------------------------------------------------------
+
+HH_OUTPUT = "user_id long, cnt long"
+HH_STATE = "users array<long>, counts array<long>"
+
+
+def _make_hh_updater(cap: int):
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        from pdf_etl_engine_spark.operators.training import mg_merge
+
+        if state.exists:
+            users, counts_arr = state.get
+            counts = {int(u): int(c) for u, c in zip(users, counts_arr)}
+        else:
+            counts = {}
+        for pdf in pdfs:
+            vc = pdf["user_id"].value_counts()
+            counts = mg_merge(
+                counts,
+                ((int(u), int(c)) for u, c in vc.items()),
+                cap,
+            )
+        state.update(
+            (list(counts.keys()), [int(v) for v in counts.values()])
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": list(counts.keys()),
+                "cnt": [int(v) for v in counts.values()],
+            }
+        )
+
+    return update
+
+
+def streaming_heavy_hitters(
+    events_stream: DataFrame, cap: int = 4096, shards: int = 8
+) -> DataFrame:
+    """Frequent-user detection over a live stream: each of ``shards``
+    state-store keys holds ONE Misra–Gries summary (state transition =
+    `mg_merge`, the same pure function x48's batch kernel uses —
+    property-tested absence bound n/(cap+1) carries over verbatim),
+    updated per micro-batch and emitted as the current candidate set.
+
+    Why shards, not per-user keys: per-user counts would be the
+    built-in streaming aggregation (unbounded state in the distinct
+    count); the sketch bounds state at shards × cap rows TOTAL however
+    many distinct users the stream carries — the operator you deploy
+    to watch for hot keys / abuse on an unbounded-cardinality stream.
+    Counts are exact while a shard's distinct count stays ≤ cap, and
+    lower bounds with error ≤ n_shard/(cap+1) beyond it (emission
+    monotone per user — take max over emissions for the final value).
+
+    Scale: state rides the engine's per-partition state stores keyed
+    by shard; Arrow moves per-shard batches; at 100 TB you raise
+    shards to spread summaries across executors — memory stays
+    shards × cap regardless of stream cardinality."""
+    import pyspark.sql.functions as F
+
+    keyed = events_stream.withColumn(
+        "shard", (F.col("user_id") % shards).cast("long")
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _make_hh_updater(cap),
+        outputStructType=HH_OUTPUT,
+        stateStructType=HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

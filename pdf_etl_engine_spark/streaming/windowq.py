@@ -382,3 +382,61 @@ def stw_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "user_id", "session_start", "session_end", "n_events"
     )
+
+
+@query(
+    "stw_heavy_hitters",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id
+    ORDER BY cnt DESC, user_id LIMIT 25
+    """,
+)
+def stw_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × X48: the Misra–Gries heavy-hitter sketch run as a REAL
+    stateful streaming query (streaming/stateful.py
+    `streaming_heavy_hitters`) over the events landing dir, graded
+    batch-equivalently: the drained per-shard candidate emissions,
+    reduced to each user's max (counts are monotone across
+    micro-batches), must equal the exact batch top-25 by count.
+
+    Determinism contract: the grading corpora keep every shard's
+    distinct-user count far below the 4096 capacity (150 users at
+    sf0.01, 15k at sf1 across 8 shards), so no eviction fires and the
+    sketch is EXACT regardless of micro-batch boundaries; the
+    eviction path is property-tested separately (mg_merge, the same
+    pure transition function x48's batch kernel uses). Top-25 with
+    the (cnt DESC, user_id) tie-break both sides.
+
+    Scale: state is shards × cap rows total whatever the stream's
+    key cardinality — the bounded-memory answer to "alert on hot
+    keys" that a per-key streaming aggregate can't give."""
+    from pdf_etl_engine_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    src = table_path(sf_dir, "events")
+    stage = pathlib.Path(scratch_dir("spark_graft_stream_hh", src))
+    if not (stage / "_SUCCESS").exists():
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "ts"
+        ).coalesce(1).write.mode("overwrite").parquet(str(stage))
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp"
+    ).parquet(str(stage))
+    hh = streaming_heavy_hitters(stream)
+    sink = f"stream_hh_{uuid.uuid4().hex[:8]}"
+    q = (
+        hh.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max("cnt").alias("cnt"))
+    )
+    return final.orderBy(F.desc("cnt"), "user_id").limit(25)

@@ -555,3 +555,47 @@ def test_stream_ingest_keeps_rollup_live(workspace, spark):
         assert len(got) == 1
         assert got[0]["n"] == i + 1
         assert abs(got[0]["revenue"] - sum(range(1, i + 2))) < 1e-9
+
+
+def test_streaming_heavy_hitters_eviction_keeps_hot_key(spark, tmp_path):
+    """streaming_heavy_hitters under a tiny capacity: the per-shard
+    Misra-Gries state must stay bounded across micro-batches and the
+    dominant key must survive churn (the mg_merge absence bound,
+    exercised through the real streaming machinery)."""
+    import uuid as _uuid
+
+    from pdf_etl_engine_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    rows = [(7, f"2024-01-01 00:{i % 60:02d}:00") for i in range(300)] + [
+        (1000 + i, "2024-01-01 01:00:00") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    df.coalesce(1).write.parquet(str(src / "batch"))
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        str(src / "batch")
+    )
+    hh = streaming_heavy_hitters(stream, cap=4, shards=1)
+    sink = f"hh_evict_{_uuid.uuid4().hex[:8]}"
+    q = (
+        hh.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(sink)
+    # every emission is one shard's current summary: <= cap rows per
+    # micro-batch, and the hot key is present in the final state
+    assert emitted.filter("user_id = 7").count() >= 1
+    final_hot = (
+        emitted.filter("user_id = 7").agg(F.max("cnt")).collect()[0][0]
+    )
+    assert final_hot >= 300 - (500 / 5)  # count >= true - n/(cap+1)
+    assert emitted.groupBy().count().collect()[0][0] <= 4 * 200
