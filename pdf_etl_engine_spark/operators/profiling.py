@@ -339,3 +339,95 @@ def x41_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X54 — robust outliers: MAD / modified z-score (Iglewicz–Hoaglin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x54_mad_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), med AS (
+      SELECT l_returnflag,
+             CAST(round(quantile_cont(cents, 0.5) * 2) AS BIGINT) AS med2
+      FROM q GROUP BY l_returnflag
+    ), d AS (
+      SELECT q.l_returnflag, abs(2 * q.cents - med.med2) AS d2
+      FROM q JOIN med USING (l_returnflag)
+    ), mad AS (
+      SELECT l_returnflag,
+             CAST(round(quantile_cont(d2, 0.5) * 2) AS BIGINT) AS mad4
+      FROM d GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN 1349 * d.d2 > 3500 * mad.mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           max(med.med2) AS med2,
+           max(mad.mad4) AS mad4
+    FROM d JOIN mad USING (l_returnflag)
+         JOIN med USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    """,
+)
+def x54_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54: ROBUST per-group outlier detection — the Iglewicz–Hoaglin
+    modified z-score, |0.6745·(x−median)/MAD| > 3.5 — the
+    data-quality sweep you run where x41's mean/σ test breaks: a few
+    extreme rows inflate σ enough to mask themselves (the masking
+    problem), while median and MAD have a 50% breakdown point.
+
+    Zero float surface: prices quantize to integer cents; the
+    interpolated median of integers lands on a half-integer grid, so
+    med2 = 2·median and mad4 = 4·MAD are EXACT integers (round(×2) of
+    a .5-grid double is lossless up to 2^52), and the threshold
+    rearranges to ``1349·|2x − med2| > 3500·mad4`` — pure int64
+    both engines, bit-identical by construction. An all-equal group
+    gives mad4 = 0 and flags nothing (0 > 0 is false) — no division,
+    no epsilon.
+
+    Scale shape: two groupBy-percentile aggregates over the fact
+    table (the grouping key is low-cardinality, so the median state
+    is per-group value buffers — at 100 TB swap `percentile` for
+    `approx_percentile` exactly as in x51; kept exact so the oracle
+    matches bit-for-bit) and two broadcast joins of 3-row models;
+    the flag test is map-only codegen. Reference anchor: the numeric
+    sanity checks around main.py:520-560's value coercion; SURVEY
+    §2.11 profiling family (x33, x37, x41)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    med = q.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(cents, 0.5)") * 2)
+        .cast("long")
+        .alias("med2")
+    )
+    d = q.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        F.abs(F.col("cents") * 2 - F.col("med2")).alias("d2"),
+        "med2",
+    )
+    mad = d.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(d2, 0.5)") * 2)
+        .cast("long")
+        .alias("mad4")
+    )
+    flagged = d.join(F.broadcast(mad), "l_returnflag")
+    return flagged.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("d2") * 1349 > F.col("mad4") * 3500, 1
+            ).otherwise(0)
+        ).alias("n_outliers"),
+        F.max("med2").alias("med2"),
+        F.max("mad4").alias("mad4"),
+    )

@@ -103,3 +103,34 @@ def test_registry_grades_new_entries():
         assert name in registry.ORACLES
     assert "x35b_percentile_sketch" in registry.QUERIES
     assert "x35b_percentile_sketch" not in registry.ORACLES
+
+
+def test_mad_outliers_resist_masking(spark, tmp_path):
+    """x54's reason to exist: a cluster of extreme rows inflates σ
+    enough that the x41-style mean/3σ test flags NOTHING (masking),
+    while the median/MAD modified z-score flags exactly the planted
+    extremes. Built on a synthetic lineitem where 20% of prices are
+    100× the base level — enough mass to inflate σ past the point
+    where any of them clears 3σ."""
+    import pyspark.sql.functions as F
+
+    rows = [(i, "A", 100.0 + (i % 7)) for i in range(80)] + [
+        (80 + i, "A", 10000.0 + i) for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_returnflag string, l_extendedprice double"
+    )
+    d = tmp_path / "madfix"
+    df.write.parquet(str(d / "lineitem.parquet"))
+    out = registry.QUERIES["x54_mad_outliers"](spark, str(d)).collect()
+    assert len(out) == 1 and out[0]["n_outliers"] == 20
+    # the mean/3σ test is masked: σ ≈ 3960 on this data, and the
+    # extremes sit ~2σ from the mean — nowhere near the 3σ line
+    stats = df.agg(
+        F.avg("l_extendedprice").alias("m"),
+        F.stddev_pop("l_extendedprice").alias("s"),
+    ).collect()[0]
+    n_sigma_flagged = df.filter(
+        F.abs(F.col("l_extendedprice") - stats["m"]) > 3 * stats["s"]
+    ).count()
+    assert n_sigma_flagged == 0
