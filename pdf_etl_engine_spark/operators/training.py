@@ -163,9 +163,12 @@ def mg_merge(counts: dict, batch_counts, cap: int) -> dict:
     non-positive — each such eviction subtracts its decrement from
     MORE than cap keys, so the cumulative decrement D satisfies
     D·(cap+1) ≤ total inserted mass, giving the absence bound
-    true_count(absent key) ≤ D ≤ n/(cap+1)."""
+    true_count(absent key) ≤ D ≤ n/(cap+1). The input dict is never
+    mutated (copied up front), so a caller retaining the pre-merge
+    summary — e.g. streaming-state retry paths — stays intact."""
     import numpy as np
 
+    counts = dict(counts)
     for t, c in batch_counts:
         counts[t] = counts.get(t, 0) + c
     if len(counts) > cap:
@@ -245,11 +248,33 @@ def x48_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .join(F.broadcast(total))
     )
-    return exact.select(
+    res = exact.select(
         "token",
         "cnt",
         (F.col("cnt") * (_HH_CAP + 1) > F.col("n_total")).alias("mg_exact"),
     ).orderBy(F.desc("cnt"), "token").limit(_HH_K)
+    # execution-time certificate: if ANY returned rank fails
+    # cnt·(cap+1) > N, the two-pass result is only
+    # heavy-hitter-approximate and would diverge from the plain-top-k
+    # oracle in whole rows — fail loudly with the diagnosis instead
+    # of surfacing as an opaque parity mismatch. The check is a
+    # single-partition window over the ≤k already-limited rows (cost
+    # is nil; tests/test_training_ops.py pins both directions).
+    res = res.withColumn(
+        "_all_exact",
+        F.min(F.col("mg_exact").cast("int")).over(Window.partitionBy()),
+    )
+    cert = F.when(F.col("_all_exact") == 1, F.lit(True)).otherwise(
+        F.raise_error(
+            F.lit(
+                "x48_heavy_hitters: Misra-Gries exactness margin violated "
+                "(some returned rank has cnt*(cap+1) <= N) - the corpus "
+                "vocabulary is too flat for cap=%d; raise the cap or "
+                "accept approximate heavy hitters" % _HH_CAP
+            )
+        )
+    )
+    return res.where(cert).select("token", "cnt", "mg_exact")
 
 
 # ---------------------------------------------------------------------------
@@ -517,9 +542,12 @@ def x50_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine float discipline (the x27 rule): each of the 64
     log-probabilities is rounded to 1e-6 and differenced as BIGINT
-    fixed-point BEFORE the per-doc sum — the accumulation is integer,
-    order-free, and immune to libm last-ulp drift; only the final
-    display round is float.
+    fixed-point BEFORE the per-doc sum — the accumulation is integer
+    and order-free, and cross-engine libm drift is confined to the 64
+    pre-sum roundings, where it only matters if ln(x)·1e6 lands within
+    an ulp of a .5 boundary (improbable, not impossible — the same
+    guarantee x27 makes, not a stronger one); only the final display
+    round is float.
 
     Scale shape: the heavy work — tokenize + per-character Karp-Rabin
     hashing — runs ONCE: a single per-(doc_id, lang, bucket) staging
@@ -634,9 +662,15 @@ def difficulty_cols() -> tuple[Column, Column]:
     sum_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
     )
+    # integer-exact quotient: strip the remainder first so the
+    # (double) division is of an exactly-divisible pair — the result
+    # is the BIGINT floor quotient by construction (operands are
+    # nonnegative and < 2^53), matching the oracle's `//` exactly
+    # rather than by truncation of a rounded double
+    num = (sum_len * 1000).cast("long")
     difficulty = (
         F.when(n_tokens == 0, F.lit(0).cast("long"))
-        .otherwise((sum_len * 1000).cast("long") / n_tokens)
+        .otherwise((num - num % n_tokens) / n_tokens)
         .cast("long")
     )
     return n_tokens.alias("n_tokens"), difficulty.alias("difficulty_fp")

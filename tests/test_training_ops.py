@@ -283,3 +283,42 @@ def test_curation_pipeline_plan_shape(spark):
     pd_ = down._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in pd_
     assert "Broadcast" in pd_  # cutoff model onto the checkpoint scan
+
+
+def test_mg_merge_does_not_mutate_input():
+    """mg_merge is documented pure: the caller's pre-merge summary
+    must survive untouched on BOTH paths — no eviction (the silent
+    in-place hazard) and eviction."""
+    from pdf_etl_engine_spark.operators.training import mg_merge
+
+    pre = {"a": 3, "b": 1}
+    snapshot = dict(pre)
+    out = mg_merge(pre, [("a", 2), ("c", 1)], cap=10)  # no eviction
+    assert pre == snapshot and out["a"] == 5
+    out2 = mg_merge(pre, [(f"k{i}", 1) for i in range(20)], cap=2)
+    assert pre == snapshot and len(out2) <= 2
+
+
+def test_x48_certificate_raises_on_flat_vocabulary(spark, tmp_path):
+    """x48's execution-time certificate: a corpus whose k-th count
+    sits at/below N/(cap+1) (here: every token unique, so NO rank can
+    certify) must fail with the named margin diagnosis, not an opaque
+    oracle mismatch. Uses a monkeypatched tiny cap via the same corpus
+    trick as the eviction pin: all-distinct tokens."""
+    import pytest
+
+    # 30 docs x 40 unique tokens: every count is 1, N=1200, and
+    # 1*(cap+1)=4097 > 1200 would certify -- so go the other way:
+    # make N large enough that 1*(_HH_CAP+1) <= N.
+    n_docs, toks_per_doc = 120, 40
+    rows = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(toks_per_doc)))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "flat")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    n_total = n_docs * toks_per_doc
+    assert 1 * (_HH_CAP + 1) <= n_total, "fixture must violate margin"
+    with pytest.raises(Exception, match="exactness margin violated"):
+        QUERIES["x48_heavy_hitters"](spark, d).collect()
