@@ -109,7 +109,15 @@ PRIORITY: tuple[str, ...] = (
     "f213_infer_coerce",
     "f58_fenced_json_dates",
     "f1011_path_email",
-    "f15_math_basics",
+    # r13 rotation (VERDICT r12 #6): f15_math_basics → tail — its
+    # scalar-math shapes are already window-graded via a2's arithmetic
+    # aggregates and sql1's expression surface (f15 stays tail-graded
+    # locally). The slot now drives x53_curation_pipeline — the
+    # composed five-stage training-data curation DAG (quality gate →
+    # exact dedup → near-dup → contamination → quartile shards), the
+    # single most representative north-star query — through the
+    # driver's window for the first time.
+    "x53_curation_pipeline",
     # pipeline + UDTF
     "pp_ingest_pivot_coerce",
     "u4_explode_map_long",

@@ -36,7 +36,11 @@ def test_every_component_family_has_window_representative():
         "w123_window_suite",
         "u123_set_suite",
         "f213_infer_coerce", "f58_fenced_json_dates",
-        "f1011_path_email", "f15_math_basics",
+        "f1011_path_email",
+        # r13 rotation: f15_math_basics → tail (scalar-math shapes
+        # covered by a2/sql1; still tail-graded); its slot grades the
+        # composed curation DAG x53 — the north-star pipeline query.
+        "x53_curation_pipeline",
         "pp_ingest_pivot_coerce", "u4_explode_map_long",
         # streaming (r11 rotation: the CDC commit-log source replaces
         # stw_sliding_window in the window — sliding's shape stays
