@@ -229,10 +229,33 @@ def test_query_construction_schedules_no_job(spark):
 
 def test_window_suite_single_exchange(spark):
     """w123 computes three window frames over two sort orders but must
-    shuffle ONCE: both window specs partition by user_id, so one hash
-    exchange feeds two in-partition sorts."""
+    shuffle at most ONCE in the query itself: both window specs
+    partition by user_id, so one hash exchange feeds the in-partition
+    sorts. Since r13 the events cache is laid out clustered+sorted by
+    (user_id, ts, event_id) at fill time (catalog.load_table), so the
+    only exchange in the plan STRING is the one-time cache fill's —
+    split it off before counting — and at runtime AQE elides even the
+    query's own exchange once the cached stage's hashpartitioning is
+    visible (pinned in test_window_exchange_elided_at_runtime)."""
     p = plan_of(registry.QUERIES["w123_window_suite"](spark, SF_DIR))
-    assert p.count("Exchange hashpartitioning") == 1, p
+    outer = p.split("InMemoryRelation")[0]
+    assert outer.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_window_exchange_elided_at_runtime(spark):
+    """The clustered events cache must let AQE drop the window's
+    exchange entirely: after execution, the final plan's query section
+    (above the InMemoryRelation) contains NO exchange — the Window
+    reads the cache's hashpartitioning(user_id) directly. This is the
+    in-memory twin of the bucketed-table shuffle elision the 100 TB
+    layout depends on."""
+    df = registry.QUERIES["w0_row_number"](spark, SF_DIR)
+    df.count()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    outer = p.split("InMemoryRelation")[0]
+    assert "Exchange" not in outer, p
+    assert "Sort" not in outer, p  # cache order serves the frame too
 
 
 def test_deterministic_shuffle_is_take_ordered(spark):
