@@ -258,6 +258,12 @@ SF1_ANCHORS = (
     # r12: PQ ADC top-k (LUT-hoisted scan) + composed IVF-PQ probe
     ("x_pq_adc_topk", "x47b_pq_adc_topk", True),
     ("x_ivfpq_topk", "x47d_ivfpq_topk", True),
+    # r13: the persisted-index serving path — the settle run builds
+    # the artifact (build-once), the timed run probes it with static
+    # cell pruning; twin = the same full IVF-PQ oracle (DuckDB has no
+    # persisted-index path to compare, so the twin is the honest
+    # recompute-everything baseline, stated in the note)
+    ("x_ivfpq_persisted", "x47e_ivfpq_persisted", True),
     # r12: substring-span dedup (gram fold is 40 multiply-mods per
     # char in BOTH engines — the anchor shows whose fold engine holds
     # at 13M grams)
@@ -553,19 +559,30 @@ def bench_sf1_anchors(spark) -> dict:
             if not twin and qname != "x14b_dedup_clusters_lsh":
                 entry["duckdb_sec"] = None
                 entry["note"] = "rows-only operator (no SQL oracle)"
-            elif qname == "x4j2_lsh_near_dup_colocated":
-                entry["duckdb_sec"] = None
-                entry["note"] = (
-                    "oracle identical to x4j's; twin = sf1_heavy "
-                    "x_embedding_near_dup duckdb_sec"
-                )
-            elif qname == "x4l_knn_join_blocked":
-                entry["duckdb_sec"] = None
-                entry["note"] = (
-                    "oracle identical to x4k's; twin = x_knn_join_exact "
-                    "duckdb_sec"
-                )
             else:
+                # r13 (VERDICT r12 #3): x4j2 and x4l previously
+                # recorded null twins with pointers to the queries
+                # whose oracles they share; now their shared oracle
+                # SQL is RUN here under the same cancel cap so every
+                # anchor row carries a measured number or an honest
+                # ">Ns interrupted" — never a null.
+                if qname == "x4j2_lsh_near_dup_colocated":
+                    entry["note"] = (
+                        "oracle shared byte-for-byte with x4j; twin "
+                        "measured here under the cap"
+                    )
+                elif qname == "x4l_knn_join_blocked":
+                    entry["note"] = (
+                        "oracle shared byte-for-byte with x4k; twin "
+                        "measured here under the cap"
+                    )
+                elif qname == "x47e_ivfpq_persisted":
+                    entry["note"] = (
+                        "spark timed run probes the artifact built in "
+                        "the settle run (build-once serving path; the "
+                        "in-flight build+probe cost is x_ivfpq_topk); "
+                        "twin = the full IVF-PQ oracle recomputed"
+                    )
                 # x14b is LSH-edge approximate with no oracle of its
                 # own; its recorded comparator (VERDICT r11 #4) is the
                 # x14c exact-edge recursive-CTE oracle — the SQL form

@@ -719,6 +719,53 @@ def _ivfpq_coarse(vecs_fp: DataFrame) -> DataFrame:
     return cent
 
 
+def _ivfpq_fp(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, qa): the 1e4 fixed-point view every IVF-PQ
+    stage keys on (floor(x·10⁴) as BIGINT — integer-exact in both
+    engines)."""
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 10000).cast("long"),
+        ).alias("qa"),
+    )
+
+
+def _ivfpq_assign_encode(vecs_fp: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest (integer-distance, min-cell
+    tie-break) centroid and residual-PQ-encode it: returns
+    (vec_id, cell, cd0..cd7). Shared verbatim by the in-flight x47d
+    plan, the persisted index build, AND the incremental append path —
+    one code path, so persisted codes can never drift from the graded
+    in-flight ones."""
+    a = vecs_fp.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        _pqfp_dist(F.col("qa"), F.col("c")).alias("dist"),
+    )
+    m = a.groupBy("vec_id").agg(F.min("dist").alias("md"))
+    assigned = (
+        a.join(m, "vec_id")
+        .filter(F.col("dist") == F.col("md"))
+        .groupBy("vec_id")
+        .agg(F.min("cell").alias("cell"))
+    )
+    withcent = assigned.join(
+        vecs_fp.select("vec_id", "embedding"), "vec_id"
+    ).join(F.broadcast(cent), "cell")
+    # residual-PQ encode: codes per (vec, s) against the mixer codebook
+    resid = _residual_col(F.col("embedding"), F.col("c"))
+    enc = withcent.select("vec_id", "cell", resid.alias("re"))
+    staged = _stage_pq_dists(enc, ["vec_id", "cell"], "re", _pq_cb_flat())
+    return staged.select(
+        "vec_id",
+        "cell",
+        *[_pq_argmin(s).alias(f"cd{s}") for s in range(_PQ_S)],
+    )
+
+
 def _residual_col(e: Column, c: Column) -> Column:
     """Float residual of embedding ``e`` against fixed-point centroid
     ``c``: x_d − c_d/10⁴, each term one subtraction of exactly-
@@ -890,54 +937,31 @@ def x47d_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     x47's 32× scan compression — the two levers that make 10^12
     vectors probeable."""
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs_fp = emb.select(
-        "vec_id",
-        "embedding",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * 10000).cast("long"),
-        ).alias("qa"),
-    )
+    vecs_fp = _ivfpq_fp(emb)
     # materialize the (<=8 x 64-int) centroid relation once: it is
     # referenced by the assignment, the residual join, AND the
     # query-side cell ranking — without it each reference re-runs
     # the whole 2-iteration Lloyd chain. Lazy localCheckpoint, not
     # persist — see the x47c note on bench-honesty
     cent = _ivfpq_coarse(vecs_fp).localCheckpoint(eager=False)
-    # final assignment of every vector to its cell
-    a = vecs_fp.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cell",
-        _pqfp_dist(F.col("qa"), F.col("c")).alias("dist"),
-    )
-    m = a.groupBy("vec_id").agg(F.min("dist").alias("md"))
-    assigned = (
-        a.join(m, "vec_id")
-        .filter(F.col("dist") == F.col("md"))
-        .groupBy("vec_id")
-        .agg(F.min("cell").alias("cell"))
-    )
-    withcent = assigned.join(
-        vecs_fp.select("vec_id", "embedding"), "vec_id"
-    ).join(F.broadcast(cent), "cell")
-    # residual-PQ encode: codes per (vec, s) against the mixer codebook
-    cbflat = _pq_cb_flat()
-    resid = _residual_col(F.col("embedding"), F.col("c"))
-    enc = withcent.select(
-        "vec_id", "cell", resid.alias("re")
-    )
-    staged = _stage_pq_dists(enc, ["vec_id", "cell"], "re", cbflat)
-    codes = staged.select(
-        "vec_id",
-        "cell",
-        *[_pq_argmin(s).alias(f"cd{s}") for s in range(_PQ_S)],
-    )
-    # queries: rank cells by integer distance, keep nprobe
-    q = vecs_fp.filter(F.col("vec_id") % 250 == 0).select(
+    codes = _ivfpq_assign_encode(vecs_fp, cent)
+    return _ivfpq_probe_plan(vecs_fp, cent, codes)
+
+
+def _ivfpq_queries(vecs_fp: DataFrame) -> DataFrame:
+    """The graded query set: every 250th vector, as
+    (query_id, qe: float embedding, qqa: fixed-point embedding)."""
+    return vecs_fp.filter(F.col("vec_id") % 250 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("qa").alias("qqa"),
     )
+
+
+def _ivfpq_probed(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """Per query: the nprobe nearest cells by integer centroid
+    distance (min-cell tie-break), with the winning centroid vector
+    attached — (query_id, qe, cell, centvec, dist, rn)."""
     qc = q.crossJoin(F.broadcast(cent)).select(
         "query_id",
         "qe",
@@ -946,9 +970,23 @@ def x47d_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pqfp_dist(F.col("qqa"), F.col("c")).alias("dist"),
     )
     wq = Window.partitionBy("query_id").orderBy("dist", "cell")
-    probed = qc.withColumn("rn", F.row_number().over(wq)).filter(
+    return qc.withColumn("rn", F.row_number().over(wq)).filter(
         F.col("rn") <= _IVFPQ_NPROBE
     )
+
+
+def _ivfpq_probe_plan(
+    vecs_fp: DataFrame, cent: DataFrame, codes: DataFrame
+) -> DataFrame:
+    """The probe side shared by x47d (in-flight codes) and x47e
+    (persisted codes): rank cells per query, build the per-(query,
+    cell) 128-double residual LUT, ADC-scan the codes relation, top-5
+    per query. ``codes`` must expose (vec_id, cell, cd0..cd7); the
+    adc fold's float ADDITION ORDER (s ascending from 0.0) is part of
+    the graded contract — both callers produce bit-identical
+    adc_raw."""
+    cbflat = _pq_cb_flat()
+    probed = _ivfpq_probed(_ivfpq_queries(vecs_fp), cent)
     # per (query, cell): residual LUT (128 doubles)
     qresid = _residual_col(F.col("qe"), F.col("centvec"))
     lut = F.transform(
@@ -984,3 +1022,172 @@ def x47d_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X47e — persisted IVF-PQ index: build once, probe from the artifact,
+# maintain incrementally (assign + encode + append; no retrain)
+# ---------------------------------------------------------------------------
+
+
+def default_ivfpq_dir(sf_dir: str) -> str:
+    """Scratch location for the persisted IVF-PQ index over
+    ``sf_dir``'s embeddings, keyed by source identity (path + mtime +
+    size) so regenerated testdata re-indexes instead of reusing a
+    stale build."""
+    return scratch_dir(
+        "spark_graft_ivfpq",
+        table_path(sf_dir, "embeddings"),
+        f"{_IVFPQ_CELLS}c_{_PQ_S}s{_PQ_K}k",
+    )
+
+
+def _pack_codes(codes: DataFrame) -> DataFrame:
+    """(vec_id, cell, cd0..cd7) → (vec_id, cell, code): the 8 4-bit
+    codes packed little-endian into ONE int64 — the 8-byte-per-vector
+    representation the 100 TB scan cost argument rests on."""
+    packed = F.lit(0).cast("long")
+    for s in range(_PQ_S):
+        packed = packed + F.col(f"cd{s}") * F.lit(1 << (4 * s)).cast("long")
+    return codes.select("vec_id", "cell", packed.alias("code"))
+
+
+def _unpack_codes(packed: DataFrame) -> DataFrame:
+    """(vec_id, cell, code) → (vec_id, cell, cd0..cd7): codegen'd
+    shift/mask unpack at scan time (the x4n bit-ops precedent)."""
+    return packed.select(
+        "vec_id",
+        "cell",
+        *[
+            F.shiftright(F.col("code"), 4 * s)
+            .bitwiseAND(F.lit(_PQ_K - 1))
+            .cast("long")
+            .alias(f"cd{s}")
+            for s in range(_PQ_S)
+        ],
+    )
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """Build the persisted IVF-PQ index ONCE: train the coarse
+    quantizer (x45b's fixed-point sampled Lloyd — deterministic,
+    integer-exact), assign + residual-PQ-encode every vector, and
+    persist three artifacts under ``out_dir``:
+
+    * ``centroids`` — the ≤8-row (cell, c: array<bigint>) coarse
+      model (the only trained state);
+    * ``codes`` — (vec_id, code: int64) parquet PARTITIONED BY cell,
+      one file per cell (repartition-by-key before the partitioned
+      write, the small-files guard build_ann_index documents);
+    * ``manifest`` — one row: n_base, the trained-corpus size the
+      retrain trigger compares against (ivfpq_needs_retrain).
+
+    Codes are written LAST: ``codes/_SUCCESS`` is the build-complete
+    marker probes check, so a killed build can never serve centroids
+    without codes or vice versa."""
+    vecs_fp = _ivfpq_fp(load_table(spark, sf_dir, "embeddings"))
+    cent = _ivfpq_coarse(vecs_fp).localCheckpoint(eager=False)
+    cent.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    n_base = vecs_fp.count()
+    spark.createDataFrame([(n_base,)], "n_base long").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/manifest")
+    codes = _pack_codes(_ivfpq_assign_encode(vecs_fp, cent))
+    codes.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{out_dir}/codes")
+
+
+def append_ivfpq_index(
+    spark: SparkSession, index_dir: str, new_emb: DataFrame
+) -> None:
+    """Incremental maintenance: fold a new vector batch into the
+    persisted index WITHOUT retraining — read the frozen centroids,
+    assign + residual-encode the batch through the SAME
+    _ivfpq_assign_encode path the build used, and append the packed
+    codes into the cell-partitioned tree (each task appends whole
+    cells; existing files are never rewritten).
+
+    Retrain trigger (documented, checked by ivfpq_needs_retrain): the
+    coarse quantizer is trained state — appends re-use it, so a
+    drifting ingest distribution degrades cell balance and residual
+    scale rather than failing loudly. Retrain (full rebuild) when the
+    appended mass exceeds ~30% of n_base, or sooner if probe recall
+    audits (tools/recall_lsh_sf1.py's planted methodology) show
+    drift. At 100 TB this is the standard IVF serving discipline:
+    appends are cheap map-side work + a partitioned append; the
+    rebuild is the rare scheduled job."""
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    vecs_fp = _ivfpq_fp(new_emb)
+    codes = _pack_codes(_ivfpq_assign_encode(vecs_fp, cent))
+    codes.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{index_dir}/codes")
+
+
+def ivfpq_needs_retrain(
+    spark: SparkSession, index_dir: str, max_appended_fraction: float = 0.3
+) -> bool:
+    """True when the appended mass exceeds ``max_appended_fraction``
+    of the trained base — the rebuild trigger append_ivfpq_index
+    documents. Both counts are metadata reads (manifest row + parquet
+    footer counts), no data scan."""
+    n_base = (
+        spark.read.parquet(f"{index_dir}/manifest").collect()[0]["n_base"]
+    )
+    n_now = spark.read.parquet(f"{index_dir}/codes").count()
+    return (n_now - n_base) > max_appended_fraction * n_base
+
+
+def probe_ivfpq_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """Serve the graded query set from the PERSISTED index with
+    static partition pruning: rank cells per query against the
+    persisted centroids, collect the ≤``_IVFPQ_CELLS`` distinct
+    probed cell ids (O(cells) driver work — the probe_ann_index
+    precedent: this collect is what turns the probe into literal
+    partition predicates), and read ONLY those cell directories of
+    the codes tree. The scan's ``PartitionFilters`` carries the cell
+    IN-list; unprobed cells are never opened. Everything downstream
+    (LUT, ADC fold, top-5) is _ivfpq_probe_plan, shared with x47d."""
+    vecs_fp = _ivfpq_fp(load_table(spark, sf_dir, "embeddings"))
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    probed_cells = sorted(
+        int(r["cell"])
+        for r in _ivfpq_probed(_ivfpq_queries(vecs_fp), cent)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    codes = _unpack_codes(
+        spark.read.parquet(f"{index_dir}/codes").filter(
+            F.col("cell").isin(probed_cells)
+        )
+    )
+    return _ivfpq_probe_plan(vecs_fp, cent, codes)
+
+
+@query("x47e_ivfpq_persisted", oracle=_x47d_oracle())
+def x47e_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47e: the PRODUCTION similarity-search deliverable — x47d's
+    IVF-PQ probe served from a persisted index instead of an
+    in-flight build. First call builds the artifact (trained
+    centroids + cell-partitioned packed codes + manifest,
+    build_ivfpq_index); every probe after that reads ≤ nprobe-probed
+    cell partitions of 8-byte codes plus the ≤8-row centroid table —
+    the corpus parquet is touched only for the query vectors
+    themselves. Graded with x47d's ORACLE VERBATIM: same cells, same
+    codes (shared _ivfpq_assign_encode), same ADC float order, so
+    the persisted round-trip must be hash-identical to the in-flight
+    plan. Incremental maintenance (append without retrain) is
+    exercised by tests/test_ann_index.py's append-loop.
+
+    Scale shape: at 10^12 vectors the index is the only thing a
+    probe reads — nprobe/ncells of an 8 TB code table (vs 256 TB of
+    raw vectors), partition-pruned statically; appends are map-side
+    encode + partitioned append; the coarse model is 8 rows."""
+    index_dir = default_ivfpq_dir(sf_dir)
+    if not pathlib.Path(index_dir, "codes", "_SUCCESS").exists():
+        build_ivfpq_index(spark, sf_dir, index_dir)
+    return probe_ivfpq_index(spark, sf_dir, index_dir)

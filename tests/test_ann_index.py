@@ -76,3 +76,121 @@ def test_probe_matches_query_time_lsh(spark, tmp_path_factory):
         for r in registry.QUERIES["x4b_ann_lsh_topk"](spark, SF_DIR).collect()
     ]
     assert via_index == via_query
+
+
+# ---------------------------------------------------------------------------
+# X47e — persisted IVF-PQ: parity with the in-flight plan, static
+# partition pruning, and the incremental append-loop (no retrain)
+# ---------------------------------------------------------------------------
+
+
+def _build_ivfpq(spark, tmp_path_factory):
+    out = str(tmp_path_factory.getbasetemp() / "ivfpq_index")
+    if not pathlib.Path(out, "codes", "_SUCCESS").exists():
+        ann_index.build_ivfpq_index(spark, SF_DIR, out)
+    return out
+
+
+@pytest.mark.slow
+def test_ivfpq_persisted_matches_inflight(spark, tmp_path_factory):
+    """The persisted round-trip (parquet centroids + packed codes)
+    must reproduce x47d's in-flight answer row-for-row — same cells,
+    same codes, same ADC doubles."""
+    out = _build_ivfpq(spark, tmp_path_factory)
+    persisted = sorted(
+        map(tuple, ann_index.probe_ivfpq_index(spark, SF_DIR, out).collect())
+    )
+    inflight = sorted(
+        map(
+            tuple,
+            registry.QUERIES["x47d_ivfpq_topk"](spark, SF_DIR).collect(),
+        )
+    )
+    assert persisted == inflight and len(persisted) > 0
+
+
+@pytest.mark.slow
+def test_ivfpq_probe_prunes_cell_partitions(spark, tmp_path_factory):
+    """The codes scan must carry the probed cells as PARTITION
+    filters (static directory pruning — the probe collects the cell
+    ids first, so no dynamic pruning machinery is needed)."""
+    out = _build_ivfpq(spark, tmp_path_factory)
+    df = ann_index.probe_ivfpq_index(spark, SF_DIR, out)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    code_scan_lines = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "codes" in plan
+    ]
+    assert any(
+        "cell#" in line and " IN " in line for line in code_scan_lines
+    ), plan
+
+
+@pytest.mark.slow
+def test_ivfpq_append_loop_no_retrain(spark, tmp_path):
+    """The incremental path: build on the base corpus, append two
+    synthetic batches, and check (a) the trained centroids are
+    byte-identical afterwards (no retrain), (b) every appended
+    vector's cell matches an INDEPENDENT numpy recomputation of the
+    integer nearest-centroid rule, (c) counts add up, and (d) the
+    retrain trigger fires only past the documented fraction."""
+    import numpy as np
+
+    out = str(tmp_path / "ivfpq_append")
+    ann_index.build_ivfpq_index(spark, SF_DIR, out)
+    cent_before = sorted(
+        (r["cell"], tuple(r["c"]))
+        for r in spark.read.parquet(f"{out}/centroids").collect()
+    )
+    n_base = spark.read.parquet(f"{out}/codes").count()
+    assert not ann_index.ivfpq_needs_retrain(spark, out)
+
+    rng = np.random.RandomState(7)
+    next_id = 10_000_000
+    appended = {}
+    for _batch in range(2):
+        vecs = rng.randn(20, 64).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        rows = [
+            (next_id + i, [float(x) for x in vecs[i]], 0)
+            for i in range(len(vecs))
+        ]
+        for vid, e, _ in rows:
+            appended[vid] = np.array(e, dtype=np.float64)
+        batch = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        ann_index.append_ivfpq_index(spark, out, batch)
+        next_id += len(vecs)
+
+    cent_after = sorted(
+        (r["cell"], tuple(r["c"]))
+        for r in spark.read.parquet(f"{out}/centroids").collect()
+    )
+    assert cent_after == cent_before  # frozen model: no retrain
+    codes = spark.read.parquet(f"{out}/codes")
+    assert codes.count() == n_base + len(appended)
+
+    # independent assignment check: integer distances on floor(x*1e4)
+    cent = {c: np.array(v, dtype=np.int64) for c, v in cent_before}
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in codes.filter(F.col("vec_id") >= 10_000_000).collect()
+    }
+    assert set(got) == set(appended)
+    for vid, emb in appended.items():
+        qa = np.floor(emb * 10000).astype(np.int64)
+        dists = {c: int(((qa - cv) ** 2).sum()) for c, cv in cent.items()}
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        assert got[vid] == best, (vid, got[vid], best)
+
+    # retrain trigger: 40 appended on a small base — flips only when
+    # the threshold drops below the actual appended fraction
+    frac = len(appended) / n_base
+    assert ann_index.ivfpq_needs_retrain(
+        spark, out, max_appended_fraction=frac * 0.5
+    )
+    assert not ann_index.ivfpq_needs_retrain(
+        spark, out, max_appended_fraction=frac * 2.0
+    )
