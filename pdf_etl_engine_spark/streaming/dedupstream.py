@@ -1,0 +1,215 @@
+"""Streaming near-dup ingest (SURVEY.md §2.9 × X22): dedup at INGEST
+time instead of in batch sweeps.
+
+The batch incremental operators (operators/incremental.py) check a new
+document batch against the fingerprint store; this module closes the
+loop the 100 TB pipeline actually runs — a Structured Streaming query
+whose every micro-batch (1) probes the store for exact (sha-256) and
+near (MinHash band) duplicates, (2) emits only the surviving docs, and
+(3) appends the survivors' fingerprints so the NEXT micro-batch dedups
+against them too. At 100 TB you dedup each crawl shard as it lands;
+re-sweeping the accepted corpus per day is the scale-killer.
+
+Exactly-once: foreachBatch is at-least-once, so every write is keyed
+by ``batch_id`` and idempotent — micro-batch k overwrites
+``accepted/batch=k`` and ``store/delta_k`` (never appends to a shared
+file set), so a replay after a crash reproduces byte-identical output
+instead of duplicating it (the streaming/ingest.py transaction-marker
+discipline, applied to the dedup loop; pinned by the replay test in
+tests/test_streaming_dedup.py).
+
+Determinism contract for the ORACLE-graded twin (stw_incremental_dedup
+in streaming/windowq.py): the staged stream presents the batch docs in
+doc_id order — one single-file micro-batch per doc_id quartile
+(ntile(4), maxFilesPerTrigger=1) — and within a micro-batch the
+exact-layer winner per content_sha is min(doc_id). First-accepted is
+therefore globally min(doc_id) per text, which is what the oracle's
+``b2.doc_id < b.doc_id NOT EXISTS`` clause expresses — the result is
+independent of how the engine re-slices micro-batches (a coarser
+slicing merges batches; min(doc_id) is associative).
+
+No reference counterpart: the reference ingests via per-file push
+notifications with no dedup at all (main.py:666-707); this is the
+LLM-data-pipeline extension of its ingest trigger.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_etl_engine_spark.operators.incremental import fingerprints
+
+
+def _store_deltas(store_dir: str) -> list[str]:
+    """Committed store deltas: every delta dir with a _SUCCESS marker
+    (a replayed/overwritten partial write is invisible until its
+    marker lands)."""
+    root = pathlib.Path(store_dir)
+    if not root.exists():
+        return []
+    return sorted(
+        str(p) for p in root.iterdir()
+        if p.is_dir() and (p / "_SUCCESS").exists()
+    )
+
+
+def read_store(
+    spark: SparkSession, store_dir: str, before_batch: int | None = None
+) -> DataFrame:
+    """The fingerprint store = union of all committed deltas (base
+    seed + one delta per accepted micro-batch). ``before_batch``
+    restricts the view to deltas from batches strictly earlier — the
+    replay guard: a re-run micro-batch must probe the store AS IT WAS
+    before its first attempt, or it would anti-join against its own
+    previously-written fingerprints and drop every row (caught by
+    tests/test_streaming_dedup.py's replay pin)."""
+    deltas = _store_deltas(store_dir)
+    if before_batch is not None:
+        deltas = [
+            d
+            for d in deltas
+            if not d.rsplit("delta_", 1)[1].isdigit()
+            or int(d.rsplit("delta_", 1)[1]) < before_batch
+        ]
+    if not deltas:
+        raise ValueError(f"empty fingerprint store: {store_dir}")
+    return spark.read.parquet(*deltas)
+
+
+def seed_store(
+    spark: SparkSession, store_dir: str, corpus: DataFrame
+) -> None:
+    """Write the base delta: the accepted corpus' fingerprints."""
+    fingerprints(corpus).write.mode("overwrite").parquet(
+        f"{store_dir}/delta_base"
+    )
+
+
+def dedup_batch_fn(
+    spark: SparkSession,
+    store_dir: str,
+    accepted_dir: str,
+    near: bool = False,
+):
+    """The foreachBatch body: probe → filter → append, idempotent per
+    batch_id. Returned as a closure so tests can invoke it directly
+    with a repeated batch_id to pin replay idempotence.
+
+    Probe semantics per micro-batch (matching the batch-mode
+    dedup_against_store):
+
+    * exact layer — keep only the min(doc_id) row per content_sha
+      within the batch (first-wins), then anti-join the store's shas;
+    * near layer (``near=True``) — drop survivors sharing ANY
+      (band_id, band_sig) with the store (rows-only semantics, same
+      as x22b; OFF for the oracle-graded twin).
+
+    Writes: accepted docs → ``accepted/batch=<id>`` (doc_id, lang);
+    survivors' fingerprints → ``store/delta_<id>``. Both mode
+    OVERWRITE into batch-keyed dirs — the exactly-once lever."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        store = read_store(spark, store_dir, before_batch=batch_id)
+        fp = fingerprints(batch_df)
+        doc_sha = fp.select("fp_id", "content_sha").distinct()
+        # within-batch first-wins: one winner per content_sha
+        winners = doc_sha.groupBy("content_sha").agg(
+            F.min("fp_id").alias("fp_id")
+        )
+        survive = winners.join(
+            store.select("content_sha").distinct(),
+            "content_sha",
+            "left_anti",
+        ).select("fp_id")
+        if near:
+            near_hit = (
+                fp.join(survive, "fp_id", "left_semi")
+                .join(
+                    store.select("band_id", "band_sig").distinct(),
+                    ["band_id", "band_sig"],
+                    "left_semi",
+                )
+                .select("fp_id")
+                .distinct()
+            )
+            survive = survive.join(near_hit, "fp_id", "left_anti")
+        accepted = batch_df.join(
+            survive.withColumnRenamed("fp_id", "doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        # the docs relation is tiny per micro-batch, but it feeds two
+        # sinks (rows + fingerprints) — materialize once
+        accepted = accepted.localCheckpoint()
+        accepted.select("doc_id", "lang").write.mode("overwrite").parquet(
+            f"{accepted_dir}/batch={batch_id}"
+        )
+        fingerprints(accepted).write.mode("overwrite").parquet(
+            f"{store_dir}/delta_{batch_id}"
+        )
+
+    return process
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    stage_dir: str,
+    schema: str,
+    store_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    near: bool = False,
+) -> None:
+    """Drain the staged batch files through the dedup loop: one
+    micro-batch per staged file (maxFilesPerTrigger=1 — the staging
+    order IS the arrival order), availableNow, exactly-once via the
+    batch-keyed writes."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            dedup_batch_fn(spark, store_dir, accepted_dir, near=near)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stage_ordered_quartiles(
+    spark: SparkSession, docs: DataFrame, stage_dir: str
+) -> None:
+    """Stage ``docs`` as 4 single-file parquets in doc_id-quartile
+    order (file name = quartile index, so the file source's
+    (mtime, path) ordering presents them in doc_id order)."""
+    stage = pathlib.Path(stage_dir)
+    if (stage / "_STAGED").exists():
+        return
+    from pyspark.sql.window import Window
+
+    shutil.rmtree(stage, ignore_errors=True)
+    stage.mkdir(parents=True)
+    quart = docs.withColumn(
+        "q", F.ntile(4).over(Window.orderBy("doc_id"))
+    )
+    for i in range(1, 5):
+        tmp = stage / f"_tmp_{i}"
+        (
+            quart.filter(F.col("q") == i)
+            .drop("q")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
+        part = next(tmp.glob("part-*.parquet"))
+        shutil.move(str(part), stage / f"{i:02d}.parquet")
+        shutil.rmtree(tmp)
+    (stage / "_STAGED").touch()

@@ -440,3 +440,72 @@ def stw_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("cnt").alias("cnt"))
     )
     return final.orderBy(F.desc("cnt"), "user_id").limit(25)
+
+
+@query(
+    "stw_incremental_dedup",
+    oracle="""
+    SELECT b.lang, count(*) AS n_accepted
+    FROM documents b
+    WHERE b.doc_id % 10 >= 7
+      AND NOT EXISTS (SELECT 1 FROM documents c
+                      WHERE c.doc_id % 10 < 7 AND c.text = b.text)
+      AND NOT EXISTS (SELECT 1 FROM documents b2
+                      WHERE b2.doc_id % 10 >= 7 AND b2.text = b.text
+                        AND b2.doc_id < b.doc_id)
+    GROUP BY b.lang
+    """,
+)
+def stw_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × X22: STREAMING near-dup ingest — the fingerprint-store
+    dedup loop run as a real Structured Streaming query
+    (streaming/dedupstream.py). The store is seeded with the corpus
+    split's fingerprints; the batch split arrives as 4 doc_id-ordered
+    single-file micro-batches; every micro-batch probes the store's
+    sha layer, emits only survivors, and APPENDS their fingerprints
+    (batch-id-keyed deltas — exactly-once by idempotent overwrite,
+    replay-pinned in tests/test_streaming_dedup.py), so later
+    micro-batches dedup against earlier accepted docs too.
+
+    Graded batch-equivalently against x22's oracle semantics: the
+    first-wins clause (min doc_id per text within the stream) is a
+    no-op on the grading corpora (zero within-stream text dups) but
+    makes the result independent of micro-batch boundaries by
+    construction. The near (MinHash band) layer runs through the same
+    loop with ``near=True`` — rows-only semantics, exercised by the
+    test suite rather than this graded twin (the x22/x22b split).
+
+    At 100 TB this is the shape dedup actually ships in: crawl shards
+    land continuously, each is checked against (and folded into) the
+    store at ingest; nothing ever re-reads accepted text."""
+    import tempfile
+
+    from pdf_etl_engine_spark.streaming import dedupstream
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 7)
+    batch = docs.filter(F.col("doc_id") % 10 >= 7).select(
+        "doc_id", "lang", "text"
+    )
+    stage = scratch_dir(
+        "spark_graft_stream_dedup_src", table_path(sf_dir, "documents")
+    )
+    dedupstream.stage_ordered_quartiles(spark, batch, stage)
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_dedup_")
+    store_dir = f"{work}/store"
+    accepted_dir = f"{work}/accepted"
+    dedupstream.seed_store(spark, store_dir, corpus)
+    dedupstream.run_streaming_dedup(
+        spark,
+        stage,
+        "doc_id long, lang string, text string",
+        store_dir,
+        accepted_dir,
+        f"{work}/checkpoint",
+        near=False,
+    )
+    return (
+        spark.read.parquet(accepted_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_accepted"))
+    )
