@@ -257,6 +257,9 @@ SF1_ANCHORS = (
     ("x_curation_pipeline", "x53_curation_pipeline", True),
     # r12: PQ ADC top-k (LUT-hoisted scan) + composed IVF-PQ probe
     ("x_pq_adc_topk", "x47b_pq_adc_topk", True),
+    # r13: same oracle, encode swapped for the bit-identical Arrow
+    # kernel (the HOF-fold vs vectorized-kernel measured statement)
+    ("x_pq_adc_fused", "x47f_pq_adc_fused", True),
     ("x_ivfpq_topk", "x47d_ivfpq_topk", True),
     # r13: the persisted-index serving path — the settle run builds
     # the artifact (build-once), the timed run probes it with static

@@ -230,3 +230,24 @@ class TestTrainedPQ:
             used = {(r.pq_code >> (4 * s)) & 15 for r in trained}
             assert len(used) > 4, f"subspace {s} uses only {used}"
             assert all(0 <= c < _PQ_K for c in used)
+
+    def test_arrow_encode_is_bit_identical(self, spark):
+        """pq_encode_arrow must reproduce pq_encode row for row —
+        codes AND q_err doubles — on the whole sf0.001 corpus: the
+        numpy kernel's explicit d-ascending accumulation is the same
+        strict left fold as the Column form, argmin the same
+        first-min, so nothing may differ by even one ulp."""
+        from pdf_etl_engine_spark.operators.ann_index import (
+            pq_encode_arrow,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        a = {
+            r.vec_id: (r.pq_code, r.q_err_raw)
+            for r in pq_encode(emb).collect()
+        }
+        b = {
+            r.vec_id: (r.pq_code, r.q_err_raw)
+            for r in pq_encode_arrow(emb).collect()
+        }
+        assert a == b and len(a) > 0

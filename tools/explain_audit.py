@@ -162,6 +162,17 @@ AUDITED = {
     "predicates reach the corpus scan feeding both the dedup window "
     "and the gram explode; benchmark grams + quartile cutoffs "
     "broadcast; one text-keyed exchange in the whole five-stage plan.",
+    "x47f_pq_adc_fused": "x47b's scan with the encode as ONE Arrow "
+    "kernel (r13): ArrowEvalPython/mapInArrow feeds the same "
+    "broadcast-LUT ADC join — 1024 interpreted lambda steps per row "
+    "become 64 vectorized array ops per batch, bit-identically "
+    "(pinned in tests/test_pq_spans.py).",
+    "x47e_ivfpq_persisted": "persisted IVF-PQ serving path (r13): the "
+    "codes scan carries the probed cells as STATIC PartitionFilters "
+    "(cell IN-list collected from the ≤8-row persisted centroid "
+    "table) — unprobed cell directories are never opened; codes "
+    "unpack as codegen'd shift/mask; downstream is x47d's shared "
+    "probe plan (broadcast LUT join, WindowGroupLimit top-5).",
 }
 
 
