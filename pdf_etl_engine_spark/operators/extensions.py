@@ -3984,3 +3984,133 @@ def x45b_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("is_removed").cast("long").alias("n_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X55 — keep-best dedup: cluster near-duplicates, keep the best-quality
+# representative per cluster (not the arbitrary min-id one)
+# ---------------------------------------------------------------------------
+
+_X55_GRAMS_SQL = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                              string_split(text, ' ')[i+1],
+                              string_split(text, ' ')[i+2]))) AS g,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens
+      FROM documents
+"""
+
+
+@query(
+    "x55_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      {_X55_GRAMS_SQL}
+    ), pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE 2 * len(list_intersect(a.g, b.g))
+            >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
+    ), edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst, src FROM pairs
+    ), reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM g
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+      SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id
+    ), ranked AS (
+      SELECT c.component, c.doc_id, g.n_tokens,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY g.n_tokens DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN g ON g.doc_id = c.doc_id
+    )
+    SELECT component, doc_id AS rep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_tokens AS BIGINT) AS rep_n_tokens
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x55_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55: keep-BEST dedup — the selection policy production corpora
+    actually want. Min-id-per-cluster (x14's "component == vec_id"
+    filter) throws away information: when a page is crawled five
+    times, you keep the LONGEST/highest-quality capture, not the one
+    with the smallest id. Pipeline: exact word-3-gram Jaccard edges
+    (J ≥ 0.5, compared in pure integers: 2·|∩| ≥ |∪|), connected
+    components via the large-star/small-star engine (the x14b/x14c
+    labeling — O(log n) rounds, min-label = cluster id), then one
+    row_number window picks each cluster's representative by
+    (n_tokens DESC, doc_id) — "keep longest", the RefinedWeb/CCNet
+    convention — with singletons passing through as their own
+    clusters. Every stage integer-deterministic, so the whole
+    policy — clustering included — grades value-exact against the
+    recursive-CTE oracle.
+
+    Scale shape: the edge join is gram-keyed (explode → equi-join on
+    the gram, count = |∩| since shingles are distinct) — blocking,
+    not all-pairs; the oracle's a×b Jaccard join is the disclosed
+    O(n²) baseline. At 100 TB you swap the exact gram join for the
+    x4n/x22 band-LSH candidate source — the policy composes with any
+    edge generator, the same split x14c (exact edges) vs x14b (LSH
+    edges) documents. Hot-gram skew in the candidate join is the
+    known hazard; the mitigation is the x46 content-defined gram
+    SAMPLING or a document-frequency prefix filter, both ahead of
+    this join, neither changing the selection policy being graded
+    here."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(F.filter(words, lambda w: w != ""))
+    g = docs.select(
+        "doc_id",
+        _shingles(F.col("text"), 3).alias("g"),
+        n_tokens.alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    sizes = g.select("doc_id", F.size("g").alias("sz"))
+    ex = g.select("doc_id", F.explode("g").alias("gram"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        inter.join(sizes.withColumnRenamed("doc_id", "src"), "src")
+        .withColumnRenamed("sz", "sza")
+        .join(sizes.withColumnRenamed("doc_id", "dst"), "dst")
+        .withColumnRenamed("sz", "szb")
+        .filter(
+            2 * F.col("c") >= F.col("sza") + F.col("szb") - F.col("c")
+        )
+        .select("src", "dst")
+    )
+    comp = connected_components(
+        g.select(F.col("doc_id").alias("vec_id")), pairs
+    ).select(F.col("vec_id").alias("doc_id"), "component")
+    ranked = comp.join(g.select("doc_id", "n_tokens"), "doc_id")
+    w_rank = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), "doc_id"
+    )
+    w_size = Window.partitionBy("component")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count("*").over(w_size))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_tokens").cast("long").alias("rep_n_tokens"),
+        )
+    )

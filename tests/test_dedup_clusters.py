@@ -99,3 +99,29 @@ def test_x14b_components_match_exact_x14(spark):
         len(m) for c, m in by_approx.items() if by_exact.get(exact[c]) == m
     )
     assert reproduced / len(exact) >= 0.8
+
+
+def test_keep_best_picks_longest_not_min_id(spark, tmp_path):
+    """x55's selection policy: within a near-dup cluster the
+    representative is the LONGEST member (tie → min doc_id), not the
+    min-id member — pinned on a crafted corpus where the longer
+    capture has the higher id, plus a singleton and an exact-tie
+    pair."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "en", base),                      # cluster {1,2}: 2 is longer
+        (2, "en", base + " lambda mu"),
+        (7, "en", "totally unrelated text about something else entirely"),
+        (10, "en", "one two three four five six seven eight nine ten"),
+        (11, "en", "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    d = str(tmp_path / "kb")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    out = {
+        r["component"]: (r["rep_doc_id"], r["n_members"])
+        for r in registry.QUERIES["x55_cluster_keep_best"](spark, d).collect()
+    }
+    assert out[1] == (2, 2)    # longer wins despite higher id
+    assert out[7] == (7, 1)    # singleton passes through
+    assert out[10] == (10, 2)  # exact tie -> min doc_id
