@@ -109,18 +109,24 @@ def probe_ann_index(
         pred = pred | (
             (F.col("t") == int(r["t"])) & (F.col("b") == int(r["b"]))
         )
-    cand_ids = (
+    # score from the INDEX-CARRIED vectors, not an emb join: the index
+    # rows store (embedding, label), so candidates appended by
+    # append_ann_index — vectors that never existed in the base
+    # corpus parquet — are servable; duplicates across a vector's L
+    # bucket rows carry identical payload, so the per-id dedup is
+    # value-deterministic. One join fewer than the r12 shape, same
+    # answer (pinned against x4b in tests/test_ann_index.py).
+    cand = (
         spark.read.parquet(index_dir)
         .filter(pred)
         .filter(F.col("vec_id") != query_vec_id)
-        .select("vec_id")
-        .distinct()
+        .select("vec_id", "label", "embedding")
+        .dropDuplicates(["vec_id"])
     )
     qv = qrow.select(_as_double(F.col("embedding")).alias("qv"))
     e = _as_double(F.col("embedding"))
     scored = (
-        emb.join(cand_ids, "vec_id")
-        .crossJoin(F.broadcast(qv))
+        cand.crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
             "label",
@@ -135,6 +141,39 @@ def probe_ann_index(
         )
     )
     return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(k)
+
+
+def append_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_emb: DataFrame,
+    n_tables: int = N_TABLES,
+    n_bits: int = N_BITS,
+) -> None:
+    """Incremental maintenance for the LSH index (the module header's
+    promise, made real like the IVF-PQ one): explode a new vector
+    batch into its L (t, b) slots and APPEND into the same partition
+    tree — writer tasks own whole cells (repartition first), existing
+    files are never rewritten, and probes see appended vectors
+    immediately because they score from index-carried payload. The
+    hyperplanes are derived from (n_tables, n_bits) alone — stateless,
+    nothing to retrain, so unlike IVF-PQ there is no drift trigger;
+    the only rebuild reason is re-parameterizing (k, L)."""
+    idx = new_emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.explode(_lsh_buckets(n_tables, n_bits)).alias("tb"),
+    ).select(
+        F.col("tb.t").alias("t"),
+        F.col("tb.b").alias("b"),
+        "vec_id",
+        "label",
+        "embedding",
+    )
+    idx.repartition("t", "b").write.mode("append").partitionBy(
+        "t", "b"
+    ).parquet(index_dir)
 
 
 def default_index_dir(sf_dir: str) -> str:

@@ -194,3 +194,30 @@ def test_ivfpq_append_loop_no_retrain(spark, tmp_path):
     assert not ann_index.ivfpq_needs_retrain(
         spark, out, max_appended_fraction=frac * 2.0
     )
+
+
+@pytest.mark.slow
+def test_lsh_index_append_serves_new_vectors(spark, tmp_path):
+    """append_ann_index: a vector appended AFTER the build must be
+    probeable immediately — it lands in the same bucket partitions as
+    its twin (identical embedding ⇒ identical buckets) and the probe
+    scores it from index-carried payload at cos 1.0. The base answer
+    set stays intact."""
+    out = str(tmp_path / "lsh_append")
+    ann_index.build_ann_index(spark, SF_DIR, out)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    before = {r["vec_id"] for r in
+              ann_index.probe_ann_index(spark, SF_DIR, out).collect()}
+    twin_of_zero = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(5_000_000).alias("vec_id"),
+        "label",
+        "embedding",
+    )
+    ann_index.append_ann_index(spark, out, twin_of_zero)
+    after = {
+        r["vec_id"]: r["cos_sim"]
+        for r in ann_index.probe_ann_index(spark, SF_DIR, out).collect()
+    }
+    assert 5_000_000 in after and after[5_000_000] == 1.0
+    # everything else in the new top-10 was already a candidate before
+    assert set(after) - {5_000_000} <= before
