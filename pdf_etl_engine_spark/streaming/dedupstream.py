@@ -185,11 +185,14 @@ def run_streaming_dedup(
 
 
 def stage_ordered_quartiles(
-    spark: SparkSession, docs: DataFrame, stage_dir: str
+    spark: SparkSession,
+    docs: DataFrame,
+    stage_dir: str,
+    order_col: str = "doc_id",
 ) -> None:
-    """Stage ``docs`` as 4 single-file parquets in doc_id-quartile
-    order (file name = quartile index, so the file source's
-    (mtime, path) ordering presents them in doc_id order)."""
+    """Stage ``docs`` as 4 single-file parquets in ``order_col``
+    quartile order (file name = quartile index, so the file source's
+    (mtime, path) ordering presents them in key order)."""
     stage = pathlib.Path(stage_dir)
     if (stage / "_STAGED").exists():
         return
@@ -198,7 +201,7 @@ def stage_ordered_quartiles(
     shutil.rmtree(stage, ignore_errors=True)
     stage.mkdir(parents=True)
     quart = docs.withColumn(
-        "q", F.ntile(4).over(Window.orderBy("doc_id"))
+        "q", F.ntile(4).over(Window.orderBy(order_col))
     )
     for i in range(1, 5):
         tmp = stage / f"_tmp_{i}"
@@ -213,3 +216,61 @@ def stage_ordered_quartiles(
         shutil.move(str(part), stage / f"{i:02d}.parquet")
         shutil.rmtree(tmp)
     (stage / "_STAGED").touch()
+
+
+# ---------------------------------------------------------------------------
+# Streaming VECTOR ingest: encode-at-ingest for the persisted IVF-PQ
+# index (the embedding twin of the fingerprint loop above)
+# ---------------------------------------------------------------------------
+
+
+def vector_ingest_batch_fn(spark: SparkSession, index_dir: str):
+    """The foreachBatch body for streaming IVF-PQ ingest: each vector
+    micro-batch is assigned + residual-encoded against the FROZEN
+    coarse model (collected once, a ≤8-row closure — the
+    append-without-retrain discipline of append_ivfpq_index) and its
+    packed codes land in ``codes/batch=<id>`` partitioned by cell —
+    batch-keyed OVERWRITE, so replays are idempotent exactly like the
+    fingerprint loop. Encoding is map-only per vector, so the final
+    code set is independent of micro-batch slicing by construction —
+    which is why the post-drain probe can be graded against the BATCH
+    IVF-PQ oracle verbatim."""
+    from pdf_etl_engine_spark.operators.ann_index import (
+        _ivfpq_assign_encode_arrow,
+    )
+
+    cent_rows = spark.read.parquet(f"{index_dir}/centroids").collect()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        codes = _ivfpq_assign_encode_arrow(batch_df, cent_rows)
+        codes.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(f"{index_dir}/codes/batch={batch_id}")
+
+    return process
+
+
+def run_streaming_vector_ingest(
+    spark: SparkSession,
+    stage_dir: str,
+    schema: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain staged vector files through the encode-at-ingest loop:
+    one micro-batch per file, availableNow, exactly-once via the
+    batch-keyed code writes."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            vector_ingest_batch_fn(spark, index_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -509,3 +509,61 @@ def stw_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_accepted"))
     )
+
+
+def _x47d_oracle_sql() -> str:
+    from pdf_etl_engine_spark.operators.ann_index import _x47d_oracle
+
+    return _x47d_oracle()
+
+
+@query("stw_ivfpq_ingest", oracle=_x47d_oracle_sql())
+def stw_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 × X47: STREAMING vector ingest for the persisted IVF-PQ
+    index — embeddings arrive as 4 vec_id-ordered micro-batches, each
+    encoded at ingest against the frozen coarse model (collected
+    once; the append-without-retrain discipline) and written as
+    cell-partitioned codes under a batch-keyed dir (exactly-once by
+    idempotent overwrite, replay-pinned in
+    tests/test_streaming_dedup.py). After the drain the probe runs
+    from the streamed-in artifact with the same static cell pruning
+    as x47e.
+
+    Graded with the BATCH IVF-PQ oracle (x47d's) VERBATIM: the coarse
+    model is the deterministic full-corpus Lloyd (a batch-trained
+    artifact by design — the standard split: models train offline,
+    ingest encodes online), and per-vector encoding is map-only, so
+    the final code set — and hence the probe answer — is independent
+    of micro-batch slicing by construction. At 100 TB this is how a
+    standing similarity-search service actually ingests: vectors are
+    encoded and appended as they land; nothing re-touches the corpus."""
+    import tempfile
+
+    from pdf_etl_engine_spark.operators import ann_index
+    from pdf_etl_engine_spark.streaming import dedupstream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stage = scratch_dir(
+        "spark_graft_stream_vec_src", table_path(sf_dir, "embeddings")
+    )
+    dedupstream.stage_ordered_quartiles(
+        spark,
+        emb.select("vec_id", "embedding", "label"),
+        stage,
+        order_col="vec_id",
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_stream_ivfpq_")
+    index_dir = f"{work}/index"
+    # train-once: the coarse model is the batch artifact the stream
+    # encodes against (identical to build_ivfpq_index's training)
+    vecs_fp = ann_index._ivfpq_fp(emb)
+    cent = ann_index._ivfpq_coarse(vecs_fp).localCheckpoint(eager=False)
+    cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    dedupstream.run_streaming_vector_ingest(
+        spark,
+        stage,
+        "vec_id long, embedding array<float>, label int",
+        index_dir,
+        f"{work}/checkpoint",
+    )
+    return ann_index.probe_ivfpq_index(spark, sf_dir, index_dir)

@@ -149,3 +149,57 @@ def test_within_batch_first_wins(spark, tmp_path):
         map(tuple, spark.read.parquet(f"{accepted}/batch=0").collect())
     )
     assert got == [(30, "en")]
+
+
+def test_vector_ingest_replay_is_idempotent(spark, tmp_path):
+    """The IVF-PQ streaming ingest loop: replaying a vector
+    micro-batch with the same batch_id must leave the code set
+    byte-identical (batch-keyed overwrite), and the frozen coarse
+    model must be untouched."""
+    import numpy as np
+
+    from pdf_etl_engine_spark.operators import ann_index
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 64).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    index_dir = str(tmp_path / "index")
+    cent = ann_index._ivfpq_coarse(ann_index._ivfpq_fp(emb))
+    cent.write.parquet(f"{index_dir}/centroids")
+    cent_before = sorted(
+        (r["cell"], tuple(r["c"]))
+        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    )
+    process = dedupstream.vector_ingest_batch_fn(spark, index_dir)
+    batch = emb.filter(F.col("vec_id") < 20)
+    process(batch, 0)
+    first = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{index_dir}/codes")
+            .select("vec_id", "cell", "code")
+            .collect(),
+        )
+    )
+    process(batch, 0)  # replay
+    second = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{index_dir}/codes")
+            .select("vec_id", "cell", "code")
+            .collect(),
+        )
+    )
+    assert first == second and len(first) == 20
+    cent_after = sorted(
+        (r["cell"], tuple(r["c"]))
+        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    )
+    assert cent_after == cent_before
+    # a second batch lands alongside, preserving the first
+    process(emb.filter(F.col("vec_id") >= 20), 1)
+    assert spark.read.parquet(f"{index_dir}/codes").count() == 40
