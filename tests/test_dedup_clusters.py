@@ -125,3 +125,13 @@ def test_keep_best_picks_longest_not_min_id(spark, tmp_path):
     assert out[1] == (2, 2)    # longer wins despite higher id
     assert out[7] == (7, 1)    # singleton passes through
     assert out[10] == (10, 2)  # exact tie -> min doc_id
+
+
+def test_keep_best_edge_join_is_hash_not_cartesian(spark):
+    """x55's candidate generation must plan as an equi-join on the
+    gram key (blocking), never a nested-loop/cartesian over the
+    corpus."""
+    df = registry.QUERIES["x55_cluster_keep_best"](spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

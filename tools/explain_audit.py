@@ -167,6 +167,10 @@ AUDITED = {
     "broadcast-LUT ADC join — 1024 interpreted lambda steps per row "
     "become 64 vectorized array ops per batch, bit-identically "
     "(pinned in tests/test_pq_spans.py).",
+    "x55_cluster_keep_best": "keep-best dedup (r13): gram-keyed "
+    "equi-join candidate generation (no CartesianProduct), integer "
+    "Jaccard test, star-contraction components, then one "
+    "(component)-keyed window picks the keep-longest representative.",
     "x47e_ivfpq_persisted": "persisted IVF-PQ serving path (r13): the "
     "codes scan carries the probed cells as STATIC PartitionFilters "
     "(cell IN-list collected from the ≤8-row persisted centroid "
