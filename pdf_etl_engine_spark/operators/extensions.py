@@ -4114,3 +4114,120 @@ def x55_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("long").alias("rep_n_tokens"),
         )
     )
+
+
+@query(
+    "x55b_keep_best_prefix",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      {_X55_GRAMS_SQL}
+    ), pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+      WHERE 2 * len(list_intersect(a.g, b.g))
+            >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
+    ), edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL SELECT dst, src FROM pairs
+    ), reach(id, lab) AS (
+      SELECT doc_id, doc_id FROM g
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+      SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id
+    ), ranked AS (
+      SELECT c.component, c.doc_id, g.n_tokens,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY g.n_tokens DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN g ON g.doc_id = c.doc_id
+    )
+    SELECT component, doc_id AS rep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_tokens AS BIGINT) AS rep_n_tokens
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x55b_keep_best_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55b: x55 with PREFIX-FILTERED candidate generation — the
+    hot-gram skew mitigation x55's docstring names, implemented
+    exactness-preserving (same oracle VERBATIM, hash-identical
+    answer).
+
+    Prefix-filter lemma (Chaudhuri et al. SSJoin / PPJoin): under any
+    GLOBAL total order of grams, two sets with |∩| ≥ t must share an
+    element within their (|x| − t + 1)-prefixes. J ≥ 0.5 implies
+    |∩| ≥ |x|/2 for BOTH sets (|∪| ≥ max sizes), so each doc need
+    only expose its first ⌊|g|/2⌋ + 1 grams — ordered by ASCENDING
+    document frequency, rarest first — to the candidate join; using
+    each set's own (longer) prefix only widens the candidate set, so
+    completeness holds pairwise. The payoff at 100 TB: the global
+    order puts stopword-trigram grams (df in the millions — exactly
+    the keys that make the naive gram join quadratic) at the END of
+    every doc's ordering, so they fall OUTSIDE every prefix and
+    generate zero candidates; candidate volume tracks rare-gram
+    co-occurrence instead of hot-gram df². Verified candidates then
+    rescore with one exact array_intersect per PAIR (pair-bounded
+    payload, set semantics identical to the oracle's list_intersect).
+    Cost added: one gram-df aggregate + one doc-keyed window; cost
+    removed: the df² explosion on every hot gram. The selection
+    policy downstream is x55's, unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(F.filter(words, lambda w: w != ""))
+    g = docs.select(
+        "doc_id",
+        _shingles(F.col("text"), 3).alias("g"),
+        n_tokens.alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    ex = g.select("doc_id", F.size("g").alias("sz"), F.explode("g").alias("gram"))
+    gram_df = ex.groupBy("gram").agg(F.count("*").alias("df"))
+    w_rare = Window.partitionBy("doc_id").orderBy("df", "gram")
+    pref = (
+        ex.join(gram_df, "gram")
+        .withColumn("rk", F.row_number().over(w_rare))
+        .filter(F.col("rk") <= F.floor(F.col("sz") / 2) + 1)
+        .select("doc_id", "gram")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("src"), F.col("g").alias("ga"))
+    gb = g.select(F.col("doc_id").alias("dst"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    pairs = (
+        cand.join(ga, "src")
+        .join(gb, "dst")
+        .filter(
+            2 * inter >= F.size("ga") + F.size("gb") - inter
+        )
+        .select("src", "dst")
+    )
+    comp = connected_components(
+        g.select(F.col("doc_id").alias("vec_id")), pairs
+    ).select(F.col("vec_id").alias("doc_id"), "component")
+    ranked = comp.join(g.select("doc_id", "n_tokens"), "doc_id")
+    w_rank = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), "doc_id"
+    )
+    w_size = Window.partitionBy("component")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count("*").over(w_size))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_tokens").cast("long").alias("rep_n_tokens"),
+        )
+    )

@@ -135,3 +135,47 @@ def test_keep_best_edge_join_is_hash_not_cartesian(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_prefix_variant_equals_exact_keep_best(spark):
+    """x55b (prefix-filtered candidates) must return exactly x55's
+    rows — the filter may only drop candidate PAIRS that provably
+    cannot pass the Jaccard test, never edges."""
+    a = sorted(
+        map(tuple, registry.QUERIES["x55_cluster_keep_best"](spark, SF_DIR).collect())
+    )
+    b = sorted(
+        map(tuple, registry.QUERIES["x55b_keep_best_prefix"](spark, SF_DIR).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_prefix_filter_lemma_property():
+    """Property (hypothesis): for ANY two gram sets with
+    J ≥ 0.5, their ⌊|x|/2⌋+1 prefixes under ANY shared total order
+    intersect — the completeness lemma x55b's candidate pruning
+    rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        a=st.sets(st.integers(0, 40), min_size=1, max_size=20),
+        b=st.sets(st.integers(0, 40), min_size=1, max_size=20),
+        seed=st.integers(0, 10_000),
+    )
+    def run(a, b, seed):
+        import random
+
+        inter = len(a & b)
+        union = len(a | b)
+        if 2 * inter < union:  # J < 0.5: lemma makes no claim
+            return
+        order = list(range(41))
+        random.Random(seed).shuffle(order)
+        rank = {v: i for i, v in enumerate(order)}
+        pa = set(sorted(a, key=rank.get)[: len(a) // 2 + 1])
+        pb = set(sorted(b, key=rank.get)[: len(b) // 2 + 1])
+        assert pa & pb, (sorted(a), sorted(b), order)
+
+    run()
