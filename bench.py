@@ -271,6 +271,10 @@ SF1_ANCHORS = (
     # char in BOTH engines — the anchor shows whose fold engine holds
     # at 13M grams)
     ("x_substring_span_dedup", "x46_substring_span_dedup", True),
+    # r13: exact-Jaccard keep-best dedup with prefix-filtered
+    # candidates — the SQL twin is the quadratic 1.25B-pair
+    # list_intersect join + recursive CTE, expected to hit the cap
+    ("x_keep_best_dedup", "x55b_keep_best_prefix", True),
     ("x_knn_join_exact", "x4k_knn_join_brute", True),
     ("x_knn_join_blocked", "x4l_knn_join_blocked", True),
     ("x_dedup_clusters_lsh", "x14b_dedup_clusters_lsh", False),

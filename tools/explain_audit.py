@@ -171,6 +171,11 @@ AUDITED = {
     "equi-join candidate generation (no CartesianProduct), integer "
     "Jaccard test, star-contraction components, then one "
     "(component)-keyed window picks the keep-longest representative.",
+    "x55b_keep_best_prefix": "prefix-filtered keep-best dedup (r13): "
+    "candidate join keyed on the rarest-prefix grams only (hot grams "
+    "outside every prefix generate zero candidates), exact "
+    "array_intersect rescore per candidate pair — no CartesianProduct, "
+    "no corpus-sized nested loop.",
     "x47e_ivfpq_persisted": "persisted IVF-PQ serving path (r13): the "
     "codes scan carries the probed cells as STATIC PartitionFilters "
     "(cell IN-list collected from the ≤8-row persisted centroid "
