@@ -35,8 +35,10 @@ LLM-data-pipeline extension of its ingest trigger.
 
 from __future__ import annotations
 
+import os
 import pathlib
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,15 +47,20 @@ from pdf_etl_engine_spark.operators.incremental import fingerprints
 
 
 def _store_deltas(store_dir: str) -> list[str]:
-    """Committed store deltas: every delta dir with a _SUCCESS marker
-    (a replayed/overwritten partial write is invisible until its
-    marker lands)."""
+    """Committed store deltas: every ``delta_*`` dir with a _SUCCESS
+    marker (a replayed/overwritten partial write is invisible until
+    its marker lands). Only ``delta_``-prefixed dirs qualify — a
+    stray committed dir under the store root (checkpoint debris, a
+    user mkdir) is ignored instead of crashing read_store's
+    before_batch parse (ADVICE r13)."""
     root = pathlib.Path(store_dir)
     if not root.exists():
         return []
     return sorted(
         str(p) for p in root.iterdir()
-        if p.is_dir() and (p / "_SUCCESS").exists()
+        if p.is_dir()
+        and p.name.startswith("delta_")
+        and (p / "_SUCCESS").exists()
     )
 
 
@@ -192,7 +199,11 @@ def stage_ordered_quartiles(
 ) -> None:
     """Stage ``docs`` as 4 single-file parquets in ``order_col``
     quartile order (file name = quartile index, so the file source's
-    (mtime, path) ordering presents them in key order)."""
+    (mtime, path) ordering presents them in key order). Each staged
+    file gets an EXPLICIT strictly-increasing mtime (base + quartile
+    index via os.utime): write order alone is not enough — coarse
+    filesystem timestamp granularity can tie all four files, and a
+    tie lets the source reorder micro-batch arrival (ADVICE r13)."""
     stage = pathlib.Path(stage_dir)
     if (stage / "_STAGED").exists():
         return
@@ -203,6 +214,7 @@ def stage_ordered_quartiles(
     quart = docs.withColumn(
         "q", F.ntile(4).over(Window.orderBy(order_col))
     )
+    base = time.time()
     for i in range(1, 5):
         tmp = stage / f"_tmp_{i}"
         (
@@ -213,7 +225,9 @@ def stage_ordered_quartiles(
             .parquet(str(tmp))
         )
         part = next(tmp.glob("part-*.parquet"))
-        shutil.move(str(part), stage / f"{i:02d}.parquet")
+        staged = stage / f"{i:02d}.parquet"
+        shutil.move(str(part), staged)
+        os.utime(staged, (base + i, base + i))
         shutil.rmtree(tmp)
     (stage / "_STAGED").touch()
 

@@ -117,10 +117,15 @@ def test_ivfpq_probe_prunes_cell_partitions(spark, tmp_path_factory):
     out = _build_ivfpq(spark, tmp_path_factory)
     df = ann_index.probe_ivfpq_index(spark, SF_DIR, out)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # bind the assertion to the CODES relation's scan line: the scan
+    # node's single toString line carries both its Location (…/codes)
+    # and its PartitionFilters, so matching "codes" within the LINE
+    # (not the whole plan — ADVICE r13's tautology) isolates it from
+    # the centroids/corpus scans
     code_scan_lines = [
         line
         for line in plan.splitlines()
-        if "PartitionFilters" in line and "codes" in plan
+        if "PartitionFilters" in line and "codes" in line
     ]
     assert any(
         "cell#" in line and " IN " in line for line in code_scan_lines
@@ -221,3 +226,14 @@ def test_lsh_index_append_serves_new_vectors(spark, tmp_path):
     assert 5_000_000 in after and after[5_000_000] == 1.0
     # everything else in the new top-10 was already a candidate before
     assert set(after) - {5_000_000} <= before
+    # vec_id is the index's primary key: re-appending an existing id
+    # must fail loudly (ADVICE r13 — a silent duplicate would make
+    # probe_ann_index's per-id dedup pick an arbitrary payload), and
+    # the refused append must not have touched the index
+    with pytest.raises(ValueError, match="already present"):
+        ann_index.append_ann_index(spark, out, twin_of_zero)
+    unchanged = {
+        r["vec_id"]: r["cos_sim"]
+        for r in ann_index.probe_ann_index(spark, SF_DIR, out).collect()
+    }
+    assert unchanged == after
