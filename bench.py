@@ -255,11 +255,13 @@ SF1_ANCHORS = (
     # DuckDB twin runs ~80 s at sf1, too heavy for the warm lane's
     # repeated runs; measured 0.17x same-day: 13.7 s vs 78.5 s)
     ("x_curation_pipeline", "x53_curation_pipeline", True),
-    # r12: PQ ADC top-k (LUT-hoisted scan) + composed IVF-PQ probe
+    # r12: PQ ADC top-k (LUT-hoisted scan) + composed IVF-PQ probe.
+    # r14 (VERDICT r13 #2): the canonical name now runs the fused
+    # Arrow encode (x47f's r13 plan); the interpreted HOF-fold encode
+    # stays measurable as the explicitly-named exhibit — the pair is
+    # the Arrow-vs-HOF measured statement, same oracle both sides
     ("x_pq_adc_topk", "x47b_pq_adc_topk", True),
-    # r13: same oracle, encode swapped for the bit-identical Arrow
-    # kernel (the HOF-fold vs vectorized-kernel measured statement)
-    ("x_pq_adc_fused", "x47f_pq_adc_fused", True),
+    ("x_pq_adc_hof_exhibit", "x47g_pq_adc_hof_exhibit", True),
     ("x_ivfpq_topk", "x47d_ivfpq_topk", True),
     # r13: the persisted-index serving path — the settle run builds
     # the artifact (build-once), the timed run probes it with static

@@ -119,7 +119,9 @@ AUDITED = {
     "precomputed per-query 128-entry ADC LUT (the standard PQ "
     "trick: per-pair work = 8 lookups + adds, measured 30.7→4.3 s "
     "at sf1); the only keyed exchange is the per-query top-5, "
-    "WindowGroupLimit-partial per partition (r12).",
+    "WindowGroupLimit-partial per partition (r12). r14: the encode "
+    "half is the Arrow kernel (one mapInArrow feeding the LUT join) "
+    "— the HOF-fold encode is the x47g exhibit.",
     "x47d_ivfpq_topk": "IVF-PQ composed: coarse centroids broadcast "
     "(8 rows) for assignment, residual-PQ encode map-side over the "
     "array-Literal codebook, probe = equi-join codes⋈broadcast "
@@ -166,7 +168,12 @@ AUDITED = {
     "kernel (r13): ArrowEvalPython/mapInArrow feeds the same "
     "broadcast-LUT ADC join — 1024 interpreted lambda steps per row "
     "become 64 vectorized array ops per batch, bit-identically "
-    "(pinned in tests/test_pq_spans.py).",
+    "(pinned in tests/test_pq_spans.py). r14: delegates to x47b, "
+    "which now owns this plan.",
+    "x47g_pq_adc_hof_exhibit": "the labeled HOF-fold exhibit (r14): "
+    "x47b's broadcast-LUT ADC join with the encode as interpreted "
+    "HOF folds (CodegenFallback) — kept registered so the "
+    "Arrow-vs-HOF trade stays measurable; same oracle, same answer.",
     "x55_cluster_keep_best": "keep-best dedup (r13): gram-keyed "
     "equi-join candidate generation (no CartesianProduct), integer "
     "Jaccard test, star-contraction components, then one "
