@@ -269,6 +269,10 @@ SF1_ANCHORS = (
     # persisted-index path to compare, so the twin is the honest
     # recompute-everything baseline, stated in the note)
     ("x_ivfpq_persisted", "x47e_ivfpq_persisted", True),
+    # r14: trained-residual IVF-PQ (x47h — the recall fix; integer-
+    # exact Lloyd on residuals trains at first execution → anchored
+    # fresh, never warm)
+    ("x_ivfpq_trained", "x47h_ivfpq_trained_residual", True),
     # r12: substring-span dedup (gram fold is 40 multiply-mods per
     # char in BOTH engines — the anchor shows whose fold engine holds
     # at 13M grams)

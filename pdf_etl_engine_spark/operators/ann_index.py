@@ -1129,10 +1129,16 @@ def x47d_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_probe_plan(vecs_fp, cent, codes)
 
 
-def _ivfpq_queries(vecs_fp: DataFrame) -> DataFrame:
+def _ivfpq_queries(
+    vecs_fp: DataFrame, query_filter: Column | None = None
+) -> DataFrame:
     """The graded query set: every 250th vector, as
-    (query_id, qe: float embedding, qqa: fixed-point embedding)."""
-    return vecs_fp.filter(F.col("vec_id") % 250 == 0).select(
+    (query_id, qe: float embedding, qqa: fixed-point embedding).
+    ``query_filter`` overrides the set for the recall sweep
+    (tools/recall_ivfpq_sf1.py's planted-pair lane)."""
+    if query_filter is None:
+        query_filter = F.col("vec_id") % 250 == 0
+    return vecs_fp.filter(query_filter).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("qa").alias("qqa"),
@@ -1165,6 +1171,7 @@ def _ivfpq_probe_plan(
     nprobe: int = _IVFPQ_NPROBE,
     k_cent: int = _PQ_K,
     topk: int = 5,
+    query_filter: Column | None = None,
 ) -> DataFrame:
     """The probe side shared by x47d (in-flight codes) and x47e
     (persisted codes): rank cells per query, build the per-(query,
@@ -1172,13 +1179,15 @@ def _ivfpq_probe_plan(
     top-k per query. ``codes`` must expose (vec_id, cell, cd0..cd7);
     the adc fold's float ADDITION ORDER (s ascending from 0.0) is
     part of the graded contract — both callers produce bit-identical
-    adc_raw. The (nprobe, k_cent, topk) knobs exist for the recall
-    sweep (tools/recall_ivfpq_sf1.py); graded defaults (2, 16, 5)
-    reproduce the r13 plan exactly. k_cent must be a power of two
-    (the LUT flat index decomposes by shift/mask)."""
+    adc_raw. The (nprobe, k_cent, topk, query_filter) knobs exist for
+    the recall sweep (tools/recall_ivfpq_sf1.py); graded defaults
+    (2, 16, 5, %250) reproduce the r13 plan exactly. k_cent must be a
+    power of two (the LUT flat index decomposes by shift/mask)."""
     bits = (k_cent - 1).bit_length()
     cbflat = _pq_cb_flat(k_cent)
-    probed = _ivfpq_probed(_ivfpq_queries(vecs_fp), cent, nprobe)
+    probed = _ivfpq_probed(
+        _ivfpq_queries(vecs_fp, query_filter), cent, nprobe
+    )
     # per (query, cell): residual LUT (S·k_cent doubles)
     qresid = _residual_col(F.col("qe"), F.col("centvec"))
     lut = F.transform(
@@ -1399,9 +1408,12 @@ def append_ivfpq_index(
     coarse quantizer is trained state — appends re-use it, so a
     drifting ingest distribution degrades cell balance and residual
     scale rather than failing loudly. Retrain (full rebuild) when the
-    appended mass exceeds ~30% of n_base, or sooner if probe recall
-    audits (tools/recall_lsh_sf1.py's planted methodology) show
-    drift. At 100 TB this is the standard IVF serving discipline:
+    appended mass exceeds ~30% of n_base, or sooner if the probe
+    recall audit (tools/recall_ivfpq_sf1.py — recall@5 vs exact kNN,
+    corpus + planted-pair lanes, floors in RECALL_IVFPQ_SF1.json)
+    shows drift; the trigger-fires → rebuild → probe-parity loop is
+    exercised end-to-end by test_ivfpq_retrain_after_drift_end_to_end.
+    At 100 TB this is the standard IVF serving discipline:
     appends are cheap map-side work + a partitioned append; the
     rebuild is the rare scheduled job."""
     cent_rows = spark.read.parquet(f"{index_dir}/centroids").collect()
@@ -1477,3 +1489,246 @@ def x47e_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not pathlib.Path(index_dir, "codes", "_SUCCESS").exists():
         build_ivfpq_index(spark, sf_dir, index_dir)
     return probe_ivfpq_index(spark, sf_dir, index_dir)
+
+
+# ---------------------------------------------------------------------------
+# X47h — IVF-PQ with a TRAINED residual codebook (integer-exact end to end)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_assign_cells(vecs_fp: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest coarse centroid by integer distance,
+    min-cell tie-break — the assignment half of _ivfpq_assign_encode,
+    shared with the trained-residual pipeline."""
+    a = vecs_fp.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        _pqfp_dist(F.col("qa"), F.col("c")).alias("dist"),
+    )
+    m = a.groupBy("vec_id").agg(F.min("dist").alias("md"))
+    return (
+        a.join(m, "vec_id")
+        .filter(F.col("dist") == F.col("md"))
+        .groupBy("vec_id")
+        .agg(F.min("cell").alias("cell"))
+    )
+
+
+def _subspace_explode(vec: Column) -> Column:
+    """array<struct<s, qa>>: ``vec`` (64 ints) split into its 8
+    8-int subspace vectors, for posexploding into the (id, s, qa)
+    long form _pqfp_lloyd/_pqfp_assign key on."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_S - 1)),
+        lambda s: F.struct(
+            s.cast("long").alias("s"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_D - 1)),
+                lambda d: F.element_at(vec, (s * _PQ_D + d + 1).cast("int")),
+            ).alias("qa"),
+        ),
+    )
+
+
+def _ivfpq_trained_plan(
+    emb: DataFrame,
+    nprobe: int = _IVFPQ_NPROBE,
+    topk: int = 5,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """IVF + TRAINED residual PQ — the recall fix the r14 audit
+    (RECALL_IVFPQ_SF1.json) demanded: the mixer codebook leaves the
+    residual mostly unexplained (full-probe recall@5 0.03 at sf1),
+    because its centroids are arbitrary hash points; training the
+    residual codebook per subspace (the standard IVF-PQ recipe) is
+    the lever that actually moves recall (0.075 trained-16 /
+    0.23 trained-256 full-probe in the numpy pre-study; the shipped
+    16-centroid config is measured in the artifact).
+
+    The whole pipeline is INTEGER-exact — stronger than x47d's
+    float-order discipline, no ordering contract at all:
+
+    * fixed-point residual = qa − cent EXACTLY (floor(x·10⁴) − c is
+      floor((x − c/10⁴)·10⁴) because c is an integer), so residuals
+      never touch floats;
+    * the residual codebook is _pqfp_lloyd on residual subvectors
+      (x47c's trained-PQ machinery verbatim: seeds = first 16
+      vec_ids' residuals, 2 iterations, deterministic 1/4 sample);
+    * ADC = Σ_s integer L2(query residual subvector, trained centroid
+      of the corpus code) — an exact BIGINT, order-free by
+      commutativity of integer addition.
+
+    Scale shape: assignment + encode are one broadcast join each
+    (8-row coarse model, ≤128-row codebook); the ADC join keys the
+    code relation (8 rows/vector of (cell, s, cd)) against the
+    BROADCAST per-(query, cell, s, cd) distance table — candidate
+    volume is bounded by the probed cells, and in the persisted
+    layout (same codes tree + one codebook artifact next to the
+    centroids) the probe prunes cell partitions statically exactly
+    as x47e does. Reference anchor: extends main.py:694-715's
+    embedding comparisons like x47d, with the trained codebook
+    closing the recall gap the audit measured."""
+    vecs_fp = _ivfpq_fp(emb)
+    cent = _ivfpq_coarse(vecs_fp).localCheckpoint(eager=False)
+    assigned = _ivfpq_assign_cells(vecs_fp, cent)
+    # integer residual subspaces (vec_id, cell, s, qa: 8 ints)
+    withc = assigned.join(vecs_fp.select("vec_id", "qa"), "vec_id").join(
+        F.broadcast(cent), "cell"
+    )
+    ra = F.zip_with(F.col("qa"), F.col("c"), lambda x, y: x - y)
+    rsub = (
+        withc.select("vec_id", "cell", F.explode(_subspace_explode(ra)).alias("g"))
+        .select("vec_id", "cell", "g.s", "g.qa")
+        .localCheckpoint(eager=False)
+    )
+    rvecs = rsub.select("vec_id", "s", "qa")
+    cb = _pqfp_lloyd(
+        rvecs, rvecs.filter(F.col("vec_id") % 4 == 0), iters=2
+    ).localCheckpoint(eager=False)
+    codes = (
+        _pqfp_assign(rvecs, cb)
+        .select("vec_id", "s", F.col("cell").alias("cd"))
+        .join(assigned, "vec_id")
+    )
+    # query side: probe cells, residualize, broadcast the integer
+    # ADC distance table (n_queries × nprobe × 8 × 16 rows)
+    if query_filter is None:
+        query_filter = F.col("vec_id") % 250 == 0
+    q = vecs_fp.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("qa").alias("qqa")
+    )
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "cell",
+        "c",
+        "qqa",
+        _pqfp_dist(F.col("qqa"), F.col("c")).alias("dist"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("dist", "cell")
+    probed = qc.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= nprobe
+    )
+    qra = F.zip_with(F.col("qqa"), F.col("c"), lambda x, y: x - y)
+    qsub = probed.select(
+        "query_id", "cell", F.explode(_subspace_explode(qra)).alias("g")
+    ).select("query_id", "cell", "g.s", F.col("g.qa").alias("qra"))
+    cbr = cb.select("s", F.col("cell").alias("cd"), "c")
+    qdist = qsub.join(cbr, "s").select(
+        "query_id",
+        "cell",
+        "s",
+        "cd",
+        _pqfp_dist(F.col("qra"), F.col("c")).alias("d"),
+    )
+    adc = (
+        codes.join(F.broadcast(qdist), ["cell", "s", "cd"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.min("cell").alias("cell"),
+            F.sum("d").cast("long").alias("adc_fp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_fp", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "vec_id", "cell", "adc_fp", "rank")
+    )
+
+
+def _x47h_oracle() -> str:
+    """Trained-residual IVF-PQ oracle: the coarse CTEs (gcent2/gcode)
+    + integer residual subspaces + x47c's unrolled Lloyd iterations
+    (keyed by (s, cell) over residual ints) + integer ADC over the
+    probed cells. Every value BIGINT — no float anywhere.
+
+    The multiply-referenced stage outputs (qf/gcode/gcent2, then
+    rsub/train) are re-declared AS MATERIALIZED: DuckDB inlines CTEs
+    by default, and with the residual Lloyd stacked on the coarse
+    Lloyd the inlining goes exponential (the un-materialized form did
+    not finish 500 vectors in 5 minutes; materialized it runs in
+    seconds). Values are unchanged — materialization is an evaluation
+    hint, not semantics."""
+    sub = (
+        f"list_transform(range(0, {_PQ_D}), d -> "
+        "{q}[CAST(CAST(sr.range AS BIGINT) * 8 + d + 1 AS INTEGER)] "
+        "- {c}[CAST(CAST(sr.range AS BIGINT) * 8 + d + 1 AS INTEGER)])"
+    )
+    return _ivfpq_coarse_sql() + f"""
+    , qfm AS MATERIALIZED (
+      SELECT vec_id, qa FROM qf
+    ), gcodem AS MATERIALIZED (
+      SELECT vec_id, cell FROM gcode
+    ), gcent2m AS MATERIALIZED (
+      SELECT cell, c FROM gcent2
+    ), rsub AS MATERIALIZED (
+      SELECT q.vec_id, g.cell, CAST(sr.range AS BIGINT) AS s,
+             {sub.format(q="q.qa", c="ct.c")} AS qa
+      FROM qfm q
+      JOIN gcodem g ON g.vec_id = q.vec_id
+      JOIN gcent2m ct ON ct.cell = g.cell, range(0, {_PQ_S}) sr
+    ), train AS MATERIALIZED (
+      SELECT vec_id, s, qa FROM rsub WHERE vec_id % 4 = 0
+    ), cent0 AS (
+      SELECT s, vec_id AS cell, qa AS c FROM rsub WHERE vec_id < {_PQ_K}
+    ), {_pqfp_iter_sql(1, "cent0")[5:]}
+    , {_pqfp_iter_sql(2, "cent1")[5:]}
+    , cent2m AS MATERIALIZED (
+      SELECT s, cell, c FROM cent2
+    ), raf AS (
+      SELECT t.vec_id, t.s, cc.cell,
+             {_pqfp_sql_dist("t.qa", "cc.c")} AS dist
+      FROM rsub t JOIN cent2m cc ON cc.s = t.s
+    ), rmf AS (
+      SELECT vec_id, s, min(dist) AS md FROM raf GROUP BY 1, 2
+    ), rcd AS (
+      SELECT a.vec_id, a.s, min(a.cell) AS cd
+      FROM raf a JOIN rmf m
+        ON a.vec_id = m.vec_id AND a.s = m.s AND a.dist = m.md
+      GROUP BY 1, 2
+    ), qsel AS (
+      SELECT vec_id AS query_id, qa FROM qfm WHERE vec_id % 250 = 0
+    ), qcelld AS (
+      SELECT q.query_id, cc.cell, cc.c, q.qa AS qqa,
+             {_pqfp_sql_dist("q.qa", "cc.c")} AS dist
+      FROM qsel q, gcent2m cc
+    ), qprobed AS (
+      SELECT query_id, cell, c, qqa FROM (
+        SELECT query_id, cell, c, qqa,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, cell) AS rn
+        FROM qcelld
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    ), qsub AS (
+      SELECT p.query_id, p.cell, CAST(sr.range AS BIGINT) AS s,
+             {sub.format(q="p.qqa", c="p.c")} AS qa
+      FROM qprobed p, range(0, {_PQ_S}) sr
+    ), qdist AS (
+      SELECT su.query_id, su.cell, su.s, cc.cell AS cd,
+             {_pqfp_sql_dist("su.qa", "cc.c")} AS d
+      FROM qsub su JOIN cent2m cc ON cc.s = su.s
+    ), adc AS (
+      SELECT qd.query_id, r.vec_id, min(g.cell) AS cell,
+             CAST(sum(qd.d) AS BIGINT) AS adc_fp
+      FROM rcd r
+      JOIN gcodem g ON g.vec_id = r.vec_id
+      JOIN qdist qd
+        ON qd.cell = g.cell AND qd.s = r.s AND qd.cd = r.cd
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, cell, adc_fp, rank FROM (
+      SELECT query_id, vec_id, cell, adc_fp,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_fp, vec_id) AS rank
+      FROM adc
+    ) WHERE rank <= 5
+    """
+
+
+@query("x47h_ivfpq_trained_residual", oracle=_x47h_oracle())
+def x47h_ivfpq_trained_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47h: IVF-PQ with the residual codebook TRAINED (see
+    _ivfpq_trained_plan — the r14 recall fix, integer-exact end to
+    end including both trainings, so the full pipeline grades
+    value-identical cross-engine with no float contract at all)."""
+    return _ivfpq_trained_plan(load_table(spark, sf_dir, "embeddings"))

@@ -237,3 +237,104 @@ def test_lsh_index_append_serves_new_vectors(spark, tmp_path):
         for r in ann_index.probe_ann_index(spark, SF_DIR, out).collect()
     }
     assert unchanged == after
+
+
+@pytest.mark.slow
+def test_ivfpq_retrain_after_drift_end_to_end(spark, tmp_path):
+    """VERDICT r13 #5 — the loop the append-loop test starts, closed:
+    build on the base corpus → append a DISTRIBUTION-SHIFTED batch
+    past the 30% trigger → ivfpq_needs_retrain fires → rebuild on the
+    combined corpus → (a) the trigger resets, (b) the rebuilt
+    persisted probe is row-identical to the in-flight x47d plan on
+    the post-drift corpus (the same invariant the base-corpus parity
+    test pins, now exercised after drift), and (c) the rebuilt coarse
+    model actually moved (the drifted mass reshapes cells)."""
+    import numpy as np
+
+    out = str(tmp_path / "ivfpq_drift")
+    ann_index.build_ivfpq_index(spark, SF_DIR, out)
+    assert not ann_index.ivfpq_needs_retrain(spark, out)
+    cent_before = sorted(
+        (r["cell"], tuple(r["c"]))
+        for r in spark.read.parquet(f"{out}/centroids").collect()
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_base = base.count()
+    # drifted ingest: 40% of base mass, concentrated in a corner of
+    # the space the base corpus (random unit vectors) never favors
+    rng = np.random.RandomState(41)
+    n_drift = int(0.4 * n_base)
+    vecs = rng.randn(n_drift, 64).astype(np.float64) * 0.2
+    vecs[:, :8] += 2.0  # the shift
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    drift = spark.createDataFrame(
+        [
+            (10_000_000 + i, 9, [float(v) for v in vecs[i]])
+            for i in range(n_drift)
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    ann_index.append_ivfpq_index(spark, out, drift)
+    assert ann_index.ivfpq_needs_retrain(spark, out)  # trigger fires
+
+    # retrain = full rebuild on the combined corpus (the documented
+    # discipline: appends are cheap, the rebuild is the scheduled job)
+    combined_dir = str(tmp_path / "combined_sf")
+    base.select("vec_id", "label", "embedding").unionByName(
+        drift.select("vec_id", "label", "embedding")
+    ).coalesce(1).write.parquet(f"{combined_dir}/embeddings.parquet")
+    out2 = str(tmp_path / "ivfpq_rebuilt")
+    ann_index.build_ivfpq_index(spark, combined_dir, out2)
+
+    assert not ann_index.ivfpq_needs_retrain(spark, out2)  # reset
+    cent_after = sorted(
+        (r["cell"], tuple(r["c"]))
+        for r in spark.read.parquet(f"{out2}/centroids").collect()
+    )
+    assert cent_after != cent_before  # the drift reshaped the model
+    persisted = sorted(
+        map(
+            tuple,
+            ann_index.probe_ivfpq_index(
+                spark, combined_dir, out2
+            ).collect(),
+        )
+    )
+    inflight = sorted(
+        map(
+            tuple,
+            registry.QUERIES["x47d_ivfpq_topk"](
+                spark, combined_dir
+            ).collect(),
+        )
+    )
+    assert persisted == inflight and len(persisted) > 0
+
+
+def test_ivfpq_recall_artifact_floors():
+    """RECALL_IVFPQ_SF1.json (VERDICT r13 #1) must exist, pass its own
+    floors, and record the artifact's headline ordering: the trained
+    residual codebook (x47h) beats the shipped mixer codebook on the
+    production corpus row, and the planted [0.9,0.95) production row
+    is high — the recall-audit trigger ivfpq_needs_retrain documents
+    is this file's generator (tools/recall_ivfpq_sf1.py)."""
+    import json
+    import pathlib as _pl
+
+    art = _pl.Path(__file__).resolve().parents[1] / "RECALL_IVFPQ_SF1.json"
+    assert art.exists(), "run tools/recall_ivfpq_sf1.py"
+    payload = json.loads(art.read_text())
+    assert payload["passes_floor"], payload["floors"]
+    corpus = payload["corpus_lane"]
+    assert (
+        corpus["trained_16,nprobe=2"]["recall_at_5"]
+        > corpus["mixer_4bit,nprobe=2"]["recall_at_5"]
+    )
+    planted = payload["planted_lane"]["families"]
+    assert (
+        planted["trained_16,nprobe=2"]["found_by_band"]["[0.9,0.95)"][
+            "found_at_5"
+        ]
+        >= 0.9
+    )

@@ -174,10 +174,22 @@ AUDITED = {
     "x47b's broadcast-LUT ADC join with the encode as interpreted "
     "HOF folds (CodegenFallback) — kept registered so the "
     "Arrow-vs-HOF trade stays measurable; same oracle, same answer.",
+    "x47h_ivfpq_trained_residual": "trained-residual IVF-PQ (r14): "
+    "coarse model broadcast (8 rows) into assignment; residual = "
+    "qa − cent in-plan integer math; residual codebook = per-subspace "
+    "fixed-point Lloyd on the ≤40k-row sample, broadcast (≤128 rows) "
+    "into encode; ADC = codes equi-joined against the BROADCAST "
+    "per-(query,cell,s,cd) integer distance table, candidate-bounded "
+    "groupBy — no corpus-sized cartesian, every sum an exact BIGINT.",
     "x55_cluster_keep_best": "keep-best dedup (r13): gram-keyed "
     "equi-join candidate generation (no CartesianProduct), integer "
     "Jaccard test, star-contraction components, then one "
     "(component)-keyed window picks the keep-longest representative.",
+    "x55c_keep_best_hashed": "x55b with xxhash64 gram keys (r14): "
+    "identical plan shape — df aggregate, rarest-prefix window, "
+    "hash-keyed equi-join, exact integer-Jaccard rescore on int64 "
+    "arrays, star-contraction, keep-longest window — with every "
+    "shuffle key a fixed 8-byte int instead of a gram string.",
     "x55b_keep_best_prefix": "prefix-filtered keep-best dedup (r13): "
     "candidate join keyed on the rarest-prefix grams only (hot grams "
     "outside every prefix generate zero candidates), exact "
