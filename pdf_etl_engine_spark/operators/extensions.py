@@ -4004,9 +4004,12 @@ _X55_GRAMS_SQL = """
 """
 
 
-@query(
-    "x55_cluster_keep_best",
-    oracle=f"""
+# Shared by x55 / x55b / x55c: the three register the SAME recursive-
+# CTE oracle VERBATIM — the candidate-generation strategy (all-pairs /
+# prefix-filtered / hashed-prefix-filtered) is an exactness-preserving
+# implementation detail, so all three must produce the identical
+# keep-best answer.
+_X55_KEEP_BEST_ORACLE = f"""
     WITH RECURSIVE g AS (
       {_X55_GRAMS_SQL}
     ), pairs AS (
@@ -4034,8 +4037,10 @@ _X55_GRAMS_SQL = """
            CAST(n_members AS BIGINT) AS n_members,
            CAST(n_tokens AS BIGINT) AS rep_n_tokens
     FROM ranked WHERE rn = 1
-    """,
-)
+    """
+
+
+@query("x55_cluster_keep_best", oracle=_X55_KEEP_BEST_ORACLE)
 def x55_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X55: keep-BEST dedup — the selection policy production corpora
     actually want. Min-id-per-cluster (x14's "component == vec_id"
@@ -4116,38 +4121,7 @@ def x55_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x55b_keep_best_prefix",
-    oracle=f"""
-    WITH RECURSIVE g AS (
-      {_X55_GRAMS_SQL}
-    ), pairs AS (
-      SELECT a.doc_id AS src, b.doc_id AS dst
-      FROM g a JOIN g b ON a.doc_id < b.doc_id
-      WHERE 2 * len(list_intersect(a.g, b.g))
-            >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
-    ), edges AS (
-      SELECT src, dst FROM pairs
-      UNION ALL SELECT dst, src FROM pairs
-    ), reach(id, lab) AS (
-      SELECT doc_id, doc_id FROM g
-      UNION
-      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
-    ), comp AS (
-      SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id
-    ), ranked AS (
-      SELECT c.component, c.doc_id, g.n_tokens,
-             row_number() OVER (PARTITION BY c.component
-                                ORDER BY g.n_tokens DESC, c.doc_id) AS rn,
-             count(*) OVER (PARTITION BY c.component) AS n_members
-      FROM comp c JOIN g ON g.doc_id = c.doc_id
-    )
-    SELECT component, doc_id AS rep_doc_id,
-           CAST(n_members AS BIGINT) AS n_members,
-           CAST(n_tokens AS BIGINT) AS rep_n_tokens
-    FROM ranked WHERE rn = 1
-    """,
-)
+@query("x55b_keep_best_prefix", oracle=_X55_KEEP_BEST_ORACLE)
 def x55b_keep_best_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X55b: x55 with PREFIX-FILTERED candidate generation — the
     hot-gram skew mitigation x55's docstring names, implemented
@@ -4210,6 +4184,98 @@ def x55b_keep_best_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             2 * inter >= F.size("ga") + F.size("gb") - inter
         )
+        .select("src", "dst")
+    )
+    comp = connected_components(
+        g.select(F.col("doc_id").alias("vec_id")), pairs
+    ).select(F.col("vec_id").alias("doc_id"), "component")
+    ranked = comp.join(g.select("doc_id", "n_tokens"), "doc_id")
+    w_rank = Window.partitionBy("component").orderBy(
+        F.desc("n_tokens"), "doc_id"
+    )
+    w_size = Window.partitionBy("component")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count("*").over(w_size))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("n_tokens").cast("long").alias("rep_n_tokens"),
+        )
+    )
+
+
+@query("x55c_keep_best_hashed", oracle=_X55_KEEP_BEST_ORACLE)
+def x55c_keep_best_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55c: x55b with the gram keys HASHED — the 100 TB form
+    (VERDICT r13 #4, the x24 key discipline): the candidate join, the
+    prefix window, the df aggregate, AND the per-pair rescore all
+    carry xxhash64(gram) int64s instead of gram STRINGS, so shuffle
+    rows shrink from arbitrary-length text keys to 8-byte keys and
+    the pair-bounded rescore payload is an int array, not a string
+    array. Same oracle VERBATIM as x55/x55b.
+
+    Collision accounting (why the exactness claim survives hashing):
+    a 64-bit collision can only MERGE two distinct grams — set sizes
+    shrink by 1 and intersections can grow — so the failure mode is a
+    spurious edge, never a missed one, and the expected number of
+    colliding gram pairs is C(G,2)/2⁶⁴ ≈ 2.7·10⁻⁸ at G = 10⁶ distinct
+    grams (sf1) and still ~3·10⁻⁴ at G = 10⁹ (a 100 TB shard's
+    vocabulary). The prefix filter's GLOBAL ORDER becomes
+    (df, gram_hash) instead of (df, gram) — the PPJoin lemma holds
+    under ANY total order, and candidates only affect completeness
+    headroom, never the exact rescore, so the answer is unchanged
+    (hash-equality pinned against x55b by tests/test_dedup_clusters
+    and graded by the shared oracle).
+
+    Scale shape = x55b's: gram-df aggregate + one doc-keyed window +
+    hash-keyed equi-join on rarest-prefix grams (hot grams fall
+    outside every prefix), then the exact integer-Jaccard rescore per
+    candidate pair and the keep-longest selection window."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(F.filter(words, lambda w: w != ""))
+    g = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                _shingles(F.col("text"), 3), lambda s: F.xxhash64(s)
+            )
+        ).alias("h"),
+        n_tokens.alias("n_tokens"),
+    ).localCheckpoint(eager=False)
+    ex = g.select(
+        "doc_id", F.size("h").alias("sz"), F.explode("h").alias("gh")
+    )
+    gram_df = ex.groupBy("gh").agg(F.count("*").alias("df"))
+    w_rare = Window.partitionBy("doc_id").orderBy("df", "gh")
+    pref = (
+        ex.join(gram_df, "gh")
+        .withColumn("rk", F.row_number().over(w_rare))
+        .filter(F.col("rk") <= F.floor(F.col("sz") / 2) + 1)
+        .select("doc_id", "gh")
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .distinct()
+    )
+    ha = g.select(F.col("doc_id").alias("src"), F.col("h").alias("ha"))
+    hb = g.select(F.col("doc_id").alias("dst"), F.col("h").alias("hb"))
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    pairs = (
+        cand.join(ha, "src")
+        .join(hb, "dst")
+        .filter(2 * inter >= F.size("ha") + F.size("hb") - inter)
         .select("src", "dst")
     )
     comp = connected_components(

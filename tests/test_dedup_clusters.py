@@ -150,6 +150,23 @@ def test_prefix_variant_equals_exact_keep_best(spark):
     assert a == b and len(a) > 0
 
 
+def test_hashed_variant_equals_exact_keep_best(spark):
+    """x55c (xxhash64 gram keys — the 100 TB key form) must return
+    exactly x55's rows: hashing relocates the prefix filter's global
+    order (the lemma holds under ANY order —
+    test_prefix_filter_lemma_property) and a 64-bit collision could
+    only add a spurious CANDIDATE, which the exact integer-Jaccard
+    rescore then re-checks on the hashed sets; at test scale the
+    hash is collision-free so the answer is identical."""
+    a = sorted(
+        map(tuple, registry.QUERIES["x55_cluster_keep_best"](spark, SF_DIR).collect())
+    )
+    c = sorted(
+        map(tuple, registry.QUERIES["x55c_keep_best_hashed"](spark, SF_DIR).collect())
+    )
+    assert a == c and len(a) > 0
+
+
 def test_prefix_filter_lemma_property():
     """Property (hypothesis): for ANY two gram sets with
     J ≥ 0.5, their ⌊|x|/2⌋+1 prefixes under ANY shared total order
