@@ -97,7 +97,14 @@ PRIORITY: tuple[str, ...] = (
     "sql1_tpch_q3_text",
     "a58_cube_grouping_sets",
     "a6_kv_pivot",
-    "a7_percentiles",
+    # r14 rotation (VERDICT r13 #3): a7_percentiles — a BONUS row
+    # whose exact-interpolated-percentile shape stays tail-graded
+    # locally — yields its slot to x55b_keep_best_prefix, the r13
+    # flagship: keep-BEST near-dup selection (exact gram-Jaccard
+    # edges, prefix-filtered candidates, keep-longest policy), the
+    # single most production-relevant dedup operator in the registry,
+    # now driver-graded.
+    "x55b_keep_best_prefix",
     # W: windows (w123 = graded representative for W1+W2+W3+range frame)
     "w123_window_suite",
     # T: sort / top-k

@@ -63,6 +63,10 @@ def test_every_component_family_has_window_representative():
         # r9 rotation: the trained-SemDeDup composition replaces
         # a1_count_exists (shape subsumed by a2 + p6/j2 existence)
         "x45b_semdedup_trained",
+        # r14 rotation (VERDICT r13 #3): a7_percentiles (BONUS row,
+        # still tail-graded locally) → tail; its slot drives the r13
+        # flagship keep-best dedup through the driver's window.
+        "x55b_keep_best_prefix",
     }
     assert required <= set(WINDOW)
     prefixes = {n.split("_")[0] for n in WINDOW}
@@ -77,7 +81,9 @@ def test_every_component_family_has_window_representative():
     assert {f"j{i}" for i in (1, 2, 3, 5, 6, 7)} <= prefixes
     assert "x4j2" in prefixes
     assert "x49b" in prefixes
-    assert {f"a{i}" for i in (2, 3, 6, 7)} <= prefixes
+    # r14: a7 (BONUS percentiles) rotated to the tail for x55b
+    assert {f"a{i}" for i in (2, 3, 6)} <= prefixes
+    assert "x55b" in prefixes
 
 
 def test_window_queries_are_oracle_graded_where_possible():

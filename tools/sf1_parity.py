@@ -43,6 +43,80 @@ SF1_SUBSTITUTE = {
     "x4i_lsh_near_dup_arith": "x4j_lsh_near_dup_k10",
 }
 
+# r14: streaming ops graded at sf0.01 in the driver window whose
+# micro-batch-boundary independence should also be demonstrated at
+# 10x data (VERDICT r13 #8) — swept after the window with the same
+# machinery. Both are registered queries with batch oracles (x22's /
+# x47d's verbatim), so the compare is unchanged.
+EXTENDED_TAIL = (
+    "stw_incremental_dedup",
+    "stw_ivfpq_ingest",
+)
+
+# r14: x55b rotated into the driver window, but its registered oracle
+# is the DISCLOSED quadratic baseline (all-pairs list_intersect +
+# recursive CTE) — fine at the sf0.01 grading scale, interrupted past
+# 240 s at sf0.1 (BASELINE.md). At sf1 the sweep grades the same spec
+# through an equivalent GRAM-JOIN formulation (explode -> equi-join on
+# the gram -> count = |∩| since shingles are distinct -> the same
+# Jaccard test, components, and keep-longest selection), proven
+# value-identical to the quadratic form at sf0.01 and measured 228 s
+# at sf1 (50k docs, Σdf² = 2.8·10⁸ joined rows) — still DuckDB-
+# computed, so the cross-engine check stays independent.
+_X55B_SF1_ORACLE = """
+WITH RECURSIVE g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> concat_ws(' ', string_split(text, ' ')[i],
+                              string_split(text, ' ')[i+1],
+                              string_split(text, ' ')[i+2]))) AS g,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens
+      FROM documents
+), sz AS MATERIALIZED (
+  SELECT doc_id, len(g) AS sz FROM g
+), ex AS MATERIALIZED (
+  SELECT doc_id, unnest(g) AS gram FROM g
+), inter AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS c
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT i.src, i.dst
+  FROM inter i JOIN sz sa ON sa.doc_id = i.src
+       JOIN sz sb ON sb.doc_id = i.dst
+  WHERE 2 * i.c >= sa.sz + sb.sz - i.c
+), edges AS (
+  SELECT src, dst FROM pairs
+  UNION ALL SELECT dst, src FROM pairs
+), reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM g
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+), comp AS (
+  SELECT id AS doc_id, min(lab) AS component FROM reach GROUP BY id
+), ranked AS (
+  SELECT c.component, c.doc_id, g.n_tokens,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY g.n_tokens DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.component) AS n_members
+  FROM comp c JOIN g ON g.doc_id = c.doc_id
+)
+SELECT component, doc_id AS rep_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_tokens AS BIGINT) AS rep_n_tokens
+FROM ranked WHERE rn = 1
+"""
+SF1_ORACLE_OVERRIDE = {
+    "x55b_keep_best_prefix": _X55B_SF1_ORACLE,
+}
+# the override runs ~228 s on an idle box — give it headroom so a
+# busy host reads as slow, not skipped
+SF1_TIMEOUT_OVERRIDE = {
+    "x55b_keep_best_prefix": 540.0,
+}
+
 
 def _normalize_cell(v) -> str:
     if v is None:
@@ -132,8 +206,10 @@ def main() -> None:
         return rows, cols, cold, warm
 
     def duck_run(name):
-        sql = registry.ORACLES[name]
-        timer = threading.Timer(TIMEOUT_S, con.interrupt)
+        sql = SF1_ORACLE_OVERRIDE.get(name, registry.ORACLES[name])
+        timer = threading.Timer(
+            SF1_TIMEOUT_OVERRIDE.get(name, TIMEOUT_S), con.interrupt
+        )
         timer.start()
         try:
             res = con.execute(sql)
@@ -146,11 +222,19 @@ def main() -> None:
     per_query: dict[str, dict] = {}
     n_ok = n_mismatch = 0
     skipped: list[str] = []
-    for win_name in window:
+    for win_name in list(window) + list(EXTENDED_TAIL):
         name = SF1_SUBSTITUTE.get(win_name, win_name)
         entry: dict = {}
         if name != win_name:
             entry["substituted_for"] = win_name
+        if win_name in EXTENDED_TAIL:
+            entry["lane"] = "extended_tail"
+        if name in SF1_ORACLE_OVERRIDE:
+            entry["oracle_override"] = (
+                "sf1-capable gram-join formulation (value-identical to "
+                "the registered quadratic oracle at sf0.01; see "
+                "_X55B_SF1_ORACLE)"
+            )
         if name not in registry.ORACLES:
             entry["status"] = "rows_only"
             skipped.append(name)
@@ -189,6 +273,7 @@ def main() -> None:
         "metric": "sf1_window_parity",
         "sf": 1.0,
         "window": len(window),
+        "extended_tail": list(EXTENDED_TAIL),
         "ok": n_ok,
         "mismatch": n_mismatch,
         "skipped": skipped,
