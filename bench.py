@@ -271,8 +271,10 @@ SF1_ANCHORS = (
     ("x_ivfpq_persisted", "x47e_ivfpq_persisted", True),
     # r14: trained-residual IVF-PQ (x47h — the recall fix; integer-
     # exact Lloyd on residuals trains at first execution → anchored
-    # fresh, never warm)
+    # fresh, never warm) and its persisted serving twin (x47i — the
+    # settle run builds the artifact, the timed run probes it)
     ("x_ivfpq_trained", "x47h_ivfpq_trained_residual", True),
+    ("x_ivfpq_trained_persisted", "x47i_ivfpq_trained_persisted", True),
     # r12: substring-span dedup (gram fold is 40 multiply-mods per
     # char in BOTH engines — the anchor shows whose fold engine holds
     # at 13M grams)

@@ -1569,6 +1569,20 @@ def _ivfpq_trained_plan(
     embedding comparisons like x47d, with the trained codebook
     closing the recall gap the audit measured."""
     vecs_fp = _ivfpq_fp(emb)
+    cent, cb, codes = _ivfpq_trained_parts(vecs_fp)
+    return _ivfpq_trained_probe(
+        vecs_fp, cent, cb, codes, nprobe, topk, query_filter
+    )
+
+
+def _ivfpq_trained_parts(
+    vecs_fp: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The model+encode half of the trained-residual pipeline, shared
+    by the in-flight x47h plan and the persisted x47i build so the
+    persisted codes can never drift from the graded in-flight ones:
+    returns (cent: coarse centroids, cb: trained residual codebook
+    (s, cell→code id, c), codes: (vec_id, s, cd, cell) long form)."""
     cent = _ivfpq_coarse(vecs_fp).localCheckpoint(eager=False)
     assigned = _ivfpq_assign_cells(vecs_fp, cent)
     # integer residual subspaces (vec_id, cell, s, qa: 8 ints)
@@ -1590,8 +1604,24 @@ def _ivfpq_trained_plan(
         .select("vec_id", "s", F.col("cell").alias("cd"))
         .join(assigned, "vec_id")
     )
-    # query side: probe cells, residualize, broadcast the integer
-    # ADC distance table (n_queries × nprobe × 8 × 16 rows)
+    return cent, cb, codes
+
+
+def _ivfpq_trained_probe(
+    vecs_fp: DataFrame,
+    cent: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    nprobe: int = _IVFPQ_NPROBE,
+    topk: int = 5,
+    query_filter: Column | None = None,
+) -> DataFrame:
+    """The probe half shared by x47h (in-flight codes) and x47i
+    (persisted codes): probe cells, residualize the query, broadcast
+    the integer ADC distance table (n_queries × nprobe × 8 × 16
+    rows), candidate-bounded integer sum, top-k. ``codes`` must
+    expose (vec_id, cell, s, cd); the adc sum is an exact BIGINT —
+    order-free, so both callers produce identical values."""
     if query_filter is None:
         query_filter = F.col("vec_id") % 250 == 0
     q = vecs_fp.filter(query_filter).select(
@@ -1732,3 +1762,160 @@ def x47h_ivfpq_trained_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     end including both trainings, so the full pipeline grades
     value-identical cross-engine with no float contract at all)."""
     return _ivfpq_trained_plan(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# X47i — persisted trained-residual IVF-PQ index: the x47e serving
+# discipline applied to the x47h recall-fixed configuration
+# ---------------------------------------------------------------------------
+
+
+def default_ivfpq_trained_dir(sf_dir: str) -> str:
+    """Scratch location for the persisted trained-residual index over
+    ``sf_dir``'s embeddings, keyed by source identity (path + mtime +
+    size) so regenerated testdata re-indexes instead of reusing a
+    stale build."""
+    return scratch_dir(
+        "spark_graft_ivfpq_trained",
+        table_path(sf_dir, "embeddings"),
+        f"{_IVFPQ_CELLS}c_{_PQ_S}s{_PQ_K}k_trained",
+    )
+
+
+def _pack_trained_codes(codes: DataFrame) -> DataFrame:
+    """(vec_id, s, cd, cell) long form → (vec_id, cell, code): the 8
+    4-bit trained codes packed little-endian into ONE int64 — the
+    same 8-byte-per-vector persisted layout as x47e, integer-exact
+    (sum of cd·2^(4s) over the 8 distinct s rows)."""
+    return codes.groupBy("vec_id").agg(
+        F.min("cell").alias("cell"),
+        F.sum(
+            F.col("cd") * F.expr("shiftleft(1L, cast(4 * s as int))")
+        ).cast("long").alias("code"),
+    )
+
+
+def _unpack_trained_codes(packed: DataFrame) -> DataFrame:
+    """(vec_id, cell, code) → the (vec_id, cell, s, cd) long form
+    _ivfpq_trained_probe joins on: codegen'd shift/mask unpack at
+    scan time, 8 rows per vector."""
+    return packed.select(
+        "vec_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("s"),
+                        F.shiftright(F.col("code"), 4 * s)
+                        .bitwiseAND(F.lit(_PQ_K - 1))
+                        .cast("long")
+                        .alias("cd"),
+                    )
+                    for s in range(_PQ_S)
+                ]
+            )
+        ).alias("g"),
+    ).select("vec_id", "cell", "g.s", "g.cd")
+
+
+def build_ivfpq_trained_index(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Build the persisted TRAINED-RESIDUAL IVF-PQ index once
+    (build_ivfpq_index's layout plus one artifact): ``centroids``
+    (≤8-row coarse model), ``codebook`` (≤128-row trained residual
+    codebook — the extra trained state x47e does not have),
+    ``manifest`` (n_base for the retrain trigger), and ``codes`` —
+    packed int64 residual codes parquet PARTITIONED BY cell, written
+    LAST so codes/_SUCCESS is the build-complete marker. The encode
+    is _ivfpq_trained_parts, shared verbatim with the in-flight x47h
+    plan, so persisted codes cannot drift from the graded ones."""
+    vecs_fp = _ivfpq_fp(load_table(spark, sf_dir, "embeddings"))
+    cent, cb, codes = _ivfpq_trained_parts(vecs_fp)
+    cent.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    cb.write.mode("overwrite").parquet(f"{out_dir}/codebook")
+    n_base = vecs_fp.count()
+    spark.createDataFrame([(n_base,)], "n_base long").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/manifest")
+    _pack_trained_codes(codes).repartition("cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{out_dir}/codes")
+
+
+def append_ivfpq_trained_index(
+    spark: SparkSession, index_dir: str, new_emb: DataFrame
+) -> None:
+    """Incremental maintenance with BOTH models frozen: assign the
+    batch to cells against the persisted coarse centroids and encode
+    its residuals against the persisted codebook (no retrain of
+    either), appending packed codes into the cell-partitioned tree.
+    The retrain trigger is ivfpq_needs_retrain on this index's
+    manifest — same discipline, and the recall audit
+    (tools/recall_ivfpq_sf1.py) is the drift signal."""
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    cb = spark.read.parquet(f"{index_dir}/codebook")
+    vecs_fp = _ivfpq_fp(new_emb)
+    assigned = _ivfpq_assign_cells(vecs_fp, cent)
+    withc = assigned.join(vecs_fp.select("vec_id", "qa"), "vec_id").join(
+        F.broadcast(cent), "cell"
+    )
+    ra = F.zip_with(F.col("qa"), F.col("c"), lambda x, y: x - y)
+    rsub = withc.select(
+        "vec_id", "cell", F.explode(_subspace_explode(ra)).alias("g")
+    ).select("vec_id", "cell", "g.s", "g.qa")
+    codes = (
+        _pqfp_assign(rsub.select("vec_id", "s", "qa"), cb)
+        .select("vec_id", "s", F.col("cell").alias("cd"))
+        .join(assigned, "vec_id")
+    )
+    _pack_trained_codes(codes).repartition("cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{index_dir}/codes")
+
+
+def probe_ivfpq_trained_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """Serve the graded query set from the persisted trained index
+    with static cell-partition pruning (the probe_ivfpq_index
+    recipe): rank cells against the persisted centroids, collect the
+    ≤8 probed cell ids into literal partition predicates, read ONLY
+    those cell directories, unpack, and run the shared
+    _ivfpq_trained_probe."""
+    vecs_fp = _ivfpq_fp(load_table(spark, sf_dir, "embeddings"))
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    cb = spark.read.parquet(f"{index_dir}/codebook")
+    probed_cells = sorted(
+        int(r["cell"])
+        for r in _ivfpq_probed(_ivfpq_queries(vecs_fp), cent)
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    codes = _unpack_trained_codes(
+        spark.read.parquet(f"{index_dir}/codes").filter(
+            F.col("cell").isin(probed_cells)
+        )
+    )
+    return _ivfpq_trained_probe(vecs_fp, cent, cb, codes)
+
+
+@query("x47i_ivfpq_trained_persisted", oracle=_x47h_oracle())
+def x47i_ivfpq_trained_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X47i: the recall-fixed configuration as a PRODUCTION serving
+    artifact — x47h's trained-residual probe served from a persisted
+    index (x47e's build-once/probe-many discipline: first call builds
+    trained centroids + trained codebook + cell-partitioned packed
+    codes + manifest; every probe after that reads ≤ nprobe cell
+    partitions of 8-byte codes plus two ≤128-row model tables).
+    Graded with x47h's ORACLE VERBATIM, so the persisted round-trip —
+    including the int64 pack/unpack — must reproduce the in-flight
+    integer ADC values exactly."""
+    index_dir = default_ivfpq_trained_dir(sf_dir)
+    if not pathlib.Path(index_dir, "codes", "_SUCCESS").exists():
+        build_ivfpq_trained_index(spark, sf_dir, index_dir)
+    return probe_ivfpq_trained_index(spark, sf_dir, index_dir)

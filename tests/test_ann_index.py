@@ -338,3 +338,117 @@ def test_ivfpq_recall_artifact_floors():
         ]
         >= 0.9
     )
+
+
+# ---------------------------------------------------------------------------
+# X47i — persisted TRAINED-residual IVF-PQ (the x47e discipline on the
+# recall-fixed configuration)
+# ---------------------------------------------------------------------------
+
+
+def _build_ivfpq_trained(spark, tmp_path_factory):
+    out = str(tmp_path_factory.getbasetemp() / "ivfpq_trained_index")
+    if not pathlib.Path(out, "codes", "_SUCCESS").exists():
+        ann_index.build_ivfpq_trained_index(spark, SF_DIR, out)
+    return out
+
+
+@pytest.mark.slow
+def test_ivfpq_trained_persisted_matches_inflight(spark, tmp_path_factory):
+    """The persisted trained-residual round-trip (centroids + codebook
+    + packed int64 codes) must reproduce x47h's in-flight answer
+    row-for-row — including the exact BIGINT adc values through the
+    pack/unpack."""
+    out = _build_ivfpq_trained(spark, tmp_path_factory)
+    persisted = sorted(
+        map(
+            tuple,
+            ann_index.probe_ivfpq_trained_index(
+                spark, SF_DIR, out
+            ).collect(),
+        )
+    )
+    inflight = sorted(
+        map(
+            tuple,
+            registry.QUERIES["x47h_ivfpq_trained_residual"](
+                spark, SF_DIR
+            ).collect(),
+        )
+    )
+    assert persisted == inflight and len(persisted) > 0
+
+
+@pytest.mark.slow
+def test_ivfpq_trained_probe_prunes_cell_partitions(
+    spark, tmp_path_factory
+):
+    """The trained index's codes scan must carry the probed cells as
+    PARTITION filters — same static pruning pin as x47e's, bound to
+    the codes scan line."""
+    out = _build_ivfpq_trained(spark, tmp_path_factory)
+    df = ann_index.probe_ivfpq_trained_index(spark, SF_DIR, out)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    code_scan_lines = [
+        line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line and "codes" in line
+    ]
+    assert any(
+        "cell#" in line and " IN " in line for line in code_scan_lines
+    ), plan
+
+
+@pytest.mark.slow
+def test_ivfpq_trained_append_frozen_models(spark, tmp_path):
+    """Appends reuse BOTH frozen models (coarse centroids and the
+    trained residual codebook — byte-identical afterwards), appended
+    vectors are probeable, counts add up, and the retrain trigger
+    arithmetic holds on this index's manifest."""
+    import numpy as np
+
+    out = str(tmp_path / "ivfpq_trained_append")
+    ann_index.build_ivfpq_trained_index(spark, SF_DIR, out)
+    before = {
+        art: sorted(
+            map(tuple, spark.read.parquet(f"{out}/{art}").collect())
+        )
+        for art in ("centroids", "codebook")
+    }
+    n_base = spark.read.parquet(f"{out}/codes").count()
+    assert not ann_index.ivfpq_needs_retrain(spark, out)
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(30, 64).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    batch = spark.createDataFrame(
+        [
+            (20_000_000 + i, 0, [float(x) for x in vecs[i]])
+            for i in range(len(vecs))
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    ann_index.append_ivfpq_trained_index(spark, out, batch)
+    after = {
+        art: sorted(
+            map(tuple, spark.read.parquet(f"{out}/{art}").collect())
+        )
+        for art in ("centroids", "codebook")
+    }
+    assert after == before  # both models frozen
+    codes = spark.read.parquet(f"{out}/codes")
+    assert codes.count() == n_base + 30
+    appended = codes.filter(F.col("vec_id") >= 20_000_000)
+    assert appended.count() == 30
+    # every appended code unpacks to 8 in-range 4-bit fields
+    unpacked = ann_index._unpack_trained_codes(appended)
+    assert unpacked.filter(
+        (F.col("cd") < 0) | (F.col("cd") >= 16)
+    ).count() == 0
+    frac = 30 / n_base
+    assert ann_index.ivfpq_needs_retrain(
+        spark, out, max_appended_fraction=frac * 0.5
+    )
+    assert not ann_index.ivfpq_needs_retrain(
+        spark, out, max_appended_fraction=frac * 2.0
+    )

@@ -174,6 +174,11 @@ AUDITED = {
     "x47b's broadcast-LUT ADC join with the encode as interpreted "
     "HOF folds (CodegenFallback) — kept registered so the "
     "Arrow-vs-HOF trade stays measurable; same oracle, same answer.",
+    "x47i_ivfpq_trained_persisted": "persisted trained-residual "
+    "IVF-PQ (r14): probes read ONLY the probed cell partitions of the "
+    "packed-int64 codes tree (PartitionFilters IN-list, pinned) plus "
+    "two ≤128-row model tables; unpack is codegen'd shift/mask; the "
+    "ADC join and top-k are x47h's shared probe verbatim.",
     "x47h_ivfpq_trained_residual": "trained-residual IVF-PQ (r14): "
     "coarse model broadcast (8 rows) into assignment; residual = "
     "qa − cent in-plan integer math; residual codebook = per-subspace "
