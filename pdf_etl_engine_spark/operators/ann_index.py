@@ -917,10 +917,11 @@ def _ivfpq_fp(emb: DataFrame) -> DataFrame:
 def _ivfpq_assign_encode(vecs_fp: DataFrame, cent: DataFrame) -> DataFrame:
     """Assign every vector to its nearest (integer-distance, min-cell
     tie-break) centroid and residual-PQ-encode it: returns
-    (vec_id, cell, cd0..cd7). Shared verbatim by the in-flight x47d
-    plan, the persisted index build, AND the incremental append path —
-    one code path, so persisted codes can never drift from the graded
-    in-flight ones."""
+    (vec_id, cell, cd0..cd7). r15: the DECLARATIVE REFERENCE form —
+    the canonical encode everywhere (x47d, build, append) is now
+    _ivfpq_assign_encode_arrow; this expression form stays as the
+    SQL-oracle mirror and is pinned bit-identical to the kernel by
+    test_ivfpq_inflight_arrow_matches_declarative."""
     a = vecs_fp.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cell",
@@ -1116,16 +1117,30 @@ def x47d_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     to x47's map-only scan; nothing corpus-sized shuffles more than
     the one cell assignment. This composes x4e's IVF pruning with
     x47's 32× scan compression — the two levers that make 10^12
-    vectors probeable."""
+    vectors probeable.
+
+    r15: the canonical encode is the Arrow kernel, the r14 x47b
+    precedent — the coarse model still trains declaratively (the
+    distributed fixed-point Lloyd), but its ≤8 rows are collected at
+    plan-construction time (the x47e/x49b train-at-construction
+    precedent) and assignment+encode run as one vectorized map-only
+    pass instead of a crossJoin + min-aggregate + ~1k interpreted
+    HOF-fold steps per row. Bit-identity with the declarative
+    _ivfpq_assign_encode is pinned by
+    test_ivfpq_inflight_arrow_matches_declarative plus the unchanged
+    DuckDB oracle (which recomputes the declarative form in SQL).
+    Measured sf0.1 fresh: 33 s → ~6 s (construction 17 s → 3 s,
+    execution 16 s → 2.7 s)."""
     emb = load_table(spark, sf_dir, "embeddings")
     vecs_fp = _ivfpq_fp(emb)
     # materialize the (<=8 x 64-int) centroid relation once: it is
     # referenced by the assignment, the residual join, AND the
     # query-side cell ranking — without it each reference re-runs
     # the whole 2-iteration Lloyd chain. Lazy localCheckpoint, not
-    # persist — see the x47c note on bench-honesty
+    # persist — see the x47c note on bench-honesty; the collect()
+    # below is its materializing action.
     cent = _ivfpq_coarse(vecs_fp).localCheckpoint(eager=False)
-    codes = _ivfpq_assign_encode(vecs_fp, cent)
+    codes = _unpack_codes(_ivfpq_assign_encode_arrow(emb, cent.collect()))
     return _ivfpq_probe_plan(vecs_fp, cent, codes)
 
 
@@ -1182,7 +1197,13 @@ def _ivfpq_probe_plan(
     adc_raw. The (nprobe, k_cent, topk, query_filter) knobs exist for
     the recall sweep (tools/recall_ivfpq_sf1.py); graded defaults
     (2, 16, 5, %250) reproduce the r13 plan exactly. k_cent must be a
-    power of two (the LUT flat index decomposes by shift/mask)."""
+    power of two (the LUT flat index decomposes by shift/mask) —
+    enforced, since a non-power-of-two would compute wrong subspace/
+    centroid indices silently (ADVICE r14)."""
+    if k_cent < 2 or k_cent & (k_cent - 1):
+        raise ValueError(
+            f"k_cent must be a power of two >= 2, got {k_cent}"
+        )
     bits = (k_cent - 1).bit_length()
     cbflat = _pq_cb_flat(k_cent)
     probed = _ivfpq_probed(
@@ -1303,6 +1324,10 @@ def _ivfpq_assign_encode_arrow(
     import numpy as np
     import pyarrow as pa
 
+    if k_cent < 2 or k_cent & (k_cent - 1):
+        raise ValueError(
+            f"k_cent must be a power of two >= 2, got {k_cent}"
+        )
     cent_sorted = sorted((int(r["cell"]), list(r["c"])) for r in cent_rows)
     cell_ids = np.array([c for c, _ in cent_sorted], dtype=np.int64)
     cent_fp = np.array([v for _, v in cent_sorted], dtype=np.int64)
@@ -1394,6 +1419,33 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     ).parquet(f"{out_dir}/codes")
 
 
+def _guard_fresh_vec_ids(
+    spark: SparkSession, index_dir: str, new_emb: DataFrame, what: str
+) -> None:
+    """Fail-loud duplicate-id guard shared by the IVF-PQ append paths
+    (ADVICE r14 — the append_ann_index discipline): vec_id is the
+    index's primary key, and a re-appended id leaves two code rows
+    per vector, silently corrupting ADC sums (the trained probe's
+    groupBy(query_id, vec_id).sum doubles that vector's distance).
+    One broadcast semi-join of the persisted codes tree's vec_id
+    column against the batch's distinct ids; updates are
+    delete-and-rebuild, never silent overwrite."""
+    new_ids = new_emb.select("vec_id").distinct()
+    clash = (
+        spark.read.parquet(f"{index_dir}/codes")
+        .select("vec_id")
+        .join(F.broadcast(new_ids), "vec_id", "left_semi")
+        .limit(5)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"{what}: vec_id(s) already present in the index "
+            f"(e.g. {sorted(r['vec_id'] for r in clash)}); appends must "
+            "carry fresh ids — rebuild to replace existing vectors"
+        )
+
+
 def append_ivfpq_index(
     spark: SparkSession, index_dir: str, new_emb: DataFrame
 ) -> None:
@@ -1416,6 +1468,7 @@ def append_ivfpq_index(
     At 100 TB this is the standard IVF serving discipline:
     appends are cheap map-side work + a partitioned append; the
     rebuild is the rare scheduled job."""
+    _guard_fresh_vec_ids(spark, index_dir, new_emb, "append_ivfpq_index")
     cent_rows = spark.read.parquet(f"{index_dir}/centroids").collect()
     codes = _ivfpq_assign_encode_arrow(new_emb, cent_rows)
     codes.repartition("cell").write.mode("append").partitionBy(
@@ -1530,6 +1583,134 @@ def _subspace_explode(vec: Column) -> Column:
     )
 
 
+def _ivfpq_model_np(cent_rows: list):
+    """(cell_ids ascending, fixed-point centroid matrix) from the
+    collected ≤8-row coarse model — shared by the trained-residual
+    Arrow kernels; ascending order makes numpy's first-min argmin
+    reproduce the declarative min-cell tie-break."""
+    import numpy as np
+
+    cent_sorted = sorted((int(r["cell"]), list(r["c"])) for r in cent_rows)
+    cell_ids = np.array([c for c, _ in cent_sorted], dtype=np.int64)
+    cent_fp = np.array([v for _, v in cent_sorted], dtype=np.int64)
+    return cell_ids, cent_fp
+
+
+def _ivfpq_resid_sub_arrow(vecs: DataFrame, cent_rows: list) -> DataFrame:
+    """Arrow twin of the declarative assign + _subspace_explode chain
+    (r15): one map-only pass emitting the INTEGER residual subspace
+    long form (vec_id, cell, s, qa: 8 ints) — the relation the
+    residual-codebook Lloyd trains on. Bit-identity with the
+    declarative chain holds because every step is exact int64
+    arithmetic: qa = floor(x·10⁴) (same double multiply+floor), cell
+    = first-min integer L2 over cell-ascending order (= min-cell
+    tie-break), residual = qa − cent exactly. Pinned end-to-end by
+    test_ivfpq_trained_arrow_matches_declarative plus the unchanged
+    x47h DuckDB oracle (which recomputes the declarative form)."""
+    import numpy as np
+    import pyarrow as pa
+
+    cell_ids, cent_fp = _ivfpq_model_np(cent_rows)
+    s_dims, d_dims = _PQ_S, _PQ_D
+
+    def kern(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            x = np.asarray(
+                batch.column("embedding").flatten(), dtype=np.float64
+            ).reshape(n, s_dims * d_dims)
+            qa = np.floor(x * 1e4).astype(np.int64)
+            diff = qa[:, None, :] - cent_fp[None, :, :]
+            idx = np.argmin((diff * diff).sum(axis=2), axis=1)
+            cells = pa.array(cell_ids[idx], pa.int64())
+            resid = qa - cent_fp[idx]
+            vid = batch.column("vec_id").cast(pa.int64())
+            offs = pa.array(np.arange(n + 1, dtype=np.int32) * d_dims)
+            for s in range(s_dims):
+                sub = pa.ListArray.from_arrays(
+                    offs,
+                    pa.array(
+                        resid[:, s * d_dims : (s + 1) * d_dims].ravel(),
+                        pa.int64(),
+                    ),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        vid,
+                        cells,
+                        pa.array(np.full(n, s, dtype=np.int64), pa.int64()),
+                        sub,
+                    ],
+                    ["vec_id", "cell", "s", "qa"],
+                )
+
+    return vecs.select("vec_id", "embedding").mapInArrow(
+        kern, "vec_id long, cell long, s long, qa array<long>"
+    )
+
+
+def _ivfpq_trained_encode_arrow(
+    vecs: DataFrame, cent_rows: list, cb_rows: list
+) -> DataFrame:
+    """Arrow twin of the declarative trained-residual ENCODE (r15,
+    the x47b/x47d canonical-kernel precedent): with both collected
+    models (≤8-row coarse, ≤128-row residual codebook), assignment +
+    residual + per-subspace code argmin run as one vectorized
+    map-only pass, emitting the (vec_id, s, cd, cell) long form the
+    probe joins on. All-int64 arithmetic — no float anywhere, so
+    vectorization cannot change a single value; first-min argmin over
+    cd-ascending order = the declarative min-cd tie-break. Replaces a
+    crossJoin assign + broadcast-join encode with ~a thousand
+    interpreted HOF-fold steps per row."""
+    import numpy as np
+    import pyarrow as pa
+
+    cell_ids, cent_fp = _ivfpq_model_np(cent_rows)
+    s_dims, d_dims = _PQ_S, _PQ_D
+    by_s: dict[int, list] = {}
+    for r in cb_rows:
+        by_s.setdefault(int(r["s"]), []).append((int(r["cell"]), list(r["c"])))
+    cb_ids, cb_mats = [], []
+    for s in range(s_dims):
+        entries = sorted(by_s.get(s, []))
+        cb_ids.append(np.array([c for c, _ in entries], dtype=np.int64))
+        cb_mats.append(np.array([v for _, v in entries], dtype=np.int64))
+
+    def kern(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            x = np.asarray(
+                batch.column("embedding").flatten(), dtype=np.float64
+            ).reshape(n, s_dims * d_dims)
+            qa = np.floor(x * 1e4).astype(np.int64)
+            diff = qa[:, None, :] - cent_fp[None, :, :]
+            idx = np.argmin((diff * diff).sum(axis=2), axis=1)
+            cells = pa.array(cell_ids[idx], pa.int64())
+            resid = qa - cent_fp[idx]
+            vid = batch.column("vec_id").cast(pa.int64())
+            for s in range(s_dims):
+                rs = resid[:, s * d_dims : (s + 1) * d_dims]
+                d2 = rs[:, None, :] - cb_mats[s][None, :, :]
+                cd = cb_ids[s][np.argmin((d2 * d2).sum(axis=2), axis=1)]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        vid,
+                        pa.array(np.full(n, s, dtype=np.int64), pa.int64()),
+                        pa.array(cd, pa.int64()),
+                        cells,
+                    ],
+                    ["vec_id", "s", "cd", "cell"],
+                )
+
+    return vecs.select("vec_id", "embedding").mapInArrow(
+        kern, "vec_id long, s long, cd long, cell long"
+    )
+
+
 def _ivfpq_trained_plan(
     emb: DataFrame,
     nprobe: int = _IVFPQ_NPROBE,
@@ -1582,28 +1763,31 @@ def _ivfpq_trained_parts(
     by the in-flight x47h plan and the persisted x47i build so the
     persisted codes can never drift from the graded in-flight ones:
     returns (cent: coarse centroids, cb: trained residual codebook
-    (s, cell→code id, c), codes: (vec_id, s, cd, cell) long form)."""
+    (s, cell→code id, c), codes: (vec_id, s, cd, cell) long form).
+
+    r15: both corpus-sized passes are the Arrow kernels (the
+    x47b/x47d canonical-kernel precedent) — the ≤8-row coarse model
+    and ≤128-row codebook still TRAIN declaratively (distributed
+    fixed-point Lloyd, unchanged), but their collected rows drive
+    vectorized map-only assignment/encode instead of crossJoin +
+    interpreted HOF folds over every vector. All-int64, value drift
+    impossible; pinned by test_ivfpq_trained_arrow_matches_declarative
+    + the unchanged x47h oracle."""
     cent = _ivfpq_coarse(vecs_fp).localCheckpoint(eager=False)
-    assigned = _ivfpq_assign_cells(vecs_fp, cent)
-    # integer residual subspaces (vec_id, cell, s, qa: 8 ints)
-    withc = assigned.join(vecs_fp.select("vec_id", "qa"), "vec_id").join(
-        F.broadcast(cent), "cell"
-    )
-    ra = F.zip_with(F.col("qa"), F.col("c"), lambda x, y: x - y)
-    rsub = (
-        withc.select("vec_id", "cell", F.explode(_subspace_explode(ra)).alias("g"))
-        .select("vec_id", "cell", "g.s", "g.qa")
+    cent_rows = cent.collect()
+    vecs = vecs_fp.select("vec_id", "embedding")
+    # integer residual subspaces (vec_id, cell, s, qa: 8 ints) — the
+    # training relation; checkpointed so the Lloyd iterations don't
+    # re-run the kernel per reference
+    rvecs = (
+        _ivfpq_resid_sub_arrow(vecs, cent_rows)
+        .select("vec_id", "s", "qa")
         .localCheckpoint(eager=False)
     )
-    rvecs = rsub.select("vec_id", "s", "qa")
     cb = _pqfp_lloyd(
         rvecs, rvecs.filter(F.col("vec_id") % 4 == 0), iters=2
     ).localCheckpoint(eager=False)
-    codes = (
-        _pqfp_assign(rvecs, cb)
-        .select("vec_id", "s", F.col("cell").alias("cd"))
-        .join(assigned, "vec_id")
-    )
+    codes = _ivfpq_trained_encode_arrow(vecs, cent_rows, cb.collect())
     return cent, cb, codes
 
 
@@ -1854,21 +2038,15 @@ def append_ivfpq_trained_index(
     The retrain trigger is ivfpq_needs_retrain on this index's
     manifest — same discipline, and the recall audit
     (tools/recall_ivfpq_sf1.py) is the drift signal."""
-    cent = spark.read.parquet(f"{index_dir}/centroids")
-    cb = spark.read.parquet(f"{index_dir}/codebook")
-    vecs_fp = _ivfpq_fp(new_emb)
-    assigned = _ivfpq_assign_cells(vecs_fp, cent)
-    withc = assigned.join(vecs_fp.select("vec_id", "qa"), "vec_id").join(
-        F.broadcast(cent), "cell"
+    _guard_fresh_vec_ids(
+        spark, index_dir, new_emb, "append_ivfpq_trained_index"
     )
-    ra = F.zip_with(F.col("qa"), F.col("c"), lambda x, y: x - y)
-    rsub = withc.select(
-        "vec_id", "cell", F.explode(_subspace_explode(ra)).alias("g")
-    ).select("vec_id", "cell", "g.s", "g.qa")
-    codes = (
-        _pqfp_assign(rsub.select("vec_id", "s", "qa"), cb)
-        .select("vec_id", "s", F.col("cell").alias("cd"))
-        .join(assigned, "vec_id")
+    cent_rows = spark.read.parquet(f"{index_dir}/centroids").collect()
+    cb_rows = spark.read.parquet(f"{index_dir}/codebook").collect()
+    # one encode path for build, in-flight AND append (r15): the
+    # Arrow kernel against both frozen models
+    codes = _ivfpq_trained_encode_arrow(
+        new_emb.select("vec_id", "embedding"), cent_rows, cb_rows
     )
     _pack_trained_codes(codes).repartition("cell").write.mode(
         "append"

@@ -200,6 +200,21 @@ def test_ivfpq_append_loop_no_retrain(spark, tmp_path):
         spark, out, max_appended_fraction=frac * 2.0
     )
 
+    # vec_id is the index's primary key (ADVICE r14): re-appending an
+    # existing id must fail loudly — a silent duplicate would leave 16
+    # code rows per vector and double its ADC sum — and the refused
+    # append must not have touched the codes tree
+    dup = spark.createDataFrame(
+        [(10_000_000, [0.1] * 64, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(ValueError, match="already present"):
+        ann_index.append_ivfpq_index(spark, out, dup)
+    assert (
+        spark.read.parquet(f"{out}/codes").count()
+        == n_base + len(appended)
+    )
+
 
 @pytest.mark.slow
 def test_lsh_index_append_serves_new_vectors(spark, tmp_path):
@@ -452,3 +467,113 @@ def test_ivfpq_trained_append_frozen_models(spark, tmp_path):
     assert not ann_index.ivfpq_needs_retrain(
         spark, out, max_appended_fraction=frac * 2.0
     )
+
+    # re-append rejection (ADVICE r14): a duplicate vec_id would give
+    # the vector two code rows, and _ivfpq_trained_probe's
+    # groupBy(query_id, vec_id).sum(d) would double its adc_fp —
+    # worse than the LSH case's arbitrary-payload pick. Fail loudly,
+    # index untouched.
+    dup = spark.createDataFrame(
+        [(20_000_000, 0, [0.1] * 64)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="already present"):
+        ann_index.append_ivfpq_trained_index(spark, out, dup)
+    assert spark.read.parquet(f"{out}/codes").count() == n_base + 30
+
+
+def test_probe_rejects_non_power_of_two_k_cent(spark):
+    """ADVICE r14: a non-power-of-two k_cent would silently compute
+    wrong subspace/centroid indices in the shift/mask LUT decompose —
+    both the probe plan and the Arrow encode kernel must refuse it."""
+    emb = spark.createDataFrame(
+        [(0, [0.1] * 64)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="power of two"):
+        ann_index._ivfpq_probe_plan(emb, emb, emb, k_cent=12)
+    with pytest.raises(ValueError, match="power of two"):
+        ann_index._ivfpq_assign_encode_arrow(emb, [], k_cent=12)
+
+
+@pytest.mark.slow
+def test_ivfpq_inflight_arrow_matches_declarative(spark):
+    """r15: x47d's canonical encode is the Arrow kernel; the
+    declarative _ivfpq_assign_encode stays as the SQL-oracle mirror.
+    The two must be bit-identical on the grading corpus — every
+    (vec_id, cell, cd0..cd7) row."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs_fp = ann_index._ivfpq_fp(emb)
+    cent = ann_index._ivfpq_coarse(vecs_fp).localCheckpoint(eager=False)
+    declarative = sorted(
+        map(tuple, ann_index._ivfpq_assign_encode(vecs_fp, cent).collect())
+    )
+    arrow = sorted(
+        map(
+            tuple,
+            ann_index._unpack_codes(
+                ann_index._ivfpq_assign_encode_arrow(emb, cent.collect())
+            ).collect(),
+        )
+    )
+    assert declarative == arrow
+    assert len(arrow) == emb.count()
+
+
+@pytest.mark.slow
+def test_ivfpq_trained_arrow_matches_declarative(spark):
+    """r15: the trained-residual pipeline's corpus passes are Arrow
+    kernels (_ivfpq_resid_sub_arrow for the training relation,
+    _ivfpq_trained_encode_arrow for the codes); the declarative
+    chain they replaced must produce bit-identical rows — residual
+    subspaces AND final codes."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs_fp = ann_index._ivfpq_fp(emb)
+    cent = ann_index._ivfpq_coarse(vecs_fp).localCheckpoint(eager=False)
+    cent_rows = cent.collect()
+
+    # declarative residual-subspace chain (the pre-r15 form)
+    assigned = ann_index._ivfpq_assign_cells(vecs_fp, cent)
+    withc = assigned.join(vecs_fp.select("vec_id", "qa"), "vec_id").join(
+        F.broadcast(cent), "cell"
+    )
+    ra = F.zip_with(F.col("qa"), F.col("c"), lambda x, y: x - y)
+    rsub_decl = withc.select(
+        "vec_id",
+        "cell",
+        F.explode(ann_index._subspace_explode(ra)).alias("g"),
+    ).select("vec_id", "cell", "g.s", "g.qa")
+    rsub_arrow = ann_index._ivfpq_resid_sub_arrow(
+        emb.select("vec_id", "embedding"), cent_rows
+    )
+    a = sorted((r[0], r[1], r[2], tuple(r[3])) for r in rsub_decl.collect())
+    b = sorted(
+        (r[0], r[1], r[2], tuple(r[3])) for r in rsub_arrow.collect()
+    )
+    assert a == b
+
+    # declarative encode vs the kernel, against the same trained cb
+    rvecs = rsub_arrow.select("vec_id", "s", "qa").localCheckpoint(
+        eager=False
+    )
+    cb = ann_index._pqfp_lloyd(
+        rvecs, rvecs.filter(F.col("vec_id") % 4 == 0), iters=2
+    ).localCheckpoint(eager=False)
+    codes_decl = sorted(
+        map(
+            tuple,
+            ann_index._pqfp_assign(rvecs, cb)
+            .select("vec_id", "s", F.col("cell").alias("cd"))
+            .join(assigned, "vec_id")
+            .select("vec_id", "s", "cd", "cell")
+            .collect(),
+        )
+    )
+    codes_arrow = sorted(
+        map(
+            tuple,
+            ann_index._ivfpq_trained_encode_arrow(
+                emb.select("vec_id", "embedding"), cent_rows, cb.collect()
+            ).collect(),
+        )
+    )
+    assert codes_decl == codes_arrow

@@ -196,3 +196,31 @@ def test_prefix_filter_lemma_property():
         assert pa & pb, (sorted(a), sorted(b), order)
 
     run()
+
+
+def test_x55b_sf1_oracle_override_matches_graded_spec():
+    """ADVICE r14: tools/sf1_parity.py swaps x55b's registered
+    quadratic DuckDB oracle for a gram-join formulation at sf1; the
+    two formulations' value-identity was only asserted in a comment.
+    Bind the override to the graded spec: both run at the sf0.01
+    grading scale on the same DuckDB views and must be row-identical,
+    so an edit that drifts _X55B_SF1_ORACLE from the registered
+    oracle fails HERE instead of silently weakening the sf1 sweep."""
+    import duckdb
+
+    from tools.sf1_parity import SF1_ORACLE_OVERRIDE
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.01/{t}.parquet'"
+        )
+    graded = con.execute(
+        registry.ORACLES["x55b_keep_best_prefix"]
+    ).fetchall()
+    override = con.execute(
+        SF1_ORACLE_OVERRIDE["x55b_keep_best_prefix"]
+    ).fetchall()
+    assert sorted(graded) == sorted(override)
+    assert len(graded) > 0
