@@ -4145,7 +4145,23 @@ def x55b_keep_best_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload, set semantics identical to the oracle's list_intersect).
     Cost added: one gram-df aggregate + one doc-keyed window; cost
     removed: the df² explosion on every hot gram. The selection
-    policy downstream is x55's, unchanged."""
+    policy downstream is x55's, unchanged.
+
+    r15 (guide §2.3/§3 — shuffle fewer bytes, pre-filter before the
+    expensive join): the candidate join also applies PPJoin's SIZE
+    and POSITIONAL filters (Xiao et al., "Efficient Similarity Joins
+    for Near Duplicate Detection") as pure codegen arithmetic in the
+    join condition — J ≥ 0.5 forces 2·min(|a|,|b|) ≥ max(|a|,|b|),
+    and at a prefix match at ranks (ra, rb) the overlap can reach the
+    required t = ⌈(|a|+|b|)/3⌉ only if 1 + min(|a|−ra, |b|−rb) ≥ t.
+    Completeness: overlap elements are ORDER-ALIGNED in both docs
+    (each doc's grams are ranked by the same global (df, gram)
+    order), so at the pair's globally-first shared gram e₁ every
+    other overlap element sits after e₁ in BOTH docs, giving
+    1 + min(remaining) ≥ |∩| ≥ t — the surviving occurrence; pinned
+    by test_positional_filter_property plus the unchanged oracle.
+    Measured sf1: candidate pairs 40.3M → 1.3M pre-distinct, whole
+    query 133 s → 46 s (the rescore joins were 60% of the wall)."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     n_tokens = F.size(F.filter(words, lambda w: w != ""))
@@ -4161,14 +4177,21 @@ def x55b_keep_best_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.join(gram_df, "gram")
         .withColumn("rk", F.row_number().over(w_rare))
         .filter(F.col("rk") <= F.floor(F.col("sz") / 2) + 1)
-        .select("doc_id", "gram")
+        .select("doc_id", "gram", "sz", "rk")
     )
+    a, b = pref.alias("a"), pref.alias("b")
+    sza, szb = F.col("a.sz"), F.col("b.sz")
+    rka, rkb = F.col("a.rk"), F.col("b.rk")
     cand = (
-        pref.alias("a")
-        .join(
-            pref.alias("b"),
+        a.join(
+            b,
             (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (2 * F.least(sza, szb) >= F.greatest(sza, szb))
+            & (
+                1 + F.least(sza - rka, szb - rkb)
+                >= F.floor((sza + szb + 2) / 3)
+            ),
         )
         .select(
             F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
@@ -4255,14 +4278,24 @@ def x55c_keep_best_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.join(gram_df, "gh")
         .withColumn("rk", F.row_number().over(w_rare))
         .filter(F.col("rk") <= F.floor(F.col("sz") / 2) + 1)
-        .select("doc_id", "gh")
+        .select("doc_id", "gh", "sz", "rk")
     )
+    # r15: PPJoin size + positional filters in the candidate join,
+    # exactly as in x55b — the lemma holds under the (df, gh) order
+    # too (any shared total order), see x55b's docstring
+    a, b = pref.alias("a"), pref.alias("b")
+    sza, szb = F.col("a.sz"), F.col("b.sz")
+    rka, rkb = F.col("a.rk"), F.col("b.rk")
     cand = (
-        pref.alias("a")
-        .join(
-            pref.alias("b"),
+        a.join(
+            b,
             (F.col("a.gh") == F.col("b.gh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (2 * F.least(sza, szb) >= F.greatest(sza, szb))
+            & (
+                1 + F.least(sza - rka, szb - rkb)
+                >= F.floor((sza + szb + 2) / 3)
+            ),
         )
         .select(
             F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")

@@ -224,3 +224,48 @@ def test_x55b_sf1_oracle_override_matches_graded_spec():
     ).fetchall()
     assert sorted(graded) == sorted(override)
     assert len(graded) > 0
+
+
+def test_positional_filter_property():
+    """Property (hypothesis): for ANY two gram sets with J ≥ 0.5 and
+    ANY shared total order, the pair's globally-FIRST shared element
+    e₁ lies inside both ⌊|x|/2⌋+1 prefixes AND its occurrence passes
+    the PPJoin size + positional filters x55b/x55c apply in the
+    candidate join — so the filters can only drop occurrences of
+    pairs that keep another surviving occurrence, never a true pair.
+    (Overlap elements are order-aligned in both docs, so at e₁ the
+    remaining-capacity bound 1 + min(|a|−ra, |b|−rb) ≥ |∩| ≥ t
+    holds, with t = ⌈(|a|+|b|)/3⌉ the minimum overlap J ≥ 0.5
+    forces.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        a=st.sets(st.integers(0, 40), min_size=1, max_size=20),
+        b=st.sets(st.integers(0, 40), min_size=1, max_size=20),
+        seed=st.integers(0, 10_000),
+    )
+    def run(a, b, seed):
+        import random
+
+        inter = len(a & b)
+        union = len(a | b)
+        if 2 * inter < union:  # J < 0.5: filters make no claim
+            return
+        order = list(range(41))
+        random.Random(seed).shuffle(order)
+        rank = {v: i for i, v in enumerate(order)}
+        sa, sb = sorted(a, key=rank.get), sorted(b, key=rank.get)
+        sza, szb = len(a), len(b)
+        # size filter must hold for every true pair
+        assert 2 * min(sza, szb) >= max(sza, szb)
+        e1 = min(a & b, key=rank.get)
+        ra, rb = sa.index(e1) + 1, sb.index(e1) + 1  # 1-based ranks
+        # e1 is inside both prefixes
+        assert ra <= sza // 2 + 1 and rb <= szb // 2 + 1
+        # and its occurrence passes the positional filter
+        t = (sza + szb + 2) // 3  # = ceil((sza+szb)/3)
+        assert 1 + min(sza - ra, szb - rb) >= t, (sorted(a), sorted(b))
+
+    run()
