@@ -529,19 +529,42 @@ def bench_sf1_anchors(spark) -> dict:
     prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf1_dir}/{t}.parquet'"
-        )
     out: dict[str, dict] = {
         "_methodology": (
-            "spark = settle + timed; duckdb twins timed COLD under the "
-            f"{int(SF1_ANCHORS_CAP_S)}s cancel cap (no settle run — "
-            "anchor twins are expected to exceed the cap, where warm-up "
-            "is moot)"
+            "spark = settle + timed; duckdb twins = median of 3 "
+            "fresh-connection executions under the "
+            f"{int(SF1_ANCHORS_CAP_S)}s cancel cap (r15 measurement "
+            "fix, VERDICT r14 #3: x53's single cold twin varied "
+            "2.46-5.52 s across rounds on identical SQL+files, "
+            "flipping the printed ratio 0.69<->1.64; a first-execution "
+            "interrupt records the cap marker immediately)"
         )
     }
+
+    def duck_median3(sql: str) -> tuple[float | None, list[float]]:
+        """Median of 3 fresh-connection executions; None on a
+        first-run interrupt (no 3x cap spend on twins that are
+        expected to exceed the cap)."""
+        times: list[float] = []
+        for _ in range(3):
+            c = duckdb.connect()
+            for t in TABLES:
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf1_dir}/{t}.parquet'"
+                )
+            timer = threading.Timer(SF1_ANCHORS_CAP_S, c.interrupt)
+            timer.start()
+            t0 = time.perf_counter()
+            try:
+                c.execute(sql).fetchall()
+                times.append(time.perf_counter() - t0)
+            except Exception:
+                return None, times
+            finally:
+                timer.cancel()
+                c.close()
+        return sorted(times)[1], times
 
     def spark_exec(qname: str) -> None:
         sc = spark.sparkContext
@@ -613,26 +636,20 @@ def bench_sf1_anchors(spark) -> dict:
                     )
                 else:
                     sql = registry.ORACLES[qname]
-                timer = threading.Timer(SF1_ANCHORS_CAP_S, con.interrupt)
-                timer.start()
-                t0 = time.perf_counter()
-                try:
-                    con.execute(sql).fetchall()
-                    entry["duckdb_sec"] = round(
-                        time.perf_counter() - t0, 3
-                    )
+                med, runs = duck_median3(sql)
+                entry["duckdb_runs"] = [round(x, 3) for x in runs]
+                if med is not None:
+                    entry["duckdb_sec"] = round(med, 3)
                     entry["ratio"] = round(
                         entry["spark_sec"] / entry["duckdb_sec"], 3
                     )
-                except Exception:
+                else:
                     entry["duckdb_sec"] = (
                         f">{int(SF1_ANCHORS_CAP_S)}s interrupted"
                     )
                     entry["ratio"] = (
                         f"<{round(entry['spark_sec'] / SF1_ANCHORS_CAP_S, 3)}"
                     )
-                finally:
-                    timer.cancel()
             out[bench_name] = entry
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
@@ -663,6 +680,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     global LOAD_START
+    # r15 measurement fix (VERDICT r14 #2): BENCH_r14's gate line was
+    # captured at load_avg_start 9.52 and printed a fake 1.9x headline
+    # regression vs the same-code idle run (488.8 vs 255.7 ms). Before
+    # the first timed query, wait (bounded) for load1 < 2; if the box
+    # never quiets down the payload carries "load_compromised": true so
+    # round-over-round comparisons stop requiring forensics. The timing
+    # methodology itself (settle + timed, same queries, same scale) is
+    # unchanged.
+    _wait_for_quiet(max_wait_s=300.0, load1_max=2.0)
     LOAD_START = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -762,6 +788,8 @@ def main() -> None:
         # load1 is sampled before the first timed query.
         "load_avg_start": LOAD_START,
         "load_avg_end": round(os.getloadavg()[0], 2),
+        # r15 (VERDICT r14 #2): explicit flag instead of forensics
+        "load_compromised": LOAD_START > 2.0,
     }
     # The r7 gate metric was LOST because the one big JSON line sat
     # behind megabytes of Spark progress output and the driver's tail

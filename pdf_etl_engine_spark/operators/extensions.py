@@ -2651,7 +2651,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
     MapReduce and Beyond"): every node links its strictly-larger
     neighbors to the minimum of its neighborhood (incl. itself).
     One shuffle on the node id; output is again an undirected edge
-    list in (src>dst)-normalized half form."""
+    list in (src>dst)-normalized half form.
+
+    r15 (guide §2.4 — remove shuffles outright): NO trailing
+    distinct(). The only composition is _small_star(_large_star(cur)),
+    and _small_star is duplicate-insensitive (its groupBy-min ignores
+    duplicates; its own trailing distinct() dedups the round's
+    output), so deduping here only added a full-edge-set Exchange
+    every round. Measured at sf1 (3.8M LSH edges): CC rounds
+    18.7 s → 10.4 s, identical components."""
     nbrs = _star_neighbors(edges)
     m = nbrs.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("m")
@@ -2661,7 +2669,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
     return out
 

@@ -69,10 +69,29 @@ def _band_sigs(sig_col: str) -> Column:
     )
 
 
-def fingerprints(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", bands: bool = True
+) -> DataFrame:
     """Per-document fingerprints: one row per LSH band —
     (id, content_sha, band_id, band_sig). This is the ONLY thing the
-    store keeps; text never enters it."""
+    store keeps; text never enters it.
+
+    ``bands=False`` (r15, guide §1.2 — don't compute what you throw
+    away): the EXACT layer only probes ``content_sha``, so a store
+    that will never serve a near probe can skip the MinHash signature
+    (16 seeded xxhash64 passes over every doc's shingle set) and the
+    4x band explode entirely. Schema is unchanged — one sentinel row
+    (band_id=-1, band_sig=0) per doc — so exact-only deltas union
+    cleanly into a store that also holds banded deltas, and the
+    sentinel can never collide with a real band probe (real band_id
+    is >= 0)."""
+    if not bands:
+        return docs.select(
+            F.col(id_col).alias("fp_id"),
+            F.sha2(F.col("text"), 256).alias("content_sha"),
+            F.lit(-1).cast("int").alias("band_id"),
+            F.lit(0).cast("long").alias("band_sig"),
+        )
     sig = docs.select(
         F.col(id_col).alias("fp_id"),
         F.sha2(F.col("text"), 256).alias("content_sha"),
@@ -94,8 +113,14 @@ def dedup_against_store(
     """Rows of ``batch`` that survive dedup against the fingerprint
     ``store`` (schema per :func:`fingerprints`). Exact layer always
     runs; ``near=True`` adds the LSH band layer. Both are (semi/anti)
-    joins on fingerprint columns — corpus text is never touched."""
-    fp = fingerprints(batch, id_col)
+    joins on fingerprint columns — corpus text is never touched.
+
+    near=False computes the batch fingerprints WITHOUT the MinHash
+    pass (r15): Catalyst cannot prune the signature through the
+    posexplode Generate (it changes cardinality), so the lazily-built
+    exact path used to pay 16 shingle-hash passes per doc it never
+    probed."""
+    fp = fingerprints(batch, id_col, bands=near)
     doc_sha = fp.select("fp_id", "content_sha").distinct()
     survive_exact = doc_sha.join(
         store.select("content_sha").distinct(), "content_sha", "left_anti"
@@ -199,7 +224,9 @@ class BucketedFingerprintStore:
         store. Same semantics as :func:`dedup_against_store`; the
         store side of every join is an Exchange-free bucketed scan
         (pinned by tests/test_incremental.py)."""
-        fp = fingerprints(batch, id_col)
+        # near=False probes only the sha table — skip the batch's
+        # MinHash pass (Catalyst can't prune through posexplode; r15)
+        fp = fingerprints(batch, id_col, bands=near)
         doc_sha = fp.select("fp_id", "content_sha").distinct()
         survive_exact = doc_sha.join(
             self.spark.table(self.sha_table), "content_sha", "left_anti"
@@ -271,7 +298,10 @@ def x22_incremental_dedup_exact(
     identical either way. Oracle checks the anti-join semantics via
     direct text comparison."""
     corpus, batch = _corpus_batch(spark, sf_dir)
-    store = fingerprints(corpus)
+    # bands=False: the exact layer never probes band signatures, and
+    # the posexplode Generate blocks Catalyst from pruning the MinHash
+    # computation on its own (r15 — verified in the r15 plan survey)
+    store = fingerprints(corpus, bands=False)
     accepted = dedup_against_store(batch, store, near=False)
     return accepted.groupBy("lang").agg(F.count("*").alias("n_accepted"))
 

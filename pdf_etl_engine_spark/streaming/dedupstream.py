@@ -88,10 +88,16 @@ def read_store(
 
 
 def seed_store(
-    spark: SparkSession, store_dir: str, corpus: DataFrame
+    spark: SparkSession,
+    store_dir: str,
+    corpus: DataFrame,
+    near: bool = True,
 ) -> None:
-    """Write the base delta: the accepted corpus' fingerprints."""
-    fingerprints(corpus).write.mode("overwrite").parquet(
+    """Write the base delta: the accepted corpus' fingerprints.
+    ``near=False`` seeds the exact-layer-only store (no MinHash —
+    see fingerprints(bands=False)); only valid when every probe of
+    this store also runs near=False."""
+    fingerprints(corpus, bands=near).write.mode("overwrite").parquet(
         f"{store_dir}/delta_base"
     )
 
@@ -121,7 +127,9 @@ def dedup_batch_fn(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         store = read_store(spark, store_dir, before_batch=batch_id)
-        fp = fingerprints(batch_df)
+        # near=False probes only content_sha — skip the MinHash pass
+        # (fingerprints(bands=False); schema-compatible sentinel rows)
+        fp = fingerprints(batch_df, bands=near)
         doc_sha = fp.select("fp_id", "content_sha").distinct()
         # within-batch first-wins: one winner per content_sha
         winners = doc_sha.groupBy("content_sha").agg(
@@ -155,9 +163,9 @@ def dedup_batch_fn(
         accepted.select("doc_id", "lang").write.mode("overwrite").parquet(
             f"{accepted_dir}/batch={batch_id}"
         )
-        fingerprints(accepted).write.mode("overwrite").parquet(
-            f"{store_dir}/delta_{batch_id}"
-        )
+        fingerprints(accepted, bands=near).write.mode(
+            "overwrite"
+        ).parquet(f"{store_dir}/delta_{batch_id}")
 
     return process
 

@@ -494,7 +494,9 @@ def stw_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="spark_graft_stream_dedup_")
     store_dir = f"{work}/store"
     accepted_dir = f"{work}/accepted"
-    dedupstream.seed_store(spark, store_dir, corpus)
+    # near=False everywhere for this store: the graded twin is the
+    # exact layer only, so the seed skips the MinHash pass too (r15)
+    dedupstream.seed_store(spark, store_dir, corpus, near=False)
     dedupstream.run_streaming_dedup(
         spark,
         stage,

@@ -139,3 +139,28 @@ def test_bucketed_store_shuffle_free_probe(spark, sf_dir):
             spark.conf.set(k, v)
         for t in (store.sha_table, store.band_table):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+@pytest.mark.slow
+def test_bands_false_fingerprints_schema_and_parity(spark):
+    """r15: bands=False skips the MinHash pass but must stay
+    schema-identical (sentinel band row, one per doc) and must give
+    the exact layer the same answer whether the store or batch side
+    carries full bands, sentinels, or a mix."""
+    full = I.fingerprints(_df(spark, CORPUS))
+    cheap = I.fingerprints(_df(spark, CORPUS), bands=False)
+    assert full.schema == cheap.schema
+    assert cheap.count() == len(CORPUS)  # one sentinel row per doc
+    # sentinel can never collide with a real band probe
+    assert cheap.filter("band_id >= 0").count() == 0
+    batch = _df(spark, BATCH)
+    expect = sorted(
+        r["doc_id"]
+        for r in I.dedup_against_store(batch, full, near=False).collect()
+    )
+    for store in (cheap, full.unionByName(cheap)):
+        got = sorted(
+            r["doc_id"]
+            for r in I.dedup_against_store(batch, store, near=False).collect()
+        )
+        assert got == expect
