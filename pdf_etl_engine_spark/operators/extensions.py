@@ -1639,12 +1639,25 @@ def _mixed_lsh_oracle(
 
 def _probe_bucket_kernel(coefs, n_tables: int, n_bits: int):
     """Bucket + Hamming-1 probe emission as ONE Arrow kernel: per
-    vector and table it emits the home bucket plus the k one-bit-flip
+    vector and table it emits the home bucket plus one-bit-flip
     neighbors, packed into int64 as t·2³⁴ | bucket·2 | is_home so the
     JVM side unpacks with three codegen'd bit ops (an array<struct>
     return would leave Arrow conversion on the hot path). Same strict
     fold order as _bucket_kernel_from_coefs — home buckets are
-    bit-identical to the non-probe kernel's."""
+    bit-identical to the non-probe kernel's.
+
+    r15 (guide §2.3 — shuffle fewer bytes): probes are emitted in the
+    CANONICAL DIRECTION only — bit i is flipped only when it is SET,
+    so every probe bucket is numerically smaller than home. A d=1
+    pair's home buckets differ in exactly one bit, which is set on
+    exactly one side, so exactly that side's probe lands in the other
+    side's home bucket: the home×probe candidate set is IDENTICAL to
+    the both-directions emission this replaces (which found every d=1
+    pair twice, once in each home bucket), while expected emission
+    drops from 1+k to 1+popcount(home) ≈ 1+k/2 rows per (vector,
+    table) — and per-bucket occupancy, hence the kernel's m×m GEMM
+    screen, shrinks with it. Probe∧probe collisions remain d=2 and
+    are masked in _bucket_allpairs_kernel exactly as before."""
     import numpy as np
     import pandas as pd
 
@@ -1661,13 +1674,17 @@ def _probe_bucket_kernel(coefs, n_tables: int, n_bits: int):
             for i in range(n_bits):
                 home[:, t] |= bits[:, t * n_bits + i].astype(np.int64) << i
         out = np.empty((n, n_tables * (n_bits + 1)), dtype=np.int64)
+        keep = np.ones((n, n_tables * (n_bits + 1)), dtype=bool)
         ts = np.arange(n_tables, dtype=np.int64) << 34
         out[:, :n_tables] = ts[None, :] | (home << 1) | 1
         for i in range(n_bits):
             out[:, n_tables * (i + 1) : n_tables * (i + 2)] = ts[None, :] | (
                 (home ^ (1 << i)) << 1
             )
-        return pd.Series(list(out))
+            keep[:, n_tables * (i + 1) : n_tables * (i + 2)] = (
+                home >> i
+            ) & 1 == 1
+        return pd.Series([r[k] for r, k in zip(out, keep)])
 
     return probe_arr
 
@@ -1698,8 +1715,10 @@ def fused_lsh_pairs(
     sawtooth planes for the hash-mixed family (random-hyperplane
     statistics — see the family comment above); ``probe_hamming=1``
     adds Hamming-1 multi-probe, which multiplies the bucket-shuffle
-    rows by (k+1) but lifts per-table collision probability from p^k
-    to p^k + k·p^(k-1)(1-p) — at cos 0.6, k=10, L=12 that is
+    rows by ~(1+k/2) (canonical-direction emission, r15 — see
+    _probe_bucket_kernel; was (k+1) when probes went both ways) but
+    lifts per-table collision probability from p^k to
+    p^k + k·p^(k-1)(1-p) — at cos 0.6, k=10, L=12 that is
     0.03→0.16 per table, 0.31→0.87 overall, the difference between a
     near-dup pass that misses ⅔ of true pairs and one that keeps
     ~9/10. Candidate set with probes = {pairs whose home buckets in
@@ -1813,7 +1832,9 @@ def x4n_lsh_near_dup_multiprobe(
     """The RECOMMENDED production near-dup configuration after r12:
     mixed planes + Hamming-1 multi-probe at (L=12, k=10, mod 127).
     Multi-probe lifts per-table collision probability from p^k to
-    p^k + k·p^(k-1)(1-p) at the cost of (k+1)× bucket-shuffle rows —
+    p^k + k·p^(k-1)(1-p) at the cost of ~(1+k/2)× bucket-shuffle rows
+    (canonical-direction probes, r15; measured 219.5→157.7 MB shuffle
+    write at sf1 with identical output) —
     measured recall on the high-similarity truth set (cos ≥ 0.6,
     exact k-NN ground truth at sf1) rises from the arithmetic
     family's 0.11 to ≥0.8 (RECALL_SF1.json, floor pinned in
@@ -1822,7 +1843,7 @@ def x4n_lsh_near_dup_multiprobe(
     table (bit_count(xor(a.b, b.b)) <= 1 in the SQL twin); the Spark
     side derives the same set via home+probe emission with
     probe∧probe pairs masked in the bucket kernel. Plan shape is
-    x4j2's: one bucket shuffle (now (k+1)×L rows per vector), the
+    x4j2's: one bucket shuffle (now ~(1+k/2)×L rows per vector), the
     quadratic block numpy-local per group, ID-only pairs out.
     Deployment contract: pick k from corpus size (adaptive_lsh_bits
     bounds the per-bucket block) and L from lsh_tables_for_recall

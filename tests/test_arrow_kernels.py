@@ -222,6 +222,67 @@ def test_fused_lsh_pairs_bit_equals_matrix_rescore(spark, sf_dir):
     assert fused == matrix  # bit-exact scores, identical pair set
 
 
+def test_multiprobe_canonical_direction_matches_home_hamming1(
+    spark, sf_dir
+):
+    """fused_lsh_pairs(probe_hamming=1) emits exactly the pairs whose
+    HOME buckets differ in ≤1 bit in some table, with the exact-fold
+    scores — the r15 canonical-direction probe emission (flip only SET
+    bits, so every d=1 pair is found once, from the side whose probe
+    descends into the other's home bucket) is a pure shuffle-volume
+    change, never a candidate-set or value change. Reference set is
+    derived from home buckets alone via bit_count(xor) <= 1, the same
+    rule the x4n SQL oracle uses."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_engine_spark.catalog import load_table
+    from pdf_etl_engine_spark.operators.extensions import (
+        _bucket_kernel_from_coefs,
+        _mix_plane_coefs,
+        _pair_cosine_kernel,
+        _vector_matrix,
+        fused_lsh_pairs,
+    )
+
+    L, k, mod = 6, 4, 61
+    emb = load_table(spark, sf_dir, "embeddings")
+    fused = {
+        (r.vec_a, r.vec_b): r.cos_raw
+        for r in fused_lsh_pairs(
+            emb, L, k, mod, 0.25, plane="mixed", probe_hamming=1
+        ).collect()
+    }
+    home_arr = _bucket_kernel_from_coefs(_mix_plane_coefs(L * k, mod), L, k)
+    homes = emb.select(
+        "vec_id", F.posexplode(home_arr("embedding")).alias("t", "b")
+    )
+    a, b = homes.alias("a"), homes.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.t") == F.col("b.t"))
+        & (
+            F.bit_count(
+                F.col("a.b").bitwiseXOR(F.col("b.b"))
+            )
+            <= 1
+        )
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+    )
+    reference = {
+        (r.vec_a, r.vec_b): r.cos_raw
+        for r in cand.dropDuplicates(["vec_a", "vec_b"])
+        .mapInPandas(
+            _pair_cosine_kernel(_vector_matrix(sf_dir)),
+            "vec_a bigint, vec_b bigint, cos_raw double",
+        )
+        .filter(F.col("cos_raw") >= 0.25)
+        .collect()
+    }
+    assert fused == reference  # identical candidate set, bit-exact scores
+
+
 def test_knn_topk_block_hot_row_fallback_is_exact():
     """The r12 tie-capture cap (_knn_topk_block): on a duplicate-heavy
     block where one query ties with ~every column, the capped path
