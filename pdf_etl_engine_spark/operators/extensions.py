@@ -1931,7 +1931,21 @@ def _knn_topk_block(Q, M, nrm_q, nrm_m, topk, self_col=None, cap=4096):
     import numpy as np
 
     nq = len(Q)
-    screen = (Q @ M.T) / (nrm_q[:, None] * nrm_m[None, :])
+    # r15 (guide §5 — bound per-task allocation): normalize IN PLACE
+    # on the GEMM output and take the k-th-best via an ASCENDING
+    # partition. The old one-liner
+    #   (Q @ M.T) / (nrm_q[:, None] * nrm_m[None, :])
+    # plus -np.partition(-screen, ...) materialized FOUR extra
+    # |Q|x|M| f64 temporaries (norm outer product, division result,
+    # negation, partition copy); on first use in a fresh worker every
+    # one of those is fresh-page-faulted, which is exactly where the
+    # measured 1.2 s <-> 230 s per-task swing lived (host fault-in
+    # bandwidth drops to ~30 MB/s under memory pressure episodes —
+    # see OPTIMIZATION_r15.md). Division and order statistics are
+    # elementwise/value-exact, so emitted values are bit-identical.
+    screen = Q @ M.T
+    screen /= nrm_q[:, None]
+    screen /= nrm_m[None, :]
     if self_col is not None:
         has_self = self_col >= 0
         screen[np.where(has_self)[0], self_col[has_self]] = -np.inf
@@ -1945,7 +1959,9 @@ def _knn_topk_block(Q, M, nrm_q, nrm_m, topk, self_col=None, cap=4096):
     kth = min(topk, screen.shape[1])
     if kth < 1:
         kth = 1
-    t_a = -np.partition(-screen, kth - 1, axis=1)[:, kth - 1]
+    t_a = np.partition(screen, screen.shape[1] - kth, axis=1)[
+        :, screen.shape[1] - kth
+    ]
     rows_idx, cols_idx = np.where(
         (screen >= (t_a - 2e-9)[:, None]) & np.isfinite(screen)
     )
@@ -2041,7 +2057,11 @@ def x4k_knn_join_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     def knn(batches):
         ids_s, m, nrm = handle.get()
         # per-task working set: chunk × corpus f64 for the GEMM screen
-        # (1024 × 20k ≈ 160 MB at sf1) plus a TIE-BOUNDED capture that
+        # (256 × 20k ≈ 41 MB at sf1; was 1024/164 MB — shrunk r15 so a
+        # task's 5 chunks REUSE the same-size freed buffers instead of
+        # fault-ing ~500 MB of fresh pages once, the measured source
+        # of the 3 s <-> 28 s anchor bimodality) plus a TIE-BOUNDED
+        # capture that
         # _knn_topk_block caps per row (rows capturing > 4096 tie
         # columns fall back to an O(corpus) full strict fold — see the
         # helper; before r12 a duplicate-heavy corpus could blow the
@@ -2054,7 +2074,7 @@ def x4k_knn_join_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle's (c DESC, nbr_id) tie-break — emitted rows are
         # bit-identical to the full strict-fold form this replaces
         # (sf1: 34-70 s → ~4 s).
-        chunk = 1024
+        chunk = 256
         for batch in batches:
             all_qids = batch["vec_id"].to_numpy()
             if not len(all_qids):
