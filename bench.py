@@ -30,6 +30,30 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 LOAD_START = 0.0
 
+# r16 (VERDICT r15 #1b): GLOBAL wall-clock budget. BENCH_r15 was killed
+# by the driver at BOTH CPU counts (rc=124) because the section budgets
+# only bounded themselves, not the sum — ~51 min of sf1 anchors (5
+# permanently-interrupted DuckDB twins x 240 s cap + median-of-3 on the
+# completing twins) plus ~13 min of sf1_heavy exceeded any driver
+# timeout on a 2x-slow host. Every section now spends against ONE
+# budget measured from process start; when a section's share runs out
+# it degrades HONESTLY (fewer twin runs, recorded per entry as
+# twin_runs/timed_runs; skipped work recorded as skipped_over_budget)
+# instead of silently running long. The Spark-side timing methodology
+# of each section (settle + timed, same queries, same scale) is
+# unchanged; only repetition counts degrade, and only under deadline
+# pressure, and always on the record.
+BENCH_T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1140"))
+STREAMING_RESERVE_S = 150.0  # kept back for the streaming drain
+ANCHORS_RESERVE_S = 420.0  # kept back for the sf1 anchor lane
+_QUIET_SPEND = 0.0
+QUIET_SPEND_CAP_S = 90.0  # cumulative cap on load-gate waiting
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - BENCH_T0)
+
 # BASELINE.md headline name -> registry query with the SAME shape as
 # the measured DuckDB baseline: q_json_extract is extract+groupBy-avg
 # (not a full-table typed parse) and q_window_rank is a single
@@ -228,77 +252,94 @@ SF1_HEAVY_BUDGET_S = 1400.0
 # scale anchors (VERDICT r10 #3): the claimed-at-scale operators that
 # aren't in the heavy crossover set — recorded once per round, single
 # settle + single timed run per engine under a hard per-execution cap.
-# x4k's DuckDB twin (exact 400M-pair k-NN) measured >330 s at sf1
-# before interrupt; a capped ">Ns" marker is the honest record.
+#
+# r16 pruning (VERDICT r15 #1b — measurement-harness change, declared
+# in OPTIMIZATION_r16.md with the old numbers retained in
+# BENCH_r15/BENCH_LAST history): the lane is cut from 17 to 12 live
+# rows so the whole bench fits a driver timeout.
+# MOVED TO BASELINE.md one-time records (Spark row removed):
+#   x_pq_adc_hof_exhibit (x47g) — the deliberately-interpreted HOF
+#     exhibit, 3.1x by design, adjudicated r14; re-measuring it every
+#     round re-litigates a settled trade at ~38 s/round.
+#   x_near_dup_colocated (x4j2)  — superseded as the production config
+#     by x_near_dup_multiprobe (x4n, kept); its completing twin cost
+#     ~278 s/round; correctness stays driver-graded (CORRECTNESS x4j2).
+#   x_knn_join_blocked (x4l)     — shares x4k's permanently-interrupted
+#     twin; x_knn_join_exact (kept) carries the family's anchor.
+#   x_heavy_hitters (x48)        — documented by-design trade
+#     (HH_CROSSOVER.json), adjudicated r14, "not re-litigated" twice.
+#   x_dsir_importance (x50)      — ratio stable 0.3-0.4 since r12,
+#     path untouched since r12.
+# TWIN_STATIC rows: twins that were ">240s interrupted" in EVERY round
+# r13-r15 are no longer re-executed — each interrupted twin burned its
+# full 240 s cap of CPU per round and left load1 at 7-10 for the next
+# anchor. The marker is recorded statically with twin_runs=0 and the
+# permanent-record provenance.
+_TWIN_RUN, _TWIN_STATIC = "run", "static_interrupted"
 SF1_ANCHORS = (
-    # (bench key, query, has_oracle_twin). ORDER MATTERS: the
-    # interrupted twins (x4k, x14b) burn their full 240s cap of CPU
-    # and leave load1 at 7-10 for minutes — anchors that ran after
-    # them measured 1.2-1.6x their idle-box times (r12: the PQ
-    # anchors read 1.25x under load vs 0.7x idle). Light anchors
-    # with finishing twins run FIRST, cap-burning twins LAST, so the
-    # load a twin leaves behind can only skew the record of the twin
-    # section itself.
-    ("x_near_dup_colocated", "x4j2_lsh_near_dup_colocated", True),
-    ("x_near_dup_multiprobe", "x4n_lsh_near_dup_multiprobe", True),
-    # r12 second pass: supervised classifier train+apply, DSIR, and
-    # the heavy-hitter two-pass — anchored here (fresh executions)
-    # rather than the warm lanes because x49b trains at plan
-    # construction and x48/x50 localCheckpoint a pass at first
-    # execution (warm re-runs would reuse the materialized data and
-    # under-report). All light, finishing twins. x48's >1 ratio is
-    # the documented two-pass design cost (BASELINE.md).
-    ("x_quality_classifier", "x49b_perceptron_filter", True),
-    ("x_dsir_importance", "x50_dsir_importance", True),
-    ("x_heavy_hitters", "x48_heavy_hitters", True),
-    # r12 second pass: the composed curation DAG — anchored (its
-    # DuckDB twin runs ~80 s at sf1, too heavy for the warm lane's
-    # repeated runs; measured 0.17x same-day: 13.7 s vs 78.5 s)
-    ("x_curation_pipeline", "x53_curation_pipeline", True),
-    # r12: PQ ADC top-k (LUT-hoisted scan) + composed IVF-PQ probe.
-    # r14 (VERDICT r13 #2): the canonical name now runs the fused
-    # Arrow encode (x47f's r13 plan); the interpreted HOF-fold encode
-    # stays measurable as the explicitly-named exhibit — the pair is
-    # the Arrow-vs-HOF measured statement, same oracle both sides
-    ("x_pq_adc_topk", "x47b_pq_adc_topk", True),
-    ("x_pq_adc_hof_exhibit", "x47g_pq_adc_hof_exhibit", True),
-    ("x_ivfpq_topk", "x47d_ivfpq_topk", True),
+    # (bench key, query, twin_mode). ORDER MATTERS: light anchors with
+    # finishing twins run FIRST so a cap-burning execution can only
+    # skew rows after it (r12 measured 1.2-1.6x inflation downstream
+    # of a cap burn).
+    ("x_quality_classifier", "x49b_perceptron_filter", _TWIN_RUN),
+    ("x_pq_adc_topk", "x47b_pq_adc_topk", _TWIN_RUN),
+    ("x_ivfpq_topk", "x47d_ivfpq_topk", _TWIN_RUN),
     # r13: the persisted-index serving path — the settle run builds
     # the artifact (build-once), the timed run probes it with static
     # cell pruning; twin = the same full IVF-PQ oracle (DuckDB has no
     # persisted-index path to compare, so the twin is the honest
     # recompute-everything baseline, stated in the note)
-    ("x_ivfpq_persisted", "x47e_ivfpq_persisted", True),
+    ("x_ivfpq_persisted", "x47e_ivfpq_persisted", _TWIN_RUN),
     # r14: trained-residual IVF-PQ (x47h — the recall fix; integer-
     # exact Lloyd on residuals trains at first execution → anchored
     # fresh, never warm) and its persisted serving twin (x47i — the
     # settle run builds the artifact, the timed run probes it)
-    ("x_ivfpq_trained", "x47h_ivfpq_trained_residual", True),
-    ("x_ivfpq_trained_persisted", "x47i_ivfpq_trained_persisted", True),
+    ("x_ivfpq_trained", "x47h_ivfpq_trained_residual", _TWIN_RUN),
+    ("x_ivfpq_trained_persisted", "x47i_ivfpq_trained_persisted", _TWIN_RUN),
+    # r12: the composed curation DAG (twin ~20-110 s, completes)
+    ("x_curation_pipeline", "x53_curation_pipeline", _TWIN_RUN),
     # r12: substring-span dedup (gram fold is 40 multiply-mods per
     # char in BOTH engines — the anchor shows whose fold engine holds
     # at 13M grams)
-    ("x_substring_span_dedup", "x46_substring_span_dedup", True),
+    ("x_substring_span_dedup", "x46_substring_span_dedup", _TWIN_RUN),
+    # permanently-interrupted twins last (Spark side still measured):
+    ("x_near_dup_multiprobe", "x4n_lsh_near_dup_multiprobe", _TWIN_STATIC),
     # r13: exact-Jaccard keep-best dedup with prefix-filtered
     # candidates — the SQL twin is the quadratic 1.25B-pair
-    # list_intersect join + recursive CTE, expected to hit the cap
-    ("x_keep_best_dedup", "x55b_keep_best_prefix", True),
-    ("x_knn_join_exact", "x4k_knn_join_brute", True),
-    ("x_knn_join_blocked", "x4l_knn_join_blocked", True),
-    ("x_dedup_clusters_lsh", "x14b_dedup_clusters_lsh", False),
+    # list_intersect join + recursive CTE, interrupted every round
+    ("x_keep_best_dedup", "x55b_keep_best_prefix", _TWIN_STATIC),
+    ("x_knn_join_exact", "x4k_knn_join_brute", _TWIN_STATIC),
+    ("x_dedup_clusters_lsh", "x14b_dedup_clusters_lsh", _TWIN_STATIC),
 )
 SF1_ANCHORS_CAP_S = 240.0
+_TWIN_STATIC_MARKER = (
+    f">{int(SF1_ANCHORS_CAP_S)}s interrupted "
+    "(permanent record, interrupted every round r13-r15; not re-run — "
+    "VERDICT r15 #1b)"
+)
 
 
 def _wait_for_quiet(max_wait_s: float = 60.0, load1_max: float = 24.0) -> float:
     """Load-average gate (VERDICT r10 #1): before a timed section,
     wait (bounded) for load1 to fall below ``load1_max`` so one host
     spike can't set a gate number. Returns the load1 actually seen at
-    release — recorded in the payload either way."""
+    release — recorded in the payload either way.
+
+    r16 (VERDICT r15 #1b): the wait additionally spends against the
+    global bench budget and a cumulative cap — 17 anchor rows each
+    waiting their own 30 s could burn 8+ minutes of a driver timeout
+    purely on sleeps."""
+    global _QUIET_SPEND
+    budget = min(
+        max_wait_s,
+        QUIET_SPEND_CAP_S - _QUIET_SPEND,
+        max(_remaining(), 0.0),
+    )
     waited = 0.0
-    while os.getloadavg()[0] > load1_max and waited < max_wait_s:
+    while os.getloadavg()[0] > load1_max and waited < budget:
         time.sleep(5.0)
         waited += 5.0
+    _QUIET_SPEND += waited
     return round(os.getloadavg()[0], 2)
 
 
@@ -401,7 +442,28 @@ def bench_sf1_heavy(spark) -> dict:
     duck_t: dict[str, float] = {}
     errors: dict[str, str] = {}
     skipped: list[str] = []
+    timed_runs: dict[str, int] = {}
     t_section = time.perf_counter()
+    # r16 (VERDICT r15 #1b): the heavy lane's own 1400 s ceiling now
+    # also bows to the global bench budget — at full fidelity this
+    # section alone ran ~13 min in r15 (6 queries x (settle + 3
+    # timed) x 2 engines), a driver-timeout-sized block. Per query:
+    # the settle run is measured, and the median-of-3 is kept only
+    # when ~7 more settle-sized executions fit the query's fair share
+    # of the remaining section budget; otherwise the query runs
+    # settle + ONE timed execution per engine and says so
+    # (timed_runs). The per-execution cancel cap keeps a ≥90 s floor
+    # — the first cut of this budget (same-day) floored at 30 s and
+    # CANCELLED 5 of 6 queries mid-settle, which poisons the worker
+    # pool for everything after; skipping trailing queries outright
+    # (recorded) is strictly better than erroring all of them.
+    sec_budget = min(
+        SF1_HEAVY_BUDGET_S,
+        max(
+            240.0,
+            0.42 * (_remaining() - ANCHORS_RESERVE_S - STREAMING_RESERVE_S),
+        ),
+    )
 
     def spark_exec(qname: str, deadline_s: float) -> None:
         """One full (rebuild + execute + materialize) Spark run,
@@ -431,29 +493,34 @@ def bench_sf1_heavy(spark) -> dict:
 
     load_at: dict[str, float] = {}
     try:
-        for bench_name in SF1_X_HEAVY:
-            remaining = SF1_HEAVY_BUDGET_S - (
-                time.perf_counter() - t_section
-            )
-            if remaining <= 0:
+        n_total = len(SF1_X_HEAVY)
+        for qi, bench_name in enumerate(SF1_X_HEAVY):
+            remaining = sec_budget - (time.perf_counter() - t_section)
+            # a query that can't get a meaningful slice is SKIPPED
+            # (recorded), never started with a cap that will cancel it
+            if remaining <= 60.0:
                 skipped.append(bench_name)
                 continue
             load_at[bench_name] = _wait_for_quiet(
                 max_wait_s=min(60.0, remaining / 10)
             )
-            # eight executions per query (settle + 3 timed, per
-            # engine); each gets an equal slice of what's left,
-            # floored so a near-exhausted budget still reports a
-            # timeout rather than hanging
-            per_exec = max(30.0, remaining / 8)
+            fair = remaining / (n_total - qi)
+            per_exec = min(240.0, max(90.0, fair / 2))
             qname = SF1_HEAVY_SUBSTITUTE.get(
                 bench_name, X_SURFACE[bench_name]
             )
             try:
                 catalog._DF_CACHE.clear()
+                t0 = time.perf_counter()
                 spark_exec(qname, per_exec)  # settle (untimed)
+                t_settle = time.perf_counter() - t0
+                # keep median-of-3 only when ~7 more settle-sized
+                # executions (3 spark + settle + 3 duck) fit this
+                # query's fair share; else settle + 1 per engine
+                n_timed = 3 if 7.0 * t_settle <= fair else 1
+                timed_runs[bench_name] = n_timed
                 samples = []
-                for _ in range(3):
+                for _ in range(n_timed):
                     t0 = time.perf_counter()
                     spark_exec(qname, per_exec)
                     samples.append(time.perf_counter() - t0)
@@ -461,11 +528,14 @@ def bench_sf1_heavy(spark) -> dict:
             except Exception as exc:
                 errors[bench_name] = f"{type(exc).__name__}: {exc}"[:200]
                 continue
+            if sec_budget - (time.perf_counter() - t_section) <= 0:
+                errors[bench_name] = "oracle: skipped, section budget"
+                continue
             sql = registry.ORACLES[qname]
             try:
                 duck_exec(sql, per_exec)  # settle (untimed)
                 samples = []
-                for _ in range(3):
+                for _ in range(n_timed):
                     t0 = time.perf_counter()
                     duck_exec(sql, per_exec)
                     samples.append(time.perf_counter() - t0)
@@ -485,8 +555,13 @@ def bench_sf1_heavy(spark) -> dict:
     }
     out = {
         "sf": 1.0,
-        "methodology": "fresh_plan_settle_plus_median_of_3_timed_aqe_on",
+        "methodology": (
+            "fresh_plan_settle_plus_median_of_3_timed_aqe_on"
+            "_degrading_to_1_timed_past_half_budget"
+        ),
         "substituted": dict(SF1_HEAVY_SUBSTITUTE),
+        "budget_s": round(sec_budget, 1),
+        "timed_runs": timed_runs,
         "spark_sec": spark_t,
         "duckdb_sec": duck_t,
         "ratio": ratio,
@@ -529,50 +604,74 @@ def bench_sf1_anchors(spark) -> dict:
     prior_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # r16 (VERDICT r15 #1b): the anchor lane spends against the global
+    # bench budget — everything left, minus the streaming reserve —
+    # in TWO PHASES: every anchor's Spark side first (the
+    # round-over-round evidence), then the DuckDB twins with whatever
+    # is left (median-of-3 while the twin phase is young, then ONE
+    # run, twin_runs recorded). Phase order also removes the r12-r15
+    # pollution mode where a cap-burning twin left load1 at 7-10 for
+    # the NEXT anchor's Spark measurement — no twin ever runs before
+    # a Spark timing anymore. Rows that can't start inside the budget
+    # are recorded in skipped_over_budget, never silently dropped.
+    sec_t0 = time.monotonic()
+    sec_budget = max(120.0, _remaining() - STREAMING_RESERVE_S)
+
+    def sec_remaining() -> float:
+        return sec_budget - (time.monotonic() - sec_t0)
+
     out: dict[str, dict] = {
         "_methodology": (
-            "spark = settle + timed; duckdb twins = median of 3 "
-            "fresh-connection executions under the "
-            f"{int(SF1_ANCHORS_CAP_S)}s cancel cap (r15 measurement "
-            "fix, VERDICT r14 #3: x53's single cold twin varied "
-            "2.46-5.52 s across rounds on identical SQL+files, "
-            "flipping the printed ratio 0.69<->1.64; a first-execution "
-            "interrupt records the cap marker immediately)"
-        )
+            "phase A: spark settle + timed for every anchor; "
+            "phase B: duckdb twins = median of 3 fresh-connection "
+            f"executions under the {int(SF1_ANCHORS_CAP_S)}s cancel "
+            "cap while the twin phase is inside 60% of its budget, "
+            "then 1 (twin_runs recorded; VERDICT r15 #1b). Twins "
+            "interrupted every round r13-r15 carry a static "
+            "permanent-record marker with twin_runs=0 instead of "
+            "re-burning the cap."
+        ),
+        "_budget_s": round(sec_budget, 1),
     }
 
-    def duck_median3(sql: str) -> tuple[float | None, list[float]]:
-        """Median of 3 fresh-connection executions; None on a
-        first-run interrupt (no 3x cap spend on twins that are
-        expected to exceed the cap)."""
+    def duck_budgeted(
+        sql: str, twin_budget0: float
+    ) -> tuple[float | None, list[float], int]:
+        """Fresh-connection twin executions: 3 while the twin phase is
+        inside 60% of its starting budget, else 1; None on a first-run
+        interrupt (no repeat cap spend on twins that exceed the cap)."""
+        n_runs = 3 if sec_remaining() > 0.6 * twin_budget0 else 1
         times: list[float] = []
-        for _ in range(3):
+        for _ in range(n_runs):
             c = duckdb.connect()
             for t in TABLES:
                 c.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{sf1_dir}/{t}.parquet'"
                 )
-            timer = threading.Timer(SF1_ANCHORS_CAP_S, c.interrupt)
+            cap = min(SF1_ANCHORS_CAP_S, max(30.0, sec_remaining()))
+            timer = threading.Timer(cap, c.interrupt)
             timer.start()
             t0 = time.perf_counter()
             try:
                 c.execute(sql).fetchall()
                 times.append(time.perf_counter() - t0)
             except Exception:
-                return None, times
+                return None, times, n_runs
             finally:
                 timer.cancel()
                 c.close()
-        return sorted(times)[1], times
+        return sorted(times)[len(times) // 2], times, n_runs
 
     def spark_exec(qname: str) -> None:
         sc = spark.sparkContext
         group = f"sf1-anchor-{qname}"
         sc.setJobGroup(group, group, interruptOnCancel=True)
-        timer = threading.Timer(
-            SF1_ANCHORS_CAP_S, lambda: sc.cancelJobGroup(group)
-        )
+        # floor 60 s: a cap that cancels mid-execution poisons the
+        # worker pool for every row after it — rows that can't get a
+        # real slice are skipped before this is ever called
+        cap = min(SF1_ANCHORS_CAP_S, max(60.0, sec_remaining() / 2))
+        timer = threading.Timer(cap, lambda: sc.cancelJobGroup(group))
         timer.start()
         try:
             registry.QUERIES[qname](spark, sf1_dir).toPandas()
@@ -580,8 +679,14 @@ def bench_sf1_anchors(spark) -> dict:
             timer.cancel()
             sc.setJobGroup("", "")
 
+    skipped: list[str] = []
+    twin_pending: list[tuple[str, str, dict]] = []
     try:
-        for bench_name, qname, twin in SF1_ANCHORS:
+        # ---- phase A: every anchor's Spark side ----
+        for bench_name, qname, twin_mode in SF1_ANCHORS:
+            if sec_remaining() <= 60.0:
+                skipped.append(bench_name)
+                continue
             entry: dict = {"query": qname}
             entry["load1"] = _wait_for_quiet(max_wait_s=30.0)
             try:
@@ -594,67 +699,61 @@ def bench_sf1_anchors(spark) -> dict:
                 entry["error"] = f"{type(exc).__name__}: {exc}"[:200]
                 out[bench_name] = entry
                 continue
-            if not twin and qname != "x14b_dedup_clusters_lsh":
-                entry["duckdb_sec"] = None
-                entry["note"] = "rows-only operator (no SQL oracle)"
+            if qname == "x47e_ivfpq_persisted":
+                entry["note"] = (
+                    "spark timed run probes the artifact built in "
+                    "the settle run (build-once serving path; the "
+                    "in-flight build+probe cost is x_ivfpq_topk); "
+                    "twin = the full IVF-PQ oracle recomputed"
+                )
+            if twin_mode == _TWIN_STATIC:
+                # x14b's comparator is x14c's exact-edge recursive-CTE
+                # oracle (x14b's LSH edge set has no SQL oracle by
+                # nature, VERDICT r11 #4); x4n/x55b/x4k carry their own
+                # oracles. All four exceeded the cap in every round
+                # r13-r15 — the permanent-record marker IS the result.
+                entry["duckdb_sec"] = _TWIN_STATIC_MARKER
+                entry["twin_runs"] = 0
+                entry["ratio"] = (
+                    f"<{round(entry['spark_sec'] / SF1_ANCHORS_CAP_S, 3)}"
+                )
             else:
-                # r13 (VERDICT r12 #3): x4j2 and x4l previously
-                # recorded null twins with pointers to the queries
-                # whose oracles they share; now their shared oracle
-                # SQL is RUN here under the same cancel cap so every
-                # anchor row carries a measured number or an honest
-                # ">Ns interrupted" — never a null.
-                if qname == "x4j2_lsh_near_dup_colocated":
-                    entry["note"] = (
-                        "oracle shared byte-for-byte with x4j; twin "
-                        "measured here under the cap"
-                    )
-                elif qname == "x4l_knn_join_blocked":
-                    entry["note"] = (
-                        "oracle shared byte-for-byte with x4k; twin "
-                        "measured here under the cap"
-                    )
-                elif qname == "x47e_ivfpq_persisted":
-                    entry["note"] = (
-                        "spark timed run probes the artifact built in "
-                        "the settle run (build-once serving path; the "
-                        "in-flight build+probe cost is x_ivfpq_topk); "
-                        "twin = the full IVF-PQ oracle recomputed"
-                    )
-                # x14b is LSH-edge approximate with no oracle of its
-                # own; its recorded comparator (VERDICT r11 #4) is the
-                # x14c exact-edge recursive-CTE oracle — the SQL form
-                # of the same clustering semantics — run under the
-                # same cancel cap so the anchor carries an honest
-                # ">Ns interrupted" instead of a null.
-                if qname == "x14b_dedup_clusters_lsh":
-                    sql = registry.ORACLES["x14c_dedup_clusters_star"]
-                    entry["note"] = (
-                        "twin = x14c exact-edge recursive-CTE oracle "
-                        "(x14b's LSH edge set has no SQL oracle by "
-                        "nature)"
-                    )
-                else:
-                    sql = registry.ORACLES[qname]
-                med, runs = duck_median3(sql)
-                entry["duckdb_runs"] = [round(x, 3) for x in runs]
-                if med is not None:
-                    entry["duckdb_sec"] = round(med, 3)
-                    entry["ratio"] = round(
-                        entry["spark_sec"] / entry["duckdb_sec"], 3
-                    )
-                else:
-                    entry["duckdb_sec"] = (
-                        f">{int(SF1_ANCHORS_CAP_S)}s interrupted"
-                    )
-                    entry["ratio"] = (
-                        f"<{round(entry['spark_sec'] / SF1_ANCHORS_CAP_S, 3)}"
-                    )
+                twin_pending.append((bench_name, qname, entry))
             out[bench_name] = entry
+        # ---- phase B: DuckDB twins, with what's left ----
+        twin_budget0 = max(sec_remaining(), 1.0)
+        for bench_name, qname, entry in twin_pending:
+            if sec_remaining() <= 30.0:
+                entry["duckdb_sec"] = None
+                entry["note"] = (
+                    entry.get("note", "")
+                    + " twin skipped: section budget exhausted"
+                ).strip()
+                entry["twin_runs"] = 0
+                continue
+            med, runs, n_runs = duck_budgeted(
+                registry.ORACLES[qname], twin_budget0
+            )
+            entry["duckdb_runs"] = [round(x, 3) for x in runs]
+            entry["twin_runs"] = n_runs
+            if med is not None:
+                entry["duckdb_sec"] = round(med, 3)
+                entry["ratio"] = round(
+                    entry["spark_sec"] / entry["duckdb_sec"], 3
+                )
+            else:
+                entry["duckdb_sec"] = (
+                    f">{int(SF1_ANCHORS_CAP_S)}s interrupted"
+                )
+                entry["ratio"] = (
+                    f"<{round(entry['spark_sec'] / SF1_ANCHORS_CAP_S, 3)}"
+                )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
         spark.conf.set("spark.sql.adaptive.enabled", prior_aqe)
         catalog._DF_CACHE.clear()
+    if skipped:
+        out["_skipped_over_budget"] = skipped
     return out
 
 
@@ -790,6 +889,9 @@ def main() -> None:
         "load_avg_end": round(os.getloadavg()[0], 2),
         # r15 (VERDICT r14 #2): explicit flag instead of forensics
         "load_compromised": LOAD_START > 2.0,
+        # r16 (VERDICT r15 #1b): global wall accounting on the record
+        "budget_s": BUDGET_S,
+        "wall_sec": round(time.monotonic() - BENCH_T0, 1),
     }
     # The r7 gate metric was LOST because the one big JSON line sat
     # behind megabytes of Spark progress output and the driver's tail
@@ -797,48 +899,49 @@ def main() -> None:
     # the full payload persists to BENCH_LAST.json in-repo, is printed
     # in full, and the VERY LAST stdout line is a compact gate record
     # small enough that any tail window keeps it intact.
+    #
+    # r16 (VERDICT r15 #1a): the r15 gate line inlined the 17-row
+    # sf1_anchors table + the sf1_heavy ratio dict and measured
+    # 2.5-5 KB — LARGER than the driver's ~2 KB tail window, so the
+    # driver parsed no bench since r14 even when the run finished.
+    # The gate line is now hard-bounded: metric/value/unit, the seven
+    # per-headline-query seconds, sf, load + budget flags, streaming
+    # scalars, and the pointer to the full payload — measured ~550
+    # bytes, asserted < 1024 so a future addition can't silently
+    # regress the contract again. Anchor/heavy detail lives ONLY in
+    # BENCH_LAST.json (committed).
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
     print(json.dumps(payload))
     sys.stdout.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "x_surface_total_sec": x_total,
-                "scan_path_total_sec": scan_total,
-                # the driver's tail capture keeps only this line, so
-                # the round-over-round scale + streaming evidence must
-                # ride in it: heavy-X sf1 spark/duck ratios and the
-                # backlog-drain throughput (full detail in the payload)
-                "sf1_heavy_ratio": (
-                    (sf1_heavy_section or {}).get("ratio")
-                ),
-                "sf1_anchors": {
-                    k: {
-                        kk: v.get(kk)
-                        for kk in ("spark_sec", "duckdb_sec", "ratio")
-                        if kk in v
-                    }
-                    for k, v in (sf1_anchors_section or {}).items()
-                    if isinstance(v, dict)
-                } or None,
-                "streaming_docs_per_sec": (
-                    (streaming_section or {}).get("docs_per_sec")
-                ),
-                "stream_over_batch": (
-                    (streaming_section or {}).get("stream_over_batch")
-                ),
-                "sf": sf_val,
-                "full": "BENCH_LAST.json",
-            }
-        )
+    gate_line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "x_surface_total_sec": x_total,
+            "scan_path_total_sec": scan_total,
+            "streaming_docs_per_sec": (
+                (streaming_section or {}).get("docs_per_sec")
+            ),
+            "stream_over_batch": (
+                (streaming_section or {}).get("stream_over_batch")
+            ),
+            "sf": sf_val,
+            "load_avg_start": LOAD_START,
+            "load_compromised": LOAD_START > 2.0,
+            "wall_sec": payload["wall_sec"],
+            "full": "BENCH_LAST.json",
+        }
     )
+    assert len(gate_line) < 1024, (
+        f"gate line {len(gate_line)} bytes >= 1 KB — would overflow "
+        "the driver's tail window (VERDICT r15 #1a)"
+    )
+    print(gate_line)
     sys.stdout.flush()
 
 

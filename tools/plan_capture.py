@@ -1,5 +1,5 @@
 """Capture explain('formatted') for named queries into
-plans/r15/<query>_<tag>.txt:
+plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt (default r16):
 
     python tools/plan_capture.py <tag> <query> [<query> ...]
 
@@ -25,7 +25,9 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r15")
+    out_dir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r16")
+    )
     os.makedirs(out_dir, exist_ok=True)
     registry.load_all()
     spark = get_spark(app_name="plan-capture", shuffle_partitions=4)
