@@ -1150,6 +1150,17 @@ class _VectorMatrixHandle:
             norms_sq = np.zeros(len(mat))
             for j in range(mat.shape[1]):  # strict fold order = nrm
                 norms_sq += mat[:, j] * mat[:, j]
+            # r16 (ADVICE r15): a zero-norm embedding would make every
+            # downstream cosine division NaN — and the k-NN kernel's
+            # ascending k-th order statistic sorts NaN LAST, silently
+            # over-tightening the capture threshold and dropping valid
+            # neighbors. Pathological input either way (the oracle's
+            # cosines would be NaN too): fail loud at the one place
+            # the matrix is built instead of mis-ranking quietly.
+            assert (norms_sq > 0.0).all(), (
+                "zero-norm embedding row(s) in "
+                f"{self.path}: cosine similarity is undefined"
+            )
             entry = (ids_sorted, mat, np.sqrt(norms_sq))
             while len(_VEC_MATRIX_CACHE) >= 2:  # bounded: keep 2 SFs
                 _VEC_MATRIX_CACHE.pop(next(iter(_VEC_MATRIX_CACHE)))
@@ -1356,7 +1367,13 @@ def colocated_rescore(
     )
 
 
-def _bucket_allpairs_kernel(threshold: float):
+def _bucket_allpairs_kernel(
+    threshold: float,
+    coefs=None,
+    n_tables: int = 0,
+    n_bits: int = 0,
+    probe_hamming: int = 0,
+):
     """applyInPandas kernel for the fused co-located near-dup: each
     call receives ONE (table, bucket) group's vectors and computes
     that bucket's all-pairs cosine block locally, emitting only the
@@ -1374,7 +1391,35 @@ def _bucket_allpairs_kernel(threshold: float):
     candidate set; dropping them here keeps the emitted pair set
     exactly {pairs with home-bucket Hamming distance ≤ 1}, the set
     the SQL oracle derives from home buckets alone via
-    bit_count(xor(a.b, b.b)) <= 1."""
+    bit_count(xor(a.b, b.b)) <= 1.
+
+    r16 first-collision emission (VERDICT r15 #3 — cut the pair-dedup
+    exchange): when ``coefs`` is given, the kernel recomputes every
+    group row's home bucket in EVERY table (the identical strict-fold
+    dot loop as _bucket_kernel_from_coefs/_probe_bucket_kernel, so the
+    recomputed homes are bit-equal to the shuffled ones) and emits a
+    surviving pair ONLY from the group whose table t is the FIRST
+    table in which the pair's home buckets collide (xor==0 for exact
+    buckets; xor having ≤1 set bit for Hamming-1). Each candidate
+    pair meets with home-involvement in exactly one group per
+    colliding table (d=0: the shared home bucket; d=1: the canonical
+    probe descends into the mate's home — r15), so first-collision
+    emission makes the union over groups duplicate-free BY
+    CONSTRUCTION and fused_lsh_pairs' trailing
+    dropDuplicates(vec_a, vec_b) — a full Exchange of every surviving
+    candidate pair — is deleted outright (guide §2.4). The emitted
+    VALUE per pair is unchanged: cos comes from the strict j-order
+    fold over the pair's own vectors, identical in whichever group
+    computes it, and the per-table recompute costs m·64·(L·k)
+    multiply-adds — ~3% of the m×m GEMM screen.
+
+    r16 allocation discipline (guide §5, the x4k lesson): the screen
+    is normalized IN PLACE (two broadcast divisions; the screen has a
+    1e-6 margin against the strict fold, so the ≤1-ulp reassociation
+    between a/(b·c) and (a/b)/c is absorbed) and candidate selection
+    uses an m×m boolean mask + nonzero instead of materializing the
+    m(m-1)/2 triu_indices int64 arrays — peak per-call temporaries
+    drop from ~5 m² eq-f64 to ~1 m² f64 + 2 m² bool."""
     import numpy as np
     import pandas as pd
 
@@ -1409,23 +1454,52 @@ def _bucket_allpairs_kernel(threshold: float):
         # computes. The all-pairs strict fold this replaces streamed
         # a full m² float64 temp per dimension — memory-bound at
         # dense buckets (x14b's m≈2500: 136 s → ~10 s at sf1, r11).
-        screen = (G @ G.T) / (nrm[:, None] * nrm[None, :])
-        iu, ju = np.triu_indices(m, k=1)
-        cand = screen[iu, ju] >= threshold - 1e-6
+        screen = G @ G.T
+        screen /= nrm[:, None]
+        screen /= nrm[None, :]
+        cand = screen >= threshold - 1e-6
+        cand &= ~np.tri(m, dtype=bool)  # strict upper triangle: a < b
         if home is not None:
-            cand &= home[iu] | home[ju]
-        ia, ib = iu[cand], ju[cand]
+            cand &= home[:, None] | home[None, :]
+        ia, ib = np.nonzero(cand)
         A, B = G[ia], G[ib]
         acc = np.zeros(len(ia))
         for j in range(G.shape[1]):  # strict fold order = list_sum
             acc += A[:, j] * B[:, j]
         cos = acc / (nrm[ia] * nrm[ib])
         keep = cos >= threshold
+        ia, ib, cos = ia[keep], ib[keep], cos[keep]
+        if coefs is not None and len(ia):
+            dots = np.zeros((m, n_tables * n_bits))
+            for j in range(64):  # strict fold order = bucket kernels
+                dots += G[:, j : j + 1] * coefs[:, j][None, :]
+            bits = dots > 0
+            H = np.zeros((m, n_tables), dtype=np.int64)
+            for ti in range(n_tables):
+                for i in range(n_bits):
+                    H[:, ti] |= bits[:, ti * n_bits + i].astype(
+                        np.int64
+                    ) << i
+            X = H[ia] ^ H[ib]
+            if probe_hamming == 0:
+                coll = X == 0
+            else:  # ≤1 differing bit ⇔ xor is 0 or a power of two
+                coll = (X & (X - 1)) == 0
+            t_grp = int(pdf["t"].iloc[0])
+            # every surviving pair met here with home-involvement, so
+            # it MUST collide in this group's table — fail loud if the
+            # recomputed homes ever disagree with the shuffled buckets
+            assert coll[:, t_grp].all(), (
+                "first-collision mask: recomputed home buckets do not "
+                f"collide in the emitting table t={t_grp}"
+            )
+            emit = coll.argmax(axis=1) == t_grp
+            ia, ib, cos = ia[emit], ib[emit], cos[emit]
         return pd.DataFrame(
             {
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "cos_raw": cos[keep],
+                "vec_a": ids[ia],
+                "vec_b": ids[ib],
+                "cos_raw": cos,
             }
         )
 
@@ -1702,8 +1776,13 @@ def fused_lsh_pairs(
     arithmetic-plane parameterization: bucket assignment is the x4j
     Arrow kernel, then ONE applyInPandas kernel per (table, bucket)
     group computes that bucket's all-pairs cosine block locally (see
-    _bucket_allpairs_kernel) and emits thresholded ID pairs, deduped
-    across tables. Only corpus×L-bounded rows carry vector payload
+    _bucket_allpairs_kernel) and emits thresholded ID pairs —
+    duplicate-free ACROSS tables by first-collision emission (r16:
+    the kernel recomputes home buckets per table from the vectors it
+    already holds and emits a pair only from its first colliding
+    table, so the trailing dropDuplicates Exchange of every surviving
+    pair is gone — VERDICT r15 #3, guide §2.4). Only corpus×L-bounded
+    rows carry vector payload
     through an exchange; the quadratic part never touches the JVM.
     Replaces lsh_near_dup_pairs as x14b's edge source: that form
     rescored every candidate through the interpreted _dot fold
@@ -1756,10 +1835,12 @@ def fused_lsh_pairs(
         )
         grouped = buckets.groupBy("t", "b")
     scored = grouped.applyInPandas(
-        _bucket_allpairs_kernel(threshold),
+        _bucket_allpairs_kernel(
+            threshold, coefs, n_tables, n_bits, probe_hamming
+        ),
         "vec_a bigint, vec_b bigint, cos_raw double",
     )
-    return scored.dropDuplicates(["vec_a", "vec_b"])
+    return scored
 
 
 @query(
@@ -2144,6 +2225,12 @@ def _knn_block_kernel(topk: int):
             acc = np.zeros(len(X))
             for j in range(X.shape[1]):  # strict fold = oracle nrm
                 acc += X[:, j] * X[:, j]
+            # r16 (ADVICE r15): zero-norm rows would NaN the screen
+            # and the ascending k-th order statistic would silently
+            # drop valid neighbors — fail loud on undefined input
+            assert (acc > 0.0).all(), (
+                "zero-norm embedding row(s): cosine is undefined"
+            )
             return np.sqrt(acc)
 
         pos = np.clip(np.searchsorted(cids, qids), 0, len(cids) - 1)

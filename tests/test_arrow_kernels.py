@@ -283,6 +283,57 @@ def test_multiprobe_canonical_direction_matches_home_hamming1(
     assert fused == reference  # identical candidate set, bit-exact scores
 
 
+def test_fused_lsh_pairs_emission_is_duplicate_free(spark, sf_dir):
+    """r16 first-collision emission (VERDICT r15 #3): fused_lsh_pairs
+    emits each candidate pair from exactly ONE (table, bucket) group —
+    the group of the pair's FIRST colliding table — so the raw kernel
+    output carries no duplicate (vec_a, vec_b) rows. This is the
+    invariant that let the trailing dropDuplicates Exchange (a full
+    shuffle of every surviving candidate pair) be deleted. Guarded
+    against vacuity: the fixture corpus must actually contain pairs
+    colliding in ≥2 tables, or the dedup property would be untested."""
+    from pyspark.sql import functions as F
+
+    from pdf_etl_engine_spark.catalog import load_table
+    from pdf_etl_engine_spark.operators.extensions import (
+        _x4j_bucket_kernel,
+        fused_lsh_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # vacuity guard: at (L=6, k=4) some pair shares a bucket in >=2
+    # tables, so first-collision emission has real work to do
+    bucket_arr = _x4j_bucket_kernel(6, 4, 61)
+    buckets = emb.select(
+        "vec_id", F.posexplode(bucket_arr("embedding")).alias("t", "b")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    multi = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id"), F.col("b.vec_id"))
+        .count()
+        .filter(F.col("count") >= 2)
+        .count()
+    )
+    assert multi > 0, "fixture has no multi-table collisions — vacuous"
+    for kwargs in (
+        {},  # exact buckets, arithmetic planes (the x4j2 shape)
+        {"plane": "mixed", "probe_hamming": 1},  # the x4n shape
+    ):
+        rows = [
+            (r.vec_a, r.vec_b)
+            for r in fused_lsh_pairs(
+                emb, 6, 4, 61, 0.25, **kwargs
+            ).collect()
+        ]
+        assert len(rows) == len(set(rows)), kwargs
+
+
 def test_knn_topk_block_hot_row_fallback_is_exact():
     """The r12 tie-capture cap (_knn_topk_block): on a duplicate-heavy
     block where one query ties with ~every column, the capped path
