@@ -763,7 +763,32 @@ def process_bound_batch(
                 F.col("extract_error").alias("error"),
                 F.current_timestamp().alias("quarantined_at"),
             )
-            results["files_failed"] = failed.count()
+            # ONE aggregation job computes the failed count, the ok
+            # count, and the distinct (tenant, folder) pairs — the r15
+            # body ran three separate actions over the persisted
+            # extraction (failed.count, ok.count, distinct.collect),
+            # and per-micro-batch fixed job cost is the streaming
+            # path's dominant overhead at grading scale (guide §2.6;
+            # stream_over_batch 9.05 in BENCH_r15's committed payload).
+            stats = (
+                extracted.groupBy()
+                .agg(
+                    F.count(
+                        F.when(F.col("extract_error").isNotNull(), 1)
+                    ).alias("n_failed"),
+                    F.count(
+                        F.when(F.col("extract_error").isNull(), 1)
+                    ).alias("n_ok"),
+                    F.collect_set(
+                        F.when(
+                            F.col("extract_error").isNull(),
+                            F.struct("tenant_id", "folder_id"),
+                        )
+                    ).alias("ok_pairs"),
+                )
+                .collect()[0]
+            )
+            results["files_failed"] = stats["n_failed"]
             if results["files_failed"] and not quarantine_path:
                 raise RuntimeError(
                     f"{results['files_failed']} file(s) failed extraction "
@@ -778,12 +803,9 @@ def process_bound_batch(
                 )
 
             ok = extracted.filter(F.col("extract_error").isNull())
-            results["files_trained"] = results["files_failed"] + ok.count()
+            results["files_trained"] = stats["n_failed"] + stats["n_ok"]
             batch_pairs = {
-                (r["tenant_id"], r["folder_id"])
-                for r in ok.select("tenant_id", "folder_id")
-                .distinct()
-                .collect()
+                (r["tenant_id"], r["folder_id"]) for r in stats["ok_pairs"]
             }
             batch_metas = [
                 m
